@@ -1,0 +1,396 @@
+"""Golden-graph tests for the RDFa engine (FIXTURES.md §2 feature matrix).
+
+Expected triples are hand-derived from the RDFa 1.1 Core processing model;
+each case cites the reference code path it exercises
+(paths relative to /root/reference/).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyrdfa3_spark.functions.constants import (
+    RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, RDF_XMLLITERAL,
+    RDFA_USES_VOCABULARY, XHTML_ROLE, XSD, XSD_DATE, XSD_DATETIME,
+    XSD_DURATION, XSD_GYEAR,
+)
+from pyrdfa3_spark.functions.hostlang import Host
+from pyrdfa3_spark.operators.rdfa_engine import Literal, RDFaProcessor
+from pyrdfa3_spark.sources.dom import parse_html, parse_xml
+
+from tests.graph_compare import diff, isomorphic
+
+BASE = "http://fixture.test/doc"
+SCHEMA = "http://schema.org/"
+FOAF = "http://xmlns.com/foaf/0.1/"
+DC = "http://purl.org/dc/terms/"
+
+
+def run_html(html, base=BASE, host=Host.HTML5, version="1.1"):
+    proc = RDFaProcessor(base=base, host=host, rdfa_version=version)
+    triples = proc.process(parse_html(html))
+    return triples, proc
+
+
+def run_xml(xml, base=BASE, host=Host.SVG, version="1.1"):
+    proc = RDFaProcessor(base=base, host=host, rdfa_version=version)
+    triples = proc.process(parse_xml(xml))
+    return triples, proc
+
+
+def assert_graph(actual, expected):
+    assert isomorphic(actual, expected), "\n" + diff(actual, expected)
+
+
+# --------------------------------------------------------------------------
+# plain literals + language inheritance (state.py:229-257, property.py:136-138)
+# --------------------------------------------------------------------------
+
+def test_plain_literal_lang_inheritance():
+    html = ('<html lang="en"><body>'
+            '<p about="#a" property="http://purl.org/dc/terms/title">Hello</p>'
+            '<p about="#b" property="http://purl.org/dc/terms/title" '
+            'lang="fr">Bonjour</p>'
+            '<p about="#c" property="http://purl.org/dc/terms/title" '
+            'lang="">None</p>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", DC + "title", Literal("Hello", "en", None)),
+        (BASE + "#b", DC + "title", Literal("Bonjour", "fr", None)),
+        (BASE + "#c", DC + "title", Literal("None", None, None)),
+    ])
+
+
+def test_xml_lang_priority_over_lang():
+    html = ('<html><body>'
+            '<p about="#a" property="dc:title" lang="fr" xml:lang="de">x</p>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", DC + "title", Literal("x", "de", None)),
+    ])
+
+
+# --------------------------------------------------------------------------
+# @content / @datatype (property.py:96-136, 286-311)
+# --------------------------------------------------------------------------
+
+def test_content_and_datatype():
+    html = ('<html><body lang="en">'
+            '<span about="#a" property="schema:age" datatype="xsd:integer" '
+            'content="30">thirty</span>'
+            '<span about="#a" property="schema:name" content="Alice">A</span>'
+            '<span about="#a" property="schema:alt" datatype="">typed off'
+            '</span></body></html>')
+    actual, proc = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", SCHEMA + "age", Literal("30", None, XSD + "integer")),
+        (BASE + "#a", SCHEMA + "name", Literal("Alice", "en", None)),
+        (BASE + "#a", SCHEMA + "alt", Literal("typed off", "en", None)),
+    ])
+
+
+def test_bad_datatype_value_warns_but_keeps_literal():
+    html = ('<html><body><span about="#a" property="schema:age" '
+            'datatype="xsd:integer" content="NaNny"/></body></html>')
+    actual, proc = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", SCHEMA + "age", Literal("NaNny", None, XSD + "integer")),
+    ])
+    assert any(d[1] == "incompatible-literal" for d in proc.diagnostics)
+
+
+def test_xml_literal():
+    html = ('<html><body><span about="#a" property="schema:desc" '
+            'datatype="rdf:XMLLiteral">a <b>bold</b> move</span>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert len(actual) == 1
+    s, p, o = actual[0]
+    assert (s, p) == (BASE + "#a", SCHEMA + "desc")
+    assert o.datatype == RDF_XMLLITERAL
+    assert "bold" in o.value and o.value.startswith("a <b")
+
+
+# --------------------------------------------------------------------------
+# CURIE resolution (termorcurie.py:247-320, 378-465; transform empty [])
+# --------------------------------------------------------------------------
+
+def test_prefix_xmlns_safe_curie_and_bnode():
+    html = ('<html prefix="ex: http://example.org/ns# '
+            'EX2: http://example.org/other#"><body>'
+            '<div about="[ex:thing]" rel="ex2:link" resource="_:joe"/>'
+            '<div about="_:joe" property="ex:name">Joe</div>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        ("http://example.org/ns#thing", "http://example.org/other#link", "_:x"),
+        ("_:x", "http://example.org/ns#name", Literal("Joe", None, None)),
+    ])
+
+
+def test_unknown_prefix_is_ignored_and_empty_safe_curie_pruned():
+    html = ('<html><body>'
+            '<div about="[]" property="schema:name">me</div>'
+            '<div about="#a" rel="nosuch:link" resource="#b"/>'
+            '<div about="#a" rel="[nosuch:other]" resource="#b"/>'
+            '</body></html>')
+    actual, proc = run_html(html)
+    # about="[]" pruned -> subject falls back to parent object (= base);
+    # an unbound-prefix CURIE outside a safe CURIE is accepted as an
+    # absolute IRI in 1.1 (state.py:415-425), inside one it is dropped.
+    assert_graph(actual, [
+        (BASE, SCHEMA + "name", Literal("me", None, None)),
+        (BASE + "#a", "nosuch:link", BASE + "#b"),
+    ])
+    assert any(d[1] == "empty-safe-curie" for d in proc.diagnostics)
+    assert any(d[1] == "unusual-uri-scheme" for d in proc.diagnostics)
+
+
+def test_curie_with_empty_prefix_and_default_curie_uri():
+    html = ('<html><body><div about="#a" rel=":next" resource="#b"/>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", "http://www.w3.org/1999/xhtml/vocab#next", BASE + "#b"),
+    ])
+
+
+# --------------------------------------------------------------------------
+# TERM + @vocab (termorcurie.py:199-221, 467-499)
+# --------------------------------------------------------------------------
+
+def test_vocab_terms_and_reset():
+    html = ('<html vocab="http://schema.org/"><body>'
+            '<div about="#a" typeof="Person"><span property="name">N</span>'
+            '</div>'
+            '<div vocab=""><span about="#b" property="license" '
+            'resource="#lic"/></div>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE, RDFA_USES_VOCABULARY, SCHEMA),
+        (BASE + "#a", RDF_TYPE, SCHEMA + "Person"),
+        (BASE + "#a", SCHEMA + "name", Literal("N", None, None)),
+        # vocab reset -> 'license' falls back to the initial-context term
+        (BASE + "#b", "http://www.w3.org/1999/xhtml/vocab#license",
+         BASE + "#lic"),
+    ])
+
+
+def test_term_case_insensitive_fallback():
+    html = ('<html><body><div about="#a" rel="LICENSE" resource="#l"/>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", "http://www.w3.org/1999/xhtml/vocab#license",
+         BASE + "#l"),
+    ])
+
+
+# --------------------------------------------------------------------------
+# chaining (parse.py:147-223, 293-300)
+# --------------------------------------------------------------------------
+
+def test_bare_property_typeof_chaining():
+    # @property w/o @content/@datatype + @typeof mints the typed resource
+    # as object (parse.py:177-198)
+    html = ('<html vocab="http://schema.org/"><body>'
+            '<div about="#me"><div property="address" typeof="PostalAddress">'
+            '<span property="postalCode">12345</span></div></div>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE, RDFA_USES_VOCABULARY, SCHEMA),
+        ("_:a", RDF_TYPE, SCHEMA + "PostalAddress"),
+        (BASE + "#me", SCHEMA + "address", "_:a"),
+        ("_:a", SCHEMA + "postalCode", Literal("12345", None, None)),
+    ])
+
+
+def test_rel_incomplete_triples_completed_by_children():
+    html = ('<html><body><div about="#me" rel="foaf:knows">'
+            '<div about="#bob"><span property="foaf:name">Bob</span></div>'
+            '<div about="#eve"><span property="foaf:name">Eve</span></div>'
+            '</div></body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#me", FOAF + "knows", BASE + "#bob"),
+        (BASE + "#me", FOAF + "knows", BASE + "#eve"),
+        (BASE + "#bob", FOAF + "name", Literal("Bob", None, None)),
+        (BASE + "#eve", FOAF + "name", Literal("Eve", None, None)),
+    ])
+
+
+def test_rev_reversed_triple():
+    html = ('<html><body><div about="#a" rev="dc:creator" resource="#b"/>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#b", DC + "creator", BASE + "#a"),
+    ])
+
+
+def test_hanging_rel_bnode_for_children():
+    # no resource on the rel element: children hang off a fresh bnode
+    html = ('<html><body><div about="#me" rel="foaf:knows">'
+            '<span property="foaf:name">Anon</span></div></body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#me", FOAF + "knows", "_:x"),
+        ("_:x", FOAF + "name", Literal("Anon", None, None)),
+    ])
+
+
+def test_typeof_on_object_with_rel():
+    # @typeof without @about types the object resource (parse.py:167-170);
+    # with @about it types the subject instead (parse.py:153-155)
+    html = ('<html><body><div rel="foaf:knows" typeof="foaf:Person"'
+            ' resource="#bob"/></body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE, FOAF + "knows", BASE + "#bob"),
+        (BASE + "#bob", RDF_TYPE, FOAF + "Person"),
+    ])
+    html2 = ('<html><body><div about="#me" rel="foaf:knows" '
+             'typeof="foaf:Person" resource="#bob"/></body></html>')
+    actual2, _ = run_html(html2)
+    assert_graph(actual2, [
+        (BASE + "#me", RDF_TYPE, FOAF + "Person"),
+        (BASE + "#me", FOAF + "knows", BASE + "#bob"),
+    ])
+
+
+# --------------------------------------------------------------------------
+# lists (parse.py:237-250, 303-316; state.py:485-549)
+# --------------------------------------------------------------------------
+
+def test_inlist_property_order():
+    html = ('<html><body><div about="#a">'
+            '<span property="dc:creator" inlist="">One</span>'
+            '<span property="dc:creator" inlist="">Two</span>'
+            '</div></body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", DC + "creator", "_:l1"),
+        ("_:l1", RDF_FIRST, Literal("One", None, None)),
+        ("_:l1", RDF_REST, "_:l2"),
+        ("_:l2", RDF_FIRST, Literal("Two", None, None)),
+        ("_:l2", RDF_REST, RDF_NIL),
+    ])
+
+
+def test_empty_list_is_nil():
+    html = ('<html><body><div about="#a" rel="dc:creator" inlist=""></div>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#a", DC + "creator", RDF_NIL),
+    ])
+
+
+# --------------------------------------------------------------------------
+# base handling (state.py:147-202, 290-313)
+# --------------------------------------------------------------------------
+
+def test_base_element_and_relative_iris():
+    html = ('<html><head><base href="http://other.example/dir/page#frag"/>'
+            '</head><body>'
+            '<div about="thing" rel="dc:source" href="../up"/>'
+            '<div about="#tail" rel="dc:relation" href="x?"/>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    b = "http://other.example/dir/page"
+    assert_graph(actual, [
+        ("http://other.example/dir/thing", DC + "source",
+         "http://other.example/up"),
+        (b + "#tail", DC + "relation", "http://other.example/dir/x?"),
+    ])
+
+
+def test_xml_base_in_svg():
+    xml = ('<svg xmlns="http://www.w3.org/2000/svg" '
+            'xml:base="http://svg.example/root">'
+            '<g xml:base="http://svg.example/inner/" about="leaf" '
+            'property="dc:title" content="t"/></svg>')
+    actual, _ = run_xml(xml, host=Host.SVG)
+    assert_graph(actual, [
+        ("http://svg.example/inner/leaf", DC + "title",
+         Literal("t", None, None)),
+    ])
+
+
+# --------------------------------------------------------------------------
+# HTML5 <time> (host/html5.py:39-201)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("value,dtype", [
+    ("2026-08-16", XSD_DATE),
+    ("2026-08-16T10:11:12", XSD_DATETIME),
+    ("2026", XSD_GYEAR),
+    ("P3D", XSD_DURATION),
+    ("not a date", None),
+])
+def test_time_element_datatype_sniffing(value, dtype):
+    html = (f'<html><body><div about="#a"><time property="dc:date" '
+            f'datetime="{value}">shown</time></div></body></html>')
+    actual, _ = run_html(html)
+    expected_lit = Literal(value, None, dtype)
+    assert_graph(actual, [(BASE + "#a", DC + "date", expected_lit)])
+
+
+# --------------------------------------------------------------------------
+# @role (parse.py:491-508, transform/__init__.py:89-117)
+# --------------------------------------------------------------------------
+
+def test_role_with_and_without_id():
+    html = ('<html><body>'
+            '<div id="nav" role="navigation"/>'
+            '<div role="http://example.org/custom"/>'
+            '</body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        (BASE + "#nav", XHTML_ROLE,
+         "http://www.w3.org/1999/xhtml/vocab#navigation"),
+        ("_:r", XHTML_ROLE, "http://example.org/custom"),
+    ])
+
+
+# --------------------------------------------------------------------------
+# html5 host transform: remove_rel (host/html5.py:203-224)
+# --------------------------------------------------------------------------
+
+def test_remove_rel_term_with_property():
+    # a term-only @rel coexisting with @property is dropped in HTML5
+    html = ('<html><body><a about="#a" property="dc:title" rel="license" '
+            'href="http://l.example/">T</a></body></html>')
+    actual, _ = run_html(html)
+    assert_graph(actual, [
+        # property picks up @href as IRI object (property.py:81-86)
+        (BASE + "#a", DC + "title", "http://l.example/"),
+    ])
+
+
+# --------------------------------------------------------------------------
+# RDFa 1.0 mode (parse.py:325-486, property.py:152-217)
+# --------------------------------------------------------------------------
+
+def test_rdfa_10_auto_xmlliteral_and_safe_curie_only():
+    html = ('<html version="XHTML+RDFa 1.0" xmlns:dc="http://purl.org/dc/terms/">'
+            '<body><div about="#a" property="dc:title">a <b>x</b></div>'
+            '</body></html>')
+    actual, proc = run_html(html, host=Host.XHTML, version="1.0")
+    assert proc.rdfa_version == "1.0"
+    assert len(actual) == 1
+    s, p, o = actual[0]
+    assert o.datatype == RDF_XMLLITERAL
+
+
+def test_determinism_same_doc_twice():
+    html = ('<html><body><div about="#me" rel="foaf:knows">'
+            '<div typeof="foaf:Person"><span property="foaf:name">B</span>'
+            '</div></div></body></html>')
+    a1, _ = run_html(html)
+    a2, _ = run_html(html)
+    assert a1 == a2
