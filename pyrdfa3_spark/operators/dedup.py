@@ -1,0 +1,135 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every stage is expressed as explode -> hash -> groupBy
+so Catalyst gets partial (map-side) aggregation; candidate generation is
+band-bucket grouping (self-join only *within* tiny buckets), never an
+all-pairs join.  Hashing uses md5/sha2 built-ins so the DuckDB oracle can
+reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(col="text"):
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated fingerprint with
+    the kept (minimum) doc_id and the duplicate count."""
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.md5(_normalized()).alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def _shingles(docs: DataFrame, k: int = 5):
+    """Character k-gram shingle rows (doc_id, shingle), distinct."""
+    n = F.length(F.col("norm"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    _normalized().alias("norm"))
+            .select("doc_id", F.explode(idx).alias("i"), F.col("norm"))
+            .select("doc_id", F.expr(f"substr(norm, i, {k})").alias("shingle"))
+            .dropDuplicates(["doc_id", "shingle"]))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 5,
+                       n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per document: h_j(doc) = min over shingles of
+    the first 12 hex chars of md5(j || shingle), kept as hex strings so
+    the SQL oracle is identical.  Output: doc_id, h0..h{n-1}."""
+    sh = _shingles(docs, k)
+    aggs = [
+        F.min(F.substring(F.md5(F.concat(F.lit(str(j) + "|"),
+                                         F.col("shingle"))), 1, 12)
+              ).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
+                           bands: int = 4) -> DataFrame:
+    """LSH banding: signatures split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band bucket are duplicate
+    candidates.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Scale shape: groupBy(band, bucket) with collect_list only *inside*
+    buckets that collide — bucket cardinality is bounded by near-dup
+    cluster size, not corpus size.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("|", *parts)).alias("bucket")))
+    exploded = (sig.select("doc_id",
+                           F.explode(F.array(*band_cols)).alias("bb"))
+                .select("doc_id", "bb.band", "bb.bucket"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .dropDuplicates())
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs
+    (verification stage after LSH).  ``pairs``: (doc_a, doc_b)."""
+    sh = _shingles(docs, k)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    return (inter
+            .join(counts.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(counts.withColumnRenamed("doc_id", "doc_b")
+                  .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_common") /
+                            (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                            4).alias("jaccard")))
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign of the sum of
+    (+1/-1) votes from each distinct token's md5.  Column algebra only:
+    explode tokens -> per-token bit votes via conv(substr(md5,..)) ->
+    groupBy doc -> bit assembly."""
+    toks = (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.explode(F.split(_normalized(), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .dropDuplicates(["doc_id", "tok"])
+            .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+                        .cast("bigint")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"v{b}") > 0,
+                           F.lit(2 ** b).cast("bigint")).otherwise(0)
+    return agg.select("doc_id", sig.alias("simhash"))

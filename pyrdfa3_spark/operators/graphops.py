@@ -1,0 +1,170 @@
+"""Whole-graph operators over triple DataFrames (SURVEY.md §2.6).
+
+Everything here is declarative DataFrame algebra — joins, anti-joins,
+windows, unions — so Catalyst plans it (broadcast selection, AQE skew
+splitting) without custom rules.  Expected schema: at least
+``subj, pred, obj`` string columns (extra columns pass through where
+noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrdfa3_spark.functions.constants import (
+    RDF_TYPE, RDFA_COPY, RDFA_PATTERN,
+)
+
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_iri", "obj_lang",
+              "obj_datatype"]
+
+
+def dedup_triples(triples: DataFrame, per_document: bool = True) -> DataFrame:
+    """RDF set semantics (E16; rdflib Graph is a set).  Per-document by
+    default — matching the reference's one-graph-per-source scoping —
+    global when ``per_document=False``."""
+    cols = [c for c in TRIPLE_KEY if c in triples.columns]
+    if per_document:
+        cols = ["conv_id", "turn_idx"] + cols
+    return triples.dropDuplicates(cols)
+
+
+def handle_prototypes(triples: DataFrame) -> DataFrame:
+    """rdfa:Pattern / rdfa:copy expansion (G1; reference:
+    pyRdfa/transform/prototype.py:26-37).
+
+    For every (x, rdfa:copy, P) where (P, rdf:type, rdfa:Pattern):
+    copy all (P, p, y) onto x, then remove the copy triples, the type
+    triples, and the pattern's own triples.  Pure join/anti-join algebra:
+    the pattern side is tiny relative to the corpus, so Catalyst
+    broadcast-joins it.
+    """
+    extra = [c for c in ("conv_id", "turn_idx") if c in triples.columns]
+    data_cols = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+
+    # prototypes: subjects typed rdfa:Pattern (scoped per document when
+    # provenance columns exist, matching the reference's per-graph pass)
+    patterns = (triples
+                .filter((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj") == RDFA_PATTERN))
+                .select(*extra, F.col("subj").alias("proto"))
+                .dropDuplicates())
+
+    # (x, rdfa:copy, P) references whose P is a known pattern
+    copies = (triples.filter(F.col("pred") == RDFA_COPY)
+              .select(*extra, F.col("subj").alias("x"),
+                      F.col("obj").alias("proto"))
+              .join(patterns, [*extra, "proto"], "inner"))
+
+    referenced = copies.select(*extra, "proto").dropDuplicates()
+
+    # body triples of each referenced prototype, minus its Pattern typing
+    bodies = (triples
+              .withColumnRenamed("subj", "proto")
+              .join(referenced, [*extra, "proto"], "inner")
+              .filter(~((F.col("pred") == RDF_TYPE)
+                        & (F.col("obj") == RDFA_PATTERN))))
+
+    expanded = (copies.join(bodies, [*extra, "proto"], "inner")
+                .withColumnRenamed("x", "subj")
+                .select("subj", "pred", "obj", *data_cols)
+                .select(*triples.columns))
+
+    # remove: every triple of a referenced prototype (its Pattern typing
+    # and body) and every rdfa:copy reference to one
+    kept = (triples
+            .join(referenced.withColumnRenamed("proto", "subj"),
+                  [*extra, "subj"], "left_anti"))
+    kept = kept.join(
+        copies.select(*extra, F.col("x").alias("subj"),
+                      F.lit(RDFA_COPY).alias("pred"),
+                      F.col("proto").alias("obj")),
+        [*extra, "subj", "pred", "obj"], "left_anti")
+    return kept.unionByName(expanded)
+
+
+def subtract_graph(triples: DataFrame, other: DataFrame) -> DataFrame:
+    """Set difference on the triple key (G5; reference:
+    pyRdfa/rdfs/process.py:300) — left_anti join, broadcastable."""
+    on = [c for c in TRIPLE_KEY if c in triples.columns
+          and c in other.columns]
+    return triples.join(other.select(on).dropDuplicates(), on, "left_anti")
+
+
+def union_graphs(*graphs: DataFrame) -> DataFrame:
+    """Graph merge (E15/G3; reference: pyRdfa/__init__.py:483-487)."""
+    out = graphs[0]
+    for g in graphs[1:]:
+        out = out.unionByName(g, allowMissingColumns=True)
+    return out
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Semi-naive fixpoint closure of a binary relation (G4 core;
+    reference: MiniOWL ``closure`` pyRdfa/rdfs/process.py:155-183 and the
+    transitivity rules 209-231).
+
+    ``edges``: DataFrame(src, dst).  Returns all (src, dst) in the
+    transitive closure.  Driver-side loop — Catalyst has no recursion —
+    with per-iteration delta joins (delta ⋈ edges), the standard
+    semi-naive evaluation that only grows the frontier.  ``cache`` +
+    ``localCheckpoint`` keep lineage from exploding at depth.
+    """
+    base = edges.select("src", "dst").dropDuplicates().cache()
+    closure = base
+    delta = base
+    for _ in range(max_iterations):
+        step = (delta.alias("d")
+                .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
+                .select(F.col("d.src").alias("src"),
+                        F.col("e.dst").alias("dst"))
+                .dropDuplicates())
+        delta = step.join(closure, ["src", "dst"], "left_anti").cache()
+        if delta.isEmpty():
+            break
+        closure = closure.unionByName(delta).localCheckpoint(eager=True)
+    return closure
+
+
+def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
+                   pred_col: str = "pred", value_col: str = "value",
+                   pos_col: str = "pos") -> DataFrame:
+    """Materialize ordered (origin, pred, value*) groups as
+    rdf:first/rdf:rest/rdf:nil cons chains (E12; reference:
+    pyRdfa/parse.py:303-316) using window + lead — the distributed
+    equivalent of the engine's in-document list builder, for lists whose
+    members arrive as rows.
+
+    Head IRIs are deterministic skolems of (origin, pred, pos).
+    Output: (subj, pred, obj) triples.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(origin_col, pred_col).orderBy(pos_col)
+    head = F.concat(F.lit("_:l"), F.sha2(F.concat_ws(
+        "\x1f", F.col(origin_col), F.col(pred_col),
+        F.col(pos_col).cast("string")), 256).substr(1, 24))
+    nxt = F.lead(head, 1).over(w)
+    first_pos = F.row_number().over(w)
+    df = items.select(
+        F.col(origin_col), F.col(pred_col), F.col(value_col),
+        head.alias("head"),
+        F.coalesce(nxt, F.lit("rdf:nil-placeholder")).alias("rest"),
+        first_pos.alias("rn"))
+    rest_iri = F.when(F.col("rest") == "rdf:nil-placeholder",
+                      F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
+                      ).otherwise(F.col("rest"))
+    firsts = df.select(
+        F.col("head").alias("subj"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#first").alias("pred"),
+        F.col(value_col).alias("obj"))
+    rests = df.select(
+        F.col("head").alias("subj"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#rest").alias("pred"),
+        rest_iri.alias("obj"))
+    anchors = (df.filter(F.col("rn") == 1)
+               .select(F.col(origin_col).alias("subj"),
+                       F.col(pred_col).alias("pred"),
+                       F.col("head").alias("obj")))
+    return firsts.unionByName(rests).unionByName(anchors)

@@ -1,0 +1,91 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column algebra (JVM-side, whole-stage codegen) — no Python in
+the hot path.  Each operator has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` so DuckDB cross-checks it at sf=0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deliberately small, deterministic stop-word marker sets per language:
+# the oracle must reproduce them in SQL, so counts use simple
+# space-delimited markers rather than tokenizer-grade lists.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "que", "es", "las"],
+}
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token counting (bigint for oracle parity)."""
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Cheap quality heuristics: length, alpha ratio, punctuation ratio,
+    mean token length — the usual pre-training filters."""
+    text = F.col("text")
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    toks = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+")))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(alpha / F.greatest(n, F.lit(1)), 4).alias("alpha_ratio"),
+        F.round(punct / F.greatest(n, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n / F.greatest(toks, F.lit(1)), 2).alias("mean_tok_len"),
+        (n >= 100).alias("len_ok"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: count per-language stop-word hits in the
+    lowercased, space-padded text; highest count wins, ties broken by
+    language code order; no hits -> 'und'."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def hits(words):
+        c = F.lit(0)
+        for w in words:
+            token = f" {w} "
+            c = c + (F.length(padded)
+                     - F.length(F.replace(padded, F.lit(token), F.lit("")))
+                     ) / len(token)
+        return c.cast("bigint")
+
+    scored = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        *[hits(ws).alias(f"hits_{lang}") for lang, ws in
+          sorted(_LANG_MARKERS.items())],
+    )
+    langs = sorted(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier language wins ties
+        pred = F.when((F.col(f"hits_{lg}") == best) & (best > 0),
+                      F.lit(lg)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_pred"),
+                         best.alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the exact-dedup key."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                         r"\s+", " "))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5(normalized).alias("fp"),
+    )

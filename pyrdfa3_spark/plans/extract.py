@@ -1,0 +1,190 @@
+"""The extraction pipeline: transcripts -> triples (+ diagnostics).
+
+Spark-first layout (SURVEY.md §3.3):
+
+    scan -> cheap rlike prefilter (pushed into the source scan)
+         -> explicit repartition on pmod(hash(conv_id, turn_idx), P)
+            (balances the skewed-conversation fixture: the unit of work
+            is a *turn*, so a 100x conversation spreads across tasks)
+         -> ONE Arrow-batched ``mapInPandas`` UDF
+            (parse + RDFa processing + per-document dedup + deterministic
+            skolemization; document graphs never cross the JVM boundary)
+         -> tagged union of triple rows and diagnostic rows.
+
+Per-document RDF set semantics (reference: rdflib Graph dedup,
+SURVEY.md §2 E16) is applied *inside* the UDF with a Python set —
+a shuffle-free dedup, because a document is always processed by exactly
+one UDF call.  Cross-document global dedup, when wanted, is the separate
+:func:`pyrdfa3_spark.operators.graphops.dedup_triples`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from collections.abc import Iterator
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, StringType, StructField, StructType,
+)
+
+# cheap document-level fast path (reference: pyRdfa/parse.py:133-137 per
+# node; here lifted to a scan predicate so Catalyst pushes it down —
+# non-carrier turns never reach Python)
+RDFA_PREFILTER = (
+    "(?i)<[^>]{0,1000}(property|typeof|about|resource|vocab|prefix|rel|rev"
+    "|role|datatype)\\s*="
+)
+
+TRIPLE_SCHEMA = StructType([
+    StructField("kind", StringType()),        # 't' triple | 'd' diagnostic
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("subj", StringType()),
+    StructField("pred", StringType()),
+    StructField("obj", StringType()),
+    StructField("obj_is_iri", BooleanType()),
+    StructField("obj_lang", StringType()),
+    StructField("obj_datatype", StringType()),
+])
+
+_OUT_COLS = [f.name for f in TRIPLE_SCHEMA.fields]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one call per Arrow batch (bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    # imports stay inside so the function ships cleanly to executors
+    from pyrdfa3_spark.functions.hostlang import host_for, sniff_media_type
+    from pyrdfa3_spark.operators.rdfa_engine import Literal, RDFaProcessor, is_bnode
+    from pyrdfa3_spark.sources.dom import parse_html, parse_xml
+    from pyrdfa3_spark.functions.hostlang import is_xml_host
+
+    sys.setrecursionlimit(20000)  # engine recursion is depth-guarded at parse
+
+    for pdf in batches:
+        rows = {c: [] for c in _OUT_COLS}
+
+        def emit(kind, conv, turn, s, p, o, is_iri, lang, dt):
+            rows["kind"].append(kind)
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(turn)
+            rows["subj"].append(s)
+            rows["pred"].append(p)
+            rows["obj"].append(o)
+            rows["obj_is_iri"].append(is_iri)
+            rows["obj_lang"].append(lang)
+            rows["obj_datatype"].append(dt)
+
+        for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                    pdf["text"]):
+            turn = int(turn)
+            start = text.find("<")
+            end = text.rfind(">")
+            if start < 0 or end <= start:
+                continue
+            fragment = text[start:end + 1]
+            base = f"http://transcript.local/{conv}/{turn}"
+            media = sniff_media_type(fragment)
+            host = host_for(media)
+            proc = RDFaProcessor(base=base, host=host)
+            try:
+                root = (parse_xml(fragment) if is_xml_host(host)
+                        else parse_html(fragment))
+                triples = proc.process(root)
+            except Exception as exc:  # per-document fault isolation
+                emit("d", conv, turn, "error", type(exc).__name__,
+                     str(exc)[:500], None, None, None)
+                continue
+
+            skolem_cache: dict[str, str] = {}
+
+            def skolemize(term: str) -> str:
+                # deterministic, parallelism-invariant bnode names keyed
+                # on (conv_id, turn_idx, local label) — replaces the
+                # reference's process-global registry
+                # (pyRdfa/termorcurie.py:84-85)
+                if term in skolem_cache:
+                    return skolem_cache[term]
+                h = hashlib.sha256(
+                    f"{conv}\x1f{turn}\x1f{term}".encode()).hexdigest()[:24]
+                sk = "_:sk" + h
+                skolem_cache[term] = sk
+                return sk
+
+            seen = set()  # per-document RDF set semantics (E16)
+            for s, p, o in triples:
+                s_out = skolemize(s) if is_bnode(s) else s
+                if isinstance(o, Literal):
+                    key = (s_out, p, False, o.value, o.lang, o.datatype)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    emit("t", conv, turn, s_out, p, o.value, False,
+                         o.lang, o.datatype)
+                else:
+                    o_out = skolemize(o) if is_bnode(o) else o
+                    key = (s_out, p, True, o_out, None, None)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    emit("t", conv, turn, s_out, p, o_out, True, None, None)
+            for severity, code, message in proc.diagnostics:
+                emit("d", conv, turn, severity, code, message[:500],
+                     None, None, None)
+        yield pd.DataFrame(rows)
+
+
+def extract_tagged(transcripts: DataFrame,
+                   repartition_to: Optional[int] = None,
+                   prefilter: bool = True) -> DataFrame:
+    """transcripts -> tagged union of triples ('t') and diagnostics ('d')."""
+    df = transcripts.select("conv_id", "turn_idx", "text")
+    if prefilter:
+        df = df.filter(F.col("text").rlike(RDFA_PREFILTER))
+    if repartition_to is None:
+        repartition_to = int(
+            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # explicit, deterministic placement (north rule): spread turns by
+    # (conv_id, turn_idx) hash so a skewed conversation cannot pin a task
+    df = df.repartition(repartition_to,
+                        F.pmod(F.hash("conv_id", "turn_idx"),
+                               F.lit(repartition_to)))
+    return df.mapInPandas(_extract_batches, schema=TRIPLE_SCHEMA)
+
+
+def split_outputs(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split the tagged union; callers that need both should persist the
+    tagged frame first to avoid re-running extraction."""
+    triples = tagged.filter(F.col("kind") == "t").select(
+        "conv_id", "turn_idx", "subj", "pred", "obj",
+        "obj_is_iri", "obj_lang", "obj_datatype")
+    diags = tagged.filter(F.col("kind") == "d").select(
+        "conv_id", "turn_idx",
+        F.col("subj").alias("severity"),
+        F.col("pred").alias("code"),
+        F.col("obj").alias("message"))
+    return triples, diags
+
+
+def extract_triples(transcripts: DataFrame,
+                    repartition_to: Optional[int] = None) -> DataFrame:
+    """transcripts -> triples DataFrame (diagnostics dropped)."""
+    triples, _ = split_outputs(extract_tagged(transcripts, repartition_to))
+    return triples
+
+
+def write_triples(triples: DataFrame, path: str, buckets: int = 16) -> None:
+    """Partitioned sink (S6).  Iceberg is the production target
+    (``writeTo(...).partitionedBy(bucket(conv_id))``); this sandbox has no
+    catalog, so we land parquet partitioned by an explicit conv bucket
+    column — the same physical layout an Iceberg bucket transform yields."""
+    (triples
+     .withColumn("conv_bucket", F.pmod(F.hash("conv_id"), F.lit(buckets)))
+     .write.mode("overwrite")
+     .partitionBy("conv_bucket")
+     .parquet(path))

@@ -1,0 +1,521 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable, with a matching ANSI-SQL oracle
+(DuckDB) where the operator is SQL-expressible.
+
+Column names are aligned between the Spark plan and the SQL text — the
+driver's comparison sorts columns by name and hashes values, so every
+computed column is aliased identically on both sides.  Floating-point
+aggregates are made bit-deterministic by summing in DECIMAL and casting
+the final value to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrdfa3_spark.operators import dedup as D
+from pyrdfa3_spark.operators import similarity as S
+from pyrdfa3_spark.operators import textops as T
+from pyrdfa3_spark.operators.graphops import (
+    handle_prototypes, rdf_list_chain, transitive_closure,
+)
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- #
+# text analysis (documents)
+# --------------------------------------------------------------------- #
+
+def q_token_count(spark, sf_dir):
+    return T.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+            AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_SCORE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / greatest(length(text), 1), 4) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(length(text) / greatest(
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END,
+             1), 2) AS mean_tok_len,
+       length(text) >= 100 AS len_ok
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return T.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id():
+    from pyrdfa3_spark.operators.textops import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    hit_exprs = []
+    for lg in langs:
+        parts = []
+        for w in _LANG_MARKERS[lg]:
+            tok = f" {w} "
+            parts.append(
+                f"(length(padded) - length(replace(padded, '{tok}', '')))"
+                f" / {len(tok)}")
+        hit_exprs.append(f"CAST({' + '.join(parts)} AS BIGINT) AS hits_{lg}")
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs
+    ) + " ELSE 'und' END"
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  ' ' || lower(text) || ' ' AS padded FROM documents),
+h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM d),
+b AS (SELECT doc_id, *, {best} AS best FROM h)
+SELECT doc_id, {case} AS lang_pred, best AS marker_hits FROM b
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5({_NORM_SQL}) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- #
+# dedup (documents)
+# --------------------------------------------------------------------- #
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS fp,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_SQL_SHINGLES = f"""
+d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+      FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 5) AS shingle
+       FROM d, unnest(generate_series(1, greatest(length(norm) - 4, 1)))
+            AS t(i))
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"),
+                                k=5, n_hashes=8)
+
+
+SQL_MINHASH_SIGNATURES = (
+    "WITH " + _SQL_SHINGLES +
+    "SELECT doc_id, " + ", ".join(
+        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
+        for j in range(8)) +
+    " FROM sh GROUP BY doc_id"
+)
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"),
+                                    k=5, n_hashes=8, bands=4)
+
+
+SQL_MINHASH_LSH = (
+    "WITH " + _SQL_SHINGLES + """,
+sig AS (SELECT doc_id, """ + ", ".join(
+        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
+        for j in range(8)) + """ FROM sh GROUP BY doc_id),
+bb AS (""" + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) "
+        f"AS bucket FROM sig" for b in range(4)) + """)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bb l JOIN bb r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+)
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# --------------------------------------------------------------------- #
+# similarity (embeddings)
+# --------------------------------------------------------------------- #
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, query_ids=list(range(10)), top_k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10),
+p AS (SELECT q.query_id, e.vec_id,
+             round(list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM p) WHERE rank <= 5
+"""
+
+
+def q_lsh_cosine_candidates(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_cosine_candidates(emb, dim=64, n_planes=8)
+
+
+def _sql_lsh_cosine():
+    planes = [S.plane_values(64, p) for p in range(8)]
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {planes[p]!r}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8))
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e)
+SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+""".replace("[", "[").replace("]", "]")
+
+
+# --------------------------------------------------------------------- #
+# relational core (TPC-H-ish; exercises agg/join/window/set ops)
+# --------------------------------------------------------------------- #
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")  # noqa: E731
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 2)
+                 .alias("sum_qty"),
+                 F.round(F.sum(dec("l_extendedprice")).cast("double"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum((dec("l_extendedprice")
+                                * (F.lit(1).cast("decimal(14,2)")
+                                   - dec("l_discount")))
+                               .cast("decimal(24,4)")).cast("double"), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").cast("bigint").alias("count_order")))
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+           AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (CAST(1 AS DECIMAL(14,2))
+                    - CAST(l_discount AS DECIMAL(14,2)))
+                 AS DECIMAL(24,4))) AS DOUBLE), 2) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    rev = (orders
+           .join(F.broadcast(cust),
+                 orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy("n_name")
+           .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                        .cast("double"), 2).alias("revenue"),
+                F.count("*").cast("bigint").alias("n_orders")))
+    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+    return (rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 5))
+
+
+SQL_NATION_REVENUE_TOPK = """
+WITH rev AS (
+  SELECT n_name,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, revenue, n_orders, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, n_name) AS rank
+  FROM rev) WHERE rank <= 5
+"""
+
+
+def q_user_event_sequence(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; with the session pinned to UTC the cast is a
+    # pure re-tag, matching DuckDB's naive epoch_ms interpretation
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    return ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        (ms - F.lag(ms, 1).over(w)).cast("bigint").alias("delta_ms"))
+
+
+SQL_USER_EVENT_SEQUENCE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS BIGINT) AS delta_ms
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select(F.col("c_custkey").cast("bigint").alias("c_custkey"),
+                    "c_name"))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------- #
+# graph post-ops on derived triple tables (G1, G4, E12 window variant)
+# --------------------------------------------------------------------- #
+
+_EX = "http://example.org/"
+
+
+def _nation_triples(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n = F.concat(F.lit("nation:N"), F.col("n_nationkey").cast("string"))
+    proto = F.concat(F.lit("proto:R"), F.col("n_regionkey").cast("string"))
+    r_proto = F.concat(F.lit("proto:R"), F.col("r_regionkey").cast("string"))
+    t1 = nation.select(n.alias("subj"),
+                       F.lit(_EX + "code").alias("pred"),
+                       F.col("n_nationkey").cast("string").alias("obj"))
+    t2 = nation.select(n.alias("subj"),
+                       F.lit("http://www.w3.org/ns/rdfa#copy").alias("pred"),
+                       proto.alias("obj"))
+    t3 = region.select(
+        r_proto.alias("subj"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("pred"),
+        F.lit("http://www.w3.org/ns/rdfa#Pattern").alias("obj"))
+    t4 = region.select(r_proto.alias("subj"),
+                       F.lit(_EX + "hasName").alias("pred"),
+                       F.col("r_name").alias("obj"))
+    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+
+
+def q_prototype_expand(spark, sf_dir):
+    return handle_prototypes(_nation_triples(spark, sf_dir))
+
+
+SQL_PROTOTYPE_EXPAND = f"""
+SELECT 'nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '{_EX}code' AS pred, CAST(n_nationkey AS VARCHAR) AS obj
+FROM nation
+UNION ALL
+SELECT 'nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '{_EX}hasName' AS pred, r_name AS obj
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_transitive_closure(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    e1 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"))
+    e2 = region.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("src"),
+        F.lit("world").alias("dst"))
+    return transitive_closure(e1.unionByName(e2))
+
+
+SQL_TRANSITIVE_CLOSURE = """
+WITH RECURSIVE edges AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS src,
+         'R' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation
+  UNION ALL
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS src, 'world' AS dst
+  FROM region),
+tc AS (SELECT src, dst FROM edges
+       UNION
+       SELECT e.src, t.dst FROM edges e JOIN tc t ON e.dst = t.src)
+SELECT src, dst FROM tc
+"""
+
+
+def q_list_chain(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string"))
+        .alias("origin"),
+        F.lit(_EX + "hasLine").alias("pred"),
+        F.concat(F.lit("line:"), F.col("l_orderkey").cast("string"),
+                 F.lit(":"), F.col("l_linenumber").cast("string"))
+        .alias("value"),
+        F.col("l_linenumber").cast("int").alias("pos"))
+    return rdf_list_chain(items)
+
+
+SQL_LIST_CHAIN = f"""
+WITH items AS (
+  SELECT 'order:' || CAST(l_orderkey AS VARCHAR) AS origin,
+         '{_EX}hasLine' AS pred,
+         'line:' || CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR) AS value,
+         CAST(l_linenumber AS INT) AS pos
+  FROM lineitem),
+w AS (
+  SELECT origin, pred, value,
+         '_:l' || substr(sha256(origin || chr(31) || pred || chr(31)
+                                || CAST(pos AS VARCHAR)), 1, 24) AS head,
+         lead('_:l' || substr(sha256(origin || chr(31) || pred || chr(31)
+                                     || CAST(pos AS VARCHAR)), 1, 24))
+             OVER (PARTITION BY origin, pred ORDER BY pos) AS nxt,
+         row_number() OVER (PARTITION BY origin, pred ORDER BY pos) AS rn
+  FROM items)
+SELECT head AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#first' AS pred,
+       value AS obj FROM w
+UNION ALL
+SELECT head AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest' AS pred,
+       coalesce(nxt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil') AS obj
+FROM w
+UNION ALL
+SELECT origin AS subj, pred, head AS obj FROM w WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- #
+# RDFa extraction (not SQL-expressible -> rows-only driver check)
+# --------------------------------------------------------------------- #
+
+def q_rdfa_extract(spark, sf_dir):
+    from pyrdfa3_spark.plans.extract import extract_triples
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    return extract_triples(transcripts_from_documents(spark, sf_dir))
+
+
+def q_rdfa_diagnostics(spark, sf_dir):
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    _, diags = split_outputs(
+        extract_tagged(transcripts_from_documents(spark, sf_dir)))
+    return diags
+
+
+def q_rdfa_prototype_expand(spark, sf_dir):
+    """Extraction + G1 prototype expansion over the extracted graph
+    (fragment template 19 plants rdfa:Pattern/rdfa:copy pairs)."""
+    return handle_prototypes(q_rdfa_extract(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from pyrdfa3_spark.operators.multimodal import (
+        extract_features, synth_media,
+    )
+
+    return extract_features(synth_media(spark, 64), dim=16, fake=True)
+
+
+# --------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------- #
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_candidates": q_lsh_cosine_candidates,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue_topk": q_nation_revenue_topk,
+    "user_event_sequence": q_user_event_sequence,
+    "customers_without_orders": q_customers_without_orders,
+    "prototype_expand": q_prototype_expand,
+    "transitive_closure": q_transitive_closure,
+    "list_chain": q_list_chain,
+    "rdfa_extract": q_rdfa_extract,
+    "rdfa_diagnostics": q_rdfa_diagnostics,
+    "rdfa_prototype_expand": q_rdfa_prototype_expand,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "token_count": SQL_TOKEN_COUNT,
+        "quality_score": SQL_QUALITY_SCORE,
+        "lang_id": _sql_lang_id(),
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "minhash_signatures": SQL_MINHASH_SIGNATURES,
+        "minhash_lsh_candidates": SQL_MINHASH_LSH,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "lsh_cosine_candidates": _sql_lsh_cosine(),
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "nation_revenue_topk": SQL_NATION_REVENUE_TOPK,
+        "user_event_sequence": SQL_USER_EVENT_SEQUENCE,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "prototype_expand": SQL_PROTOTYPE_EXPAND,
+        "transitive_closure": SQL_TRANSITIVE_CLOSURE,
+        "list_chain": SQL_LIST_CHAIN,
+        # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /
+        # simhash / multimodal_features: not SQL-expressible ->
+        # rows-only driver check
+    }

@@ -1,0 +1,41 @@
+"""SparkSession factory with the scale-posture defaults.
+
+Every knob here is chosen for the 1000-executor / 100 TB target and
+merely *tested* on local[N]:
+
+* AQE on (runtime re-planning, skew-join splitting) — required by the
+  north rule;
+* Arrow transfer for pandas UDFs with a bounded batch size so a batch
+  of fat transcript turns cannot blow executor memory;
+* shuffle partitions sized for the local harness; production submits
+  override via ``spark-submit --conf`` (documented in bench.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(master: str | None = None, app_name: str = "pyrdfa3_spark",
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,126 @@
+"""Deterministic RDFa fragment corpus (FIXTURES.md §2).
+
+Every template exercises a feature row of the SURVEY.md §2 inventory and
+is parameterized by the placeholder ``{K}`` (a non-negative integer),
+substituted columnar-side with ``regexp_replace`` — no per-row Python in
+the generator.  ~80%% of fragments use the ``schema:`` prefix, creating
+the hot-prefix skew fixture the salted broadcast join is tested against.
+"""
+
+from __future__ import annotations
+
+# doc_kind per template: html5 | svg
+FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
+    # 1. plain literals + language inheritance
+    ("html5",
+     '<div lang="en" about="#item{K}" vocab="http://schema.org/">'
+     '<span property="name">Item {K}</span>'
+     '<span property="alternateName" lang="fr">Objet {K}</span></div>'),
+    # 2. @content + @datatype
+    ("html5",
+     '<div about="#m{K}" prefix="xsd: http://www.w3.org/2001/XMLSchema#">'
+     '<span property="http://schema.org/position" datatype="xsd:integer" '
+     'content="{K}">pos</span></div>'),
+    # 3. bogus datatype value (diagnostics fixture)
+    ("html5",
+     '<div about="#bad{K}"><span property="http://schema.org/ratingValue" '
+     'datatype="xsd:integer" content="notanint{K}">x</span></div>'),
+    # 4. XML literal
+    ("html5",
+     '<div about="#x{K}"><span property="http://schema.org/description" '
+     'datatype="rdf:XMLLiteral">part <b>{K}</b> of it</span></div>'),
+    # 5. @prefix + safe CURIE + named bnode
+    ("html5",
+     '<div prefix="ex: http://example.org/ns{K}#">'
+     '<div about="[ex:thing]" rel="ex:link" resource="_:n{K}"></div>'
+     '<div about="_:n{K}" property="ex:label" content="joe{K}"></div></div>'),
+    # 6. xmlns: declaration (deprecated-in-1.1 path)
+    ("html5",
+     '<div xmlns:dcx="http://purl.org/dc/terms/" about="#d{K}" '
+     'property="dcx:title" content="t{K}"></div>'),
+    # 7. @vocab + terms + typeof
+    ("html5",
+     '<div vocab="http://schema.org/" about="#p{K}" typeof="Person">'
+     '<span property="name">P{K}</span></div>'),
+    # 8. @vocab reset + initial-context term fallback
+    ("html5",
+     '<div vocab="http://schema.org/"><div vocab="">'
+     '<a about="#w{K}" rel="license" href="http://lic.example/{K}">l</a>'
+     '</div></div>'),
+    # 9. bare @property + @typeof chaining (bnode minting)
+    ("html5",
+     '<div vocab="http://schema.org/" about="#e{K}">'
+     '<div property="address" typeof="PostalAddress">'
+     '<span property="postalCode">9{K}</span></div></div>'),
+    # 10. @rel incomplete triples completed by two children
+    ("html5",
+     '<div about="#s{K}" rel="http://schema.org/knows">'
+     '<div about="#f{K}a"><span property="http://schema.org/name">A{K}'
+     '</span></div><div about="#f{K}b"></div></div>'),
+    # 11. @rev
+    ("html5",
+     '<div about="#r{K}" rev="http://schema.org/author" '
+     'resource="#doc{K}"></div>'),
+    # 12. @inlist property list (ordered)
+    ("html5",
+     '<div about="#l{K}">'
+     '<span property="http://schema.org/keywords" inlist="">k{K}a</span>'
+     '<span property="http://schema.org/keywords" inlist="">k{K}b</span>'
+     '</div>'),
+    # 13. empty @inlist rel -> rdf:nil
+    ("html5",
+     '<div about="#n{K}" rel="http://schema.org/itemListElement" '
+     'inlist=""></div>'),
+    # 14. relative IRIs + '#'/'?' tails against the per-turn base
+    ("html5",
+     '<div about="sub/page{K}" rel="http://schema.org/url" '
+     'href="item{K}?"></div>'),
+    # 15. HTML5 <time> datatype sniffing
+    ("html5",
+     '<div about="#t{K}"><time property="http://schema.org/startDate" '
+     'datetime="2026-03-01T10:0{X}">soon</time></div>'),
+    # 16. @role with @id
+    ("html5",
+     '<div id="nav{K}" role="navigation" about="#z{K}" '
+     'property="http://schema.org/name" content="nav{K}"></div>'),
+    # 17. SVG host: xml:base + xml:lang (XML parse path)
+    ("svg",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xml:base="http://svg.example/{K}/" xml:lang="de">'
+     '<g about="shape{K}" property="http://purl.org/dc/terms/title">'
+     'Form {K}</g></svg>'),
+    # 18. case-insensitive term + unknown-prefix absolute-IRI fallback
+    ("html5",
+     '<div about="#c{K}" rel="LICENSE" resource="#lic{K}"></div>'),
+    # 19. rdfa:copy / rdfa:Pattern prototype (graph post-op G1 fixture)
+    ("html5",
+     '<div><div about="#proto{K}" typeof="rdfa:Pattern">'
+     '<span property="http://schema.org/name">proto{K}</span></div>'
+     '<div about="#inst{K}" property="rdfa:copy" resource="#proto{K}">'
+     '</div></div>'),
+    # 20. nested @about re-anchoring + typeof on object with rel
+    ("html5",
+     '<div about="#o{K}" rel="http://schema.org/member" '
+     'typeof="http://schema.org/Organization" resource="#org{K}"></div>'),
+]
+
+N_TEMPLATES = len(FRAGMENT_TEMPLATES)
+
+PROSE_BEFORE = [
+    "Sure - here is the snippet you asked about: ",
+    "I found this markup on the page: ",
+    "The tool returned the following document. ",
+    "Quoting the relevant part now, ",
+]
+PROSE_AFTER = [
+    " Hope that helps!",
+    " Let me know if you need more detail.",
+    " That was everything on the page.",
+    " End of extract.",
+]
+
+
+def render_fragment(template_idx: int, k: int) -> tuple[str, str]:
+    """Pure-Python rendering (used by tests and the golden oracle)."""
+    kind, tpl = FRAGMENT_TEMPLATES[template_idx % N_TEMPLATES]
+    return kind, tpl.replace("{K}", str(k)).replace("{X}", str(k % 10))

@@ -1,0 +1,136 @@
+"""End-to-end Spark pipeline tests: transcripts -> triples.
+
+The oracle here is the engine itself run in-process on the same
+deterministically rendered fragments — this validates the Spark plumbing
+(prefilter, repartition, Arrow UDF, skolemization, per-doc dedup),
+while tests/test_engine.py validates the semantics against hand-derived
+golden graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrdfa3_spark.plans.extract import (
+    extract_tagged, extract_triples, split_outputs,
+)
+from pyrdfa3_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(spark):
+    df = synth_transcripts(spark, n_conv=30, turns_per_conv=10,
+                           skew_factor=5)
+    df.cache().count()
+    return df
+
+
+def _local_oracle_triples(transcripts_rows):
+    """Run the engine directly (no Spark) on carrier turns."""
+    import hashlib
+
+    from pyrdfa3_spark.functions.hostlang import (
+        host_for, is_xml_host, sniff_media_type,
+    )
+    from pyrdfa3_spark.operators.rdfa_engine import (
+        Literal, RDFaProcessor, is_bnode,
+    )
+    from pyrdfa3_spark.sources.dom import parse_html, parse_xml
+
+    out = set()
+    for r in transcripts_rows:
+        text = r["text"]
+        start, end = text.find("<"), text.rfind(">")
+        if start < 0 or end <= start:
+            continue
+        frag = text[start:end + 1]
+        host = host_for(sniff_media_type(frag))
+        base = f"http://transcript.local/{r['conv_id']}/{r['turn_idx']}"
+        proc = RDFaProcessor(base=base, host=host)
+        try:
+            root = parse_xml(frag) if is_xml_host(host) else parse_html(frag)
+            triples = proc.process(root)
+        except Exception:
+            continue
+
+        def sk(term):
+            h = hashlib.sha256(
+                f"{r['conv_id']}\x1f{r['turn_idx']}\x1f{term}".encode()
+            ).hexdigest()[:24]
+            return "_:sk" + h
+
+        for s, p, o in triples:
+            s2 = sk(s) if is_bnode(s) else s
+            if isinstance(o, Literal):
+                out.add((r["conv_id"], r["turn_idx"], s2, p, o.value,
+                         False, o.lang, o.datatype))
+            else:
+                o2 = sk(o) if is_bnode(o) else o
+                out.add((r["conv_id"], r["turn_idx"], s2, p, o2,
+                         True, None, None))
+    return out
+
+
+def _collect_triples(df):
+    return {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"],
+         r["obj_is_iri"], r["obj_lang"], r["obj_datatype"])
+        for r in df.collect()
+    }
+
+
+def test_pipeline_matches_local_oracle(spark, small_transcripts):
+    actual = _collect_triples(extract_triples(small_transcripts))
+    expected = _local_oracle_triples(
+        [r.asDict() for r in small_transcripts.collect()])
+    missing = expected - actual
+    extra = actual - expected
+    assert not missing and not extra, (
+        f"missing={list(missing)[:5]} extra={list(extra)[:5]}")
+    assert len(actual) > 100
+
+
+def test_parallelism_invariance(spark, small_transcripts):
+    a = _collect_triples(extract_triples(small_transcripts,
+                                         repartition_to=2))
+    b = _collect_triples(extract_triples(small_transcripts,
+                                         repartition_to=17))
+    assert a == b
+
+
+def test_diagnostics_surface_bad_datatypes(spark, small_transcripts):
+    tagged = extract_tagged(small_transcripts)
+    _, diags = split_outputs(tagged)
+    codes = {r["code"] for r in diags.collect()}
+    # template 3 plants incompatible literals; template 6 uses xmlns:
+    assert "incompatible-literal" in codes
+    assert "xmlns-deprecated" in codes
+
+
+def test_per_turn_text_stability(spark, small_transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering across two independent generations."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    a = (small_transcripts
+         .withColumn("rn", F.row_number().over(w))
+         .select("conv_id", "rn", "text"))
+    again = synth_transcripts(spark, n_conv=30, turns_per_conv=10,
+                              skew_factor=5)
+    b = (again.withColumn("rn", F.row_number().over(w))
+         .select("conv_id", "rn", F.col("text").alias("text2")))
+    joined = a.join(b, ["conv_id", "rn"], "full_outer")
+    mismatches = joined.filter(
+        (F.col("text").isNull()) | (F.col("text2").isNull()) |
+        (F.col("text") != F.col("text2"))).count()
+    assert mismatches == 0
+
+
+def test_skew_fixture_shape(spark, small_transcripts):
+    counts = (small_transcripts.groupBy("conv_id").count()
+              .orderBy(F.desc("count")).collect())
+    assert counts[0]["conv_id"] == "conv-000000"
+    assert counts[0]["count"] == 5 * 10
+    assert counts[1]["count"] == 10
