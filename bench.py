@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "throughput": {...}}
+
+Scaling evidence (north rule: N vs 4N): ``BENCH_SCALING=1 python
+bench.py`` additionally runs the extraction job at local[8] and
+local[32] on the same input and reports turns/sec at both plus the
+scaling efficiency; results are recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+SF = _sf_value(SF_DIR)
+# transcripts corpus sized by sf: sf0.1 -> ~410k turns (FIXTURES.md §1)
+N_CONV = max(200, int(400_000 * SF))
+
+
+def _bench_extraction(spark, n_conv: int, warmup: bool = True):
+    """Measure extraction on a cached, materialized corpus: the metric is
+    the pipeline's marginal throughput, not corpus synthesis or Python
+    worker cold start (which amortize at production scale)."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_conv=n_conv, turns_per_conv=10,
+                          skew_factor=100).cache()
+    n_turns = t.count()
+    if warmup:  # spawn + warm the executor Python workers
+        extract_triples(t.limit(2000)).count()
+    t0 = time.time()
+    n_triples = extract_triples(t).count()
+    dt = time.time() - t0
+    t.unpersist()
+    return dt, n_turns, n_triples
+
+
+def _extract_only(cores: int):
+    """Subprocess worker for the scaling study: measure extraction at a
+    given parallelism.  Run under ``taskset -c 0-(cores-1)`` so the
+    measurement actually has `cores` CPUs — in plain local[N] mode the
+    Python UDF workers are separate processes that would spill onto the
+    other idle cores and inflate the small-N baseline."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+    from pyrdfa3_spark.session import build_session
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+
+    spark = build_session(master=f"local[{cores}]",
+                          shuffle_partitions=max(cores, 8),
+                          app_name=f"bench-scaling-{cores}")
+    t = synth_transcripts(spark, n_conv=N_CONV, turns_per_conv=10,
+                          skew_factor=100).cache()
+    n_turns = t.count()
+    df = extract_triples(t)
+    df.count()  # warm: python workers, codegen, JIT
+    best = float("inf")
+    for _ in range(3):  # steady state (JIT keeps improving for a while)
+        t0 = time.time()
+        df.count()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    print(json.dumps({"sec": round(best, 3),
+                      "turns_per_sec": round(n_turns / best, 1)}))
+
+
+def _run_scaling() -> dict:
+    """N vs 4N evidence (north rule): same job, same input, pinned CPUs,
+    throughput at each level + efficiency for both 2->8 and 8->32.
+
+    CPUs are pinned with taskset because in plain local[N] mode the
+    Python UDF workers are separate processes that would spill onto the
+    machine's idle cores and corrupt the small-N baseline.  A pure
+    multiprocessing control (scripts/scaling_control.py) measures the
+    machine's own parallel-speedup ceiling (CPU frequency scaling) to
+    separate hardware effects from framework overhead; see
+    BENCH/BASELINE.md.
+    """
+    import shutil
+    import subprocess
+
+    scaling: dict = {}
+    for cores in (2, 8, 32):
+        cmd = []
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"]
+        cmd += [sys.executable, os.path.abspath(__file__),
+                "--extract-only", str(cores)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=900, env=os.environ)
+        line = out.stdout.strip().splitlines()[-1]
+        scaling[f"local[{cores}]"] = json.loads(line)
+
+    def eff(lo, hi):
+        return round((scaling[f"local[{hi}]"]["turns_per_sec"]
+                      / scaling[f"local[{lo}]"]["turns_per_sec"])
+                     / (hi / lo), 3)
+
+    scaling["efficiency_2_to_8"] = eff(2, 8)
+    scaling["efficiency_8_to_32"] = eff(8, 32)
+    scaling["method"] = "taskset-pinned CPUs; cached input; warmed workers"
+    return scaling
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--extract-only":
+        _extract_only(int(sys.argv[2]))
+        return
+
+    from pyrdfa3_spark.plans import queries as Q
+    from pyrdfa3_spark.session import build_session
+
+    results: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS, 8))
+
+    # headline 1: the flagship extraction on the synthetic corpus
+    _bench_extraction(spark, max(200, N_CONV // 10))  # worker warm-up
+    dt, n_turns, n_triples = _bench_extraction(spark, N_CONV)
+    results["rdfa_extract_synth"] = round(dt, 3)
+    throughput["turns_per_sec"] = round(n_turns / dt, 1)
+    throughput["triples_extracted"] = n_triples
+
+    # headline 2+: operator suite on the driver's sf tables
+    suite = [
+        "rdfa_extract", "pricing_summary", "nation_revenue_topk",
+        "user_event_sequence", "list_chain", "transitive_closure",
+        "cosine_topk", "lsh_cosine_candidates", "fingerprint",
+        "minhash_lsh_candidates", "simhash", "token_count",
+    ]
+    for name in suite:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        results[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling = _run_scaling()
+
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        "throughput": throughput,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,14 +31,17 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def _shingles(docs: DataFrame, k: int = 5):
     """Character k-gram shingle rows (doc_id, shingle), distinct."""
+    # build the distinct-shingle array inside the row, then explode —
+    # exploding (i, norm) pairs would carry the full document string into
+    # every shingle row (quadratic bytes at corpus scale)
     n = F.length(F.col("norm"))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.col("norm").substr(i, F.lit(k))))
     return (docs
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     _normalized().alias("norm"))
-            .select("doc_id", F.explode(idx).alias("i"), F.col("norm"))
-            .select("doc_id", F.expr(f"substr(norm, i, {k})").alias("shingle"))
-            .dropDuplicates(["doc_id", "shingle"]))
+            .select("doc_id", F.explode(shingle_arr).alias("shingle")))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 5,

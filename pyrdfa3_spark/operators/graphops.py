@@ -127,6 +127,118 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return closure
 
 
+OWL_SUBPROP = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+OWL_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+OWL_EQPROP = "http://www.w3.org/2002/07/owl#equivalentProperty"
+OWL_EQCLASS = "http://www.w3.org/2002/07/owl#equivalentClass"
+
+
+def _schema_maps(vocab_rows):
+    """Driver-side schema closure (tiny vocab graphs by construction;
+    reference pre-closes them the same way 'to speed up processing',
+    pyRdfa/rdfs/process.py:209-226, 287-290).
+
+    Returns (prop_map, class_map) as lists of (from, to) pairs with
+    from != to: subPropertyOf/subClassOf closed transitively,
+    equivalentProperty/equivalentClass expanded to connected-component
+    pairs (the fixpoint of the reference's symmetric rules,
+    process.py:228-249)."""
+    def transitive(pairs):
+        succ: dict = {}
+        for a, b in pairs:
+            succ.setdefault(a, set()).add(b)
+        changed = True
+        while changed:
+            changed = False
+            for a in list(succ):
+                new = set()
+                for b in succ[a]:
+                    new |= succ.get(b, set())
+                if not new <= succ[a]:
+                    succ[a] |= new
+                    changed = True
+        return {(a, b) for a, bs in succ.items() for b in bs if a != b}
+
+    def components(pairs):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups: dict = {}
+        for x in parent:
+            groups.setdefault(find(x), set()).add(x)
+        out = set()
+        for members in groups.values():
+            for a in members:
+                for b in members:
+                    if a != b:
+                        out.add((a, b))
+        return out
+
+    sub_p, eq_p, sub_c, eq_c = [], [], [], []
+    for s, p, o in vocab_rows:
+        if p == OWL_SUBPROP:
+            sub_p.append((s, o))
+        elif p == OWL_EQPROP:
+            eq_p.append((s, o))
+        elif p == OWL_SUBCLASS:
+            sub_c.append((s, o))
+        elif p == OWL_EQCLASS:
+            eq_c.append((s, o))
+    prop_map = transitive(sub_p) | components(eq_p)
+    class_map = transitive(sub_c) | components(eq_c)
+    return sorted(prop_map), sorted(class_map)
+
+
+def miniowl_expand(data: DataFrame, vocab: DataFrame,
+                   max_iterations: int = 10) -> DataFrame:
+    """Vocabulary expansion (G4; reference: MiniOWL + process_rdfa_sem,
+    pyRdfa/rdfs/process.py:140-303): OWL-RL rules prp-spo1, prp-eqp1/2,
+    cax-sco, cax-eqc1/2 applied to ``data`` to fixpoint.
+
+    Scale shape: the vocab graph is a small dim -> its closure is
+    computed on the driver and joined via ``F.broadcast``; the data side
+    iterates delta-only (semi-naive), so each round shuffles only newly
+    derived triples.  Output = data + derived instance triples (schema
+    triples are never mixed in, mirroring the reference's final
+    subtraction, process.py:300)."""
+    spark = data.sparkSession
+    vocab_rows = [(r[0], r[1], r[2])
+                  for r in vocab.select("subj", "pred", "obj").collect()]
+    prop_map, class_map = _schema_maps(vocab_rows)
+
+    pm = spark.createDataFrame(prop_map or [("", "")], ["f", "t"]) \
+        .filter(F.col("f") != "")
+    cm = spark.createDataFrame(class_map or [("", "")], ["f", "t"]) \
+        .filter(F.col("f") != "")
+
+    base = data.select("subj", "pred", "obj").dropDuplicates().cache()
+    all_t = base
+    delta = base
+    for _ in range(max_iterations):
+        d1 = (delta.join(F.broadcast(pm), delta["pred"] == pm["f"])
+              .select("subj", F.col("t").alias("pred"), "obj"))
+        d2 = (delta.filter(F.col("pred") == RDF_TYPE)
+              .join(F.broadcast(cm), delta["obj"] == cm["f"])
+              .select("subj", "pred", F.col("t").alias("obj")))
+        new = (d1.unionByName(d2).dropDuplicates()
+               .join(all_t, ["subj", "pred", "obj"], "left_anti").cache())
+        if new.isEmpty():
+            break
+        all_t = all_t.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    return all_t
+
+
 def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
                    pred_col: str = "pred", value_col: str = "value",
                    pos_col: str = "pos") -> DataFrame:

@@ -619,19 +619,33 @@ class RDFaProcessor:
             self.add(subject, XHTML_ROLE, obj)
 
     # ------------------------------------------------------------------ #
-    # embedded RDF detection (reference: pyRdfa/embeddedRDF.py:23-87) —
-    # v1 behaviour: skip the subtree with a diagnostic instead of merging.
+    # embedded RDF (E14; reference: pyRdfa/embeddedRDF.py:23-87): merge
+    # <script type="text/turtle"> and rdf:RDF subtrees into the output
+    # graph, then skip RDFa processing of the subtree.
     # ------------------------------------------------------------------ #
     def _is_embedded_rdf(self, node: Node, ctx) -> bool:
         if ctx.host in (Host.SVG, Host.HTML5, Host.XHTML5, Host.XHTML):
-            if node.tag == "script" and node.get("type") == "text/turtle":
-                self.warn("embedded-rdf-skipped",
-                          "embedded text/turtle script not merged", "info")
+            if node.tag == "script" and \
+                    node.get("type").split(";")[0].strip() == "text/turtle":
+                from pyrdfa3_spark.functions.turtle import (
+                    TurtleError, parse_turtle,
+                )
+                try:
+                    for t in parse_turtle(node.text_content(), base=ctx.base,
+                                          bnode_factory=self.new_bnode):
+                        self.add(*t)
+                except TurtleError as exc:
+                    self.warn("embedded-turtle-error", str(exc)[:200])
                 return True
         if ctx.host in (Host.SVG, Host.RDFA_CORE):
-            if node.tag in ("rdf:RDF", "RDF"):
-                self.warn("embedded-rdf-skipped",
-                          "embedded RDF/XML subtree not merged", "info")
+            if node.tag.rpartition(":")[2] == "RDF":
+                from pyrdfa3_spark.functions.turtle import parse_rdfxml_node
+                try:
+                    for t in parse_rdfxml_node(node, base=ctx.base,
+                                               bnode_factory=self.new_bnode):
+                        self.add(*t)
+                except Exception as exc:
+                    self.warn("embedded-rdfxml-error", str(exc)[:200])
                 return True
         return False
 

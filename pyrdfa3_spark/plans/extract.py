@@ -142,18 +142,25 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_tagged(transcripts: DataFrame,
                    repartition_to: Optional[int] = None,
                    prefilter: bool = True) -> DataFrame:
-    """transcripts -> tagged union of triples ('t') and diagnostics ('d')."""
+    """transcripts -> tagged union of triples ('t') and diagnostics ('d').
+
+    ``repartition_to``: optional explicit shuffle on
+    pmod(hash(conv_id, turn_idx)) before the UDF.  Extraction is
+    embarrassingly parallel per *turn*, so when the source's own splits
+    are size-balanced (Iceberg/parquet file splits are) the shuffle is
+    pure overhead and stays off — measured on this harness it cost more
+    than the whole extraction.  Turn it on when the upstream layout is
+    pathologically skewed (e.g. one file per conversation with a 100x
+    conversation): the (conv_id, turn_idx) hash then spreads the hot
+    conversation across tasks instead of pinning it to one.
+    """
     df = transcripts.select("conv_id", "turn_idx", "text")
     if prefilter:
         df = df.filter(F.col("text").rlike(RDFA_PREFILTER))
-    if repartition_to is None:
-        repartition_to = int(
-            transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # explicit, deterministic placement (north rule): spread turns by
-    # (conv_id, turn_idx) hash so a skewed conversation cannot pin a task
-    df = df.repartition(repartition_to,
-                        F.pmod(F.hash("conv_id", "turn_idx"),
-                               F.lit(repartition_to)))
+    if repartition_to is not None:
+        df = df.repartition(repartition_to,
+                            F.pmod(F.hash("conv_id", "turn_idx"),
+                                   F.lit(repartition_to)))
     return df.mapInPandas(_extract_batches, schema=TRIPLE_SCHEMA)
 
 

@@ -18,7 +18,8 @@ from pyrdfa3_spark.operators import dedup as D
 from pyrdfa3_spark.operators import similarity as S
 from pyrdfa3_spark.operators import textops as T
 from pyrdfa3_spark.operators.graphops import (
-    handle_prototypes, rdf_list_chain, transitive_closure,
+    OWL_EQCLASS, OWL_EQPROP, OWL_SUBCLASS, OWL_SUBPROP,
+    handle_prototypes, miniowl_expand, rdf_list_chain, transitive_closure,
 )
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -391,6 +392,56 @@ SELECT src, dst FROM tc
 """
 
 
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def q_miniowl_expand(spark, sf_dir):
+    """G4 vocabulary expansion on a nation/region-derived graph with an
+    interleaved subClassOf chain, subPropertyOf chain, and equivalences
+    (reference: pyRdfa/rdfs/process.py:140-303)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cls = F.concat(F.lit("class:R"), F.col("r_regionkey").cast("string"))
+    zone = F.concat(F.lit("class:zone"),
+                    (F.col("r_regionkey") % 2).cast("string"))
+    vocab_static = spark.createDataFrame([
+        ("class:zone0", OWL_SUBCLASS, "class:world"),
+        ("class:zone1", OWL_SUBCLASS, "class:world"),
+        ("class:world", OWL_EQCLASS, "class:everything"),
+        ("p:locatedIn", OWL_SUBPROP, "p:in"),
+        ("p:in", OWL_SUBPROP, "p:related"),
+        ("p:related", OWL_EQPROP, "p:linked"),
+    ], ["subj", "pred", "obj"])
+    vocab = vocab_static.unionByName(
+        region.select(cls.alias("subj"), F.lit(OWL_SUBCLASS).alias("pred"),
+                      zone.alias("obj")))
+    nn = F.concat(F.lit("nation:N"), F.col("n_nationkey").cast("string"))
+    ncls = F.concat(F.lit("class:R"), F.col("n_regionkey").cast("string"))
+    nreg = F.concat(F.lit("region:R"), F.col("n_regionkey").cast("string"))
+    data = nation.select(
+        nn.alias("subj"), F.lit(_RDF_TYPE).alias("pred"), ncls.alias("obj")
+    ).unionByName(nation.select(
+        nn.alias("subj"), F.lit("p:locatedIn").alias("pred"),
+        nreg.alias("obj")))
+    return miniowl_expand(data, vocab)
+
+
+SQL_MINIOWL_EXPAND = f"""
+WITH n AS (SELECT 'nation:N' || CAST(n_nationkey AS VARCHAR) AS nn,
+                  n_regionkey AS r FROM nation)
+SELECT nn AS subj, '{_RDF_TYPE}' AS pred,
+       'class:R' || CAST(r AS VARCHAR) AS obj FROM n
+UNION ALL
+SELECT nn, '{_RDF_TYPE}', 'class:zone' || CAST(r % 2 AS VARCHAR) FROM n
+UNION ALL SELECT nn, '{_RDF_TYPE}', 'class:world' FROM n
+UNION ALL SELECT nn, '{_RDF_TYPE}', 'class:everything' FROM n
+UNION ALL SELECT nn, 'p:locatedIn', 'region:R' || CAST(r AS VARCHAR) FROM n
+UNION ALL SELECT nn, 'p:in', 'region:R' || CAST(r AS VARCHAR) FROM n
+UNION ALL SELECT nn, 'p:related', 'region:R' || CAST(r AS VARCHAR) FROM n
+UNION ALL SELECT nn, 'p:linked', 'region:R' || CAST(r AS VARCHAR) FROM n
+"""
+
+
 def q_list_chain(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     items = li.select(
@@ -489,6 +540,7 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "prototype_expand": q_prototype_expand,
     "transitive_closure": q_transitive_closure,
+    "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
@@ -514,6 +566,7 @@ def oracles() -> dict[str, str]:
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "prototype_expand": SQL_PROTOTYPE_EXPAND,
         "transitive_closure": SQL_TRANSITIVE_CLOSURE,
+        "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
         # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /
         # simhash / multimodal_features: not SQL-expressible ->

@@ -102,6 +102,11 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
     ("html5",
      '<div about="#o{K}" rel="http://schema.org/member" '
      'typeof="http://schema.org/Organization" resource="#org{K}"></div>'),
+    # 21. embedded turtle script merged with surrounding RDFa (E14)
+    ("html5",
+     '<div><div about="#h{K}" property="http://schema.org/name">H{K}</div>'
+     '<script type="text/turtle">@prefix s: <http://schema.org/> . '
+     '<#t{K}> s:follows <#h{K}> ; s:score 4{X} .</script></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)

@@ -1,0 +1,175 @@
+"""Unit tests for graph/dedup/similarity/text operators on tiny frames
+with hand-computed expectations (SURVEY.md §5.2 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyrdfa3_spark.functions.constants import (
+    RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, RDFA_COPY, RDFA_PATTERN,
+)
+from pyrdfa3_spark.operators.dedup import (
+    exact_duplicates, minhash_lsh_candidates, ngram_jaccard,
+)
+from pyrdfa3_spark.operators.graphops import (
+    handle_prototypes, rdf_list_chain, subtract_graph, transitive_closure,
+)
+from pyrdfa3_spark.operators.similarity import cosine_topk
+from pyrdfa3_spark.operators.textops import lang_id
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_handle_prototypes_small(spark):
+    rows = [
+        ("x", RDFA_COPY, "P"),
+        ("P", RDF_TYPE, RDFA_PATTERN),
+        ("P", "p:name", "N"),
+        ("P", "p:age", "7"),
+        ("y", "p:other", "z"),          # untouched
+        ("Q", RDF_TYPE, RDFA_PATTERN),  # unreferenced pattern: kept as-is
+        ("Q", "p:name", "QQ"),
+    ]
+    out = {tuple(r) for r in handle_prototypes(_triples(spark, rows)).collect()}
+    assert out == {
+        ("x", "p:name", "N"),
+        ("x", "p:age", "7"),
+        ("y", "p:other", "z"),
+        ("Q", RDF_TYPE, RDFA_PATTERN),
+        ("Q", "p:name", "QQ"),
+    }
+
+
+def test_transitive_closure_with_cycle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"])
+    out = {tuple(r) for r in transitive_closure(edges).collect()}
+    # cycle {a,b,c} fully connected (incl. self) + everything reaches d
+    expected = {(x, y) for x in "abc" for y in "abcd"} | {("c", "d")}
+    assert out == expected
+
+
+def test_miniowl_interleaved_chains(spark):
+    from pyrdfa3_spark.operators.graphops import (
+        OWL_EQCLASS, OWL_EQPROP, OWL_SUBCLASS, OWL_SUBPROP, miniowl_expand,
+    )
+    vocab = _triples(spark, [
+        ("p:a", OWL_SUBPROP, "p:b"),
+        ("p:b", OWL_EQPROP, "p:c"),       # interleaved sub + equivalent
+        ("c:x", OWL_SUBCLASS, "c:y"),
+        ("c:y", OWL_SUBCLASS, "c:z"),
+        ("c:z", OWL_EQCLASS, "c:w"),
+    ])
+    data = _triples(spark, [
+        ("s", "p:a", "o"),
+        ("i", RDF_TYPE, "c:x"),
+    ])
+    out = {tuple(r) for r in miniowl_expand(data, vocab).collect()}
+    assert out == {
+        ("s", "p:a", "o"), ("s", "p:b", "o"), ("s", "p:c", "o"),
+        ("i", RDF_TYPE, "c:x"), ("i", RDF_TYPE, "c:y"),
+        ("i", RDF_TYPE, "c:z"), ("i", RDF_TYPE, "c:w"),
+    }
+
+
+def test_subtract_graph(spark):
+    a = _triples(spark, [("s", "p", "1"), ("s", "p", "2")])
+    b = _triples(spark, [("s", "p", "2"), ("s", "p", "3")])
+    assert [tuple(r) for r in subtract_graph(a, b).collect()] == \
+        [("s", "p", "1")]
+
+
+def test_rdf_list_chain_order_and_nil(spark):
+    items = spark.createDataFrame(
+        [("o1", "p", "v1", 1), ("o1", "p", "v2", 2), ("o2", "p", "w", 9)],
+        ["origin", "pred", "value", "pos"])
+    rows = rdf_list_chain(items).collect()
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["pred"], []).append(r)
+    firsts = {r["obj"] for r in by_pred[RDF_FIRST]}
+    assert firsts == {"v1", "v2", "w"}
+    rests = by_pred[RDF_REST]
+    nil_count = sum(1 for r in rests if r["obj"] == RDF_NIL)
+    assert nil_count == 2  # one per list
+    anchors = by_pred["p"]
+    assert {r["subj"] for r in anchors} == {"o1", "o2"}
+    # o1's chain: anchor head -> first v1, rest -> head2 -> first v2
+    head1 = next(r["obj"] for r in anchors if r["subj"] == "o1")
+    assert next(r["obj"] for r in by_pred[RDF_FIRST]
+                if r["subj"] == head1) == "v1"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest tonight")
+    rows = [
+        (0, base),
+        (1, base.upper()),                       # exact dup after normalize
+        (2, base.replace("green", "blue")),      # near dup
+        (3, "completely different text about spark and iceberg tables "
+            "partitioned by bucket for large scale analytics workloads"),
+        (4, base),                               # exact dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, dup_docs):
+    out = exact_duplicates(dup_docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 3 and out[0]["keep_id"] == 0
+
+
+def test_minhash_finds_near_dups(spark, dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_candidates(dup_docs, k=5, n_hashes=8,
+                                             bands=4).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs
+    assert (0, 2) in pairs  # near-dup shares most shingles
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(spark, dup_docs):
+    pairs = spark.createDataFrame([(0, 4), (0, 3)], ["doc_a", "doc_b"])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard(dup_docs, pairs, k=5).collect()}
+    assert out[(0, 4)] == 1.0
+    assert out[(0, 3)] < 0.1
+
+
+def test_lang_id_markers(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog of the house is big"),
+         (1, "le chat et la maison des amis le soir"),
+         (2, "zzz qqq xxx")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert out == {0: "en", 1: "fr", 2: "und"}
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [0.7, 0.7])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+           for r in cosine_topk(emb, [0], top_k=3).collect()}
+    assert out[(0, 1)] == (1, 1.0)          # identical vector first
+    assert out[(0, 2)][0] == 3              # diagonal second
+    assert out[(0, 3)] == (2, 0.0)          # orthogonal last
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+    from pyrdfa3_spark.streaming.checkpoint import run_bucketed
+
+    t = synth_transcripts(spark, n_conv=10, turns_per_conv=10,
+                          skew_factor=2)
+    out = str(tmp_path / "ckpt")
+    m1 = run_bucketed(t, out, n_buckets=2)
+    assert m1["processed_buckets"] == [0, 1]
+    m2 = run_bucketed(t, out, n_buckets=2)
+    assert m2["processed_buckets"] == [] and m2["skipped_buckets"] == [0, 1]
