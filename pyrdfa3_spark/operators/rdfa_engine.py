@@ -21,18 +21,36 @@ Deliberate deviations (documented in SURVEY.md §4.2):
   of process-global rdflib BNodes (termorcurie.py:84-85) so extraction is
   deterministic and parallelism-invariant; graph isomorphism absorbs this;
 * the output "graph" is a list of triples; RDF set semantics (dedup) is
-  applied by the Spark layer (dropDuplicates per document);
-* embedded RDF subtrees (pyRdfa/embeddedRDF.py) are detected and skipped
-  with a diagnostic instead of merged (scheduled for a later round).
+  applied by the Spark layer (per-document set in the UDF);
+* embedded RDF subtrees (pyRdfa/embeddedRDF.py) are merged via the
+  from-scratch readers in pyrdfa3_spark.functions.turtle instead of
+  rdflib's parsers.
 """
 
 from __future__ import annotations
 
 import re
 from datetime import datetime
+from functools import lru_cache
 from typing import NamedTuple, Optional
 from urllib.parse import quote as _urlquote
-from urllib.parse import urljoin, urlsplit
+from urllib.parse import urljoin as _urljoin
+from urllib.parse import urlsplit as _urlsplit
+
+# URL parsing dominates the resolver hot path (R3-R7); results are pure
+# functions of their inputs, and real corpora repeat bases and vocab
+# IRIs heavily, so small memo tables give a big win per Arrow batch.
+urlsplit = lru_cache(maxsize=8192)(_urlsplit)
+urljoin = lru_cache(maxsize=8192)(_urljoin)
+
+# scheme extraction equivalent to urlsplit()[0] (RFC 3986 scheme rule)
+# without the full parse — the resolvers only need the scheme.
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+
+
+def _scheme_of(val: str) -> str:
+    m = _SCHEME_RE.match(val)
+    return m.group(1).lower() if m else ""
 
 from pyrdfa3_spark.functions.constants import (
     COMMON_URI_SCHEMES,
@@ -270,7 +288,10 @@ class RDFaProcessor:
                 ctx.base = _remove_frag_id(node.get("xml:base"))
             if ctx.base == "":
                 ctx.base = self.base_arg
-        ctx.parsed_base = urlsplit(ctx.base)
+        if inherited is not None and ctx.base == inherited.base:
+            ctx.parsed_base = inherited.parsed_base
+        else:
+            ctx.parsed_base = urlsplit(ctx.base)
 
         self._update_mappings(node, ctx, inherited)
 
@@ -409,7 +430,10 @@ class RDFaProcessor:
     # pyRdfa/termorcurie.py:356-499)
     # ------------------------------------------------------------------ #
     def _check_reference(self, val: str, ctx) -> bool:
-        scheme, netloc, url, query, fragment = urlsplit("http:" + val)
+        netloc = val[2:].split("/", 1)[0].split("?", 1)[0].split("#", 1)[0] \
+            if val.startswith("//") else ""
+        rest, _, fragment = val.partition("#")
+        _, _, query = rest.partition("?")
         if netloc != "" and ctx.rdfa_version >= "1.1":
             self.warn("absolute-curie-reference",
                       f"CURIE reference must not start with //: {val!r}")
@@ -471,7 +495,7 @@ class RDFaProcessor:
         (reference: pyRdfa/state.py:269-339)."""
         def create(uri: str, chk: bool) -> str:
             u = uri.strip()
-            if chk and urlsplit(u)[0] not in COMMON_URI_SCHEMES:
+            if chk and _scheme_of(u) not in COMMON_URI_SCHEMES:
                 self.warn("unusual-uri-scheme", f"unusual URI scheme in {u!r}")
             return u
 
@@ -485,7 +509,7 @@ class RDFaProcessor:
             return ctx.base
         if ctx.parsed_base[0] == "":
             # base is a local name / empty: resolve relative only
-            if urlsplit(val)[0] == "":
+            if _scheme_of(val) == "":
                 return join(ctx.base, val, False)
             return create(val, False)
         return join(ctx.base, val, check)
@@ -509,7 +533,7 @@ class RDFaProcessor:
                               f"safe CURIE {val!r} does not resolve")
                     return None
                 return self._uri(val, ctx)
-            if not is_bnode(retval) and urlsplit(retval)[0] == "":
+            if not is_bnode(retval) and _scheme_of(retval) == "":
                 return ctx.base + retval
             return retval
         if safe:
@@ -531,7 +555,7 @@ class RDFaProcessor:
         if retval:
             return retval
         if ctx.rdfa_version >= "1.1":
-            scheme = urlsplit(val)[0]
+            scheme = _scheme_of(val)
             if scheme == "":
                 self.warn("non-legal-curie-ref",
                           f"relative IRI not allowed here: {val!r}")

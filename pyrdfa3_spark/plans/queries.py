@@ -485,6 +485,87 @@ SELECT origin AS subj, pred, head AS obj FROM w WHERE rn = 1
 """
 
 
+def q_nt_serialize(spark, sf_dir):
+    """N-Triples text sink (S6) over a nation/region-derived graph with
+    every term shape: IRI/bnode subjects, lang-tagged / typed / plain
+    literals with escapable characters, IRI objects."""
+    from pyrdfa3_spark.plans.serialize import to_ntriples
+
+    nation = _t(spark, sf_dir, "nation")
+    nn = F.concat(F.lit("urn:nation:N"), F.col("n_nationkey").cast("string"))
+    t1 = nation.select(
+        nn.alias("subj"), F.lit("urn:p:name").alias("pred"),
+        F.concat(F.col("n_name"), F.lit(' says "hi"\n')).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit("en").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    t2 = nation.select(
+        nn.alias("subj"), F.lit("urn:p:key").alias("pred"),
+        F.col("n_nationkey").cast("string").alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit("http://www.w3.org/2001/XMLSchema#integer")
+        .alias("obj_datatype"))
+    t3 = nation.select(
+        F.concat(F.lit("_:bn"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit("urn:p:in").alias("pred"),
+        F.concat(F.lit("urn:region:R"), F.col("n_regionkey").cast("string"))
+        .alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    return to_ntriples(t1.unionByName(t2).unionByName(t3))
+
+
+SQL_NT_SERIALIZE = """
+SELECT '<urn:nation:N' || CAST(n_nationkey AS VARCHAR) || '> <urn:p:name> "'
+       || replace(replace(n_name || ' says "hi"' || chr(10),
+                  '"', '\\"'), chr(10), '\\n')
+       || '"@en .' AS line
+FROM nation
+UNION ALL
+SELECT '<urn:nation:N' || CAST(n_nationkey AS VARCHAR) || '> <urn:p:key> "'
+       || CAST(n_nationkey AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS line
+FROM nation
+UNION ALL
+SELECT '_:bn' || CAST(n_nationkey AS VARCHAR) || ' <urn:p:in> <urn:region:R'
+       || CAST(n_regionkey AS VARCHAR) || '> .' AS line
+FROM nation
+"""
+
+
+def q_dedup_global_triples(spark, sf_dir):
+    """Cross-document set semantics (E16 global variant): distinct
+    (subj,pred,obj) across the corpus — collapses per-turn duplicates
+    like the schema-derived hasName triples."""
+    from pyrdfa3_spark.operators.graphops import dedup_triples
+
+    return (dedup_triples(_nation_triples(spark, sf_dir),
+                          per_document=False)
+            .select("subj", "pred", "obj"))
+
+
+SQL_DEDUP_GLOBAL = """
+SELECT DISTINCT * FROM (
+  SELECT 'nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://example.org/code' AS pred,
+         CAST(n_nationkey AS VARCHAR) AS obj FROM nation
+  UNION ALL
+  SELECT 'nation:N' || CAST(n_nationkey AS VARCHAR),
+         'http://www.w3.org/ns/rdfa#copy',
+         'proto:R' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'proto:R' || CAST(r_regionkey AS VARCHAR),
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://www.w3.org/ns/rdfa#Pattern' FROM region
+  UNION ALL
+  SELECT 'proto:R' || CAST(r_regionkey AS VARCHAR),
+         'http://example.org/hasName', r_name FROM region)
+"""
+
+
 # --------------------------------------------------------------------- #
 # RDFa extraction (not SQL-expressible -> rows-only driver check)
 # --------------------------------------------------------------------- #
@@ -542,6 +623,8 @@ QUERIES = {
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
+    "nt_serialize": q_nt_serialize,
+    "dedup_global_triples": q_dedup_global_triples,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
@@ -568,6 +651,8 @@ def oracles() -> dict[str, str]:
         "transitive_closure": SQL_TRANSITIVE_CLOSURE,
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
+        "nt_serialize": SQL_NT_SERIALIZE,
+        "dedup_global_triples": SQL_DEDUP_GLOBAL,
         # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /
         # simhash / multimodal_features: not SQL-expressible ->
         # rows-only driver check

@@ -1,0 +1,81 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference is a batch distiller (no streaming analogue; SURVEY.md
+§2.7), and the north rule's 10^12-turn posture is Iceberg
+snapshot-driven incremental batch (streaming/checkpoint.py).  This
+module covers the genuinely streaming shape for transcript feeds that
+arrive as files: the same Arrow UDF runs unchanged under
+``readStream`` because the pipeline is stateless per turn, and late
+data is handled with an event-time watermark on ``ts`` for the
+windowed telemetry aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType, TimestampType,
+)
+
+TRANSCRIPT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("role", StringType()),
+    StructField("text", StringType()),
+    StructField("tool", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream of transcript turns (one parquet per feed
+    drop).  maxFilesPerTrigger bounds micro-batch size so executor
+    memory is independent of backlog length."""
+    return (spark.readStream
+            .schema(TRANSCRIPT_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_dir))
+
+
+def extract_stream(transcripts: DataFrame) -> DataFrame:
+    """Streaming triples: identical logical plan to the batch pipeline —
+    stateless mapInPandas needs no state store."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    triples, _ = split_outputs(extract_tagged(transcripts))
+    return triples
+
+
+def windowed_turn_metrics(transcripts: DataFrame,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Per-conversation turn/carrier counts in event-time windows with a
+    watermark for late arrivals — the streaming telemetry the north rule's
+    metrics requirement maps to."""
+    from pyrdfa3_spark.plans.extract import RDFA_PREFILTER
+
+    return (transcripts
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("conv_id"))
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.when(F.col("text").rlike(RDFA_PREFILTER), 1)
+                       .otherwise(0)).alias("n_carrier_turns"))
+            .select(F.col("w.start").alias("window_start"),
+                    "conv_id", "n_turns", "n_carrier_turns"))
+
+
+def run_to_completion(stream_df: DataFrame, out_dir: str,
+                      checkpoint_dir: str, mode: str = "append"):
+    """Drain the available backlog (Trigger.AvailableNow) into parquet
+    with an exactly-once checkpoint; returns after the sink commits."""
+    q = (stream_df.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
