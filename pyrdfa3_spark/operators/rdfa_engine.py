@@ -157,11 +157,13 @@ class RDFaProcessor:
     ``diagnostics`` (list of (severity, code, message))."""
 
     def __init__(self, base: str = "", host: str = Host.HTML5,
-                 rdfa_version: str = "1.1", space_preserve: bool = True):
+                 rdfa_version: str = "1.1", space_preserve: bool = True,
+                 check_lite: bool = False):
         self.base_arg = base
         self.host = host
         self.rdfa_version = rdfa_version
         self.space_preserve = space_preserve
+        self.check_lite = check_lite
         self.triples: list = []
         self.diagnostics: list = []
         self._bnode_n = 0
@@ -207,6 +209,8 @@ class RDFaProcessor:
         self._t_empty_safe_curie(root)
         self._t_top_about(root, ctx)
         self._t_vocab_for_role(root)
+        if self.check_lite:
+            self._t_lite_check(root, ctx)
         if ctx.rdfa_version >= "1.1":
             self._node_1_1(root, None, ctx, [])
         else:
@@ -250,6 +254,49 @@ class RDFaProcessor:
             node.set("role", " ".join(vals))
         for ch in node.element_children():
             self._t_vocab_for_role(ch)
+
+    def _t_lite_check(self, node: Node, ctx):
+        """RDFa-Lite conformance warnings (F4/T10; reference:
+        pyRdfa/transform/lite.py:17-71) — diagnostics only, nothing is
+        removed, matching the WG decision noted in the reference."""
+        def warn_attr(attr, extra=""):
+            self.warn("non-lite-attribute",
+                      f"Attribute @{attr} should not be used in RDFa Lite"
+                      + extra)
+
+        if ctx.host in HTML_HOSTS:
+            if node.tag != "meta" and node.has("content"):
+                warn_attr("content")
+            if node.tag != "link" and node.has("rel"):
+                if node.tag == "a":
+                    vals = node.get("rel").strip().split()
+                    if any(not TERMNAME.match(v) for v in vals):
+                        warn_attr("rel", " (consider using @property)")
+                else:
+                    warn_attr("rel", " (consider using @property)")
+            for attr in ("about", "inlist", "datatype", "rev"):
+                if node.has(attr):
+                    warn_attr(attr)
+        else:
+            for attr in ("about", "inlist", "datatype", "rev", "rel",
+                         "content"):
+                if node.has(attr):
+                    warn_attr(attr)
+        for ch in node.element_children():
+            self._t_lite_check(ch, ctx)
+
+    def _host_transforms(self, node: Node, ctx):
+        """Host-language DOM massaging (reference host_dom_transforms,
+        pyRdfa/host/__init__.py:86-90)."""
+        if ctx.host in (Host.HTML5, Host.XHTML5):
+            self._html5_extra_attributes(node, ctx)
+            self._remove_rel(node)
+        elif ctx.host == Host.ATOM:
+            # atom_add_entry_type (T6; pyRdfa/host/atom.py:19-29)
+            if node.tag == "entry" and not node.has("typeof") and \
+                    not any(node.has(a) for a in
+                            ("resource", "about", "href", "src")):
+                node.set("typeof", "")
 
     # ------------------------------------------------------------------ #
     # evaluation-context construction (reference: pyRdfa/state.py:96-267
@@ -682,9 +729,7 @@ class RDFaProcessor:
         self._handle_role(node, ctx)
         if self._is_embedded_rdf(node, ctx):
             return
-        if ctx.host in (Host.HTML5, Host.XHTML5):
-            self._html5_extra_attributes(node, ctx)
-            self._remove_rel(node)
+        self._host_transforms(node, ctx)
 
         # fast path: no relevant RDFa attribute on the element
         # (parse.py:133-137) — recurse, forwarding incomplete triples.
@@ -942,6 +987,7 @@ class RDFaProcessor:
         self._handle_role(node, ctx)
         if self._is_embedded_rdf(node, ctx):
             return
+        self._host_transforms(node, ctx)
         if not any(node.has(a) for a in (
                 "href", "resource", "about", "property", "rel", "rev",
                 "typeof", "src")):

@@ -59,10 +59,12 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one call per Arrow batch (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch)."""
     # imports stay inside so the function ships cleanly to executors
-    from pyrdfa3_spark.functions.hostlang import host_for, sniff_media_type
+    from pyrdfa3_spark.functions.hostlang import (
+        Host, adjust_xhtml_and_version, host_for, is_xml_host,
+        sniff_media_type,
+    )
     from pyrdfa3_spark.operators.rdfa_engine import Literal, RDFaProcessor, is_bnode
     from pyrdfa3_spark.sources.dom import parse_html, parse_xml
-    from pyrdfa3_spark.functions.hostlang import is_xml_host
 
     sys.setrecursionlimit(20000)  # engine recursion is depth-guarded at parse
 
@@ -91,7 +93,14 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             base = f"http://transcript.local/{conv}/{turn}"
             media = sniff_media_type(fragment)
             host = host_for(media)
-            proc = RDFaProcessor(base=base, host=host)
+            rdfa_version = "1.1"
+            if host == Host.XHTML:
+                # DTD sniff may pin XHTML5 vs XHTML and RDFa 1.0 vs 1.1
+                # (S5; reference host/__init__.py:174-203)
+                host, rdfa_version = adjust_xhtml_and_version(
+                    fragment, host, rdfa_version)
+            proc = RDFaProcessor(base=base, host=host,
+                                 rdfa_version=rdfa_version)
             try:
                 root = (parse_xml(fragment) if is_xml_host(host)
                         else parse_html(fragment))

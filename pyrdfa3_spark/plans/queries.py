@@ -566,6 +566,75 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_curie_resolve(spark, sf_dir):
+    """Broadcast prefix-dim canonicalization (R2/R3 table-driven path):
+    CURIEs synthesized from part names, 80% using the hot ``schema:``
+    prefix (the skew fixture)."""
+    from pyrdfa3_spark.operators.joins import resolve_curies
+
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("bigint")
+    prefix = F.when(pk % 10 < 8, F.lit("schema")) \
+        .when(pk % 10 == 8, F.lit("dc")) \
+        .otherwise(F.lit("nosuch"))
+    curies = part.select(
+        pk.alias("p_partkey"),
+        F.concat(prefix, F.lit(":item"), pk.cast("string")).alias("curie"))
+    dim = spark.createDataFrame(
+        [("schema", "http://schema.org/"),
+         ("dc", "http://purl.org/dc/terms/"),
+         ("foaf", "http://xmlns.com/foaf/0.1/")],
+        ["prefix", "iri"])
+    return resolve_curies(curies, "curie", dim)
+
+
+SQL_CURIE_RESOLVE = """
+WITH c AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         (CASE WHEN p_partkey % 10 < 8 THEN 'schema'
+               WHEN p_partkey % 10 = 8 THEN 'dc'
+               ELSE 'nosuch' END)
+         || ':item' || CAST(p_partkey AS VARCHAR) AS curie
+  FROM part),
+dim(prefix, iri) AS (VALUES ('schema', 'http://schema.org/'),
+                            ('dc', 'http://purl.org/dc/terms/'),
+                            ('foaf', 'http://xmlns.com/foaf/0.1/'))
+SELECT c.p_partkey, c.curie,
+       CASE WHEN d.iri IS NOT NULL
+            THEN d.iri || substr(c.curie, instr(c.curie, ':') + 1)
+       END AS iri
+FROM c LEFT JOIN dim d
+  ON lower(split_part(c.curie, ':', 1)) = d.prefix
+"""
+
+
+def q_salted_join(spark, sf_dir):
+    """Explicit hot-key salting: lineitem joined to a small dim on
+    l_returnflag (3 distinct values = pathological skew); result must
+    equal the plain join."""
+    from pyrdfa3_spark.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_returnflag").alias("flag"))
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")],
+        ["flag", "flag_name"])
+    joined = salted_join(li, dim, "flag", n_salt=8)
+    return joined.select("l_orderkey", "l_linenumber", "flag", "flag_name")
+
+
+SQL_SALTED_JOIN = """
+WITH dim(flag, flag_name) AS (VALUES ('A', 'accepted'), ('N', 'new'),
+                                     ('R', 'returned'))
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag AS flag, flag_name
+FROM lineitem JOIN dim ON l_returnflag = dim.flag
+"""
+
+
 # --------------------------------------------------------------------- #
 # RDFa extraction (not SQL-expressible -> rows-only driver check)
 # --------------------------------------------------------------------- #
@@ -590,6 +659,27 @@ def q_rdfa_prototype_expand(spark, sf_dir):
     """Extraction + G1 prototype expansion over the extracted graph
     (fragment template 19 plants rdfa:Pattern/rdfa:copy pairs)."""
     return handle_prototypes(q_rdfa_extract(spark, sf_dir))
+
+
+def q_graph_metrics(spark, sf_dir):
+    """Per-conversation graph telemetry (north rule 'metrics'): triples,
+    documents, distinct predicates (exact + approx sketch)."""
+    triples = q_rdfa_extract(spark, sf_dir)
+    return (triples.groupBy("conv_id")
+            .agg(F.count("*").cast("bigint").alias("n_triples"),
+                 F.countDistinct("turn_idx").cast("bigint").alias("n_docs"),
+                 F.countDistinct("pred").cast("bigint").alias("n_preds"),
+                 F.approx_count_distinct("subj").cast("bigint")
+                 .alias("approx_subjects")))
+
+
+def q_rdfa_vocab_usage(spark, sf_dir):
+    """Vocab collection (G2): distinct rdfa:usesVocabulary objects."""
+    triples = q_rdfa_extract(spark, sf_dir)
+    return (triples
+            .filter(F.col("pred") ==
+                    "http://www.w3.org/ns/rdfa#usesVocabulary")
+            .select(F.col("obj").alias("vocab")).distinct())
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -625,6 +715,10 @@ QUERIES = {
     "list_chain": q_list_chain,
     "nt_serialize": q_nt_serialize,
     "dedup_global_triples": q_dedup_global_triples,
+    "curie_resolve": q_curie_resolve,
+    "salted_join": q_salted_join,
+    "graph_metrics": q_graph_metrics,
+    "rdfa_vocab_usage": q_rdfa_vocab_usage,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
@@ -653,6 +747,10 @@ def oracles() -> dict[str, str]:
         "list_chain": SQL_LIST_CHAIN,
         "nt_serialize": SQL_NT_SERIALIZE,
         "dedup_global_triples": SQL_DEDUP_GLOBAL,
+        "curie_resolve": SQL_CURIE_RESOLVE,
+        "salted_join": SQL_SALTED_JOIN,
+        # graph_metrics / rdfa_vocab_usage depend on extraction ->
+        # rows-only driver check
         # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /
         # simhash / multimodal_features: not SQL-expressible ->
         # rows-only driver check

@@ -387,6 +387,51 @@ def test_rdfa_10_auto_xmlliteral_and_safe_curie_only():
     assert o.datatype == RDF_XMLLITERAL
 
 
+def test_lite_check_diagnostics():
+    html = ('<html><body>'
+            '<div about="#a" rel="dc:x" resource="#b" content="c" '
+            'datatype="" rev="dc:y"></div>'
+            '<meta content="fine"/><link rel="stylesheet"/>'
+            '</body></html>')
+    proc = RDFaProcessor(base=BASE, host=Host.HTML5, check_lite=True)
+    proc.process(parse_html(html))
+    flagged = sorted({d[2].split("@")[1].split(" ")[0]
+                      for d in proc.diagnostics
+                      if d[1] == "non-lite-attribute"})
+    # meta@content and link@rel are allowed; the div's attrs are flagged
+    assert flagged == ["about", "content", "datatype", "rel", "rev"]
+
+
+def test_atom_host_entry_typeof():
+    from pyrdfa3_spark.sources.dom import parse_xml as _px
+
+    atom = ('<feed xmlns="http://www.w3.org/2005/Atom" '
+            'xml:base="http://feed.example/">'
+            '<entry><title about="" property="title">Hello</title></entry>'
+            '</feed>')
+    proc = RDFaProcessor(base="http://feed.example/", host=Host.ATOM)
+    actual = proc.process(_px(atom))
+    # atom default vocabulary (host/__init__.py:92-94) resolves the term;
+    # <entry> gets typeof="" which mints a bnode subject for its subtree
+    iana = "http://www.iana.org/assignments/relation/"
+    assert ("http://feed.example/", iana + "title",
+            Literal("Hello", None, None)) in actual
+
+
+def test_dtd_version_detection_in_pipeline_path():
+    from pyrdfa3_spark.functions.hostlang import (
+        adjust_xhtml_and_version, Host as H,
+    )
+
+    doc10 = ('<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML+RDFa 1.0//EN" '
+             '"http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd">'
+             '<html xmlns="http://www.w3.org/1999/xhtml"></html>')
+    assert adjust_xhtml_and_version(doc10, H.XHTML, "1.1") == (H.XHTML, "1.0")
+    doc_plain = '<html xmlns="http://www.w3.org/1999/xhtml"></html>'
+    assert adjust_xhtml_and_version(doc_plain, H.XHTML, "1.1") == \
+        (H.XHTML5, "1.1")
+
+
 def test_determinism_same_doc_twice():
     html = ('<html><body><div about="#me" rel="foaf:knows">'
             '<div typeof="foaf:Person"><span property="foaf:name">B</span>'
