@@ -158,12 +158,14 @@ class RDFaProcessor:
 
     def __init__(self, base: str = "", host: str = Host.HTML5,
                  rdfa_version: str = "1.1", space_preserve: bool = True,
-                 check_lite: bool = False):
+                 check_lite: bool = False,
+                 transformers: tuple = ()):
         self.base_arg = base
         self.host = host
         self.rdfa_version = rdfa_version
         self.space_preserve = space_preserve
         self.check_lite = check_lite
+        self.transformers = transformers  # of: meta_name, openid, dublin_core
         self.triples: list = []
         self.diagnostics: list = []
         self._bnode_n = 0
@@ -204,6 +206,11 @@ class RDFaProcessor:
     def process(self, root: Node) -> list:
         ctx = self._make_context(root, None)
         self.rdfa_version = ctx.rdfa_version
+        # opt-in transformers run first, then the built-ins, matching the
+        # reference's options.transformers + builtInTransformers order
+        # (pyRdfa/__init__.py:504-505)
+        for name in self.transformers:
+            getattr(self, "_t_" + name)(root, ctx)
         # built-in DOM pre-passes, same order as the reference's
         # builtInTransformers (pyRdfa/__init__.py:350-352, applied 504-505)
         self._t_empty_safe_curie(root)
@@ -254,6 +261,74 @@ class RDFaProcessor:
             node.set("role", " ".join(vals))
         for ch in node.element_children():
             self._t_vocab_for_role(ch)
+
+    # optional pre-passes (opt-in transformers, reference
+    # pyRdfa/transform/{metaname,OpenID,DublinCore}.py). Enabled via the
+    # ``transformers`` constructor-style list on process_with_transforms.
+    def _t_meta_name(self, root: Node, ctx):
+        """T7: <meta name> -> @property (metaname.py:14-28)."""
+        if ctx.host not in HTML_HOSTS:
+            return
+        for el in root.iter_elements():
+            if el.tag == "meta" and el.has("name") and not el.has("property"):
+                el.set("property", el.get("name"))
+
+    def _t_openid(self, root: Node, ctx):
+        """T8: rel="openid.X" -> openid:X + namespace (OpenID.py:24-63)."""
+        if ctx.host not in HTML_HOSTS:
+            return
+        head = next((e for e in root.iter_elements() if e.tag == "head"),
+                    None)
+        if head is None:
+            return
+        found = False
+        for link in root.iter_elements():
+            if link.tag == "link" and link.has("rel"):
+                vals = []
+                for v in link.get("rel").strip().split():
+                    if v.startswith("openid."):
+                        vals.append(v.replace("openid.", "openid:"))
+                        found = True
+                    else:
+                        vals.append(v)
+                link.set("rel", " ".join(vals))
+        if found and not head.has("xmlns:openid"):
+            head.set("xmlns:openid", "http://xmlns.openid.net/auth#")
+
+    def _t_dublin_core(self, root: Node, ctx):
+        """T9: <link rel="schema.X" href> prefix mining + qname rewrite of
+        link@rel / meta@name (DublinCore.py:25-96)."""
+        if ctx.host not in HTML_HOSTS:
+            return
+        head = next((e for e in root.iter_elements() if e.tag == "head"),
+                    None)
+        if head is None:
+            return
+        dcprefixes = {}
+        for link in root.iter_elements():
+            if link.tag == "link" and link.has("rel"):
+                rel, uri = link.get("rel"), link.get("href")
+                if uri and rel.startswith("schema."):
+                    parts = rel.split(".")
+                    if len(parts) > 1 and parts[1]:
+                        head.set("xmlns:" + parts[1], uri)
+                        dcprefixes[parts[1]] = uri
+
+        def rewrite(vals):
+            out = []
+            for v in vals.strip().split():
+                key, _, lname = v.partition(".")
+                if lname and key in dcprefixes:
+                    out.append(f"{key}:{lname}")
+                else:
+                    out.append(v)
+            return " ".join(out)
+
+        for el in root.iter_elements():
+            if el.tag == "link" and el.has("rel"):
+                el.set("rel", rewrite(el.get("rel")))
+            elif el.tag == "meta" and el.has("name"):
+                el.set("property", rewrite(el.get("name")))
 
     def _t_lite_check(self, node: Node, ctx):
         """RDFa-Lite conformance warnings (F4/T10; reference:

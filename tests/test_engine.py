@@ -432,6 +432,27 @@ def test_dtd_version_detection_in_pipeline_path():
         (H.XHTML5, "1.1")
 
 
+def test_optin_transformers_meta_openid_dc():
+    html = ('<html><head>'
+            '<link rel="schema.DC" href="http://purl.org/dc/elements/1.1/"/>'
+            '<meta name="DC.title" content="Doc Title"/>'
+            '<meta name="plainmeta" content="mv"/>'
+            '<link rel="openid.server" href="http://openid.example/s"/>'
+            '</head><body></body></html>')
+    proc = RDFaProcessor(base=BASE, host=Host.HTML5,
+                         transformers=("meta_name", "openid", "dublin_core"))
+    actual = proc.process(parse_html(html))
+    dc11 = "http://purl.org/dc/elements/1.1/"
+    # DC.title -> DC:title resolved via the mined xmlns:DC prefix;
+    # openid.server -> openid:server via the injected namespace;
+    # plain <meta name> -> treated as @property (term, unresolvable ->
+    # dropped with a warning since no vocab is set)
+    assert (BASE, dc11 + "title", Literal("Doc Title", None, None)) in actual
+    assert (BASE, "http://xmlns.openid.net/auth#server",
+            "http://openid.example/s") in actual
+    assert any(d[1] == "undefined-term" for d in proc.diagnostics)
+
+
 def test_determinism_same_doc_twice():
     html = ('<html><body><div about="#me" rel="foaf:knows">'
             '<div typeof="foaf:Person"><span property="foaf:name">B</span>'
