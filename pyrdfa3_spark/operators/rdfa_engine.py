@@ -60,6 +60,8 @@ from pyrdfa3_spark.functions.constants import (
     RDF_REST,
     RDF_TYPE,
     RDF_XMLLITERAL,
+    RDFA_COPY,
+    RDFA_PATTERN,
     RDFA_USES_VOCABULARY,
     XHTML_ROLE,
     XHTML_VOCAB,
@@ -222,7 +224,38 @@ class RDFaProcessor:
             self._node_1_1(root, None, ctx, [])
         else:
             self._node_1_0(root, None, ctx, [])
+        self._expand_prototypes()
         return self.triples
+
+    def _expand_prototypes(self):
+        """Per-document rdfa:Pattern / rdfa:copy expansion — the reference
+        applies this to every graph unconditionally
+        (pyRdfa/__init__.py:516 -> transform/prototype.py:26-37).  The
+        corpus-level DataFrame variant lives in operators/graphops.py."""
+        patterns = {s for (s, p, o) in self.triples
+                    if p == RDF_TYPE and o == RDFA_PATTERN}
+        if not patterns:
+            return
+        copies = [(s, o) for (s, p, o) in self.triples
+                  if p == RDFA_COPY and o in patterns]
+        if not copies:
+            return
+        referenced = {proto for _, proto in copies}
+        bodies: dict[str, list] = {}
+        for (s, p, o) in self.triples:
+            if s in referenced and not (p == RDF_TYPE and o == RDFA_PATTERN):
+                bodies.setdefault(s, []).append((p, o))
+        out = []
+        for (s, p, o) in self.triples:
+            if s in referenced:
+                continue
+            if p == RDFA_COPY and o in referenced:
+                continue
+            out.append((s, p, o))
+        for x, proto in copies:
+            for (p, o) in bodies.get(proto, []):
+                out.append((x, p, o))
+        self.triples = out
 
     # ------------------------------------------------------------------ #
     # DOM pre-passes (reference: pyRdfa/transform/__init__.py:22-117)
@@ -1031,10 +1064,12 @@ class RDFaProcessor:
     def _xml_literal(self, node: Node, ctx) -> str:
         """rdf:XMLLiteral serialization with xmlns/xml:base decoration
         (reference: pyRdfa/property.py:254-268, pyRdfa/utils.py:211-239)."""
+        # note base=False in the reference's literal getters
+        # (property.py:266, 282) — no xml:base decoration here
         out = []
         for c in node.children:
             if isinstance(c, Node):
-                extra = {"xml:base": ctx.base}
+                extra = {}
                 for pr, uri in ctx.xmlns.items():
                     extra.setdefault(f"xmlns:{pr}", uri)
                 if ctx.default_ns is not None and not c.has("xmlns"):
@@ -1048,7 +1083,7 @@ class RDFaProcessor:
         out = []
         for c in node.children:
             if isinstance(c, Node):
-                out.append(serialize_node(c, {"xml:base": ctx.base}))
+                out.append(serialize_node(c))
             else:
                 out.append(escape_text(c))
         return "".join(out)

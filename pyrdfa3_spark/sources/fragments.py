@@ -107,6 +107,51 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
      '<div><div about="#h{K}" property="http://schema.org/name">H{K}</div>'
      '<script type="text/turtle">@prefix s: <http://schema.org/> . '
      '<#t{K}> s:follows <#h{K}> ; s:score 4{X} .</script></div>'),
+    # 22. @property + @rel + @content on one element (rel CURIE survives
+    # remove_rel; property takes the literal branch)
+    ("html5",
+     '<div about="#m{K}" property="http://schema.org/p1" '
+     'rel="http://schema.org/r1" resource="#o{K}" content="cv{K}"></div>'),
+    # 23. hanging @rel+@inlist completed by children (list of subjects)
+    ("html5",
+     '<div about="#lp{K}" rel="http://schema.org/itemList" inlist="">'
+     '<span about="#e{K}a">1</span><span about="#e{K}b">2</span></div>'),
+    # 24. deep language inheritance + reset
+    ("html5",
+     '<div lang="de" about="#lg{K}"><span><b '
+     'property="http://schema.org/name">Wert {K}</b></span>'
+     '<span lang="" property="http://schema.org/alt">plain {K}</span></div>'),
+    # 25. safe CURIEs with bound prefixes on both subject and object
+    ("html5",
+     '<div prefix="px: http://px.example/{K}#">'
+     '<div about="[px:s]" rel="px:r" resource="[px:o]"></div></div>'),
+    # 26. @datatype via local prefix + @content wins over element text
+    ("html5",
+     '<div prefix="dtx: http://www.w3.org/2001/XMLSchema#" about="#dt{K}">'
+     '<span property="http://schema.org/v" datatype="dtx:date" '
+     'content="2026-01-0{X}">shown text ignored</span></div>'),
+    # 27. nested xml:base overrides in SVG with relative @about
+    ("svg",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xml:base="http://sbase.example/a/">'
+     '<g about="top{K}" property="http://purl.org/dc/terms/title">t{K}</g>'
+     '<g xml:base="http://sbase.example/b/"><g about="inner{K}" '
+     'property="http://purl.org/dc/terms/title">u{K}</g></g></svg>'),
+    # 28. about="" self-reference + multiple @typeof values
+    ("html5",
+     '<div about="" typeof="http://schema.org/Thing '
+     'http://schema.org/CreativeWork">'
+     '<span property="http://schema.org/version" content="{K}"></span>'
+     '</div>'),
+    # 29. @rel and @rev together on one element
+    ("html5",
+     '<div about="#rr{K}" rel="http://schema.org/knows" '
+     'rev="http://schema.org/knownBy" resource="#peer{K}"></div>'),
+    # 30. bare @property + @typeof + @resource (typed_resource = resource)
+    ("html5",
+     '<div about="#pr{K}"><div property="http://schema.org/work" '
+     'typeof="http://schema.org/Book" resource="#bk{K}">'
+     '<span property="http://schema.org/isbn">97{K}</span></div></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)

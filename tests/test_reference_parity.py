@@ -1,0 +1,24 @@
+"""Primary BASELINE metric: triple P/R vs the ACTUAL reference
+implementation (pyrdfa3 executed through scripts/refshim).  The script
+exits nonzero if either metric drops below 0.95; here we require the
+current state: exact parity."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_reference_parity_pr():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "pr_eval.py"), "4"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "precision=1.0000 recall=1.0000" in out.stdout, out.stdout
+    import re
+
+    m = re.search(r"documents: pass=(\d+) fail=(\d+)", out.stdout)
+    assert m and int(m.group(1)) >= 100 and int(m.group(2)) == 0, out.stdout
