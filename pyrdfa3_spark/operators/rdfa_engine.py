@@ -626,7 +626,10 @@ class RDFaProcessor:
         if prefix in ctx.ns and self._check_reference(reference, ctx):
             ns = ctx.ns[prefix]
             return ns if reference == "" else ns + reference
-        if prefix in INITIAL_PREFIXES and self._check_reference(reference, ctx):
+        # the initial-context table only exists in 1.1 (the reference's
+        # InitialContext is empty below 1.1, termorcurie.py:119)
+        if ctx.rdfa_version >= "1.1" and prefix in INITIAL_PREFIXES \
+                and self._check_reference(reference, ctx):
             ns = INITIAL_PREFIXES[prefix]
             return ns if reference == "" else ns + reference
         return None

@@ -45,7 +45,8 @@ EXCLUDED_TEMPLATES = {20}  # embedded turtle (see module docstring)
 _MEDIA = {"html5": "text/html", "svg": "image/svg+xml"}
 
 
-def run_reference(kind: str, fragment: str, base: str):
+def run_reference(kind: str, fragment: str, base: str,
+                  rdfa_version: str = "1.1"):
     import rdflib  # the shim
     from pyRdfa import pyRdfa as PyRdfaClass
     from pyRdfa.options import Options
@@ -53,7 +54,7 @@ def run_reference(kind: str, fragment: str, base: str):
     opts = Options(output_default_graph=True, output_processor_graph=False,
                    embedded_rdf=False, vocab_expansion=False)
     opts.set_host_language(_MEDIA[kind])
-    proc = PyRdfaClass(options=opts, base=base)
+    proc = PyRdfaClass(options=opts, base=base, rdfa_version=rdfa_version)
     if kind == "html5":
         dom = minidom.parseString(f"<html><body>{fragment}</body></html>")
     else:
@@ -73,9 +74,10 @@ def run_reference(kind: str, fragment: str, base: str):
     return out
 
 
-def run_ours(kind: str, fragment: str, base: str):
+def run_ours(kind: str, fragment: str, base: str,
+             rdfa_version: str = "1.1"):
     host = Host.HTML5 if kind == "html5" else Host.SVG
-    proc = RDFaProcessor(base=base, host=host)
+    proc = RDFaProcessor(base=base, host=host, rdfa_version=rdfa_version)
     if kind == "html5":
         root = parse_html(f"<html><body>{fragment}</body></html>")
     else:
@@ -91,6 +93,7 @@ def _has_bnode(t):
 
 def main():
     n_per_template = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    version = sys.argv[2] if len(sys.argv) > 2 else "1.1"
     tp = fp = fn = 0
     doc_pass = doc_fail = 0
     failures = []
@@ -101,8 +104,8 @@ def main():
             k = tidx + 21 * j
             _, fragment = render_fragment(tidx, k)
             base = f"http://fixture.test/t{tidx}/k{k}"
-            ref = run_reference(kind, fragment, base)
-            ours = run_ours(kind, fragment, base)
+            ref = run_reference(kind, fragment, base, version)
+            ours = run_ours(kind, fragment, base, version)
             ref_set = set(ref)
             ours_set = {t for t in ours}
             if isomorphic(ours, ref):

@@ -12,13 +12,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_reference_parity_pr():
+import pytest
+
+
+@pytest.mark.parametrize("version,min_docs", [("1.1", 100), ("1.0", 100)])
+def test_reference_parity_pr(version, min_docs):
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "pr_eval.py"), "4"],
+        [sys.executable, os.path.join(REPO, "scripts", "pr_eval.py"),
+         "4", version],
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "precision=1.0000 recall=1.0000" in out.stdout, out.stdout
     import re
 
     m = re.search(r"documents: pass=(\d+) fail=(\d+)", out.stdout)
-    assert m and int(m.group(1)) >= 100 and int(m.group(2)) == 0, out.stdout
+    assert m and int(m.group(1)) >= min_docs and int(m.group(2)) == 0, \
+        out.stdout
