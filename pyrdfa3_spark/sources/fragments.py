@@ -152,6 +152,18 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
      '<div about="#pr{K}"><div property="http://schema.org/work" '
      'typeof="http://schema.org/Book" resource="#bk{K}">'
      '<span property="http://schema.org/isbn">97{K}</span></div></div>'),
+    # 31. <base href> overrides the per-turn base for all resolution
+    ("html5",
+     '<div><base href="http://rebased.example/{K}/dir/page"/>'
+     '<div about="rel{K}" rel="http://schema.org/url" href="../up{K}">'
+     '</div></div>'),
+    # 32. XMLLiteral with inherited xmlns decoration (string-exact
+    # serialization parity with minidom toxml)
+    ("html5",
+     '<div xmlns:exl="http://exl.example/{K}#" about="#xl{K}">'
+     '<span property="http://schema.org/description" '
+     'datatype="rdf:XMLLiteral">pre <exl:tag attr="v{K}">mid</exl:tag> '
+     'post {K}</span></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)
