@@ -168,6 +168,65 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+def _sql_simhash(bits: int = 32) -> str:
+    # hex -> bigint polynomial (DuckDB lacks conv()); Spark uses
+    # conv(substr(md5(tok),1,8),16,10) — identical value
+    hexval = ("(strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"
+              " * {mul}")
+    h_expr = " + ".join(
+        hexval.format(i=i + 1, mul=16 ** (7 - i)) for i in range(8))
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(bits))
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+           FROM documents),
+toks AS (SELECT DISTINCT doc_id, tok
+         FROM d, unnest(string_split(norm, ' ')) AS t(tok)
+         WHERE tok <> ''),
+h AS (SELECT doc_id, CAST({h_expr} AS BIGINT) AS h FROM toks),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification over the LSH candidate pairs
+    (the dedup pipeline's verify stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(docs, k=5, n_hashes=8, bands=4)
+    return D.ngram_jaccard(docs, pairs, k=5)
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH " + _SQL_SHINGLES + """,
+sig AS (SELECT doc_id, """ + ", ".join(
+        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
+        for j in range(8)) + """ FROM sh GROUP BY doc_id),
+bb AS (""" + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) "
+        f"AS bucket FROM sig" for b in range(4)) + """),
+pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+            AND l.doc_id < r.doc_id),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+           FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+                       JOIN sh b ON b.doc_id = p.doc_b
+                                AND b.shingle = a.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / (ca.n_sh + cb.n_sh - i.n_common), 4) AS jaccard
+FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+             JOIN counts cb ON cb.doc_id = i.doc_b
+"""
+)
+
+
 # --------------------------------------------------------------------- #
 # similarity (embeddings)
 # --------------------------------------------------------------------- #
@@ -566,6 +625,52 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table (batch variant;
+    the streaming applyInPandasWithState twin lives in
+    streaming/sessionize.py and is tested for consistency with this)."""
+    from pyspark.sql import Window
+
+    gap_ms = 30 * 60 * 1000
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        (ms - F.lag(ms, 1).over(w)) > gap_ms, 1).otherwise(0)
+    # first event of a user: lag is NULL -> comparison NULL -> otherwise(0);
+    # cumulative sum still starts sessions at 0 for every user
+    sess = ev.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        ms.alias("ms"),
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint")
+        .alias("session_seq"))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.min("ms").alias("start_ms"),
+                 F.max("ms").alias("end_ms")))
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_ms(ts) AS ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ms,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ms,
+              event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM e)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_curie_resolve(spark, sf_dir):
     """Broadcast prefix-dim canonicalization (R2/R3 table-driven path):
     CURIEs synthesized from part names, 80% using the hot ``schema:``
@@ -703,6 +808,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_candidates": q_lsh_cosine_candidates,
     "pricing_summary": q_pricing_summary,
@@ -717,6 +823,7 @@ QUERIES = {
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
     "salted_join": q_salted_join,
+    "sessionize": q_sessionize,
     "graph_metrics": q_graph_metrics,
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
     "rdfa_extract": q_rdfa_extract,
@@ -735,6 +842,8 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
+        "simhash": _sql_simhash(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_candidates": _sql_lsh_cosine(),
         "pricing_summary": SQL_PRICING_SUMMARY,
@@ -749,6 +858,7 @@ def oracles() -> dict[str, str]:
         "dedup_global_triples": SQL_DEDUP_GLOBAL,
         "curie_resolve": SQL_CURIE_RESOLVE,
         "salted_join": SQL_SALTED_JOIN,
+        "sessionize": SQL_SESSIONIZE,
         # graph_metrics / rdfa_vocab_usage depend on extraction ->
         # rows-only driver check
         # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /

@@ -46,6 +46,43 @@ def test_stream_extraction_incremental(spark, tmp_path):
         {tuple(r) for r in batch.select(cols).collect()}
 
 
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Streaming applyInPandasWithState sessionization emits exactly the
+    batch sessions except each user's final (still-open) session."""
+    from pyrdfa3_spark.plans.queries import q_sessionize
+    from pyrdfa3_spark.streaming.sessionize import sessionize_stream
+    from pyrdfa3_spark.streaming.stream_extract import run_to_completion
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .parquet(in_dir))
+    run_to_completion(sessionize_stream(stream), out_dir, ckpt,
+                      mode="append")
+    streamed = {
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"],
+         r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    batch = q_sessionize(spark, sf_dir).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], -1),
+                                     r["session_seq"])
+    expected_closed = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"])
+        for r in batch if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert streamed == expected_closed
+    assert len(streamed) > 10
+
+
 def test_windowed_metrics_complete_mode(spark, tmp_path):
     in_dir = str(tmp_path / "win_in")
     synth_transcripts(spark, n_conv=10, turns_per_conv=10, skew_factor=2) \
