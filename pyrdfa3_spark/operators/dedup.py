@@ -44,18 +44,25 @@ def _shingles(docs: DataFrame, k: int = 5):
             .select("doc_id", F.explode(shingle_arr).alias("shingle")))
 
 
+def _hex_chunk(col, start):
+    """32-bit integer from 8 hex chars of a digest column —
+    reproducible bit-for-bit in the DuckDB oracle."""
+    return F.conv(F.substring(F.col(col), start, 8), 16, 10).cast("bigint")
+
+
 def minhash_signatures(docs: DataFrame, k: int = 5,
                        n_hashes: int = 8) -> DataFrame:
-    """MinHash signature per document: h_j(doc) = min over shingles of
-    the first 12 hex chars of md5(j || shingle), kept as hex strings so
-    the SQL oracle is identical.  Output: doc_id, h0..h{n-1}."""
-    sh = _shingles(docs, k)
-    aggs = [
-        F.min(F.substring(F.md5(F.concat(F.lit(str(j) + "|"),
-                                         F.col("shingle"))), 1, 12)
-              ).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
+    """MinHash signature per document: one sha2-256 per distinct shingle
+    sliced into ``n_hashes`` disjoint 32-bit chunks — n truly independent
+    hash functions for the price of a single digest (a linear family
+    derived from one chunk would correlate the per-band minima and
+    inflate LSH false positives).  h_j(doc) = min over shingles of
+    chunk_j(sha256(shingle)).  Output: doc_id, h0..h{n-1} (bigint)."""
+    if n_hashes > 8:
+        raise ValueError("sha256 yields at most 8 independent 32-bit chunks")
+    sh = _shingles(docs, k).withColumn("d", F.sha2("shingle", 256))
+    aggs = [F.min(_hex_chunk("d", 1 + 8 * j)).alias(f"h{j}")
+            for j in range(n_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -65,9 +72,11 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     ``n_hashes/bands`` rows; docs sharing any band bucket are duplicate
     candidates.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
 
-    Scale shape: groupBy(band, bucket) with collect_list only *inside*
+    Scale shape: groupBy(band, bucket) + collect_set only *inside*
     buckets that collide — bucket cardinality is bounded by near-dup
-    cluster size, not corpus size.
+    cluster size, not corpus size, and the signature lineage is computed
+    exactly once (a self-join of the band relation would recompute the
+    whole shingle->signature pipeline for each side).
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
@@ -81,14 +90,13 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     exploded = (sig.select("doc_id",
                            F.explode(F.array(*band_cols)).alias("bb"))
                 .select("doc_id", "bb.band", "bb.bucket"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    return (left.join(right,
-                      (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"))
+    buckets = (exploded.groupBy("band", "bucket")
+               .agg(F.collect_set("doc_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    return (buckets
+            .select(F.explode("ids").alias("doc_a"), F.col("ids"))
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .dropDuplicates())
 
 

@@ -135,12 +135,24 @@ def q_minhash_signatures(spark, sf_dir):
                                 k=5, n_hashes=8)
 
 
+# DuckDB lacks conv(); rebuild Spark's conv(substr(d,start,8),16,10)
+# as a hex-digit polynomial (same trick as the simhash oracle).
+def _sql_hex_chunk(start: int) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(d, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8)) + ")"
+
+
+_SQL_MINHASH_HH = """
+hh AS (SELECT doc_id, sha256(shingle) AS d FROM sh)"""
+
+_SQL_MINHASH_AGGS = ", ".join(
+    f"min(CAST({_sql_hex_chunk(1 + 8 * j)} AS BIGINT)) AS h{j}"
+    for j in range(8))
+
 SQL_MINHASH_SIGNATURES = (
-    "WITH " + _SQL_SHINGLES +
-    "SELECT doc_id, " + ", ".join(
-        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
-        for j in range(8)) +
-    " FROM sh GROUP BY doc_id"
+    "WITH " + _SQL_SHINGLES + "," + _SQL_MINHASH_HH + f"""
+SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id"""
 )
 
 
@@ -150,13 +162,13 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 
 
 SQL_MINHASH_LSH = (
-    "WITH " + _SQL_SHINGLES + """,
-sig AS (SELECT doc_id, """ + ", ".join(
-        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
-        for j in range(8)) + """ FROM sh GROUP BY doc_id),
+    "WITH " + _SQL_SHINGLES + "," + _SQL_MINHASH_HH + f""",
+sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
 bb AS (""" + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) "
-        f"AS bucket FROM sig" for b in range(4)) + """)
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(4)) + """)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
 FROM bb l JOIN bb r
   ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
@@ -202,13 +214,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD = (
-    "WITH " + _SQL_SHINGLES + """,
-sig AS (SELECT doc_id, """ + ", ".join(
-        f"min(substr(md5('{j}|' || shingle), 1, 12)) AS h{j}"
-        for j in range(8)) + """ FROM sh GROUP BY doc_id),
+    "WITH " + _SQL_SHINGLES + "," + _SQL_MINHASH_HH + f""",
+sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
 bb AS (""" + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) "
-        f"AS bucket FROM sig" for b in range(4)) + """),
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(4)) + """),
 pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
             AND l.doc_id < r.doc_id),
