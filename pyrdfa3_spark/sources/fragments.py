@@ -164,6 +164,70 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
      '<span property="http://schema.org/description" '
      'datatype="rdf:XMLLiteral">pre <exl:tag attr="v{K}">mid</exl:tag> '
      'post {K}</span></div>'),
+    # 33. empty safe CURIE '[]' pruned (T2/F3) -> subject falls back to
+    # the inherited one instead of a broken reference
+    ("html5",
+     '<div about="[]" property="http://schema.org/name" '
+     'content="kept{K}"></div>'),
+    # 34. @datatype="" forces a plain literal (no datatype, lang kept)
+    ("html5",
+     '<div lang="en" about="#ed{K}"><span '
+     'property="http://schema.org/text" datatype="">raw {K}</span></div>'),
+    # 35. @property + @href (no rel/content/datatype) -> IRI object
+    ("html5",
+     '<a about="#ph{K}" property="http://schema.org/url" '
+     'href="http://x.example/{K}">x</a>'),
+    # 36. @src as the resource source (img)
+    ("html5",
+     '<div about="#im{K}" rel="http://schema.org/image">'
+     '<img src="pic{K}.png"/></div>'),
+    # 37. multi-valued @property emits one triple per IRI
+    ("html5",
+     '<span about="#mv{K}" property="http://schema.org/name '
+     'http://schema.org/alternateName">nm{K}</span>'),
+    # 38. prefix redefinition in a nested scope (copy-on-write maps)
+    ("html5",
+     '<div prefix="ex: http://outer.example/{K}#">'
+     '<span about="#pa{K}" property="ex:p" content="outer"></span>'
+     '<div prefix="ex: http://inner.example/{K}#">'
+     '<span about="#pb{K}" property="ex:p" content="inner"></span>'
+     '</div></div>'),
+    # 39. forbidden '_:' prefix declaration ignored (warning), named
+    # bnodes still resolve through the bnode branch
+    ("html5",
+     '<div prefix="_: http://forbidden.example/ '
+     'ok: http://ok.example/{K}#">'
+     '<div about="_:fb{K}" property="ok:p" content="v{K}"></div></div>'),
+    # 40. <time> gYear + gYearMonth sniffing
+    ("html5",
+     '<div about="#ty{K}"><time property="http://schema.org/year" '
+     'datetime="201{X}">then</time>'
+     '<time property="http://schema.org/month" datetime="201{X}-05">'
+     'that month</time></div>'),
+    # 41. <time> xsd:duration sniffing
+    ("html5",
+     '<div about="#td{K}"><time property="http://schema.org/dur" '
+     'datetime="PT{X}H30M">a while</time></div>'),
+    # 42. whitespace-heavy multi-valued @rel (split on any whitespace)
+    ("html5",
+     '<div about="#ws{K}" rel="  http://a.example/r1 \t '
+     'http://a.example/r2  " resource="#tgt{K}"></div>'),
+    # 43. empty @resource resolves to the base
+    ("html5",
+     '<div about="#er{K}" rel="http://schema.org/url" resource="">'
+     '</div>'),
+    # 44. bare @typeof (no about) mints the subject bnode for children
+    ("html5",
+     '<div typeof="http://schema.org/Thing">'
+     '<span property="http://schema.org/name">b{K}</span></div>'),
+    # 45. empty-prefix CURIE ':term' -> default CURIE namespace (XHTML
+    # vocab)
+    ("html5",
+     '<div about="#dc{K}" rel=":next" resource="#n{K}"></div>'),
+    # 46. unresolvable bare term with no @vocab -> no triple emitted
+    ("html5",
+     '<div about="#ut{K}"><span property="notaterm-{K}">dropped</span>'
+     '<span property="http://schema.org/ok">kept {K}</span></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)

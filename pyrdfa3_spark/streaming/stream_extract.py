@@ -41,7 +41,7 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
 
 def extract_stream(transcripts: DataFrame) -> DataFrame:
     """Streaming triples: identical logical plan to the batch pipeline —
-    stateless mapInPandas needs no state store."""
+    stateless mapInArrow needs no state store."""
     from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
 
     triples, _ = split_outputs(extract_tagged(transcripts))
