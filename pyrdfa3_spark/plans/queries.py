@@ -556,12 +556,10 @@ SELECT origin AS subj, pred, head AS obj FROM w WHERE rn = 1
 """
 
 
-def q_nt_serialize(spark, sf_dir):
-    """N-Triples text sink (S6) over a nation/region-derived graph with
-    every term shape: IRI/bnode subjects, lang-tagged / typed / plain
-    literals with escapable characters, IRI objects."""
-    from pyrdfa3_spark.plans.serialize import to_ntriples
-
+def _nation_graph(spark, sf_dir):
+    """Nation/region-derived triple frame with every term shape:
+    IRI/bnode subjects, lang-tagged / typed / plain literals with
+    escapable characters, IRI objects — the serializer-sink fixture."""
     nation = _t(spark, sf_dir, "nation")
     nn = F.concat(F.lit("urn:nation:N"), F.col("n_nationkey").cast("string"))
     t1 = nation.select(
@@ -586,7 +584,31 @@ def q_nt_serialize(spark, sf_dir):
         F.lit(True).alias("obj_is_iri"),
         F.lit(None).cast("string").alias("obj_lang"),
         F.lit(None).cast("string").alias("obj_datatype"))
-    return to_ntriples(t1.unionByName(t2).unionByName(t3))
+    return t1.unionByName(t2).unionByName(t3)
+
+
+def q_nt_serialize(spark, sf_dir):
+    """N-Triples text sink (S6)."""
+    from pyrdfa3_spark.plans.serialize import to_ntriples
+
+    return to_ntriples(_nation_graph(spark, sf_dir))
+
+
+def q_jsonld_serialize(spark, sf_dir):
+    """JSON-LD lines sink (S6): one flat node object per subject.
+    Round-trip-tested in tests/test_serialize.py; driver check is
+    rows-only (byte-identical JSON is not portably expressible in SQL)."""
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+
+    return to_jsonld(_nation_graph(spark, sf_dir))
+
+
+def q_rdfxml_serialize(spark, sf_dir):
+    """RDF/XML sink (S6): one rdf:Description block per subject.
+    Round-trip-tested in tests/test_serialize.py; rows-only check."""
+    from pyrdfa3_spark.plans.serialize import to_rdfxml
+
+    return to_rdfxml(_nation_graph(spark, sf_dir))
 
 
 SQL_NT_SERIALIZE = """
@@ -832,6 +854,8 @@ QUERIES = {
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
     "nt_serialize": q_nt_serialize,
+    "jsonld_serialize": q_jsonld_serialize,
+    "rdfxml_serialize": q_rdfxml_serialize,
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
     "salted_join": q_salted_join,

@@ -1,4 +1,4 @@
-"""Serializer sinks (S6): N-Triples text export.
+"""Serializer sinks (S6): N-Triples, Turtle, JSON-LD, RDF/XML export.
 
 The reference serializes through rdflib (turtle/nt/xml/json-ld,
 /root/reference/pyRdfa/__init__.py:722-725 and pyRdfaExtras/serializers).
@@ -119,4 +119,144 @@ def write_turtle(triples: DataFrame, path: str,
     header = spark.createDataFrame(
         [(turtle_header(prefixes),)], ["block"])
     header.unionByName(to_turtle(triples, prefixes)) \
+        .coalesce(1).write.mode("overwrite").text(path)
+
+
+# --------------------------------------------------------------------------
+# JSON-LD export (reference: pyRdfaExtras/serializers json-ld output of
+# pyRdfa/__init__.py:722-725).  One flat node object per subject per
+# line ("JSON-LD lines"): {"@id": s, pred: [{"@value"|"@id": ...}], ...}.
+# Term objects are built as typed structs and serialized with ``to_json``
+# (null fields dropped), so literal escaping is Spark's own JSON writer;
+# only subject/predicate key strings are escaped by hand.
+# --------------------------------------------------------------------------
+
+
+def _json_str(col):
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return F.concat(F.lit('"'), out, F.lit('"'))
+
+
+def to_jsonld(triples: DataFrame) -> DataFrame:
+    """triples -> one row per subject, column ``jsonld`` holding a flat
+    JSON-LD node object (expanded form; bnodes keep ``_:`` labels)."""
+    term = F.struct(
+        F.when(F.col("obj_is_iri"), F.col("obj")).alias("@id"),
+        F.when(~F.col("obj_is_iri"), F.col("obj")).alias("@value"),
+        F.col("obj_lang").alias("@language"),
+        F.when(~F.col("obj_is_iri"), F.col("obj_datatype")).alias("@type"),
+    )
+    by_pred = (triples
+               .select(F.col("subj"), F.col("pred"), term.alias("term"))
+               .groupBy("subj", "pred")
+               .agg(F.array_sort(F.collect_list("term")).alias("terms")))
+    entry = F.concat(_json_str(F.col("pred")), F.lit(":"),
+                     F.to_json(F.col("terms")))
+    node = (by_pred
+            .select("subj", entry.alias("entry"))
+            .groupBy("subj")
+            .agg(F.array_sort(F.collect_list("entry")).alias("entries")))
+    jsonld = F.concat(F.lit('{"@id":'), _json_str(F.col("subj")),
+                      F.lit(","), F.concat_ws(",", F.col("entries")),
+                      F.lit("}"))
+    return node.select(jsonld.alias("jsonld")).orderBy("jsonld")
+
+
+def write_jsonld(triples: DataFrame, path: str) -> None:
+    (to_jsonld(triples).withColumnRenamed("jsonld", "value")
+     .write.mode("overwrite").text(path))
+
+
+# --------------------------------------------------------------------------
+# RDF/XML export (reference output formats 'xml'/'pretty-xml').  One
+# rdf:Description block per subject; each property element carries its
+# own xmlns declaration so no global prefix table is needed.  Like
+# rdflib's serializer, predicates whose IRI does not end in an XML-name
+# local part cannot be expressed in RDF/XML — those rows are dropped
+# (count them with ``rdfxml_unserializable`` before exporting).
+# --------------------------------------------------------------------------
+
+_LOCALNAME_RE = r"([A-Za-z_][A-Za-z0-9_.\-]*)$"
+
+
+def _xml_escape_text(col):
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return out
+
+
+def _xml_escape_attr(col):
+    return F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+
+
+def rdfxml_unserializable(triples: DataFrame) -> DataFrame:
+    """Predicates RDF/XML cannot carry (no XML-name local part)."""
+    return (triples
+            .filter(F.regexp_extract("pred", _LOCALNAME_RE, 1) == "")
+            .select("pred").distinct())
+
+
+def to_rdfxml(triples: DataFrame) -> DataFrame:
+    """triples -> one row per subject, column ``block`` holding an
+    <rdf:Description> element; wrap with :func:`rdfxml_header` /
+    :func:`rdfxml_footer` when writing."""
+    local = F.regexp_extract("pred", _LOCALNAME_RE, 1)
+    ns = F.expr(f"substring(pred, 1, length(pred) - "
+                f"length(regexp_extract(pred, '{_LOCALNAME_RE}', 1)))")
+    df = triples.filter(local != "")
+    is_bnode_obj = F.col("obj").startswith("_:")
+    obj_attr = F.when(
+        ~F.col("obj_is_iri"),
+        F.when(F.col("obj_lang").isNotNull(),
+               F.concat(F.lit(' xml:lang="'),
+                        _xml_escape_attr(F.col("obj_lang")), F.lit('"')))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(F.lit(' rdf:datatype="'),
+                       _xml_escape_attr(F.col("obj_datatype")), F.lit('"')))
+        .otherwise(F.lit("")))
+    prop_open = F.concat(F.lit("p:"), local, F.lit(' xmlns:p="'),
+                         _xml_escape_attr(ns), F.lit('"'))
+    prop = F.when(
+        F.col("obj_is_iri") & is_bnode_obj,
+        F.concat(F.lit("    <"), prop_open, F.lit(' rdf:nodeID="'),
+                 F.substring(F.col("obj"), 3, 10_000), F.lit('"/>'))) \
+        .when(
+        F.col("obj_is_iri"),
+        F.concat(F.lit("    <"), prop_open, F.lit(' rdf:resource="'),
+                 _xml_escape_attr(F.col("obj")), F.lit('"/>'))) \
+        .otherwise(
+        F.concat(F.lit("    <"), prop_open, obj_attr, F.lit(">"),
+                 _xml_escape_text(F.col("obj")),
+                 F.lit("</p:"), local, F.lit(">")))
+    subj_attr = F.when(
+        F.col("subj").startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'),
+                 F.substring(F.col("subj"), 3, 10_000), F.lit('"'))) \
+        .otherwise(F.concat(F.lit('rdf:about="'),
+                            _xml_escape_attr(F.col("subj")), F.lit('"')))
+    grouped = (df
+               .select(subj_attr.alias("s"), prop.alias("p"))
+               .groupBy("s")
+               .agg(F.array_sort(F.collect_list("p")).alias("props")))
+    block = F.concat(F.lit("  <rdf:Description "), F.col("s"), F.lit(">\n"),
+                     F.concat_ws("\n", F.col("props")),
+                     F.lit("\n  </rdf:Description>"))
+    return grouped.select(block.alias("block")).orderBy("block")
+
+
+RDFXML_HEADER = ('<?xml version="1.0" encoding="utf-8"?>\n<rdf:RDF '
+                 'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">')
+RDFXML_FOOTER = "</rdf:RDF>"
+
+
+def write_rdfxml(triples: DataFrame, path: str) -> None:
+    spark = triples.sparkSession
+    head = spark.createDataFrame([(RDFXML_HEADER,)], ["block"])
+    foot = spark.createDataFrame([(RDFXML_FOOTER,)], ["block"])
+    head.unionByName(to_rdfxml(triples)).unionByName(foot) \
         .coalesce(1).write.mode("overwrite").text(path)

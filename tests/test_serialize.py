@@ -49,3 +49,75 @@ def test_turtle_roundtrip(spark):
     reparsed = parse_turtle(text)
     assert isomorphic(reparsed, _expected_triples()), \
         diff(reparsed, _expected_triples()) + "\n---\n" + text
+
+
+def test_jsonld_roundtrip(spark):
+    import json
+
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+
+    df = spark.createDataFrame(ROWS, COLS)
+    lines = [r["jsonld"] for r in to_jsonld(df).collect()]
+    rebuilt = []
+    for line in lines:
+        node = json.loads(line)  # every line must be valid JSON
+        s = node.pop("@id")
+        for pred, terms in node.items():
+            for t in terms:
+                if "@id" in t:
+                    rebuilt.append((s, pred, t["@id"]))
+                else:
+                    rebuilt.append((s, pred, Literal(
+                        t["@value"], t.get("@language"), t.get("@type"))))
+    assert isomorphic(rebuilt, _expected_triples()), \
+        diff(rebuilt, _expected_triples()) + "\n---\n" + "\n".join(lines)
+
+
+def test_rdfxml_roundtrip(spark):
+    import xml.dom.minidom as minidom
+
+    from pyrdfa3_spark.plans.serialize import (
+        RDFXML_FOOTER, RDFXML_HEADER, rdfxml_unserializable, to_rdfxml,
+    )
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    df = spark.createDataFrame(ROWS, COLS)
+    assert rdfxml_unserializable(df).count() == 0
+    blocks = [r["block"] for r in to_rdfxml(df).collect()]
+    doc = minidom.parseString(
+        RDFXML_HEADER + "\n" + "\n".join(blocks) + RDFXML_FOOTER)
+    rebuilt = []
+    for desc in doc.getElementsByTagNameNS(RDF_NS, "Description"):
+        s = desc.getAttributeNS(RDF_NS, "about") or \
+            "_:" + desc.getAttributeNS(RDF_NS, "nodeID")
+        for el in desc.childNodes:
+            if el.nodeType != el.ELEMENT_NODE:
+                continue
+            pred = el.namespaceURI + el.localName
+            if el.hasAttributeNS(RDF_NS, "resource"):
+                rebuilt.append((s, pred, el.getAttributeNS(RDF_NS, "resource")))
+            elif el.hasAttributeNS(RDF_NS, "nodeID"):
+                rebuilt.append((s, pred,
+                                "_:" + el.getAttributeNS(RDF_NS, "nodeID")))
+            else:
+                text = "".join(c.data for c in el.childNodes
+                               if c.nodeType == c.TEXT_NODE)
+                lang = el.getAttribute("xml:lang") or None
+                dt = el.getAttributeNS(RDF_NS, "datatype") or None
+                rebuilt.append((s, pred, Literal(text, lang, dt)))
+    assert isomorphic(rebuilt, _expected_triples()), \
+        diff(rebuilt, _expected_triples()) + "\n---\n" + "\n".join(blocks)
+
+
+def test_rdfxml_unserializable_predicate(spark):
+    from pyrdfa3_spark.plans.serialize import rdfxml_unserializable, to_rdfxml
+
+    rows = [("http://ex.org/s", "http://ex.org/p/", "v", False, None, None),
+            ("http://ex.org/s", "http://ex.org/ok", "w", False, None, None)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_lang string, obj_datatype string")
+    assert [r["pred"] for r in rdfxml_unserializable(df).collect()] == \
+        ["http://ex.org/p/"]
+    blocks = "\n".join(r["block"] for r in to_rdfxml(df).collect())
+    assert "p:ok" in blocks and "http://ex.org/p/" not in blocks
