@@ -46,6 +46,38 @@ def completed_buckets(out_path: str) -> set[int]:
     return done
 
 
+def stale_buckets(transcripts: DataFrame, out_path: str) -> set[int]:
+    """Completed buckets whose *input* no longer matches the fingerprint
+    recorded in their lineage manifest — i.e. buckets a maintenance run
+    should re-process after upstream rewrites."""
+    mdir = _manifest_dir(out_path)
+    if not os.path.isdir(mdir):
+        return set()
+    manifests = {}
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            if m.get("status") == "complete" and "input_fingerprint" in m:
+                manifests[int(m["bucket"])] = m
+    if not manifests:
+        return set()
+    n_buckets = next(iter(manifests.values()))["n_buckets"]
+    current = {
+        r["b"]: (r["n"], int(r["fp"] or 0))
+        for r in (transcripts
+                  .groupBy(F.pmod(F.hash("conv_id"), F.lit(n_buckets))
+                           .alias("b"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.hash("conv_id", "turn_idx")).alias("fp"))
+                  .collect())
+    }
+    return {
+        b for b, m in manifests.items()
+        if current.get(b, (0, 0)) != (m["turns_in"], m["input_fingerprint"])
+    }
+
+
 def run_bucketed(transcripts: DataFrame, out_path: str,
                  n_buckets: int = 8,
                  extract=None) -> dict:
@@ -69,16 +101,27 @@ def run_bucketed(transcripts: DataFrame, out_path: str,
         t0 = time.time()
         slice_df = with_bucket.filter(F.col("conv_bucket") == b) \
                               .drop("conv_bucket")
+        # order-insensitive input fingerprint: a resumed run (or an
+        # auditor) can detect that a bucket's input changed after the
+        # manifest was written
+        fp_row = slice_df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("conv_id", "turn_idx")).alias("fp")).first()
         out = extract(slice_df)
         target = os.path.join(out_path, f"conv_bucket={b}")
         out.write.mode("overwrite").parquet(target)
         n = transcripts.sparkSession.read.parquet(target).count()
+        elapsed = round(time.time() - t0, 3)
         manifest = {
             "bucket": b,
             "status": "complete",
             "rows": n,
             "n_buckets": n_buckets,
-            "elapsed_sec": round(time.time() - t0, 3),
+            "turns_in": fp_row["n"],
+            "input_fingerprint": int(fp_row["fp"] or 0),
+            "turns_per_sec": round(fp_row["n"] / elapsed, 1)
+            if elapsed else None,
+            "elapsed_sec": elapsed,
         }
         with open(os.path.join(_manifest_dir(out_path), f"bucket-{b}.json"),
                   "w") as f:

@@ -173,3 +173,24 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m1["processed_buckets"] == [0, 1]
     m2 = run_bucketed(t, out, n_buckets=2)
     assert m2["processed_buckets"] == [] and m2["skipped_buckets"] == [0, 1]
+
+
+def test_checkpoint_stale_detection(spark, tmp_path):
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+    from pyrdfa3_spark.streaming.checkpoint import run_bucketed, stale_buckets
+
+    t = synth_transcripts(spark, n_conv=10, turns_per_conv=10,
+                          skew_factor=2)
+    out = str(tmp_path / "ckpt")
+    run_bucketed(t, out, n_buckets=2)
+    assert stale_buckets(t, out) == set()
+    # upstream rewrite: one conversation gains a turn -> exactly the
+    # bucket holding it goes stale
+    extra = t.limit(1).withColumn(
+        "turn_idx", (F.col("turn_idx") + 1000).cast("int"))
+    changed_conv = extra.first()["conv_id"]
+    t2 = t.unionByName(extra)
+    stale = stale_buckets(t2, out)
+    expected = t2.select(F.pmod(F.hash(F.lit(changed_conv)), F.lit(2))
+                         .alias("b")).first()["b"]
+    assert stale == {expected}
