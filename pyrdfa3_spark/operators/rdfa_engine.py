@@ -934,35 +934,40 @@ class RDFaProcessor:
                 typed_resource = current_subject
 
         # type triples (parse.py:227-229)
-        for t in self.get_uri(node, ctx, "typeof"):
-            if typed_resource:
-                self.add(typed_resource, RDF_TYPE, t)
+        if node.has("typeof"):
+            for t in self.get_uri(node, ctx, "typeof"):
+                if typed_resource:
+                    self.add(typed_resource, RDF_TYPE, t)
 
         # @rel / @rev triples + incomplete triples (parse.py:234-268)
         incomplete: list = []
-        for prop in self.get_uri(node, ctx, "rel"):
-            if is_bnode(prop):
-                self.warn("bnode-predicate", "blank node cannot be used as @rel")
-                continue
-            if node.has("inlist"):
-                if current_object is not None:
-                    ctx.list_mapping.add(prop, current_object)
+        if node.has("rel"):
+            for prop in self.get_uri(node, ctx, "rel"):
+                if is_bnode(prop):
+                    self.warn("bnode-predicate",
+                              "blank node cannot be used as @rel")
+                    continue
+                if node.has("inlist"):
+                    if current_object is not None:
+                        ctx.list_mapping.add(prop, current_object)
+                    else:
+                        ctx.list_mapping.add(prop, None)
+                        incomplete.append((None, prop, None))
                 else:
-                    ctx.list_mapping.add(prop, None)
-                    incomplete.append((None, prop, None))
-            else:
+                    if current_object is not None:
+                        self.add(current_subject, prop, current_object)
+                    else:
+                        incomplete.append((current_subject, prop, None))
+        if node.has("rev"):
+            for prop in self.get_uri(node, ctx, "rev"):
+                if is_bnode(prop):
+                    self.warn("bnode-predicate",
+                              "blank node cannot be used as @rev")
+                    continue
                 if current_object is not None:
-                    self.add(current_subject, prop, current_object)
+                    self.add(current_object, prop, current_subject)
                 else:
-                    incomplete.append((current_subject, prop, None))
-        for prop in self.get_uri(node, ctx, "rev"):
-            if is_bnode(prop):
-                self.warn("bnode-predicate", "blank node cannot be used as @rev")
-                continue
-            if current_object is not None:
-                self.add(current_object, prop, current_subject)
-            else:
-                incomplete.append((None, prop, current_subject))
+                    incomplete.append((None, prop, current_subject))
 
         # @property generation (pyRdfa/property.py:76-150)
         if node.has("property"):
@@ -1211,6 +1216,7 @@ _DURATION_FORMATS = ["P%dD", "P%YY%mM%dD", "P%YY%mM", "P%YY%dD", "P%YY",
                      "P%mM", "P%mM%dD"]
 _DURATION_TIMES = ["%HH%MM%SS", "%HH", "%MM", "%SS", "%HH%MM", "%HH%SS",
                    "%MM%SS"]
+_TIME_SHAPES_BY: dict = {}  # filled after _TIME_SHAPES below
 
 
 def _strptime_any(value: str, formats) -> bool:
@@ -1223,10 +1229,28 @@ def _strptime_any(value: str, formats) -> bool:
     return False
 
 
+# cheap shape gates in front of the strptime tables: strptime raises
+# ValueError ~10 formats deep for every non-matching value, which
+# dominated the profile; a value that fails the shape regex can never
+# match any format in the group, while one that passes still gets
+# strptime's semantic range checks (month <= 12 etc.)
+_TIME_SHAPES = [
+    (XSD_GMONTHDAY, re.compile(r"^\d{2}-\d{2}$")),
+    (XSD_GYEARMONTH, re.compile(r"^\d{4,}-\d{2}$")),
+    (XSD_GYEAR, re.compile(r"^\d{4,}$")),
+    (XSD_DATE, re.compile(r"^\d{4,}-\d{2}-\d{2}Z?$")),
+    (XSD_TIME, re.compile(r"^\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?Z?$")),
+    (XSD_DATETIME,
+     re.compile(r"^\d{4,}-\d{2}-\d{2}T\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?Z?$")),
+]
+_TIME_SHAPES_BY.update(dict(_TIME_SHAPES))
+
+
 def _format_test(value: str) -> Optional[str]:
     """Return the xsd datatype IRI the HTML5 time value matches, else None."""
     for dtype, formats in _TIME_FORMATS:
-        if _strptime_any(value, formats):
+        if _TIME_SHAPES_BY[dtype].match(value) \
+                and _strptime_any(value, formats):
             return dtype
     if _strptime_any(value, _DURATION_FORMATS):
         return XSD_DURATION

@@ -12,6 +12,7 @@ inside the Arrow batch UDF.
 from __future__ import annotations
 
 import html as _htmlmod
+import re
 from html.parser import HTMLParser
 from xml.dom import minidom
 
@@ -152,6 +153,47 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].append(data)
 
 
+# Fast path: most transcript fragments are well-formed XML, which expat
+# (C) parses ~2x faster than html.parser's pure-Python tokenizer.  The
+# fallback (html.parser) handles everything expat rejects: unclosed/void
+# elements, unquoted attributes, HTML-only entities, raw '<' in scripts,
+# doctypes, duplicate attributes.  Tags/attrs are lowercased so both
+# paths build identical trees.  One true divergence is gated out below:
+# expat normalizes tab/newline inside attribute values (XML spec) while
+# html.parser preserves them, so any document with a control char inside
+# a tag takes the slow path.
+_TAG_CTRL_WS = re.compile(r"<[^>]*[\t\n\r]")
+
+
+def _parse_html_fast(text: str) -> Node:
+    from xml.parsers import expat
+
+    doc = Node("#document")
+    stack = [doc]
+
+    def start(tag, attrs):
+        if len(stack) >= MAX_DEPTH + 1:  # +1: synthetic wrapper level
+            raise DocumentTooDeep(
+                f"element nesting exceeds MAX_DEPTH={MAX_DEPTH}")
+        amap = {}
+        for i in range(0, len(attrs), 2):
+            k = attrs[i].lower()
+            if k not in amap:
+                amap[k] = attrs[i + 1]
+        n = Node(tag.lower(), amap)
+        stack[-1].append(n)
+        stack.append(n)
+
+    p = expat.ParserCreate()
+    p.ordered_attributes = True
+    p.buffer_text = True
+    p.StartElementHandler = start
+    p.EndElementHandler = lambda tag: stack.pop()
+    p.CharacterDataHandler = lambda d: stack[-1].append(d) if d else None
+    p.Parse("<sgr-root>" + text + "</sgr-root>", True)
+    return stack[0].children[0]  # the wrapper element
+
+
 def parse_html(text: str) -> Node:
     """Parse an HTML5 document/fragment; return the document element.
 
@@ -160,16 +202,26 @@ def parse_html(text: str) -> Node:
     way; head/body elements without resource attributes are transparent
     for subject resolution, parse.py:89-96).
     """
-    builder = _TreeBuilder()
-    builder.feed(text)
-    builder.close()
-    roots = builder.root.element_children()
-    if len(roots) == 1 and not _has_stray_text(builder.root):
+    wrapper = None
+    if not _TAG_CTRL_WS.search(text):
+        try:
+            wrapper = _parse_html_fast(text)
+        except DocumentTooDeep:
+            raise
+        except Exception:
+            wrapper = None  # not well-formed XML -> tolerant parser
+    if wrapper is None:
+        builder = _TreeBuilder()
+        builder.feed(text)
+        builder.close()
+        wrapper = builder.root
+    roots = wrapper.element_children()
+    if len(roots) == 1 and not _has_stray_text(wrapper):
         doc = roots[0]
         doc.parent = None
         return doc
     root = Node("html")
-    for c in builder.root.children:
+    for c in wrapper.children:
         root.append(c)
     return root
 
