@@ -87,13 +87,125 @@ def lsh_bucket(embeddings: DataFrame, dim: int = 64,
 def lsh_cosine_candidates(embeddings: DataFrame, dim: int = 64,
                           n_planes: int = 8) -> DataFrame:
     """ANN candidate pairs: vectors sharing an LSH bucket
-    (doc_a < doc_b).  The join key is the bucket — shuffle is O(corpus),
-    never O(corpus^2)."""
+    (vec_a < vec_b).  groupBy(bucket) + in-bucket pair expansion: one
+    shuffle of O(corpus) rows, and the signature lineage (8 dot products
+    per row) is computed exactly once — a bucket self-join would
+    recompute it for each side."""
     b = lsh_bucket(embeddings, dim, n_planes)
-    left = b.alias("l")
-    right = b.alias("r")
-    return (left.join(right, (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.vec_id") < F.col("r.vec_id")))
-            .select(F.col("l.vec_id").alias("vec_a"),
-                    F.col("r.vec_id").alias("vec_b"),
-                    F.col("l.bucket").alias("bucket")))
+    buckets = (b.groupBy("bucket")
+               .agg(F.collect_set("vec_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    return (buckets
+            .select("bucket", F.explode("ids").alias("vec_a"), F.col("ids"))
+            .select("vec_a", F.explode("ids").alias("vec_b"), "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "bucket"))
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell-restricted
+# search.  Training is a driver-side Lloyd loop (distributed assignment +
+# per-dimension mean; the centroid table itself is tiny and broadcast as
+# literals).  Search touches only the nprobe closest cells per query —
+# the corpus-side work is O(corpus/n_cells * nprobe) instead of
+# O(corpus), and the cell column can partition the corpus table so a
+# probe is a partition-pruned scan.
+# --------------------------------------------------------------------------
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _best_cell(emb_col, centroids: list[list[float]]):
+    """Index of the max-cosine centroid (struct-max trick; ties to the
+    lower index)."""
+    scored = [
+        F.struct(F.round(_cos(emb_col, F.array(*[F.lit(v) for v in c])), 9)
+                 .alias("sim"),
+                 F.lit(-i).alias("negidx"))
+        for i, c in enumerate(centroids)
+    ]
+    return (-F.array_max(F.array(*scored))["negidx"]).cast("int")
+
+
+def ivf_train(embeddings: DataFrame, n_cells: int = 16,
+              iters: int = 3) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer: init = the ``n_cells``
+    vectors with the smallest vec_id, then ``iters`` Lloyd rounds
+    (assignment distributed, means collected — n_cells x dim values)."""
+    emb = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    centroids = [r["embedding"] for r in
+                 emb.orderBy("vec_id").limit(n_cells).collect()]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cell", _best_cell(F.col("embedding"), centroids))
+        means = (assigned
+                 .select("cell", F.posexplode("embedding")
+                         .alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.avg("val").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("pm"))
+                 .select("cell", F.col("pm.m").alias("centroid"))
+                 .collect())
+        new = list(centroids)  # empty cells keep their previous centroid
+        for r in means:
+            new[r["cell"]] = list(r["centroid"])
+        centroids = new
+    return centroids
+
+
+def ivf_assign(embeddings: DataFrame,
+               centroids: list[list[float]]) -> DataFrame:
+    """vec_id -> IVF cell (partitioning column for the corpus table)."""
+    return embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        _best_cell(F.col("embedding").cast("array<double>"),
+                   centroids).alias("cell"))
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int],
+             centroids: list[list[float]], nprobe: int = 2,
+             top_k: int = 5) -> DataFrame:
+    """Approximate top-k cosine neighbours: each query searches only its
+    ``nprobe`` best cells.  Join key is the cell -> the corpus side is a
+    cell-pruned fraction of the table, broadcast-joined to the tiny
+    query list."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = emb.withColumn("cell", _best_cell(F.col("embedding"),
+                                               centroids))
+    scored_cells = F.array(*[
+        F.struct(F.round(_cos(F.col("embedding"),
+                              F.array(*[F.lit(v) for v in c])), 9)
+                 .alias("sim"),
+                 F.lit(i).alias("idx"))
+        for i, c in enumerate(centroids)
+    ])
+    probes = (emb
+              .filter(F.col("vec_id").isin([int(i) for i in query_ids]))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_emb"),
+                      F.slice(F.reverse(F.array_sort(scored_cells)),
+                              1, nprobe)["idx"].alias("cells"))
+              .select("query_id", "q_emb",
+                      F.explode("cells").alias("cell")))
+    pairs = (corpus.join(F.broadcast(probes), "cell")
+             .filter(F.col("vec_id") != F.col("query_id")))
+    scored = pairs.select(
+        F.col("query_id"), F.col("vec_id"),
+        F.round(_cos(F.col("q_emb"), F.col("embedding")), 4)
+        .alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("query_id", "vec_id", "cos_sim",
+                    F.col("rank").cast("bigint").alias("rank")))

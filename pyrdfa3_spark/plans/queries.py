@@ -269,6 +269,17 @@ def q_lsh_cosine_candidates(spark, sf_dir):
     return S.lsh_cosine_candidates(emb, dim=64, n_planes=8)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: deterministic k-means coarse quantizer +
+    nprobe cell-restricted search.  Training is iterative (driver-side
+    Lloyd loop) -> not SQL-expressible; verified against an independent
+    numpy implementation in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_train(emb, n_cells=16, iters=2)
+    return S.ivf_topk(emb, query_ids=list(range(10)), centroids=cents,
+                      nprobe=2, top_k=5)
+
+
 def _sql_lsh_cosine():
     planes = [S.plane_values(64, p) for p in range(8)]
     bits = " + ".join(
@@ -845,6 +856,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_candidates": q_lsh_cosine_candidates,
+    "ivf_topk": q_ivf_topk,
     "pricing_summary": q_pricing_summary,
     "nation_revenue_topk": q_nation_revenue_topk,
     "user_event_sequence": q_user_event_sequence,

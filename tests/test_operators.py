@@ -162,6 +162,62 @@ def test_cosine_topk_self_similarity(spark):
     assert out[(0, 3)] == (2, 0.0)          # orthogonal last
 
 
+def test_ivf_matches_numpy_oracle(spark):
+    """ivf_train / ivf_assign / ivf_topk vs an independent numpy
+    implementation of the same deterministic k-means + probe search."""
+    import numpy as np
+
+    from pyrdfa3_spark.operators.similarity import (
+        ivf_assign, ivf_topk, ivf_train,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n, n_cells, iters = 8, 120, 4, 2
+    vecs = rng.randn(n, dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def np_cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    def np_best(v, cents):
+        sims = [round(np_cos(v, np.array(c)), 9) for c in cents]
+        return int(np.argmax(sims))  # argmax ties -> lowest index
+
+    cents = [list(vecs[i]) for i in range(n_cells)]
+    for _ in range(iters):
+        assign = [np_best(vecs[i], cents) for i in range(n)]
+        for c in range(n_cells):
+            members = [vecs[i] for i in range(n) if assign[i] == c]
+            if members:
+                cents[c] = list(np.mean(members, axis=0))
+
+    got_cents = ivf_train(emb, n_cells=n_cells, iters=iters)
+    assert np.allclose(np.array(got_cents), np.array(cents), atol=1e-9)
+
+    got_assign = {r["vec_id"]: r["cell"]
+                  for r in ivf_assign(emb, got_cents).collect()}
+    exp_assign = {i: np_best(vecs[i], cents) for i in range(n)}
+    assert got_assign == exp_assign
+
+    # probe search: expected = brute force restricted to nprobe cells
+    qid, nprobe, top_k = 5, 2, 4
+    sims_to_cents = [round(np_cos(vecs[qid], np.array(c)), 9)
+                     for c in cents]
+    probe_cells = [i for _, i in
+                   sorted(((-s, i) for i, s in enumerate(sims_to_cents)))
+                   ][:nprobe]
+    cand = [i for i in range(n)
+            if i != qid and exp_assign[i] in probe_cells]
+    exp = sorted(((-round(np_cos(vecs[qid], vecs[i]), 4), i)
+                  for i in cand))[:top_k]
+    got = {r["rank"]: (r["vec_id"], r["cos_sim"])
+           for r in ivf_topk(emb, [qid], got_cents,
+                             nprobe=nprobe, top_k=top_k).collect()}
+    for rank, (negs, i) in enumerate(exp, start=1):
+        assert got[rank] == (i, -negs)
+
+
 def test_checkpoint_resume(spark, tmp_path):
     from pyrdfa3_spark.sources.transcripts import synth_transcripts
     from pyrdfa3_spark.streaming.checkpoint import run_bucketed
