@@ -100,24 +100,37 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
             .dropDuplicates())
 
 
+def _shingle_arrays(docs: DataFrame, k: int = 5):
+    """(doc_id, sharr): the distinct shingle set per doc as one array
+    row — the pre-explode form of :func:`_shingles`."""
+    n = F.length(F.col("norm"))
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    _normalized().alias("norm"))
+            .select("doc_id", F.array_distinct(
+                F.transform(idx, lambda i: F.col("norm").substr(i, F.lit(k))))
+                .alias("sharr")))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs
-    (verification stage after LSH).  ``pairs``: (doc_a, doc_b)."""
-    sh = _shingles(docs, k)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
-    inter = (pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").cast("bigint").alias("n_common")))
-    return (inter
-            .join(counts.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("n_sh", "n_a"), "doc_a")
-            .join(counts.withColumnRenamed("doc_id", "doc_b")
-                  .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    (verification stage after LSH).  ``pairs``: (doc_a, doc_b).
+
+    Shape: the shingle *set* stays in-row (array column) and the overlap
+    is ``array_intersect`` after two equi-joins keyed on doc id —
+    shuffling one array row per doc instead of exploding each document
+    into ~|text| shingle rows and shuffling those three times."""
+    arrs = _shingle_arrays(docs, k)
+    a = arrs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sharr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sharr").alias("arr_b"))
+    n_common = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
             .select("doc_a", "doc_b",
-                    F.round(F.col("n_common") /
-                            (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    F.round(n_common /
+                            (F.size("arr_a") + F.size("arr_b") - n_common),
                             4).alias("jaccard")))
 
 

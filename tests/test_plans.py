@@ -1,0 +1,75 @@
+"""Physical-plan quality guards.
+
+At 100 TB the plan *shape* is the product: these tests pin the
+properties the scale design depends on — column pruning reaching the
+parquet scan, small dimensions broadcast instead of shuffled, exactly
+one Python boundary in the extraction pipeline, and partial (map-side)
+aggregation in front of every wide groupBy — so an innocent refactor
+that regresses one of them fails CI instead of the cluster bill.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_extraction_plan_single_python_boundary_and_pruning(spark):
+    from pyrdfa3_spark.plans.extract import extract_triples
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    df = extract_triples(t)
+    simple = _plan(df, mode="simple")
+    assert simple.count("MapInArrow") == 1     # exactly one Python boundary
+    assert "MapInPandas" not in simple
+    plan = _plan(df)
+    # the rlike prefilter must sit scan-side, not after the UDF
+    assert "rlike" in plan or "RLIKE" in plan
+    # column pruning: the documents scan must not read unused columns
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("lang" not in ln and "kind" not in ln
+                        for ln in scan), scan
+
+
+def test_topk_plan_broadcasts_dimensions(spark):
+    from pyrdfa3_spark.plans.queries import q_nation_revenue_topk
+
+    plan = _plan(q_nation_revenue_topk(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2   # customer + nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_plan_prunes_and_partially_aggregates(spark):
+    from pyrdfa3_spark.plans.queries import q_pricing_summary
+
+    plan = _plan(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    # 16-column lineitem: only the 5 used columns may be read
+    assert scan and "l_comment" not in scan[0] and "l_shipdate" not in scan[0]
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_anti_join_stays_broadcast(spark):
+    from pyrdfa3_spark.plans.queries import q_customers_without_orders
+
+    plan = _plan(q_customers_without_orders(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_plan_no_cartesian_no_double_scan(spark):
+    from pyrdfa3_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_candidates(docs))
+    assert "CartesianProduct" not in plan
+    # bucket-local pair generation: the corpus parquet is scanned once
+    assert plan.count("documents.parquet") <= 1 or \
+        plan.count("Scan parquet") <= 1, plan
