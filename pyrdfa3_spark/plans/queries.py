@@ -840,6 +840,16 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(spark, 64), dim=16, fake=True)
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: sequence+explode fan-out (Column algebra)
+    with a per-frame decode stub; rows-only check (binary stub decode
+    is not SQL-expressible)."""
+    from pyrdfa3_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 64), every_ms=1000, dim=8,
+                         fake=True)
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -878,6 +888,7 @@ QUERIES = {
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 

@@ -250,3 +250,43 @@ def test_checkpoint_stale_detection(spark, tmp_path):
     expected = t2.select(F.pmod(F.hash(F.lit(changed_conv)), F.lit(2))
                          .alias("b")).first()["b"]
     assert stale == {expected}
+
+
+def test_multimodal_plumbing(spark):
+    """Binary payload columns, batch shapes, resize and frame-sample
+    semantics of the (stubbed-decode) multimodal operators."""
+    import pytest
+
+    from pyrdfa3_spark.operators.multimodal import (
+        extract_features, resize_images, sample_frames, synth_media,
+    )
+
+    media = synth_media(spark, 12)
+    assert dict(media.dtypes)["payload"] == "binary"
+
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 16 and r["n_bytes"] == 32 for r in feats)
+    # determinism: same payload -> same feature
+    again = extract_features(media, dim=16).collect()
+    assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == \
+        sorted((r["media_id"], tuple(r["feature"])) for r in again)
+
+    rs = resize_images(media, 224, 224).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rs) == n_images
+    assert all(r["width"] == 224 and r["height"] == 224
+               and len(bytes(r["payload"])) == 32 for r in rs)
+
+    fr = sample_frames(media, every_ms=1000, dim=8)
+    got = fr.groupBy("media_id").count().collect()
+    vids = {r["media_id"]: r["duration_ms"]
+            for r in media.filter("kind = 'video' AND fps > 0").collect()}
+    assert {r["media_id"] for r in got} == set(vids)
+    for r in got:  # one frame per started second
+        assert r["count"] == (vids[r["media_id"]] + 999) // 1000
+    one = fr.filter("frame_idx = 1").first()
+    assert one["ts_ms"] == 1000 and len(one["feature"]) == 8
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
