@@ -1,0 +1,138 @@
+"""Entity linking + canonicalization (north-rule pipeline stages).
+
+Two halves:
+
+* **sameAs canonicalization** — :func:`sameas_canonical_map` computes,
+  for every node of an ``owl:sameAs`` graph, the canonical member of its
+  connected component (the lexicographically smallest IRI), via
+  driver-looped min-label propagation (Catalyst has no recursion; same
+  shape as ``graphops.transitive_closure``).  :func:`rewrite_canonical`
+  then rewrites a triple table onto canonical identifiers.
+
+* **mention -> entity linking** — :func:`link_mentions` joins
+  normalized text mentions against an entity dimension table
+  (entity_id, name).  The dim side is broadcast (it is a dimension;
+  no shuffle, no skew surface).  When the dimension outgrows the
+  broadcast threshold the join key becomes a shuffle key and the hot
+  mentions need the salting pattern shown in
+  ``plans/queries.py::q_salted_join``.
+
+Reference context: pyrdfa3 has no linking stage — its closest analogue
+is the prefix/term canonicalization (pyRdfa/termorcurie.py:378-499),
+which our extraction performs inline; these operators cover the
+KG-construction steps that come *after* extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_canonical_map(edges: DataFrame,
+                         max_iterations: int = 20) -> DataFrame:
+    """edges(src, dst) interpreted as undirected sameAs links ->
+    (node, canon) for every node that appears in an edge, where canon is
+    the minimum node id in its connected component.
+
+    Min-label propagation to fixpoint: each round every node takes the
+    minimum label over itself and its neighbours.  Converges in
+    O(component diameter) rounds; ``cache`` + ``localCheckpoint`` keep
+    the loop's lineage flat.
+    """
+    sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionByName(edges.select(F.col("dst").alias("a"),
+                                     F.col("src").alias("b")))
+           .dropDuplicates().cache())
+    labels = (sym.select(F.col("a").alias("node"))
+              .dropDuplicates()
+              .withColumn("canon", F.col("node"))
+              .cache())
+    for _ in range(max_iterations):
+        neighbor_min = (sym
+                        .join(labels, sym.b == labels.node)
+                        .groupBy("a")
+                        .agg(F.min("canon").alias("n_min")))
+        new_labels = (labels
+                      .join(neighbor_min, labels.node == neighbor_min.a,
+                            "left")
+                      .select("node",
+                              F.least("canon", "n_min").alias("canon")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.canon") != F.col("o.canon")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        if changed.isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels
+
+
+def rewrite_canonical(triples: DataFrame, mapping: DataFrame,
+                      drop_sameas: bool = True) -> DataFrame:
+    """Rewrite subj/obj of a triple table onto canonical identifiers.
+
+    ``mapping``: (node, canon).  Dimension-sized mapping -> broadcast;
+    IRI objects only (literals are never entity identifiers).  With
+    ``drop_sameas`` the now-redundant intra-component sameAs triples
+    are removed.  Output deduplicates, since distinct aliases collapse
+    onto one canonical triple."""
+    m = F.broadcast(mapping)
+    out = (triples
+           .join(m.withColumnRenamed("node", "subj")
+                 .withColumnRenamed("canon", "subj_canon"),
+                 "subj", "left")
+           .join(m.withColumnRenamed("node", "obj")
+                 .withColumnRenamed("canon", "obj_canon"),
+                 "obj", "left")
+           .select(
+               F.coalesce("subj_canon", "subj").alias("subj"),
+               F.col("pred"),
+               F.coalesce("obj_canon", "obj").alias("obj")))
+    if drop_sameas:
+        out = out.filter((F.col("pred") != SAMEAS)
+                         | (F.col("subj") != F.col("obj")))
+    return out.dropDuplicates()
+
+
+def _norm_mention(col):
+    return F.lower(F.trim(col))
+
+
+def build_lexicon(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Entity dimension from the corpus itself: the ``top_n`` most
+    frequent normalized tokens, entity_id = frequency rank (ties broken
+    by token).  A stand-in for an external entity dictionary with the
+    same shape."""
+    from pyspark.sql import Window
+
+    toks = (docs
+            .select(F.explode(F.split(_norm_mention(F.col("text")),
+                                      r"\s+")).alias("name"))
+            .filter(F.col("name") != "")
+            .groupBy("name")
+            .agg(F.count("*").cast("bigint").alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("name"))
+    return (toks.withColumn("entity_id",
+                            F.row_number().over(w).cast("bigint"))
+            .filter(F.col("entity_id") <= top_n)
+            .select("entity_id", "name", "freq"))
+
+
+def link_mentions(docs: DataFrame, entities: DataFrame) -> DataFrame:
+    """Link document tokens to the entity dimension by normalized exact
+    match: (doc_id, entity_id, mention, n_mentions).  The dimension is
+    broadcast — the corpus side never shuffles."""
+    mentions = (docs
+                .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        F.explode(F.split(_norm_mention(F.col("text")),
+                                          r"\s+")).alias("mention"))
+                .filter(F.col("mention") != ""))
+    return (mentions
+            .join(F.broadcast(entities),
+                  mentions.mention == entities.name)
+            .groupBy("doc_id", "entity_id", "mention")
+            .agg(F.count("*").cast("bigint").alias("n_mentions")))

@@ -758,6 +758,81 @@ FROM c LEFT JOIN dim d
 """
 
 
+# --------------------------------------------------------------------- #
+# entity linking + canonicalization (north-rule stages)
+# --------------------------------------------------------------------- #
+
+def _sameas_edges(spark, sf_dir):
+    """Deterministic sameAs graph over customer-derived entity IRIs:
+    within each block of 4 consecutive keys, a chain k -> k-1 — so the
+    component of k is {k - k%4 .. k} and its canonical member has key
+    k - k%4.  Chains (not stars) force the label propagation through
+    multiple rounds."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    return (cust.filter(k % 4 != 0)
+            .select(F.concat(F.lit("urn:ent:"),
+                             F.format_string("%08d", k)).alias("src"),
+                    F.concat(F.lit("urn:ent:"),
+                             F.format_string("%08d", k - 1)).alias("dst")))
+
+
+def q_entity_canonicalize(spark, sf_dir):
+    """owl:sameAs connected components -> canonical id per node
+    (min-label propagation to fixpoint)."""
+    from pyrdfa3_spark.operators.entity_link import sameas_canonical_map
+
+    return sameas_canonical_map(_sameas_edges(spark, sf_dir))
+
+
+# closed-form oracle: node %08d(k) has canon %08d(k - k%4); nodes are
+# every k whose block chain touches them (all k, since k%4!=0 edges give
+# nodes k and k-1 -> every key 0..max appears except isolated multiples
+# of 4 whose block has no other member).
+SQL_ENTITY_CANONICALIZE = """
+WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT k AS n FROM k WHERE k % 4 <> 0
+    UNION ALL
+    SELECT k - 1 AS n FROM k WHERE k % 4 <> 0)
+)
+SELECT 'urn:ent:' || format('{:08d}', n) AS node,
+       'urn:ent:' || format('{:08d}', n - (n % 4)) AS canon
+FROM nodes
+"""
+
+
+def q_entity_link(spark, sf_dir):
+    """Mention -> entity linking: corpus-derived top-20 token lexicon
+    broadcast-joined to normalized document tokens."""
+    from pyrdfa3_spark.operators.entity_link import (
+        build_lexicon, link_mentions,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return link_mentions(docs, build_lexicon(docs, top_n=20))
+
+
+SQL_ENTITY_LINK = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS mention
+  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       unnest(regexp_split_to_array(t, '\\s+')) AS u(tok)
+  WHERE tok <> ''),
+lex AS (
+  SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, mention)
+         AS BIGINT) AS entity_id,
+         mention AS name
+  FROM toks GROUP BY mention
+  ORDER BY count(*) DESC, mention LIMIT 20)
+SELECT t.doc_id, l.entity_id, t.mention,
+       CAST(count(*) AS BIGINT) AS n_mentions
+FROM toks t JOIN lex l ON t.mention = l.name
+GROUP BY t.doc_id, l.entity_id, t.mention
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Explicit hot-key salting: lineitem joined to a small dim on
     l_returnflag (3 distinct values = pathological skew); result must
@@ -881,6 +956,8 @@ QUERIES = {
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
     "salted_join": q_salted_join,
+    "entity_canonicalize": q_entity_canonicalize,
+    "entity_link": q_entity_link,
     "sessionize": q_sessionize,
     "graph_metrics": q_graph_metrics,
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
@@ -917,6 +994,8 @@ def oracles() -> dict[str, str]:
         "dedup_global_triples": SQL_DEDUP_GLOBAL,
         "curie_resolve": SQL_CURIE_RESOLVE,
         "salted_join": SQL_SALTED_JOIN,
+        "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
+        "entity_link": SQL_ENTITY_LINK,
         "sessionize": SQL_SESSIONIZE,
         # graph_metrics / rdfa_vocab_usage depend on extraction ->
         # rows-only driver check

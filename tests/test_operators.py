@@ -290,3 +290,50 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_sameas_canonicalization(spark):
+    from pyrdfa3_spark.operators.entity_link import (
+        SAMEAS, rewrite_canonical, sameas_canonical_map,
+    )
+
+    # two components: chain a-b-c-d (canon a) and pair x-y (canon x);
+    # direction must not matter
+    edges = spark.createDataFrame(
+        [("urn:b", "urn:a"), ("urn:b", "urn:c"), ("urn:d", "urn:c"),
+         ("urn:y", "urn:x")], ["src", "dst"])
+    m = {r["node"]: r["canon"]
+         for r in sameas_canonical_map(edges).collect()}
+    assert m == {"urn:a": "urn:a", "urn:b": "urn:a", "urn:c": "urn:a",
+                 "urn:d": "urn:a", "urn:x": "urn:x", "urn:y": "urn:x"}
+
+    triples = spark.createDataFrame(
+        [("urn:d", "p:knows", "urn:y"),
+         ("urn:a", "p:knows", "urn:y"),       # collapses with the above
+         ("urn:b", SAMEAS, "urn:c"),          # intra-component: dropped
+         ("urn:z", "p:name", "lit")],         # unmapped: untouched
+        ["subj", "pred", "obj"])
+    mapping = spark.createDataFrame(
+        [(k, v) for k, v in m.items()], ["node", "canon"])
+    out = {tuple(r) for r in rewrite_canonical(triples, mapping).collect()}
+    assert out == {("urn:a", "p:knows", "urn:x"),
+                   ("urn:z", "p:name", "lit")}
+
+
+def test_link_mentions_lexicon(spark):
+    from pyrdfa3_spark.operators.entity_link import (
+        build_lexicon, link_mentions,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark table row"), (1, "TABLE  spark"), (2, "row")],
+        ["doc_id", "text"])
+    lex = {r["name"]: (r["entity_id"], r["freq"])
+           for r in build_lexicon(docs, top_n=2).collect()}
+    # freq: spark=3; row and table tie at 2 -> 'row' wins the tie
+    assert lex == {"spark": (1, 3), "row": (2, 2)}
+    out = {(r["doc_id"], r["mention"]): r["n_mentions"]
+           for r in link_mentions(
+               docs, build_lexicon(docs, top_n=2)).collect()}
+    assert out == {(0, "spark"): 2, (0, "row"): 1, (1, "spark"): 1,
+                   (2, "row"): 1}
