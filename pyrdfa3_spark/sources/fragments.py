@@ -228,6 +228,12 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
     ("html5",
      '<div about="#ut{K}"><span property="notaterm-{K}">dropped</span>'
      '<span property="http://schema.org/ok">kept {K}</span></div>'),
+    # 47. @version on the root pins RDFa 1.0 for the whole document
+    # (E1 dispatch): 1.0 has no @vocab/@prefix, so only the xmlns:
+    # mapping resolves and the literal is a plain one
+    ("html5",
+     '<div version="XHTML+RDFa 1.0" xmlns:v10="http://v10.example/{K}#" '
+     'about="#v{K}" property="v10:name" content="old{K}"></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)
