@@ -280,3 +280,30 @@ def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
                        F.col(pred_col).alias("pred"),
                        F.col("head").alias("obj")))
     return firsts.unionByName(rests).unionByName(anchors)
+
+
+def rdfa_semantic_expansion(triples: DataFrame,
+                            vocab_dim: DataFrame) -> DataFrame:
+    """The full ``process_rdfa_sem`` flow (reference:
+    pyRdfa/rdfs/process.py:253-303): collect the graph's
+    rdfa:usesVocabulary IRIs (step 1), select those vocabularies from
+    the prefetched dimension table (steps 2 — the lake-native
+    replacement for the HTTP fetch / pickle cache), then
+    :func:`miniowl_expand` performs the schema closure, data expansion
+    and vocab-triple subtraction (steps 3-6).
+
+    ``vocab_dim``: (vocab, subj, pred, obj) — one row per triple of each
+    prefetched vocabulary, keyed by the vocabulary IRI.
+    """
+    from pyrdfa3_spark.functions.constants import RDFA_USES_VOCABULARY
+
+    used = (triples
+            .filter(F.col("pred") == RDFA_USES_VOCABULARY)
+            .select(F.col("obj").alias("vocab"))
+            .distinct())
+    vocab_graph = (vocab_dim
+                   .join(F.broadcast(used), "vocab")
+                   .select("subj", "pred", "obj")
+                   .dropDuplicates())
+    data = triples.select("subj", "pred", "obj")
+    return miniowl_expand(data, vocab_graph)

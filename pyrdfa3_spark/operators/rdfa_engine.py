@@ -161,13 +161,19 @@ class RDFaProcessor:
     def __init__(self, base: str = "", host: str = Host.HTML5,
                  rdfa_version: str = "1.1", space_preserve: bool = True,
                  check_lite: bool = False,
-                 transformers: tuple = ()):
+                 transformers: tuple = (),
+                 hturtle_only: bool = False):
         self.base_arg = base
         self.host = host
         self.rdfa_version = rdfa_version
         self.space_preserve = space_preserve
         self.check_lite = check_lite
         self.transformers = transformers  # of: meta_name, openid, dublin_core
+        # embedded-RDF-only traversal, mirroring the reference's
+        # HTurtleParser plugin (pyRdfa/rdflibparsers.py:273-351): walk
+        # the tree for <script type="text/turtle"> / rdf:RDF islands and
+        # skip all RDFa attribute processing
+        self.hturtle_only = hturtle_only
         self.triples: list = []
         self.diagnostics: list = []
         self._bnode_n = 0
@@ -206,6 +212,9 @@ class RDFaProcessor:
     # entry point
     # ------------------------------------------------------------------ #
     def process(self, root: Node) -> list:
+        if self.hturtle_only:
+            self._hturtle_walk(root, None)
+            return self.triples
         ctx = self._make_context(root, None)
         self.rdfa_version = ctx.rdfa_version
         # opt-in transformers run first, then the built-ins, matching the
@@ -226,6 +235,16 @@ class RDFaProcessor:
             self._node_1_0(root, None, ctx, [])
         self._expand_prototypes()
         return self.triples
+
+    def _hturtle_walk(self, node: Node, ctx_in: Optional["EvalContext"]):
+        """Embedded-RDF-only traversal (reference HTurtleParser,
+        rdflibparsers.py:273-351): context propagation still applies so
+        xml:base / <base> affect the islands' base IRI."""
+        ctx = self._make_context(node, ctx_in)
+        if self._is_embedded_rdf(node, ctx):
+            return
+        for ch in node.element_children():
+            self._hturtle_walk(ch, ctx)
 
     def _expand_prototypes(self):
         """Per-document rdfa:Pattern / rdfa:copy expansion — the reference
@@ -497,7 +516,8 @@ class RDFaProcessor:
                     v = self.get_uri(node, ctx, "vocab")
                     if v:
                         ctx.vocab = v
-                        self.add(ctx.base, RDFA_USES_VOCABULARY, v)
+                        if not self.hturtle_only:
+                            self.add(ctx.base, RDFA_USES_VOCABULARY, v)
         else:
             ctx.vocab = None
 

@@ -40,10 +40,14 @@ from pyspark.sql.types import (
 
 # cheap document-level fast path (reference: pyRdfa/parse.py:133-137 per
 # node; here lifted to a scan predicate so Catalyst pushes it down —
-# non-carrier turns never reach Python)
+# non-carrier turns never reach Python).  The second alternation keeps
+# embedded-RDF-island-only documents (E14: <script type="text/turtle">,
+# rdf:RDF in SVG) in the pipeline — they carry triples without any RDFa
+# attribute.
 RDFA_PREFILTER = (
     "(?i)<[^>]{0,1000}(property|typeof|about|resource|vocab|prefix|rel|rev"
     "|role|datatype)\\s*="
+    "|(?i)text/turtle|<[^>]{0,200}:RDF[\\s>]"
 )
 
 TRIPLE_SCHEMA = StructType([
@@ -73,7 +77,8 @@ ARROW_SCHEMA = pa.schema([
 ])
 
 
-def _extract_batches(batches: Iterator[pa.RecordBatch]
+def _extract_batches(batches: Iterator[pa.RecordBatch],
+                     hturtle_only: bool = False
                      ) -> Iterator[pa.RecordBatch]:
     """mapInArrow worker: one call per Arrow batch (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch)."""
@@ -120,7 +125,8 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]
                 host, rdfa_version = adjust_xhtml_and_version(
                     fragment, host, rdfa_version)
             proc = RDFaProcessor(base=base, host=host,
-                                 rdfa_version=rdfa_version)
+                                 rdfa_version=rdfa_version,
+                                 hturtle_only=hturtle_only)
             try:
                 root = (parse_xml(fragment) if is_xml_host(host)
                         else parse_html(fragment))
@@ -170,7 +176,8 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]
 
 def extract_tagged(transcripts: DataFrame,
                    repartition_to: Optional[int] = None,
-                   prefilter: bool = True) -> DataFrame:
+                   prefilter: bool = True,
+                   hturtle_only: bool = False) -> DataFrame:
     """transcripts -> tagged union of triples ('t') and diagnostics ('d').
 
     ``repartition_to``: optional explicit shuffle on
@@ -185,11 +192,20 @@ def extract_tagged(transcripts: DataFrame,
     """
     df = transcripts.select("conv_id", "turn_idx", "text")
     if prefilter:
-        df = df.filter(F.col("text").rlike(RDFA_PREFILTER))
+        # in HTurtle mode only embedded-RDF islands carry triples, so
+        # the relevance predicate is the island marker, not RDFa attrs
+        df = df.filter(F.col("text").rlike(
+            "(?i)text/turtle|<[^>]*:RDF" if hturtle_only
+            else RDFA_PREFILTER))
     if repartition_to is not None:
         df = df.repartition(repartition_to,
                             F.pmod(F.hash("conv_id", "turn_idx"),
                                    F.lit(repartition_to)))
+    if hturtle_only:
+        def run(batches):
+            return _extract_batches(batches, hturtle_only=True)
+
+        return df.mapInArrow(run, schema=TRIPLE_SCHEMA)
     return df.mapInArrow(_extract_batches, schema=TRIPLE_SCHEMA)
 
 

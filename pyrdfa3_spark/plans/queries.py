@@ -907,6 +907,37 @@ def q_rdfa_vocab_usage(spark, sf_dir):
             .select(F.col("obj").alias("vocab")).distinct())
 
 
+def q_rdfa_vocab_expand(spark, sf_dir):
+    """Full process_rdfa_sem flow (G2+G3+G4+G5) over the extraction
+    output: vocabularies the corpus declares via @vocab are pulled from
+    a prefetched dim table, schema-closed, applied, and subtracted.
+    Rows-only (depends on extraction)."""
+    from pyrdfa3_spark.operators.graphops import (
+        OWL_SUBCLASS, OWL_SUBPROP, rdfa_semantic_expansion,
+    )
+
+    triples = q_rdfa_extract(spark, sf_dir)
+    vocab_dim = spark.createDataFrame(
+        [("http://schema.org/", "http://schema.org/name",
+          OWL_SUBPROP, "http://schema.org/alternateName"),
+         ("http://schema.org/", "http://schema.org/Person",
+          OWL_SUBCLASS, "http://schema.org/Thing")],
+        ["vocab", "subj", "pred", "obj"])
+    return rdfa_semantic_expansion(triples, vocab_dim)
+
+
+def q_hturtle_extract(spark, sf_dir):
+    """Embedded-RDF-only traversal (reference HTurtleParser plugin,
+    rdflibparsers.py:273-351): turtle/rdf:RDF islands extracted, all
+    RDFa attribute processing skipped."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    t = transcripts_from_documents(spark, sf_dir)
+    triples, _ = split_outputs(extract_tagged(t, hturtle_only=True))
+    return triples
+
+
 def q_multimodal_features(spark, sf_dir):
     from pyrdfa3_spark.operators.multimodal import (
         extract_features, synth_media,
@@ -961,6 +992,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "graph_metrics": q_graph_metrics,
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
+    "hturtle_extract": q_hturtle_extract,
+    "rdfa_vocab_expand": q_rdfa_vocab_expand,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,

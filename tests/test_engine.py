@@ -460,3 +460,23 @@ def test_determinism_same_doc_twice():
     a1, _ = run_html(html)
     a2, _ = run_html(html)
     assert a1 == a2
+
+
+def test_hturtle_only_mode():
+    """Embedded-RDF-only traversal (reference HTurtleParser): turtle
+    islands extracted, RDFa attributes ignored, base inherited."""
+    from pyrdfa3_spark.operators.rdfa_engine import RDFaProcessor
+    from pyrdfa3_spark.sources.dom import parse_html
+
+    doc = ('<div vocab="http://schema.org/" about="#x">'
+           '<span property="name">ignored in hturtle mode</span>'
+           '<script type="text/turtle">@prefix s: <http://schema.org/> . '
+           '<#a> s:follows <#b> .</script></div>')
+    root = parse_html(doc)
+    proc = RDFaProcessor(base="http://h.example/d", hturtle_only=True)
+    out = proc.process(root)
+    assert out == [("http://h.example/d#a", "http://schema.org/follows",
+                    "http://h.example/d#b")]
+    # the same doc in normal mode emits the RDFa triples as well
+    proc2 = RDFaProcessor(base="http://h.example/d")
+    assert len(proc2.process(parse_html(doc))) > 1

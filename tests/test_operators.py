@@ -337,3 +337,39 @@ def test_link_mentions_lexicon(spark):
                docs, build_lexicon(docs, top_n=2)).collect()}
     assert out == {(0, "spark"): 2, (0, "row"): 1, (1, "spark"): 1,
                    (2, "row"): 1}
+
+
+def test_rdfa_semantic_expansion_end_to_end(spark):
+    """process_rdfa_sem flow: extraction emits usesVocabulary, the
+    matching vocab is pulled from the dim table, expansion applies its
+    subPropertyOf/subClassOf chains, vocab triples stay out."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+    from pyrdfa3_spark.operators.graphops import (
+        OWL_SUBCLASS, OWL_SUBPROP, rdfa_semantic_expansion,
+    )
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    rows = [("c1", 0, "u",
+             '<div vocab="http://voc.example/" about="#it" typeof="Dog">'
+             '<span property="barksAt">postman</span></div>', "b", None)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    triples = extract_triples(t)
+    vocab_dim = spark.createDataFrame(
+        [("http://voc.example/", "http://voc.example/barksAt",
+          OWL_SUBPROP, "http://voc.example/communicatesWith"),
+         ("http://voc.example/", "http://voc.example/Dog",
+          OWL_SUBCLASS, "http://voc.example/Animal"),
+         ("http://other.example/", "http://other.example/x",
+          OWL_SUBCLASS, "http://other.example/y")],  # unused vocab
+        ["vocab", "subj", "pred", "obj"])
+    out = {tuple(r) for r in
+           rdfa_semantic_expansion(triples, vocab_dim).collect()}
+    subj = "http://transcript.local/c1/0#it"
+    assert (subj, "http://voc.example/communicatesWith", "postman") in out
+    assert (subj, RDF_TYPE, "http://voc.example/Animal") in out
+    assert (subj, "http://voc.example/barksAt", "postman") in out
+    # vocab triples subtracted; unused vocab never joined
+    assert not any("subClassOf" in p for (_, p, _) in out)
+    assert not any("other.example" in s for (s, _, _) in out)

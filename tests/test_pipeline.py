@@ -134,3 +134,19 @@ def test_skew_fixture_shape(spark, small_transcripts):
     assert counts[0]["conv_id"] == "conv-000000"
     assert counts[0]["count"] == 5 * 10
     assert counts[1]["count"] == 10
+
+
+def test_turtle_only_document_survives_prefilter(spark):
+    """A turn whose only markup is an embedded turtle island (no RDFa
+    attribute at all) must still reach the extraction UDF (E14)."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    rows = [("c9", 0, "u",
+             'x <script type="text/turtle">@prefix s: '
+             '<http://schema.org/> . <#a> s:v 3 .</script> y',
+             "b", None)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = extract_triples(t).collect()
+    assert len(out) == 1 and out[0]["pred"] == "http://schema.org/v"
