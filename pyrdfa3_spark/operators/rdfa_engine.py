@@ -1275,8 +1275,11 @@ def _format_test(value: str) -> Optional[str]:
     if _strptime_any(value, _DURATION_FORMATS):
         return XSD_DURATION
     if len(value) > 2 and (value[0] == "P" or value[:2] == "-P"):
-        if value[0] == "-" and _strptime_any(value[1:], _DURATION_FORMATS):
-            return XSD_DURATION
+        # negative durations always fall through to 'plain': the
+        # reference's '-P' branch re-checks the *unstripped* string
+        # against the duration formats (html5.py:85-94 — the comment
+        # says strip the '-' but the code does not), so it never
+        # matches; we mirror the behaviour, not the comment
         parts = value.split("T")
         if len(parts) == 2 and _strptime_any(parts[0], _DURATION_FORMATS) \
                 and _strptime_any(parts[1], _DURATION_TIMES):

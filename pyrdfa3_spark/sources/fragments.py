@@ -234,6 +234,42 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
     ("html5",
      '<div version="XHTML+RDFa 1.0" xmlns:v10="http://v10.example/{K}#" '
      'about="#v{K}" property="v10:name" content="old{K}"></div>'),
+    # 48. <time> datetime with numeric timezone offset (html5.py:131-154)
+    ("html5",
+     '<div about="#tz{K}"><time property="http://schema.org/when" '
+     'datetime="2026-03-0{X}T10:30:00+02:00">then</time></div>'),
+    # 49. negative duration -P...
+    ("html5",
+     '<div about="#nd{K}"><time property="http://schema.org/offset" '
+     'datetime="-P{X}D">ago</time></div>'),
+    # 50. safe CURIE bnode [_:label] as subject and object
+    ("html5",
+     '<div about="[_:sb{K}]" rel="http://schema.org/rel" '
+     'resource="[_:ob{K}]"></div>'),
+    # 51. @inlist on an element carrying both @rel and @property
+    ("html5",
+     '<div about="#rp{K}"><span rel="http://schema.org/r" inlist="" '
+     'property="http://schema.org/p" resource="#t{K}">txt{K}</span></div>'),
+    # 52. empty @content overrides element text with the empty literal
+    ("html5",
+     '<div about="#ec{K}" property="http://schema.org/note" content="">'
+     'invisible {K}</div>'),
+    # 53. @rel+@typeof+@resource: the object (not subject) gets the type
+    ("html5",
+     '<div about="#to{K}" rel="http://schema.org/made" '
+     'typeof="http://schema.org/Product" resource="#prod{K}"></div>'),
+    # 54. unknown datatype IRI: literal kept untouched, no validation
+    ("html5",
+     '<div about="#ud{K}"><span property="http://schema.org/raw" '
+     'datatype="http://types.example/custom{K}" content="c{K}">x</span>'
+     '</div>'),
+    # 55. deeply nested chain: three levels of bare-property bnode
+    # minting (incomplete-triple threading through two hops)
+    ("html5",
+     '<div vocab="http://schema.org/" about="#d{K}">'
+     '<div property="maker" typeof="Organization">'
+     '<div property="location" typeof="Place">'
+     '<span property="name">HQ {K}</span></div></div></div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)
