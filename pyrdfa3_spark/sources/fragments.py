@@ -270,6 +270,39 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
      '<div property="maker" typeof="Organization">'
      '<div property="location" typeof="Place">'
      '<span property="name">HQ {K}</span></div></div></div>'),
+    # 56. uppercase prefix declaration (1.1 lowercases on definition)
+    # used with lowercase reference
+    ("html5",
+     '<div prefix="UPC: http://upper.example/{K}#">'
+     '<span about="#uc{K}" property="upc:p" content="v{K}"></span></div>'),
+    # 57. malformed @prefix (odd token count) ignored with a warning;
+    # a later well-formed pair on the same element still binds
+    ("html5",
+     '<div prefix="broken ok: http://okay.example/{K}#">'
+     '<span about="#mp{K}" property="ok:p" content="w{K}"></span></div>'),
+    # 58. relative @vocab resolves against the base
+    ("html5",
+     '<div vocab="ns{K}/" about="#rv{K}">'
+     '<span property="term">rel vocab {K}</span></div>'),
+    # 59. @lang and @xml:lang conflict on one element: xml:lang wins
+    ("html5",
+     '<div about="#lc{K}" lang="fr" xml:lang="de" '
+     'property="http://schema.org/label">Wert {K}</div>'),
+    # 60. empty @property value -> no triple from it
+    ("html5",
+     '<div about="#ep{K}"><span property="">dropped</span>'
+     '<span property="http://schema.org/kept">yes {K}</span></div>'),
+    # 61. @about beats @src in first-win resource resolution
+    ("html5",
+     '<div><img about="#win{K}" src="lose{K}.png" '
+     'rel="http://schema.org/img" resource="#target{K}"/></div>'),
+    # 62. safe CURIE in @resource with declared prefix, CURIE in @rel
+    ("html5",
+     '<div prefix="sc: http://safe.example/{K}#" about="#sr{K}" '
+     'rel="sc:linksTo" resource="[sc:dest]"></div>'),
+    # 63. whitespace-only text content -> empty literal (space_preserve)
+    ("html5",
+     '<div about="#ws2{K}" property="http://schema.org/blank">  </div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)
