@@ -1,13 +1,17 @@
 """Blank-node-insensitive graph comparison for golden tests.
 
 Equivalent in purpose to rdflib.compare.isomorphic (used by the reference
-community's test harness, see SURVEY.md §5): finds a bnode bijection by
-backtracking.  Fixture graphs are tiny, so worst-case cost is irrelevant.
+community's test harness, see SURVEY.md §5): Weisfeiler-Lehman color
+refinement partitions the blank nodes by structural signature, then a
+bijection is searched only within matching color classes — the same
+strategy rdflib's ``to_canonical_graph`` builds on, so rdf:first/rest
+chains with dozens of bnodes verify instantly instead of hitting a
+permutation wall.
 """
 
 from __future__ import annotations
 
-from itertools import permutations
+from itertools import permutations, product
 
 from pyrdfa3_spark.operators.rdfa_engine import Literal, is_bnode
 
@@ -38,7 +42,30 @@ def _apply(triples, mapping):
     return out
 
 
-def isomorphic(a, b) -> bool:
+def _wl_colors(triples, bnodes):
+    """Weisfeiler-Lehman refinement: structural color per bnode."""
+    def term_key(x, color):
+        if isinstance(x, str) and is_bnode(x):
+            return ("b", color[x])
+        return ("g", x)
+
+    color = {b: 0 for b in bnodes}
+    for _ in range(len(bnodes) + 2):
+        sigs = {b: [] for b in bnodes}
+        for s, p, o in triples:
+            if is_bnode(s):
+                sigs[s].append(("out", p, term_key(o, color)))
+            if isinstance(o, str) and is_bnode(o):
+                sigs[o].append(("in", p, term_key(s, color)))
+        new = {b: hash(tuple(sorted(map(repr, sig))))
+               for b, sig in sigs.items()}
+        if len(set(new.values())) == len(set(color.values())):
+            return new
+        color = new
+    return color
+
+
+def isomorphic(a, b, max_combos: int = 100_000) -> bool:
     """True if triple sets a and b are equal under some bnode bijection."""
     ta = {_norm(t) for t in a}
     tb = {_norm(t) for t in b}
@@ -53,10 +80,29 @@ def isomorphic(a, b) -> bool:
         return False
     if not ba:
         return ta == tb
-    if len(ba) > 8:  # pragma: no cover - fixtures stay small
-        raise ValueError("fixture graph too large for brute-force isomorphism")
-    for perm in permutations(bb):
-        mapping = dict(zip(ba, perm))
+
+    ca, cb = _wl_colors(ta, ba), _wl_colors(tb, bb)
+    classes_a: dict = {}
+    classes_b: dict = {}
+    for n, c in ca.items():
+        classes_a.setdefault(c, []).append(n)
+    for n, c in cb.items():
+        classes_b.setdefault(c, []).append(n)
+    if set(classes_a) != set(classes_b) or any(
+            len(classes_a[c]) != len(classes_b[c]) for c in classes_a):
+        return False
+
+    # search only within color classes (usually singletons)
+    import math
+    total = math.prod(math.factorial(len(v)) for v in classes_a.values())
+    if total > max_combos:  # pragma: no cover - degenerate symmetry
+        raise ValueError("graph too symmetric for class-wise matching")
+    colors = sorted(classes_a)
+    per_class = [permutations(classes_b[c]) for c in colors]
+    for combo in product(*per_class):
+        mapping = {}
+        for c, perm in zip(colors, combo):
+            mapping.update(zip(sorted(classes_a[c]), perm))
         if _apply(ta, mapping) == tb:
             return True
     return False

@@ -1,0 +1,141 @@
+"""Property-based reference parity: random RDFa fragments, both engines.
+
+Hypothesis generates small element trees with random combinations of
+RDFa attributes (the cross-product space the fixed fixture templates
+cannot cover), runs the actual reference (via scripts/refshim) and our
+engine on the same DOM, and asserts bnode-insensitive graph
+isomorphism.  ``derandomize=True`` keeps CI deterministic; bump
+``max_examples`` locally for deeper hunts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts", "refshim"))
+sys.path.insert(0, "/root/reference")
+
+from tests.graph_compare import diff, isomorphic  # noqa: E402
+
+# -- fragment generator ----------------------------------------------------
+
+_IRIS = ["http://a.example/p", "http://b.example/q#r", "#frag", "rel/path",
+         ""]
+_CURIES = ["ex:one", "ex:two", "schema:name", "nosuch:x", ":next", "_:b1"]
+_TERMS = ["license", "next", "Widget", "nonsenseterm"]
+_LITS = ["plain text", "", "42", "2026-01-02", "a  b\tc"]
+# attribute values avoid \t\n\r: the sandbox reference parses through
+# minidom, which applies XML attribute-value normalization (tab ->
+# space), while html5lib (the reference's production HTML parser) and
+# our html.parser path both preserve them — engine semantics agree,
+# only the oracle's DOM would differ.  Tabs stay in *text* content,
+# where every parser preserves them.
+_ATTR_LITS = [v for v in _LITS if "\t" not in v] + ["a  b c"]
+_LANGS = ["en", "de-AT", ""]
+_DTYPES = ["xsd:integer", "xsd:date", "rdf:XMLLiteral",
+           "http://t.example/custom", ""]
+
+attr_value = {
+    "about": st.sampled_from(_IRIS + _CURIES + ["[ex:safe]", "[]"]),
+    "resource": st.sampled_from(_IRIS + _CURIES + ["[ex:safe]", "[]"]),
+    "href": st.sampled_from(_IRIS),
+    "src": st.sampled_from(_IRIS),
+    "property": st.sampled_from(_CURIES + _TERMS + _IRIS[:2] + [
+        "ex:one ex:two", ""]),
+    "rel": st.sampled_from(_CURIES + _TERMS + ["ex:one nosuch:y"]),
+    "rev": st.sampled_from(_CURIES),
+    "typeof": st.sampled_from(_CURIES + _TERMS + ["ex:one ex:two", ""]),
+    "content": st.sampled_from(_ATTR_LITS),
+    "datatype": st.sampled_from(_DTYPES),
+    "lang": st.sampled_from(_LANGS),
+    "vocab": st.sampled_from(["http://schema.org/", "http://v.example/",
+                              ""]),
+    "inlist": st.just(""),
+}
+
+element = st.builds(
+    lambda attrs, text: (attrs, text),
+    st.dictionaries(st.sampled_from(sorted(attr_value)), st.none(),
+                    max_size=4).flatmap(
+        lambda keys: st.fixed_dictionaries(
+            {k: attr_value[k] for k in keys})),
+    st.sampled_from(_LITS),
+)
+
+
+def _render(tree, depth=0) -> str:
+    (attrs, text), children = tree
+    a = "".join(f' {k}="{v}"' for k, v in sorted(attrs.items()))
+    inner = text + "".join(_render(c, depth + 1) for c in children)
+    return f"<div{a}>{inner}</div>"
+
+
+trees = st.recursive(
+    st.builds(lambda e: (e, []), element),
+    lambda kids: st.builds(lambda e, cs: (e, cs), element,
+                           st.lists(kids, max_size=3)),
+    max_leaves=6,
+)
+
+
+def _wrap(fragment: str) -> str:
+    return ('<div prefix="ex: http://ex.example/ns#" '
+            'vocab="http://schema.org/">' + fragment + "</div>")
+
+
+def _run_reference(fragment: str, base: str):
+    import xml.dom.minidom as minidom
+
+    import rdflib  # the shim
+    from pyRdfa import pyRdfa as PyRdfaClass
+    from pyRdfa.options import Options
+
+    from pyrdfa3_spark.operators.rdfa_engine import Literal
+
+    opts = Options(output_default_graph=True,
+                   output_processor_graph=False,
+                   embedded_rdf=False, vocab_expansion=False)
+    opts.set_host_language("text/html")
+    proc = PyRdfaClass(options=opts, base=base, rdfa_version="1.1")
+    dom = minidom.parseString(f"<html><body>{fragment}</body></html>")
+    graph = proc.graph_from_DOM(dom)
+    out = []
+    for (s, p, o) in graph:
+        s2 = "_:" + str(s) if isinstance(s, rdflib.BNode) else str(s)
+        if isinstance(o, rdflib.Literal):
+            o2 = Literal(o.value, o.language,
+                         str(o.datatype) if o.datatype else None)
+        elif isinstance(o, rdflib.BNode):
+            o2 = "_:" + str(o)
+        else:
+            o2 = str(o)
+        out.append((s2, str(p), o2))
+    return out
+
+
+def _run_ours(fragment: str, base: str):
+    from pyrdfa3_spark.functions.hostlang import Host
+    from pyrdfa3_spark.operators.rdfa_engine import RDFaProcessor
+    from pyrdfa3_spark.sources.dom import parse_html
+
+    proc = RDFaProcessor(base=base, host=Host.HTML5, rdfa_version="1.1")
+    root = parse_html(f"<html><body>{fragment}</body></html>")
+    return proc.process(root)
+
+
+@pytest.mark.parametrize("mode", ["wrapped"])
+@settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "150")),
+          derandomize=True, deadline=None)
+@given(tree=trees)
+def test_random_fragment_parity(tree, mode):
+    fragment = _wrap(_render(tree))
+    base = "http://prop.test/doc"
+    ref = _run_reference(fragment, base)
+    ours = _run_ours(fragment, base)
+    assert isomorphic(ours, ref), (
+        diff(ours, ref) + "\n--- fragment:\n" + fragment)
