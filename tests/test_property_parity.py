@@ -56,10 +56,16 @@ attr_value = {
     "vocab": st.sampled_from(["http://schema.org/", "http://v.example/",
                               ""]),
     "inlist": st.just(""),
+    "xml:lang": st.sampled_from(_LANGS),
+    "role": st.sampled_from(["navigation", "ex:custom", "banner main"]),
+    "id": st.sampled_from(["anchor1", "z9"]),
+    "datetime": st.sampled_from(["2026-02-03", "11:22", "P2D", "-P2D",
+                                 "2026", "junk"]),
 }
 
 element = st.builds(
-    lambda attrs, text: (attrs, text),
+    lambda tag, attrs, text: (tag, attrs, text),
+    st.sampled_from(["div", "span", "time", "p"]),
     st.dictionaries(st.sampled_from(sorted(attr_value)), st.none(),
                     max_size=4).flatmap(
         lambda keys: st.fixed_dictionaries(
@@ -69,10 +75,10 @@ element = st.builds(
 
 
 def _render(tree, depth=0) -> str:
-    (attrs, text), children = tree
+    (tag, attrs, text), children = tree
     a = "".join(f' {k}="{v}"' for k, v in sorted(attrs.items()))
     inner = text + "".join(_render(c, depth + 1) for c in children)
-    return f"<div{a}>{inner}</div>"
+    return f"<{tag}{a}>{inner}</{tag}>"
 
 
 trees = st.recursive(
