@@ -89,12 +89,26 @@ trees = st.recursive(
 )
 
 
-def _wrap(fragment: str) -> str:
-    return ('<div prefix="ex: http://ex.example/ns#" '
-            'vocab="http://schema.org/">' + fragment + "</div>")
+# mode -> (wrapper template, media type, our host, rdfa_version).
+# html5 exercises the tolerant-parse + expat fast path; svg the XML
+# host (minidom on BOTH sides -> pure engine comparison incl. xml:base);
+# v10 the RDFa 1.0 algorithm (xmlns: declarations only, parse.py:325-486)
+_MODES = {
+    "html5": ('<div prefix="ex: http://ex.example/ns#" '
+              'vocab="http://schema.org/">{}</div>',
+              "text/html", "1.1"),
+    "svg": ('<svg xmlns="http://www.w3.org/2000/svg" '
+            'xmlns:ex="http://ex.example/ns#" '
+            'xml:base="http://svgbase.example/dir/" '
+            'prefix="ex: http://ex.example/ns#" '
+            'vocab="http://schema.org/">{}</svg>',
+            "image/svg+xml", "1.1"),
+    "v10": ('<div xmlns:ex="http://ex.example/ns#">{}</div>',
+            "text/html", "1.0"),
+}
 
 
-def _run_reference(fragment: str, base: str):
+def _run_reference(fragment: str, base: str, mode: str):
     import xml.dom.minidom as minidom
 
     import rdflib  # the shim
@@ -103,12 +117,16 @@ def _run_reference(fragment: str, base: str):
 
     from pyrdfa3_spark.operators.rdfa_engine import Literal
 
+    _, media, version = _MODES[mode]
     opts = Options(output_default_graph=True,
                    output_processor_graph=False,
                    embedded_rdf=False, vocab_expansion=False)
-    opts.set_host_language("text/html")
-    proc = PyRdfaClass(options=opts, base=base, rdfa_version="1.1")
-    dom = minidom.parseString(f"<html><body>{fragment}</body></html>")
+    opts.set_host_language(media)
+    proc = PyRdfaClass(options=opts, base=base, rdfa_version=version)
+    if mode == "svg":
+        dom = minidom.parseString(fragment)
+    else:
+        dom = minidom.parseString(f"<html><body>{fragment}</body></html>")
     graph = proc.graph_from_DOM(dom)
     out = []
     for (s, p, o) in graph:
@@ -124,24 +142,31 @@ def _run_reference(fragment: str, base: str):
     return out
 
 
-def _run_ours(fragment: str, base: str):
+def _run_ours(fragment: str, base: str, mode: str):
     from pyrdfa3_spark.functions.hostlang import Host
     from pyrdfa3_spark.operators.rdfa_engine import RDFaProcessor
-    from pyrdfa3_spark.sources.dom import parse_html
+    from pyrdfa3_spark.sources.dom import parse_html, parse_xml
 
-    proc = RDFaProcessor(base=base, host=Host.HTML5, rdfa_version="1.1")
-    root = parse_html(f"<html><body>{fragment}</body></html>")
+    _, _, version = _MODES[mode]
+    if mode == "svg":
+        proc = RDFaProcessor(base=base, host=Host.SVG,
+                             rdfa_version=version)
+        root = parse_xml(fragment)
+    else:
+        proc = RDFaProcessor(base=base, host=Host.HTML5,
+                             rdfa_version=version)
+        root = parse_html(f"<html><body>{fragment}</body></html>")
     return proc.process(root)
 
 
-@pytest.mark.parametrize("mode", ["wrapped"])
-@settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "150")),
+@pytest.mark.parametrize("mode", sorted(_MODES))
+@settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "100")),
           derandomize=True, deadline=None)
 @given(tree=trees)
 def test_random_fragment_parity(tree, mode):
-    fragment = _wrap(_render(tree))
+    fragment = _MODES[mode][0].format(_render(tree))
     base = "http://prop.test/doc"
-    ref = _run_reference(fragment, base)
-    ours = _run_ours(fragment, base)
+    ref = _run_reference(fragment, base, mode)
+    ours = _run_ours(fragment, base, mode)
     assert isomorphic(ours, ref), (
         diff(ours, ref) + "\n--- fragment:\n" + fragment)
