@@ -79,3 +79,28 @@ def run_to_completion(stream_df: DataFrame, out_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
+                             checkpoint_dir: str, buckets: int = 16):
+    """Streaming graph materialize into the same bucket(conv_id)
+    physical layout the batch sink (plans/extract.py::write_triples)
+    and lineage manifests use — a ``foreachBatch`` append per
+    micro-batch, exactly-once via the stream checkpoint (in production
+    the body is one Iceberg ``append`` and the Iceberg snapshot log
+    replaces the per-batch commit files)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df
+         .withColumn("conv_bucket",
+                     F.pmod(F.hash("conv_id"), F.lit(buckets)))
+         .write.mode("append")
+         .partitionBy("conv_bucket")
+         .parquet(out_dir))
+
+    q = (stream_df.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -98,3 +98,35 @@ def test_windowed_metrics_complete_mode(spark, tmp_path):
     total_turns = sum(r["n_turns"] for r in rows)
     assert total_turns == 110  # 10 convs x 10 + skew conv extra 10
     assert all(r["n_carrier_turns"] <= r["n_turns"] for r in rows)
+
+
+def test_stream_bucketed_materialize(spark, tmp_path):
+    """foreachBatch streaming sink lands the same bucket(conv_id)
+    layout as the batch sink, exactly-once across drops."""
+    import os
+
+    from pyrdfa3_spark.streaming.stream_extract import (
+        run_bucketed_materialize,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = synth_transcripts(spark, n_conv=20, turns_per_conv=10,
+                          skew_factor=2).cache()
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+    run_bucketed_materialize(
+        extract_stream(stream_transcripts(spark, in_dir)),
+        out_dir, ckpt, buckets=4)
+    parts = [d for d in os.listdir(out_dir) if d.startswith("conv_bucket=")]
+    assert 1 <= len(parts) <= 4
+    streamed = spark.read.parquet(out_dir)
+
+    from pyrdfa3_spark.plans.extract import extract_triples
+    assert streamed.count() == extract_triples(t).count()
+
+    # re-running with the same checkpoint must not duplicate output
+    run_bucketed_materialize(
+        extract_stream(stream_transcripts(spark, in_dir)),
+        out_dir, ckpt, buckets=4)
+    assert spark.read.parquet(out_dir).count() == streamed.count()
