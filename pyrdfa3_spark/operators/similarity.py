@@ -117,14 +117,27 @@ def _cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _centroid_sims(emb_col, centroids: list[list[float]]):
+    """Per-centroid cosine similarities, computing the row vector's norm
+    once (not once per centroid); centroid norms are Python-side
+    constants folded into the literals."""
+    import math
+
+    vnorm = _norm(emb_col)
+    sims = []
+    for c in centroids:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        arr = F.array(*[F.lit(v) for v in c])
+        sims.append(F.round(_dot(emb_col, arr) / (vnorm * F.lit(cn)), 9))
+    return sims
+
+
 def _best_cell(emb_col, centroids: list[list[float]]):
     """Index of the max-cosine centroid (struct-max trick; ties to the
     lower index)."""
     scored = [
-        F.struct(F.round(_cos(emb_col, F.array(*[F.lit(v) for v in c])), 9)
-                 .alias("sim"),
-                 F.lit(-i).alias("negidx"))
-        for i, c in enumerate(centroids)
+        F.struct(sim.alias("sim"), F.lit(-i).alias("negidx"))
+        for i, sim in enumerate(_centroid_sims(emb_col, centroids))
     ]
     return (-F.array_max(F.array(*scored))["negidx"]).cast("int")
 
@@ -183,11 +196,9 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int],
     corpus = emb.withColumn("cell", _best_cell(F.col("embedding"),
                                                centroids))
     scored_cells = F.array(*[
-        F.struct(F.round(_cos(F.col("embedding"),
-                              F.array(*[F.lit(v) for v in c])), 9)
-                 .alias("sim"),
-                 F.lit(i).alias("idx"))
-        for i, c in enumerate(centroids)
+        F.struct(sim.alias("sim"), F.lit(i).alias("idx"))
+        for i, sim in enumerate(_centroid_sims(F.col("embedding"),
+                                               centroids))
     ])
     probes = (emb
               .filter(F.col("vec_id").isin([int(i) for i in query_ids]))

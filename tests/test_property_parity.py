@@ -170,3 +170,39 @@ def test_random_fragment_parity(tree, mode):
     ours = _run_ours(fragment, base, mode)
     assert isomorphic(ours, ref), (
         diff(ours, ref) + "\n--- fragment:\n" + fragment)
+
+
+# -- robustness fuzz: arbitrary text must never escape as a crash ---------
+
+# token soup rather than a character alphabet: fragments of real RDFa
+# syntax recombined wrongly (unclosed tags, dangling quotes, stray
+# brackets) reach much deeper into the parser and resolvers than
+# uniformly random characters would
+_FUZZ_TOKENS = st.sampled_from([
+    "<div ", "<span", "</div>", ">", "/>", '"', "'", "=",
+    "property=", "about=", 'rel="ex:a', "typeof", "[ex:x]", "[]", "_:b",
+    "prefix=\"ex:", "http://x/", "#f", "&amp;", "&bogus;", "&#x41;",
+    "<script type=\"text/turtle\">", "</script>", "@prefix p: <u> .",
+    "<!--", "-->", "<!DOCTYPE html>", "\t", "\n", " ", "z", "é", "∞",
+])
+
+
+@settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "100")),
+          derandomize=True, deadline=None)
+@given(st.lists(_FUZZ_TOKENS, min_size=0, max_size=40).map("".join))
+def test_engine_never_crashes_on_garbage(text):
+    """The extraction worker isolates per-document faults; the engine
+    itself must either parse garbage tolerantly or raise an exception
+    the UDF converts to a diagnostics row — never corrupt state."""
+    from pyrdfa3_spark.functions.hostlang import Host
+    from pyrdfa3_spark.operators.rdfa_engine import RDFaProcessor
+    from pyrdfa3_spark.sources.dom import parse_html
+
+    proc = RDFaProcessor(base="http://fz.test/d", host=Host.HTML5)
+    try:
+        out = proc.process(parse_html(text))
+    except Exception:
+        return  # caught per-document in the UDF -> diagnostics row
+    assert isinstance(out, list)
+    for t in out:
+        assert len(t) == 3 and t[0] is not None and t[1] is not None
