@@ -93,6 +93,81 @@ def _extract_only(cores: int):
                       "turns_per_sec": round(n_turns / best, 1)}))
 
 
+def _cluster_extract_only(n_executors: int):
+    """Subprocess worker for the *multi-executor* scaling study: Spark
+    ``local-cluster`` mode spawns ``n_executors`` real executor JVMs
+    (8 cores each), so this measures the north rule's literal criterion
+    — N vs 4N executors — rather than thread counts inside one JVM.
+    The package ships to executors via addPyFile (the --py-files path).
+    Pin to 8*n_executors CPUs with taskset."""
+    import subprocess
+
+    from pyrdfa3_spark.plans.extract import extract_triples
+    from pyrdfa3_spark.session import build_session
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+
+    zip_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "dist", "pyrdfa3_spark.zip")
+    if not os.path.exists(zip_path):
+        subprocess.run(["sh", os.path.join(os.path.dirname(zip_path),
+                                           "..", "scripts", "package.sh")],
+                       check=True, capture_output=True)
+    spark = build_session(
+        master=f"local-cluster[{n_executors},8,6144]",
+        shuffle_partitions=max(8 * n_executors, 8),
+        app_name=f"bench-cluster-{n_executors}x8")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 20))
+    spark.sparkContext.addPyFile(zip_path)
+    t = synth_transcripts(spark, n_conv=SCALING_N_CONV, turns_per_conv=10,
+                          skew_factor=100).cache()
+    n_turns = t.count()
+    df = extract_triples(t)
+    df.count()  # warm: executor python workers, codegen, JIT
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.count()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    print(json.dumps({"sec": round(best, 3),
+                      "turns_per_sec": round(n_turns / best, 1)}))
+
+
+def _run_cluster_scaling() -> dict:
+    """N=1 executor vs 4N=4 executors (8 cores each), pinned CPUs,
+    quietest of BENCH_SCALING_ROUNDS rounds."""
+    import shutil
+    import subprocess
+
+    def one_run(n_exec: int) -> dict:
+        cmd = []
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{8 * n_exec - 1}"]
+        cmd += [sys.executable, os.path.abspath(__file__),
+                "--cluster-extract-only", str(n_exec)]
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=900, env=os.environ)
+        line = out.stdout.strip().splitlines()[-1]
+        time.sleep(8)
+        return json.loads(line)
+
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    best_round, best_total = None, float("inf")
+    for _ in range(rounds):
+        r = {n: one_run(n) for n in (1, 4)}
+        total = sum(v["sec"] for v in r.values())
+        if total < best_total:
+            best_round, best_total = r, total
+    out = {f"executors[{n}x8]": best_round[n] for n in (1, 4)}
+    out["efficiency_1_to_4_executors"] = round(
+        (best_round[4]["turns_per_sec"]
+         / best_round[1]["turns_per_sec"]) / 4, 3)
+    out["method"] = ("local-cluster mode: real executor JVMs, package "
+                     "shipped via addPyFile; taskset-pinned; quietest "
+                     f"of {rounds} rounds")
+    return out
+
+
 def _run_scaling() -> dict:
     """N vs 4N evidence (north rule): same job, same input, pinned CPUs,
     throughput at each level + efficiency for both 2->8 and 8->32.
@@ -153,6 +228,9 @@ def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--extract-only":
         _extract_only(int(sys.argv[2]))
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--cluster-extract-only":
+        _cluster_extract_only(int(sys.argv[2]))
+        return
 
     from pyrdfa3_spark.plans import queries as Q
     from pyrdfa3_spark.session import build_session
@@ -192,6 +270,7 @@ def main():
     scaling = None
     if os.environ.get("BENCH_SCALING") == "1":
         scaling = _run_scaling()
+        scaling["multi_executor"] = _run_cluster_scaling()
 
     out = {
         "metric": "headline_suite_total",
