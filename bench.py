@@ -8,9 +8,11 @@ JSON line:
      "queries": {...per-query sec...}, "sf": ..., "throughput": {...}}
 
 Scaling evidence (north rule: N vs 4N): ``BENCH_SCALING=1 python
-bench.py`` additionally runs the extraction job at local[8] and
-local[32] on the same input and reports turns/sec at both plus the
-scaling efficiency; results are recorded in BENCH/BASELINE.md.
+bench.py`` additionally runs the extraction job (a) at local[2/8/32]
+thread counts in one JVM and (b) on 1 vs 4 *real executor JVMs*
+(local-cluster mode, 8 cores each, package shipped via addPyFile) on
+the same input, reporting turns/sec at each level plus the scaling
+efficiencies; results are recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
