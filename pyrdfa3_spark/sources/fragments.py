@@ -303,6 +303,11 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
     # 63. whitespace-only text content -> empty literal (space_preserve)
     ("html5",
      '<div about="#ws2{K}" property="http://schema.org/blank">  </div>'),
+    # 64. rdf:HTML literal: markup subtree serialized as the value
+    ("html5",
+     '<div about="#hl{K}"><span property="http://schema.org/body" '
+     'datatype="rdf:HTML">see <b class="hot">item {K}</b> now</span>'
+     '</div>'),
 ]
 
 N_TEMPLATES = len(FRAGMENT_TEMPLATES)
