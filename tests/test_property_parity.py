@@ -61,6 +61,11 @@ attr_value = {
     "id": st.sampled_from(["anchor1", "z9"]),
     "datetime": st.sampled_from(["2026-02-03", "11:22", "P2D", "-P2D",
                                  "2026", "junk"]),
+    # honored per-element in SVG/XML hosts, ignored in HTML (reference
+    # state.py:156-157 vs host ACCEPT_XML_BASE) — both paths must agree
+    # with the reference either way
+    "xml:base": st.sampled_from(["http://xb.example/a/",
+                                 "http://xb.example/b/x", "sub/"]),
 }
 
 element = st.builds(
