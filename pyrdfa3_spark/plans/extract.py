@@ -234,9 +234,17 @@ def write_triples(triples: DataFrame, path: str, buckets: int = 16) -> None:
     """Partitioned sink (S6).  Iceberg is the production target
     (``writeTo(...).partitionedBy(bucket(conv_id))``); this sandbox has no
     catalog, so we land parquet partitioned by an explicit conv bucket
-    column — the same physical layout an Iceberg bucket transform yields."""
+    column — the same physical layout an Iceberg bucket transform yields.
+
+    Files are zstd-compressed and sorted by (subj, pred) within each
+    partition: subject-sorted row groups give parquet min/max statistics
+    that prune subject-lookup scans, and run-length/dictionary encoding
+    compresses the repeated IRIs far better than unsorted rows — both
+    matter at the 100 TB graph-table size."""
     (triples
      .withColumn("conv_bucket", F.pmod(F.hash("conv_id"), F.lit(buckets)))
+     .sortWithinPartitions("conv_bucket", "subj", "pred")
      .write.mode("overwrite")
+     .option("compression", "zstd")
      .partitionBy("conv_bucket")
      .parquet(path))
