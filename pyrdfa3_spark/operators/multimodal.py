@@ -44,6 +44,7 @@ FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
     StructField("feature", ArrayType(FloatType())),
+    StructField("feature_str", StringType()),   # canonical (hashable) form
     StructField("n_bytes", LongType()),
 ])
 
@@ -59,6 +60,7 @@ FRAME_FEATURE_SCHEMA = StructType([
     StructField("frame_idx", IntegerType()),
     StructField("ts_ms", IntegerType()),
     StructField("feature", ArrayType(FloatType())),
+    StructField("feature_str", StringType()),   # canonical (hashable) form
 ])
 
 
@@ -80,13 +82,22 @@ def synth_media(spark, n: int = 64) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, dim: int, salt: bytes = b"") -> np.ndarray:
-    """Deterministic fake 'decoder': hash-seeded feature vector.  A real
+    """Deterministic fake 'decoder': hash-seeded milli-feature vector
+    (integers 0..999; callers divide by 1000 for the float view).  A real
     deployment swaps this for PIL/librosa/ffmpeg — the batch shape and
-    signature stay identical."""
-    h = hashlib.sha256(salt + payload).digest()
+    signature stay identical.  The digest covers the *hex* encoding of
+    the payload so a plain-SQL oracle (sha256 over VARCHAR) can reproduce
+    the values bit-for-bit."""
+    h = hashlib.sha256(salt + payload.hex().encode()).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[:dim * 4],
-                        dtype=np.uint32)
-    return (raw % 1000).astype(np.float32) / 1000.0
+                        dtype="<u4")
+    return raw % 1000
+
+
+def _feature_cols(milli: np.ndarray) -> tuple[list, str]:
+    """(float feature list, canonical comma-joined milli string)."""
+    return ((milli.astype(np.float32) / 1000.0).tolist(),
+            ",".join(str(int(v)) for v in milli))
 
 
 def _require_fake(fake: bool):
@@ -104,11 +115,13 @@ def extract_features(media: DataFrame, dim: int = 16,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            decoded = [_feature_cols(_decode_stub(bytes(p), dim))
+                       for p in pdf["payload"]]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "feature": [_decode_stub(bytes(p), dim).tolist()
-                            for p in pdf["payload"]],
+                "feature": [d[0] for d in decoded],
+                "feature_str": [d[1] for d in decoded],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
             })
 
@@ -162,15 +175,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, dim: int = 16,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            decoded = [
+                _feature_cols(_decode_stub(bytes(p), dim,
+                                           salt=str(ts).encode()))
+                for p, ts in zip(pdf["payload"], pdf["ts_ms"])
+            ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "frame_idx": pdf["frame_idx"].astype("int32"),
                 "ts_ms": pdf["ts_ms"].astype("int32"),
-                "feature": [
-                    _decode_stub(bytes(p), dim, salt=str(ts).encode())
-                    .tolist()
-                    for p, ts in zip(pdf["payload"], pdf["ts_ms"])
-                ],
+                "feature": [d[0] for d in decoded],
+                "feature_str": [d[1] for d in decoded],
             })
 
     return frames.mapInPandas(batches, schema=FRAME_FEATURE_SCHEMA)

@@ -939,21 +939,82 @@ def q_hturtle_extract(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction (mapInPandas).  The driver
+    projection carries ``feature_str`` (canonical comma-joined milli
+    values) instead of the raw ``array<float>`` — the driver's pandas
+    canonicalizer cannot sort/hash list columns."""
     from pyrdfa3_spark.operators.multimodal import (
         extract_features, synth_media,
     )
 
-    return extract_features(synth_media(spark, 64), dim=16, fake=True)
+    return (extract_features(synth_media(spark, 64), dim=16, fake=True)
+            .select(F.col("media_id").cast("bigint").alias("media_id"),
+                    "kind", "feature_str",
+                    F.col("n_bytes").cast("bigint").alias("n_bytes")))
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling: sequence+explode fan-out (Column algebra)
-    with a per-frame decode stub; rows-only check (binary stub decode
-    is not SQL-expressible)."""
+    with a per-frame decode stub; driver projection uses the canonical
+    ``feature_str`` column (see :func:`q_multimodal_features`)."""
     from pyrdfa3_spark.operators.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(spark, 64), every_ms=1000, dim=8,
-                         fake=True)
+    return (sample_frames(synth_media(spark, 64), every_ms=1000, dim=8,
+                          fake=True)
+            .select(F.col("media_id").cast("bigint").alias("media_id"),
+                    F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                    F.col("ts_ms").cast("bigint").alias("ts_ms"),
+                    "feature_str"))
+
+
+# The decode stub digests the *hex* payload encoding, so the whole
+# pipeline is expressible in DuckDB SQL: sha256 over VARCHAR + a
+# little-endian uint32 hex polynomial (mirrors numpy's '<u4' frombuffer).
+def _sql_le_u32(hcol: str, byte_off: int) -> str:
+    terms = " + ".join(
+        f"((strpos('0123456789abcdef', substr({hcol}, {2 * (byte_off + b) + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({hcol}, {2 * (byte_off + b) + 2}, 1)) - 1))"
+        f" * {256 ** b}"
+        for b in range(4))
+    return f"({terms})"
+
+
+def _sql_feature_str(dim: int) -> str:
+    return " || ',' || ".join(
+        f"CAST({_sql_le_u32('h', 4 * (i % 8))} % 1000 AS VARCHAR)"
+        for i in range(dim))
+
+
+def _sql_multimodal_features(n: int = 64, dim: int = 16) -> str:
+    return f"""
+WITH m AS (SELECT CAST(range AS BIGINT) AS media_id,
+                  sha256(sha256(CAST(range AS VARCHAR))) AS h
+           FROM range({n}))
+SELECT media_id,
+       CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       {_sql_feature_str(dim)} AS feature_str,
+       CAST(32 AS BIGINT) AS n_bytes
+FROM m
+"""
+
+
+def _sql_multimodal_frames(n: int = 64, dim: int = 8,
+                           every: int = 1000) -> str:
+    return f"""
+WITH v AS (SELECT CAST(range AS BIGINT) AS media_id,
+                  sha256(CAST(range AS VARCHAR)) AS phex,
+                  (range % 20 + 1) * {every} AS duration_ms
+           FROM range({n}) WHERE range % 3 = 2),
+f AS (SELECT media_id, CAST(ts AS BIGINT) AS ts_ms, phex
+      FROM v, unnest(generate_series(0, CAST(duration_ms - 1 AS BIGINT),
+                                     {every})) AS u(ts)),
+hh AS (SELECT media_id, ts_ms,
+              sha256(CAST(ts_ms AS VARCHAR) || phex) AS h FROM f)
+SELECT media_id, ts_ms // {every} AS frame_idx, ts_ms,
+       {_sql_feature_str(dim)} AS feature_str
+FROM hh
+"""
 
 
 # --------------------------------------------------------------------- #
@@ -1030,6 +1091,8 @@ def oracles() -> dict[str, str]:
         "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
         "entity_link": SQL_ENTITY_LINK,
         "sessionize": SQL_SESSIONIZE,
+        "multimodal_features": _sql_multimodal_features(),
+        "multimodal_frame_sample": _sql_multimodal_frames(),
         # graph_metrics / rdfa_vocab_usage depend on extraction ->
         # rows-only driver check
         # rdfa_extract / rdfa_diagnostics / rdfa_prototype_expand /
