@@ -106,20 +106,32 @@ def build_lexicon(docs: DataFrame, top_n: int = 20) -> DataFrame:
     """Entity dimension from the corpus itself: the ``top_n`` most
     frequent normalized tokens, entity_id = frequency rank (ties broken
     by token).  A stand-in for an external entity dictionary with the
-    same shape."""
-    from pyspark.sql import Window
+    same shape.
 
+    Scale shape: the top-n selection is ``orderBy().limit()`` — planned
+    as TakeOrderedAndProject, a fully parallel per-partition top-n +
+    driver merge — NOT a global window over the whole token vocabulary
+    (billions of distinct tokens at corpus scale would all land in one
+    window partition).  Ranks are then assigned by packing the
+    ≤``top_n``-row result into one sorted array and exploding with
+    position — no WindowExec anywhere in the plan (a partition-less
+    window, even over tiny data, is the pattern the plan guard bans)."""
     toks = (docs
             .select(F.explode(F.split(_norm_mention(F.col("text")),
                                       r"\s+")).alias("name"))
             .filter(F.col("name") != "")
             .groupBy("name")
             .agg(F.count("*").cast("bigint").alias("freq")))
-    w = Window.orderBy(F.desc("freq"), F.asc("name"))
-    return (toks.withColumn("entity_id",
-                            F.row_number().over(w).cast("bigint"))
-            .filter(F.col("entity_id") <= top_n)
-            .select("entity_id", "name", "freq"))
+    top = toks.orderBy(F.desc("freq"), F.asc("name")).limit(top_n)
+    # array_sort on (-freq, name) == ORDER BY freq DESC, name ASC
+    packed = top.agg(F.array_sort(F.collect_list(
+        F.struct((-F.col("freq")).alias("negfreq"),
+                 F.col("name").alias("name")))).alias("ranked"))
+    return (packed
+            .select(F.posexplode("ranked").alias("pos", "r"))
+            .select((F.col("pos") + 1).cast("bigint").alias("entity_id"),
+                    F.col("r.name").alias("name"),
+                    (-F.col("r.negfreq")).cast("bigint").alias("freq")))
 
 
 def link_mentions(docs: DataFrame, entities: DataFrame) -> DataFrame:
