@@ -66,8 +66,33 @@ def minhash_signatures(docs: DataFrame, k: int = 5,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _bucket_pairs(buckets: DataFrame, a_col: str, b_col: str,
+                  max_bucket: int) -> DataFrame:
+    """Pair generation inside LSH buckets with a degenerate-bucket cap.
+
+    ``buckets`` must carry an ``ids`` array column.  Buckets up to
+    ``max_bucket`` members emit all C(n,2) pairs; larger ones (N
+    identical boilerplate docs — a common real-corpus case that would
+    otherwise put one N-element row and N² pairs through a single task)
+    are *star-linked*: every member pairs with the bucket's minimum id
+    only, so the output stays O(N).  Branchless (``when`` on the
+    left-explode source) so the expensive upstream aggregate is planned
+    exactly once, not once per branch of a union.
+    """
+    ids = F.array_sort(F.col("ids"))
+    left_src = F.when(F.size(ids) <= max_bucket, ids) \
+        .otherwise(F.slice(ids, 1, 1))   # oversized: only the rep on the left
+    passthrough = [c for c in buckets.columns if c != "ids"]
+    return (buckets
+            .select(*passthrough, F.explode(left_src).alias(a_col),
+                    ids.alias("ids"))
+            .select(*passthrough, a_col, F.explode("ids").alias(b_col))
+            .filter(F.col(a_col) < F.col(b_col)))
+
+
 def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
-                           bands: int = 4) -> DataFrame:
+                           bands: int = 4,
+                           max_bucket: int = 512) -> DataFrame:
     """LSH banding: signatures split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band bucket are duplicate
     candidates.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
@@ -76,8 +101,22 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     buckets that collide — bucket cardinality is bounded by near-dup
     cluster size, not corpus size, and the signature lineage is computed
     exactly once (a self-join of the band relation would recompute the
-    whole shingle->signature pipeline for each side).
+    whole shingle->signature pipeline for each side).  Buckets larger
+    than ``max_bucket`` are star-linked to a representative instead of
+    all-pairs (see :func:`_bucket_pairs`); audit what the cap touched
+    with :func:`minhash_lsh_bucket_stats`.
     """
+    buckets = (_band_buckets(docs, k, n_hashes, bands)
+               .groupBy("band", "bucket")
+               .agg(F.collect_set("doc_id").alias("ids"))
+               .filter(F.size("ids") > 1))
+    return (_bucket_pairs(buckets, "doc_a", "doc_b", max_bucket)
+            .select("doc_a", "doc_b")
+            .dropDuplicates())
+
+
+def _band_buckets(docs: DataFrame, k: int, n_hashes: int,
+                  bands: int) -> DataFrame:
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
     band_cols = []
@@ -87,17 +126,25 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
         band_cols.append(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("|", *parts)).alias("bucket")))
-    exploded = (sig.select("doc_id",
-                           F.explode(F.array(*band_cols)).alias("bb"))
-                .select("doc_id", "bb.band", "bb.bucket"))
-    buckets = (exploded.groupBy("band", "bucket")
-               .agg(F.collect_set("doc_id").alias("ids"))
-               .filter(F.size("ids") > 1))
-    return (buckets
-            .select(F.explode("ids").alias("doc_a"), F.col("ids"))
-            .select("doc_a", F.explode("ids").alias("doc_b"))
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .dropDuplicates())
+    return (sig.select("doc_id",
+                       F.explode(F.array(*band_cols)).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket"))
+
+
+def minhash_lsh_bucket_stats(docs: DataFrame, k: int = 5, n_hashes: int = 8,
+                             bands: int = 4,
+                             max_bucket: int = 512) -> DataFrame:
+    """Buckets the candidate cap degraded to star-linking — the 'no
+    silent caps' audit: one row per oversized bucket with its size and
+    the number of all-pairs candidates the cap dropped."""
+    buckets = (_band_buckets(docs, k, n_hashes, bands)
+               .groupBy("band", "bucket")
+               .agg(F.count("*").cast("bigint").alias("n_docs"))
+               .filter(F.col("n_docs") > max_bucket))
+    dropped = (F.col("n_docs") * (F.col("n_docs") - 1) / 2
+               - (F.col("n_docs") - 1)).cast("bigint")
+    return buckets.select("band", "bucket", "n_docs",
+                          dropped.alias("dropped_pairs"))
 
 
 def _shingle_arrays(docs: DataFrame, k: int = 5):

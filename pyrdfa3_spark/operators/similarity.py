@@ -85,20 +85,23 @@ def lsh_bucket(embeddings: DataFrame, dim: int = 64,
 
 
 def lsh_cosine_candidates(embeddings: DataFrame, dim: int = 64,
-                          n_planes: int = 8) -> DataFrame:
+                          n_planes: int = 8,
+                          max_bucket: int = 512) -> DataFrame:
     """ANN candidate pairs: vectors sharing an LSH bucket
     (vec_a < vec_b).  groupBy(bucket) + in-bucket pair expansion: one
     shuffle of O(corpus) rows, and the signature lineage (8 dot products
     per row) is computed exactly once — a bucket self-join would
-    recompute it for each side."""
+    recompute it for each side.  Buckets larger than ``max_bucket``
+    (degenerate near-identical clusters) are star-linked to their
+    minimum member instead of all-pairs, bounding any single task at
+    O(bucket) — same cap as ``dedup._bucket_pairs``."""
+    from pyrdfa3_spark.operators.dedup import _bucket_pairs
+
     b = lsh_bucket(embeddings, dim, n_planes)
     buckets = (b.groupBy("bucket")
                .agg(F.collect_set("vec_id").alias("ids"))
                .filter(F.size("ids") > 1))
-    return (buckets
-            .select("bucket", F.explode("ids").alias("vec_a"), F.col("ids"))
-            .select("vec_a", F.explode("ids").alias("vec_b"), "bucket")
-            .filter(F.col("vec_a") < F.col("vec_b"))
+    return (_bucket_pairs(buckets, "vec_a", "vec_b", max_bucket)
             .select("vec_a", "vec_b", "bucket"))
 
 

@@ -133,6 +133,48 @@ def test_minhash_finds_near_dups(spark, dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_degenerate_bucket_capped(spark):
+    """10k identical docs land in one bucket per band; the cap must
+    star-link them (N-1 pairs to the min doc_id) instead of exploding
+    ~50M all-pairs through a single task."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text appears on every page "
+              "of this crawled site").alias("text"))
+    pairs = minhash_lsh_candidates(docs, k=5, n_hashes=8, bands=4,
+                                   max_bucket=256)
+    rows = pairs.collect()
+    assert len(rows) == n - 1                       # star, not quadratic
+    assert all(r["doc_a"] == 0 for r in rows)       # rep = min doc_id
+    assert {r["doc_b"] for r in rows} == set(range(1, n))
+
+    from pyrdfa3_spark.operators.dedup import minhash_lsh_bucket_stats
+    stats = minhash_lsh_bucket_stats(docs, k=5, n_hashes=8, bands=4,
+                                     max_bucket=256).collect()
+    assert len(stats) == 4                          # one bucket per band
+    expected_dropped = n * (n - 1) // 2 - (n - 1)
+    assert all(r["n_docs"] == n and r["dropped_pairs"] == expected_dropped
+               for r in stats)
+
+
+def test_lsh_cosine_degenerate_bucket_capped(spark):
+    from pyspark.sql import functions as F
+
+    from pyrdfa3_spark.operators.similarity import lsh_cosine_candidates
+
+    n = 5_000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"))
+    pairs = lsh_cosine_candidates(emb, dim=8, n_planes=4, max_bucket=64)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r["vec_a"] == 0 for r in rows)
+
+
 def test_ngram_jaccard_values(spark, dup_docs):
     pairs = spark.createDataFrame([(0, 4), (0, 3)], ["doc_a", "doc_b"])
     out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
