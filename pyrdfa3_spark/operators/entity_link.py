@@ -37,10 +37,17 @@ def sameas_canonical_map(edges: DataFrame,
     (node, canon) for every node that appears in an edge, where canon is
     the minimum node id in its connected component.
 
-    Min-label propagation to fixpoint: each round every node takes the
-    minimum label over itself and its neighbours.  Converges in
-    O(component diameter) rounds; ``cache`` + ``localCheckpoint`` keep
-    the loop's lineage flat.
+    Min-label propagation with pointer-jumping: each round every node
+    takes the minimum label over itself and its neighbours, then jumps
+    to its label's label (path compression) — so label information
+    travels a doubling distance per round and a component of diameter d
+    converges in O(log d) rounds, not O(d).  At 100 TB this is the
+    difference between ~6 shuffles and ~40 for a 40-hop alias chain.
+    ``cache`` + ``localCheckpoint`` keep the loop's lineage flat.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
+    reaching the fixpoint — a silent partial result would assign wrong
+    canonical ids to every node of an unconverged component.
     """
     sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
            .unionByName(edges.select(F.col("dst").alias("a"),
@@ -50,6 +57,7 @@ def sameas_canonical_map(edges: DataFrame,
               .dropDuplicates()
               .withColumn("canon", F.col("node"))
               .cache())
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (sym
                         .join(labels, sym.b == labels.node)
@@ -60,14 +68,30 @@ def sameas_canonical_map(edges: DataFrame,
                             "left")
                       .select("node",
                               F.least("canon", "n_min").alias("canon")))
+        # pointer jump: canon <- canon's own current label (canon is
+        # always a node id present in the table, so the lookup is total)
+        jump = new_labels.select(F.col("node").alias("jn"),
+                                 F.col("canon").alias("jc"))
+        new_labels = (new_labels
+                      .join(jump, new_labels.canon == jump.jn, "left")
+                      .select("node",
+                              F.coalesce("jc", "canon").alias("canon")))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.canon") != F.col("o.canon")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        if changed.isEmpty():
-            labels = new_labels
+        done = changed.isEmpty()
+        labels.unpersist()           # superseded: new_labels is eagerly
+        labels = new_labels          # materialized, no lineage back
+        if done:
+            converged = True
             break
-        labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"sameas_canonical_map did not converge in {max_iterations} "
+            f"rounds; with pointer-jumping this means a component of "
+            f"diameter > ~2^{max_iterations} or a data problem — raise "
+            f"max_iterations explicitly if the graph is genuinely that deep")
     return labels
 
 

@@ -110,20 +110,36 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     with per-iteration delta joins (delta ⋈ edges), the standard
     semi-naive evaluation that only grows the frontier.  ``cache`` +
     ``localCheckpoint`` keep lineage from exploding at depth.
+
+    Raises ``RuntimeError`` when ``max_iterations`` rounds pass with the
+    frontier still growing (paths longer than max_iterations+1 exist) —
+    returning a silently truncated closure would drop exactly the
+    deepest derivations.
     """
     base = edges.select("src", "dst").dropDuplicates().cache()
     closure = base
     delta = base
+    converged = False
     for _ in range(max_iterations):
         step = (delta.alias("d")
                 .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
                 .select(F.col("d.src").alias("src"),
                         F.col("e.dst").alias("dst"))
                 .dropDuplicates())
+        prev_delta = delta
         delta = step.join(closure, ["src", "dst"], "left_anti").cache()
         if delta.isEmpty():
+            converged = True
             break
         closure = closure.unionByName(delta).localCheckpoint(eager=True)
+        if prev_delta is not base:   # superseded frontier: free its cache
+            prev_delta.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"transitive_closure frontier still growing after "
+            f"{max_iterations} rounds (paths deeper than "
+            f"{max_iterations + 1} edges); raise max_iterations for "
+            f"genuinely deep graphs")
     return closure
 
 
@@ -224,6 +240,7 @@ def miniowl_expand(data: DataFrame, vocab: DataFrame,
     base = data.select("subj", "pred", "obj").dropDuplicates().cache()
     all_t = base
     delta = base
+    converged = False
     for _ in range(max_iterations):
         d1 = (delta.join(F.broadcast(pm), delta["pred"] == pm["f"])
               .select("subj", F.col("t").alias("pred"), "obj"))
@@ -233,9 +250,18 @@ def miniowl_expand(data: DataFrame, vocab: DataFrame,
         new = (d1.unionByName(d2).dropDuplicates()
                .join(all_t, ["subj", "pred", "obj"], "left_anti").cache())
         if new.isEmpty():
+            converged = True
             break
         all_t = all_t.unionByName(new).localCheckpoint(eager=True)
+        if delta is not base:        # superseded frontier: free its cache
+            delta.unpersist()
         delta = new
+    if not converged:
+        raise RuntimeError(
+            f"miniowl_expand still deriving new triples after "
+            f"{max_iterations} rounds — the schema maps are pre-closed, "
+            f"so this indicates a pathological vocab; raise "
+            f"max_iterations if intentional")
     return all_t
 
 

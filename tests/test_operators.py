@@ -362,6 +362,40 @@ def test_sameas_canonicalization(spark):
                    ("urn:z", "p:name", "lit")}
 
 
+def test_sameas_long_chain_pointer_jumping(spark):
+    """A 60-hop alias chain must converge well under 60 rounds (pointer
+    jumping doubles label reach per round) and an exhausted budget must
+    raise instead of returning silently wrong canon labels."""
+    import pytest
+
+    from pyrdfa3_spark.operators.entity_link import sameas_canonical_map
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"urn:n{i:03d}", f"urn:n{i - 1:03d}") for i in range(1, n)],
+        ["src", "dst"])
+    m = {r["node"]: r["canon"]
+         for r in sameas_canonical_map(edges, max_iterations=8).collect()}
+    assert len(m) == n
+    assert all(v == "urn:n000" for v in m.values())
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        sameas_canonical_map(edges, max_iterations=2)
+
+
+def test_transitive_closure_exhaustion_raises(spark):
+    import pytest
+
+    from pyrdfa3_spark.operators.graphops import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(12)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="still growing"):
+        transitive_closure(chain, max_iterations=3)
+    out = transitive_closure(chain, max_iterations=15)
+    assert out.count() == 12 * 13 // 2
+
+
 def test_link_mentions_lexicon(spark):
     from pyrdfa3_spark.operators.entity_link import (
         build_lexicon, link_mentions,
