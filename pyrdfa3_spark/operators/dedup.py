@@ -17,6 +17,21 @@ def _normalized(col="text"):
     return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
 
 
+def _scale_out(df: DataFrame) -> DataFrame:
+    """Give a digest-heavy narrow map real parallelism when the scan
+    does not: a corpus that arrives as a handful of files (the local
+    bench: ONE parquet split) would otherwise serialize the whole
+    sha256-per-shingle stage into one task.  The repartition is SKIPPED
+    whenever the input already has at least half the cluster's cores in
+    partitions — a 100 TB table has thousands of splits and must not pay
+    a round-robin shuffle here."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup: one row per duplicated fingerprint with
     the kept (minimum) doc_id and the duplicate count."""
@@ -29,27 +44,6 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
-def _shingles(docs: DataFrame, k: int = 5):
-    """Character k-gram shingle rows (doc_id, shingle), distinct."""
-    # build the distinct-shingle array inside the row, then explode —
-    # exploding (i, norm) pairs would carry the full document string into
-    # every shingle row (quadratic bytes at corpus scale)
-    n = F.length(F.col("norm"))
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingle_arr = F.array_distinct(
-        F.transform(idx, lambda i: F.col("norm").substr(i, F.lit(k))))
-    return (docs
-            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                    _normalized().alias("norm"))
-            .select("doc_id", F.explode(shingle_arr).alias("shingle")))
-
-
-def _hex_chunk(col, start):
-    """32-bit integer from 8 hex chars of a digest column —
-    reproducible bit-for-bit in the DuckDB oracle."""
-    return F.conv(F.substring(F.col(col), start, 8), 16, 10).cast("bigint")
-
-
 def minhash_signatures(docs: DataFrame, k: int = 5,
                        n_hashes: int = 8) -> DataFrame:
     """MinHash signature per document: one sha2-256 per distinct shingle
@@ -57,13 +51,35 @@ def minhash_signatures(docs: DataFrame, k: int = 5,
     hash functions for the price of a single digest (a linear family
     derived from one chunk would correlate the per-band minima and
     inflate LSH false positives).  h_j(doc) = min over shingles of
-    chunk_j(sha256(shingle)).  Output: doc_id, h0..h{n-1} (bigint)."""
+    chunk_j(sha256(shingle)).  Output: doc_id, h0..h{n-1} (bigint).
+
+    Scale shape: entirely in-row — the distinct-shingle array is
+    digested with one ``transform`` and all n minima come from a single
+    ``aggregate`` pass (``zip_with``/``least`` over a running-minimum
+    array), so the signature stage is a narrow map with NO explode and
+    NO groupBy shuffle (the previous explode->groupBy shape shuffled
+    ~|text| shingle rows per document; this was 43% of the r1 bench
+    suite).  The digest array is bound to its own projection so the
+    sha256 per shingle is computed once, not once per chunk."""
     if n_hashes > 8:
         raise ValueError("sha256 yields at most 8 independent 32-bit chunks")
-    sh = _shingles(docs, k).withColumn("d", F.sha2("shingle", 256))
-    aggs = [F.min(_hex_chunk("d", 1 + 8 * j)).alias(f"h{j}")
-            for j in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+    def chunk(d, j):
+        return F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast("bigint")
+
+    init = F.array(*[F.lit(1 << 33).cast("bigint")] * n_hashes)  # > uint32
+    digs = F.transform(F.col("sharr"), lambda s: F.sha2(s, 256))
+    sig = F.aggregate(
+        F.col("dig"), init,
+        lambda acc, d: F.zip_with(
+            acc, F.array(*[chunk(d, j) for j in range(n_hashes)]),
+            lambda a, b: F.least(a, b)))
+    return (_shingle_arrays(_scale_out(docs), k)
+            .select("doc_id", digs.alias("dig"))
+            .select("doc_id", sig.alias("sig"))
+            .select("doc_id",
+                    *[F.element_at("sig", j + 1).alias(f"h{j}")
+                      for j in range(n_hashes)]))
 
 
 def _bucket_pairs(buckets: DataFrame, a_col: str, b_col: str,
@@ -186,7 +202,7 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     (+1/-1) votes from each distinct token's md5.  Column algebra only:
     explode tokens -> per-token bit votes via conv(substr(md5,..)) ->
     groupBy doc -> bit assembly."""
-    toks = (docs
+    toks = (_scale_out(docs)
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.explode(F.split(_normalized(), " ")).alias("tok"))
             .filter(F.col("tok") != "")

@@ -34,13 +34,15 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
     """
     from pyspark.sql import Window
 
+    from pyrdfa3_spark.operators.dedup import _scale_out
+
     embeddings = embeddings.withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     q = (embeddings
          .filter(F.col("vec_id").isin([int(i) for i in query_ids]))
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb")))
-    pairs = (embeddings.crossJoin(F.broadcast(q))
+    pairs = (_scale_out(embeddings).crossJoin(F.broadcast(q))
              .filter(F.col("vec_id") != F.col("query_id")))
     scored = pairs.select(
         F.col("query_id").cast("bigint").alias("query_id"),
@@ -73,7 +75,9 @@ def lsh_bucket(embeddings: DataFrame, dim: int = 64,
                n_planes: int = 8) -> DataFrame:
     """Random-hyperplane signature: bit p = (v . plane_p) >= 0.
     Output: vec_id, bucket (bigint 0..2^n_planes-1)."""
-    embeddings = embeddings.withColumn(
+    from pyrdfa3_spark.operators.dedup import _scale_out
+
+    embeddings = _scale_out(embeddings).withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     sig = F.lit(0).cast("bigint")
     for p in range(n_planes):
