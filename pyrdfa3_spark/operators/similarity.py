@@ -179,6 +179,41 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16,
     return centroids
 
 
+def ivf_train_local(sf_dir: str, n_cells: int = 16,
+                    iters: int = 2) -> list[list[float]]:
+    """Driver-side trainer twin of :func:`ivf_train` over a parquet
+    sample — standard IVF practice: the coarse quantizer is trained on a
+    driver-resident sample and only *assignment + probe* run
+    distributed.  Identical semantics to ivf_train (min-vec_id init,
+    cosine argmax with ties to the lower cell, per-dimension means,
+    empty cells keep their centroid); the returned floats are inlined as
+    plan literals, which is what lets the SQL oracle mirror the probe
+    stage bit-for-bit (same trick as :func:`plane_values`)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = np.asarray(t["vec_id"].to_numpy())
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vid)
+    emb = emb[order]
+    cents = emb[:n_cells].copy()
+    for _ in range(iters):
+        cn = np.sqrt((cents ** 2).sum(1))
+        cn[cn == 0] = 1.0
+        vn = np.sqrt((emb ** 2).sum(1))
+        sims = np.round(emb @ cents.T / (vn[:, None] * cn[None, :]), 9)
+        cell = np.argmax(sims, 1)          # ties -> lowest index
+        new = cents.copy()
+        for c in range(n_cells):
+            members = cell == c
+            if members.any():
+                new[c] = emb[members].mean(0)
+        cents = new
+    return [[float(v) for v in c] for c in cents]
+
+
 def ivf_assign(embeddings: DataFrame,
                centroids: list[list[float]]) -> DataFrame:
     """vec_id -> IVF cell (partitioning column for the corpus table)."""

@@ -271,13 +271,64 @@ def q_lsh_cosine_candidates(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: deterministic k-means coarse quantizer +
-    nprobe cell-restricted search.  Training is iterative (driver-side
-    Lloyd loop) -> not SQL-expressible; verified against an independent
-    numpy implementation in tests/test_operators.py."""
+    nprobe cell-restricted search.  The quantizer is trained on a
+    driver-side sample (ivf_train_local — the centroids become plan
+    literals, exactly like the LSH plane constants) so the probe stage
+    is plain SQL and the oracle below verifies it bit-for-bit; the
+    fully-distributed trainer ivf_train remains for corpora whose
+    training sample must itself be distributed (numpy-verified in
+    tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = S.ivf_train(emb, n_cells=16, iters=2)
+    cents = S.ivf_train_local(sf_dir, n_cells=16, iters=2)
     return S.ivf_topk(emb, query_ids=list(range(10)), centroids=cents,
                       nprobe=2, top_k=5)
+
+
+def _sql_ivf_topk(n_cells: int = 16, iters: int = 2, nprobe: int = 2,
+                  top_k: int = 5,
+                  sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Probe-stage oracle with the trained centroids inlined as SQL
+    literals (the driver's correctness gate runs at sf0.01, so the
+    trainer reads that sample)."""
+    import math
+
+    cents = S.ivf_train_local(sf_dir, n_cells=n_cells, iters=iters)
+    sims = []
+    for c in cents:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        sims.append(f"round(list_dot_product(emb, {c!r}) / (vn * {cn!r}), 9)")
+    sim_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims))
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    # first WHEN that matches wins -> ties resolve to the lower index,
+    # mirroring _best_cell's negidx struct-max
+    cell_case = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_cells)) + " END"
+    q_unpivot = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, emb AS q_emb, {i} AS i, s{i} AS sim "
+        f"FROM sims WHERE vec_id < 10" for i in range(n_cells))
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS vn FROM e),
+sims AS (SELECT vec_id, emb, {sim_cols} FROM n),
+corpus AS (SELECT vec_id, emb, {cell_case} AS cell
+           FROM (SELECT *, {best} AS best FROM sims)),
+qc AS (SELECT query_id, q_emb, i AS cell FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, i DESC) AS rk
+         FROM ({q_unpivot})) WHERE rk <= {nprobe}),
+scored AS (SELECT qc.query_id, c.vec_id,
+                  round(list_dot_product(qc.q_emb, c.emb)
+                        / (sqrt(list_dot_product(qc.q_emb, qc.q_emb))
+                           * sqrt(list_dot_product(c.emb, c.emb))), 4)
+                      AS cos_sim
+           FROM corpus c JOIN qc ON c.cell = qc.cell
+           WHERE c.vec_id <> qc.query_id)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= {top_k}
+"""
 
 
 def _sql_lsh_cosine():
@@ -607,8 +658,8 @@ def q_nt_serialize(spark, sf_dir):
 
 def q_jsonld_serialize(spark, sf_dir):
     """JSON-LD lines sink (S6): one flat node object per subject.
-    Round-trip-tested in tests/test_serialize.py; driver check is
-    rows-only (byte-identical JSON is not portably expressible in SQL)."""
+    Round-trip-tested in tests/test_serialize.py; byte-exact string-
+    assembly oracle below (same approach as SQL_NT_SERIALIZE)."""
     from pyrdfa3_spark.plans.serialize import to_jsonld
 
     return to_jsonld(_nation_graph(spark, sf_dir))
@@ -616,10 +667,47 @@ def q_jsonld_serialize(spark, sf_dir):
 
 def q_rdfxml_serialize(spark, sf_dir):
     """RDF/XML sink (S6): one rdf:Description block per subject.
-    Round-trip-tested in tests/test_serialize.py; rows-only check."""
+    Round-trip-tested in tests/test_serialize.py; byte-exact oracle."""
     from pyrdfa3_spark.plans.serialize import to_rdfxml
 
     return to_rdfxml(_nation_graph(spark, sf_dir))
+
+
+# byte-exact reassembly of the serializer outputs over the nation
+# fixture (_nation_graph): entries sorted per subject, JSON escapes are
+# the literal two-char sequences, XML text keeps quotes unescaped
+SQL_JSONLD_SERIALIZE = r"""
+SELECT '{"@id":"_:bn' || CAST(n_nationkey AS VARCHAR)
+       || '","urn:p:in":[{"@id":"urn:region:R'
+       || CAST(n_regionkey AS VARCHAR) || '"}]}' AS jsonld
+FROM nation
+UNION ALL
+SELECT '{"@id":"urn:nation:N' || CAST(n_nationkey AS VARCHAR)
+       || '","urn:p:key":[{"@value":"' || CAST(n_nationkey AS VARCHAR)
+       || '","@type":"http://www.w3.org/2001/XMLSchema#integer"}]'
+       || ',"urn:p:name":[{"@value":"' || n_name
+       || ' says \"hi\"\n","@language":"en"}]}' AS jsonld
+FROM nation
+"""
+
+SQL_RDFXML_SERIALIZE = """
+SELECT '  <rdf:Description rdf:about="urn:nation:N'
+       || CAST(n_nationkey AS VARCHAR) || '">' || chr(10)
+       || '    <p:key xmlns:p="urn:p:" rdf:datatype='
+       || '"http://www.w3.org/2001/XMLSchema#integer">'
+       || CAST(n_nationkey AS VARCHAR) || '</p:key>' || chr(10)
+       || '    <p:name xmlns:p="urn:p:" xml:lang="en">' || n_name
+       || ' says "hi"' || chr(10) || '</p:name>' || chr(10)
+       || '  </rdf:Description>' AS block
+FROM nation
+UNION ALL
+SELECT '  <rdf:Description rdf:nodeID="bn'
+       || CAST(n_nationkey AS VARCHAR) || '">' || chr(10)
+       || '    <p:in xmlns:p="urn:p:" rdf:resource="urn:region:R'
+       || CAST(n_regionkey AS VARCHAR) || '"/>' || chr(10)
+       || '  </rdf:Description>' AS block
+FROM nation
+"""
 
 
 SQL_NT_SERIALIZE = """
@@ -1076,6 +1164,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_candidates": _sql_lsh_cosine(),
+        "ivf_topk": _sql_ivf_topk(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue_topk": SQL_NATION_REVENUE_TOPK,
         "user_event_sequence": SQL_USER_EVENT_SEQUENCE,
@@ -1085,6 +1174,8 @@ def oracles() -> dict[str, str]:
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
         "nt_serialize": SQL_NT_SERIALIZE,
+        "jsonld_serialize": SQL_JSONLD_SERIALIZE,
+        "rdfxml_serialize": SQL_RDFXML_SERIALIZE,
         "dedup_global_triples": SQL_DEDUP_GLOBAL,
         "curie_resolve": SQL_CURIE_RESOLVE,
         "salted_join": SQL_SALTED_JOIN,
