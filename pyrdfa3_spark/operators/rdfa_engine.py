@@ -1251,17 +1251,20 @@ def _strptime_any(value: str, formats) -> bool:
 
 # cheap shape gates in front of the strptime tables: strptime raises
 # ValueError ~10 formats deep for every non-matching value, which
-# dominated the profile; a value that fails the shape regex can never
-# match any format in the group, while one that passes still gets
-# strptime's semantic range checks (month <= 12 etc.)
+# dominated the profile.  The gates must cover strptime's full *lexical*
+# space or they silently drop datatypes the reference assigns: CPython
+# %m/%d/%H/%M/%S accept 1-2 digits ('2014-5-7', '9:5' are valid), %Y is
+# exactly 4 digits (the \d{4,} over-match is safe — the gate may pass
+# values strptime then rejects, never the reverse), %f is 1-6 digits.
 _TIME_SHAPES = [
-    (XSD_GMONTHDAY, re.compile(r"^\d{2}-\d{2}$")),
-    (XSD_GYEARMONTH, re.compile(r"^\d{4,}-\d{2}$")),
+    (XSD_GMONTHDAY, re.compile(r"^\d{1,2}-\d{1,2}$")),
+    (XSD_GYEARMONTH, re.compile(r"^\d{4,}-\d{1,2}$")),
     (XSD_GYEAR, re.compile(r"^\d{4,}$")),
-    (XSD_DATE, re.compile(r"^\d{4,}-\d{2}-\d{2}Z?$")),
-    (XSD_TIME, re.compile(r"^\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?Z?$")),
+    (XSD_DATE, re.compile(r"^\d{4,}-\d{1,2}-\d{1,2}Z?$")),
+    (XSD_TIME, re.compile(r"^\d{1,2}:\d{1,2}(:\d{1,2}(\.\d+)?)?Z?$")),
     (XSD_DATETIME,
-     re.compile(r"^\d{4,}-\d{2}-\d{2}T\d{1,2}:\d{2}(:\d{2}(\.\d+)?)?Z?$")),
+     re.compile(
+         r"^\d{4,}-\d{1,2}-\d{1,2}T\d{1,2}:\d{1,2}(:\d{1,2}(\.\d+)?)?Z?$")),
 ]
 _TIME_SHAPES_BY.update(dict(_TIME_SHAPES))
 

@@ -184,12 +184,20 @@ def _parse_html_fast(text: str) -> Node:
         stack[-1].append(n)
         stack.append(n)
 
+    def reject_cdata():
+        # expat would surface CDATA content as text, but HTML parsing
+        # (html5lib and our tolerant fallback) treats <![CDATA[...]]> as
+        # a bogus comment and drops it — force the fallback so both
+        # paths emit identical literals for the same fragment
+        raise ValueError("CDATA section: not HTML, use tolerant parser")
+
     p = expat.ParserCreate()
     p.ordered_attributes = True
     p.buffer_text = True
     p.StartElementHandler = start
     p.EndElementHandler = lambda tag: stack.pop()
     p.CharacterDataHandler = lambda d: stack[-1].append(d) if d else None
+    p.StartCdataSectionHandler = reject_cdata
     p.Parse("<sgr-root>" + text + "</sgr-root>", True)
     return stack[0].children[0]  # the wrapper element
 

@@ -62,20 +62,31 @@ def stale_buckets(transcripts: DataFrame, out_path: str) -> set[int]:
                 manifests[int(m["bucket"])] = m
     if not manifests:
         return set()
-    n_buckets = next(iter(manifests.values()))["n_buckets"]
-    current = {
-        r["b"]: (r["n"], int(r["fp"] or 0))
-        for r in (transcripts
-                  .groupBy(F.pmod(F.hash("conv_id"), F.lit(n_buckets))
-                           .alias("b"))
-                  .agg(F.count("*").alias("n"),
-                       F.sum(F.hash("conv_id", "turn_idx")).alias("fp"))
-                  .collect())
-    }
-    return {
-        b for b, m in manifests.items()
-        if current.get(b, (0, 0)) != (m["turns_in"], m["input_fingerprint"])
-    }
+    # manifests written under different layouts (n_buckets changed
+    # between runs) must each be fingerprinted against their own
+    # bucketing — recomputing with one arbitrary n_buckets would mark
+    # every foreign-layout bucket stale (or, worse, let a collision
+    # mask a genuinely stale one)
+    stale: set[int] = set()
+    by_layout: dict[int, dict[int, dict]] = {}
+    for b, m in manifests.items():
+        by_layout.setdefault(int(m["n_buckets"]), {})[b] = m
+    for n_buckets, group in by_layout.items():
+        current = {
+            r["b"]: (r["n"], int(r["fp"] or 0))
+            for r in (transcripts
+                      .groupBy(F.pmod(F.hash("conv_id"), F.lit(n_buckets))
+                               .alias("b"))
+                      .agg(F.count("*").alias("n"),
+                           F.sum(F.hash("conv_id", "turn_idx")).alias("fp"))
+                      .collect())
+        }
+        stale |= {
+            b for b, m in group.items()
+            if current.get(b, (0, 0)) != (m["turns_in"],
+                                          m["input_fingerprint"])
+        }
+    return stale
 
 
 def run_bucketed(transcripts: DataFrame, out_path: str,

@@ -83,18 +83,23 @@ def run_to_completion(stream_df: DataFrame, out_dir: str,
 
 def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
                              checkpoint_dir: str, buckets: int = 16):
-    """Streaming graph materialize into the same bucket(conv_id)
-    physical layout the batch sink (plans/extract.py::write_triples)
-    and lineage manifests use — a ``foreachBatch`` append per
-    micro-batch, exactly-once via the stream checkpoint (in production
-    the body is one Iceberg ``append`` and the Iceberg snapshot log
-    replaces the per-batch commit files)."""
+    """Streaming graph materialize into a bucket(conv_id) physical
+    layout via ``foreachBatch``, **idempotent per micro-batch**: rows
+    land under ``batch_id=N/conv_bucket=B`` with dynamic partition
+    overwrite, so a batch replayed after a crash between the write and
+    the checkpoint commit rewrites exactly its own ``batch_id``
+    partitions instead of appending duplicates — exactly-once table
+    contents on top of Structured Streaming's at-least-once foreachBatch
+    contract.  (In production the body is one Iceberg ``append`` whose
+    snapshot log already gives idempotent commit-by-batch-id.)"""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df
+         .withColumn("batch_id", F.lit(batch_id))
          .withColumn("conv_bucket",
                      F.pmod(F.hash("conv_id"), F.lit(buckets)))
-         .write.mode("append")
-         .partitionBy("conv_bucket")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", "conv_bucket")
          .parquet(out_dir))
 
     q = (stream_df.writeStream

@@ -480,3 +480,56 @@ def test_hturtle_only_mode():
     # the same doc in normal mode emits the RDFa triples as well
     proc2 = RDFaProcessor(base="http://h.example/d")
     assert len(proc2.process(parse_html(doc))) > 1
+
+
+def test_time_format_parity_with_reference():
+    """_format_test must agree with the reference's own html5 sniffing
+    (pyRdfa/host/html5.py:66-155) across the full lexical grid,
+    including single-digit %m/%d/%H/%M/%S values CPython strptime
+    accepts ('2014-5-7', '9:5') — the shape gates must not drop them."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "refshim"))
+    sys.path.insert(0, "/root/reference")
+    from pyRdfa.host.html5 import _format_test as ref_format_test
+
+    from pyrdfa3_spark.operators.rdfa_engine import _format_test
+
+    values = [
+        "2014-05-07", "2014-5-7", "2014-5-07", "2014-05-7", "2014-05-07Z",
+        "2014-05", "2014-5", "2014", "0001", "14-05-07", "123",
+        "05-07", "5-7", "1-5", "12-31", "13-01", "00-00",
+        "09:05", "9:5", "9:05", "10:30:5", "10:30:05", "10:30:05Z",
+        "10:30:05.5", "10:30:05.123456", "24:00", "23:60",
+        "2014-05-07T09:05", "2014-5-7T9:5", "2014-05-07T09:05:06",
+        "2014-05-07T09:05:06.5Z", "2014-05-07T09:05Z",
+        "2014-05-07T09:05:06+02:00", "2014-5-7T9:5:6-05:00",
+        "P3D", "P1Y2M3D", "P1Y", "P3M", "PT5H", "P1DT2H30M",
+        "-P3D", "-P1DT2H", "P", "PX", "plain text", "", "2014-05-07 09:05",
+    ]
+    for v in values:
+        ref = ref_format_test(v)
+        got = _format_test(v)
+        ref_norm = None if ref == "plain" else str(ref)
+        assert got == ref_norm, (v, got, ref)
+
+
+def test_cdata_agrees_across_parse_paths():
+    """<![CDATA[...]]> must produce identical literals whichever parser
+    path runs: HTML semantics treat it as a bogus comment (html5lib),
+    so the expat fast path defers to the tolerant parser instead of
+    emitting the section as text."""
+    from pyrdfa3_spark.sources.dom import parse_html
+
+    doc = ('<div about="#x"><span property="p"><![CDATA[hello]]>'
+           'world</span></div>')
+    root = parse_html(doc)
+
+    def text_of(n):
+        return "".join(c if isinstance(c, str) else text_of(c)
+                       for c in n.children)
+
+    assert text_of(root) == "world"

@@ -118,15 +118,30 @@ def test_stream_bucketed_materialize(spark, tmp_path):
     run_bucketed_materialize(
         extract_stream(stream_transcripts(spark, in_dir)),
         out_dir, ckpt, buckets=4)
-    parts = [d for d in os.listdir(out_dir) if d.startswith("conv_bucket=")]
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    assert batches
+    parts = [d for d in os.listdir(os.path.join(out_dir, batches[0]))
+             if d.startswith("conv_bucket=")]
     assert 1 <= len(parts) <= 4
     streamed = spark.read.parquet(out_dir)
 
     from pyrdfa3_spark.plans.extract import extract_triples
     assert streamed.count() == extract_triples(t).count()
+    n = streamed.count()
 
     # re-running with the same checkpoint must not duplicate output
     run_bucketed_materialize(
         extract_stream(stream_transcripts(spark, in_dir)),
         out_dir, ckpt, buckets=4)
-    assert spark.read.parquet(out_dir).count() == streamed.count()
+    assert spark.read.parquet(out_dir).count() == n
+
+    # replay after checkpoint loss (the at-least-once hazard): batches
+    # re-run with the same batch_ids and must overwrite their own
+    # partitions, not append duplicates
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run_bucketed_materialize(
+        extract_stream(stream_transcripts(spark, in_dir)),
+        out_dir, str(tmp_path / "ckpt2"), buckets=4)
+    assert spark.read.parquet(out_dir).count() == n
