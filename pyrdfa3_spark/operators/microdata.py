@@ -1,0 +1,148 @@
+"""HTML microdata extraction (itemscope / itemprop / itemtype / itemid).
+
+The reference's ``StructuredDataParser`` (pyRdfa/rdflibparsers.py:213-269)
+combines RDFa + microdata + embedded turtle, delegating microdata to the
+*external* pyMicrodata package (rdflibparsers.py:264-265); this module
+reimplements the commonly-exercised core of the W3C microdata-to-RDF
+mapping over the same :class:`~pyrdfa3_spark.sources.dom.Node` tree the
+RDFa engine walks, so ``plans/extract.py`` can run both in one pass.
+
+Supported (the subset real schema.org markup uses):
+  * top-level items (``itemscope`` without ``itemprop``), nested items,
+    ``itemid`` subjects resolved against the document base;
+  * ``itemtype`` -> rdf:type triples; the first type token supplies the
+    property vocabulary (up to the last ``#`` or ``/``);
+  * per-tag value extraction (href/src/data URLs, meta@content,
+    data/meter@value, time@datetime, else concatenated text content);
+  * ``lang`` / ``xml:lang`` inheritance onto text literals.
+
+Not implemented (documented contract): ``itemref`` (cross-subtree
+property borrowing) and the md-registry fallback vocabulary for untyped
+items — properties of an item with no vocabulary and a non-absolute
+name are skipped, as are relative ``itemtype`` tokens.
+"""
+
+from __future__ import annotations
+
+from pyrdfa3_spark.operators.rdfa_engine import Literal, urljoin
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# value-carrying attribute per element (W3C microdata §5.4 property value)
+_URL_ATTRS = {
+    "a": "href", "area": "href", "link": "href",
+    "audio": "src", "embed": "src", "iframe": "src", "img": "src",
+    "source": "src", "track": "src", "video": "src",
+    "object": "data",
+}
+_VALUE_ATTRS = {"meta": "content", "data": "value", "meter": "value"}
+
+
+def _vocab_of(itemtype: str) -> str | None:
+    """Property vocabulary from the first itemtype token: everything up
+    to and including the last '#' or '/'."""
+    if "#" in itemtype:
+        return itemtype[:itemtype.rindex("#") + 1]
+    if "/" in itemtype.partition("://")[2]:
+        return itemtype[:itemtype.rindex("/") + 1]
+    return None
+
+
+def _is_absolute(iri: str) -> bool:
+    return "://" in iri or iri.startswith("urn:")
+
+
+def _text_content(node) -> str:
+    out = []
+    for c in node.children:
+        out.append(c if isinstance(c, str) else _text_content(c))
+    return "".join(out)
+
+
+class _MicrodataWalker:
+    def __init__(self, base: str):
+        self.base = base
+        self.counter = 0
+        self.triples: list = []
+
+    def _bnode(self) -> str:
+        self.counter += 1
+        return f"_:md{self.counter}"
+
+    def run(self, root, lang: str | None = None) -> list:
+        self._find_items(root, lang)
+        return self.triples
+
+    def _lang(self, node, inherited):
+        explicit = node.attrs.get("lang") or node.attrs.get("xml:lang")
+        return explicit if explicit else inherited
+
+    def _find_items(self, node, lang):
+        lang = self._lang(node, lang)
+        if "itemscope" in node.attrs and "itemprop" not in node.attrs:
+            self._item(node, lang)
+            return  # the item owns its subtree
+        for c in node.element_children():
+            self._find_items(c, lang)
+
+    def _item(self, node, lang) -> str:
+        """Emit an item's triples; return its subject."""
+        itemid = node.attrs.get("itemid")
+        subj = urljoin(self.base, itemid.strip()) if itemid \
+            else self._bnode()
+        vocab = None
+        types = (node.attrs.get("itemtype") or "").split()
+        for i, t in enumerate(types):
+            if _is_absolute(t):
+                self.triples.append((subj, RDF_TYPE, t))
+                if i == 0:
+                    vocab = _vocab_of(t)
+        for c in node.element_children():
+            self._properties(c, subj, vocab, self._lang(node, lang))
+        return subj
+
+    def _properties(self, node, subj, vocab, lang):
+        lang = self._lang(node, lang)
+        props = (node.attrs.get("itemprop") or "").split()
+        if props:
+            if "itemscope" in node.attrs:
+                value = self._item(node, lang)
+                is_item = True
+            else:
+                value = self._value(node, lang)
+                is_item = False
+            for name in props:
+                if _is_absolute(name):
+                    pred = name
+                elif vocab:
+                    pred = vocab + name
+                else:
+                    continue  # untyped item, non-absolute name: contract
+                self.triples.append((subj, pred, value))
+            if is_item:
+                return  # nested item's subtree belongs to it
+        elif "itemscope" in node.attrs:
+            # stray nested itemscope without itemprop: a top-level item
+            self._item(node, lang)
+            return
+        for c in node.element_children():
+            self._properties(c, subj, vocab, lang)
+
+    def _value(self, node, lang):
+        tag = node.tag
+        if tag in _URL_ATTRS and node.attrs.get(_URL_ATTRS[tag]) is not None:
+            return urljoin(self.base,
+                                  node.attrs[_URL_ATTRS[tag]].strip())
+        if tag in _VALUE_ATTRS and node.attrs.get(_VALUE_ATTRS[tag]) \
+                is not None:
+            return Literal(node.attrs[_VALUE_ATTRS[tag]], lang, None)
+        if tag == "time" and node.attrs.get("datetime") is not None:
+            return Literal(node.attrs["datetime"], lang, None)
+        return Literal(_text_content(node), lang, None)
+
+
+def extract_microdata(root, base: str) -> list:
+    """DOM -> [(subj, pred, obj)] where obj is an IRI/bnode string or a
+    :class:`Literal`; bnode labels are ``_:mdN`` (disjoint from the RDFa
+    engine's labels so one document can run both extractors)."""
+    return _MicrodataWalker(base).run(root)

@@ -78,15 +78,20 @@ ARROW_SCHEMA = pa.schema([
 
 
 def _extract_batches(batches: Iterator[pa.RecordBatch],
-                     hturtle_only: bool = False
+                     hturtle_only: bool = False,
+                     microdata: bool = False
                      ) -> Iterator[pa.RecordBatch]:
     """mapInArrow worker: one call per Arrow batch (bounded by
-    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    spark.sql.execution.arrow.maxRecordsPerBatch).  With ``microdata``
+    the itemscope/itemprop walker runs on the same parsed DOM and its
+    triples join the RDFa output — the one-pass combination the
+    reference's StructuredDataParser performs (rdflibparsers.py:213-269)."""
     # imports stay inside so the function ships cleanly to executors
     from pyrdfa3_spark.functions.hostlang import (
         Host, adjust_xhtml_and_version, host_for, is_xml_host,
         sniff_media_type,
     )
+    from pyrdfa3_spark.operators.microdata import extract_microdata
     from pyrdfa3_spark.operators.rdfa_engine import Literal, RDFaProcessor, is_bnode
     from pyrdfa3_spark.sources.dom import parse_html, parse_xml
 
@@ -131,6 +136,8 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
                 root = (parse_xml(fragment) if is_xml_host(host)
                         else parse_html(fragment))
                 triples = proc.process(root)
+                if microdata:
+                    triples = triples + extract_microdata(root, base)
             except Exception as exc:  # per-document fault isolation
                 emit("d", conv, turn, "error", type(exc).__name__,
                      str(exc)[:500], None, None, None)
@@ -177,7 +184,8 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
 def extract_tagged(transcripts: DataFrame,
                    repartition_to: Optional[int] = None,
                    prefilter: bool = True,
-                   hturtle_only: bool = False) -> DataFrame:
+                   hturtle_only: bool = False,
+                   microdata: bool = False) -> DataFrame:
     """transcripts -> tagged union of triples ('t') and diagnostics ('d').
 
     ``repartition_to``: optional explicit shuffle on
@@ -193,17 +201,21 @@ def extract_tagged(transcripts: DataFrame,
     df = transcripts.select("conv_id", "turn_idx", "text")
     if prefilter:
         # in HTurtle mode only embedded-RDF islands carry triples, so
-        # the relevance predicate is the island marker, not RDFa attrs
-        df = df.filter(F.col("text").rlike(
-            "(?i)text/turtle|<[^>]*:RDF" if hturtle_only
-            else RDFA_PREFILTER))
+        # the relevance predicate is the island marker, not RDFa attrs;
+        # microdata carriers are matched by their itemscope attribute
+        pattern = ("(?i)text/turtle|<[^>]*:RDF" if hturtle_only
+                   else RDFA_PREFILTER)
+        if microdata:
+            pattern += "|(?i)<[^>]{0,1000}itemscope"
+        df = df.filter(F.col("text").rlike(pattern))
     if repartition_to is not None:
         df = df.repartition(repartition_to,
                             F.pmod(F.hash("conv_id", "turn_idx"),
                                    F.lit(repartition_to)))
-    if hturtle_only:
+    if hturtle_only or microdata:
         def run(batches):
-            return _extract_batches(batches, hturtle_only=True)
+            return _extract_batches(batches, hturtle_only=hturtle_only,
+                                    microdata=microdata)
 
         return df.mapInArrow(run, schema=TRIPLE_SCHEMA)
     return df.mapInArrow(_extract_batches, schema=TRIPLE_SCHEMA)

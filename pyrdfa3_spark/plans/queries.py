@@ -1026,6 +1026,56 @@ def q_hturtle_extract(spark, sf_dir):
     return triples
 
 
+def q_microdata_extract(spark, sf_dir):
+    """Microdata (itemscope/itemprop) extraction through the structured
+    pipeline (reference: StructuredDataParser, rdflibparsers.py:213-269;
+    microdata there comes from the external pyMicrodata package).  The
+    corpus is nation-derived markup with itemid subjects, so the output
+    is fully deterministic and oracle-checkable."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    r = F.col("n_regionkey").cast("string")
+    html = F.concat(
+        F.lit('<div itemscope itemtype="http://schema.org/Country" '
+              'itemid="urn:nation:N'), k,
+        F.lit('"><span itemprop="name">'), F.col("n_name"),
+        F.lit('</span><meta itemprop="alternateName" content="N'), k,
+        F.lit('"/><a itemprop="containedInPlace" href="urn:region:R'), r,
+        F.lit('">region</a></div>'))
+    t = nation.select(
+        F.concat(F.lit("md"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        html.alias("text"))
+    triples, _ = split_outputs(extract_tagged(t, microdata=True))
+    return triples.withColumn("turn_idx",
+                              F.col("turn_idx").cast("bigint"))
+
+
+SQL_MICRODATA_EXTRACT = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k,
+                  CAST(n_regionkey AS VARCHAR) AS r, n_name FROM nation)
+SELECT 'md' || k AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+       'urn:nation:N' || k AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://schema.org/Country' AS obj,
+       true AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM n
+UNION ALL
+SELECT 'md' || k, CAST(0 AS BIGINT), 'urn:nation:N' || k,
+       'http://schema.org/name', n_name, false, NULL, NULL FROM n
+UNION ALL
+SELECT 'md' || k, CAST(0 AS BIGINT), 'urn:nation:N' || k,
+       'http://schema.org/alternateName', 'N' || k, false, NULL, NULL FROM n
+UNION ALL
+SELECT 'md' || k, CAST(0 AS BIGINT), 'urn:nation:N' || k,
+       'http://schema.org/containedInPlace', 'urn:region:R' || r,
+       true, NULL, NULL FROM n
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction (mapInPandas).  The driver
     projection carries ``feature_str`` (canonical comma-joined milli
@@ -1146,6 +1196,7 @@ QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
+    "microdata_extract": q_microdata_extract,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -1182,6 +1233,7 @@ def oracles() -> dict[str, str]:
         "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
         "entity_link": SQL_ENTITY_LINK,
         "sessionize": SQL_SESSIONIZE,
+        "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
         # graph_metrics / rdfa_vocab_usage depend on extraction ->

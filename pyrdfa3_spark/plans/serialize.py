@@ -126,6 +126,14 @@ def write_turtle(triples: DataFrame, path: str,
 # JSON-LD export (reference: pyRdfaExtras/serializers json-ld output of
 # pyRdfa/__init__.py:722-725).  One flat node object per subject per
 # line ("JSON-LD lines"): {"@id": s, pred: [{"@value"|"@id": ...}], ...}.
+#
+# CONTRACT / limitation: this emits *expanded-form* node objects with
+# full predicate IRIs as keys — a lake-interchange format that any
+# JSON-LD processor accepts — NOT the @context-compacted document the
+# reference's rdflib json-ld plugin produces.  Compaction is a
+# whole-document operation (a shared @context over all nodes) that does
+# not fit a line-per-subject distributed sink; run a JSON-LD processor
+# over the output when compact form is required.
 # Term objects are built as typed structs and serialized with ``to_json``
 # (null fields dropped), so literal escaping is Spark's own JSON writer;
 # only subject/predicate key strings are escaped by hand.

@@ -1,0 +1,114 @@
+"""Microdata walker parity vs hand-computed W3C microdata-to-RDF
+expectations, and the combined RDFa+microdata structured pass."""
+
+from __future__ import annotations
+
+from pyrdfa3_spark.operators.microdata import extract_microdata
+from pyrdfa3_spark.operators.rdfa_engine import Literal
+from pyrdfa3_spark.sources.dom import parse_html
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+S = "http://schema.org/"
+
+
+def _md(doc, base="http://ex.org/doc"):
+    return extract_microdata(parse_html(doc), base)
+
+
+def test_typed_item_with_itemid_and_value_tags():
+    doc = ('<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#me">'
+           '<span itemprop="name">Alice</span>'
+           '<a itemprop="url" href="/home">here</a>'
+           '<img itemprop="image" src="pic.png">'
+           '<meta itemprop="age" content="30">'
+           '<time itemprop="birthDate" datetime="1990-01-02">x</time>'
+           '</div>')
+    assert set(_md(doc)) == {
+        ("http://ex.org/doc#me", RDF_TYPE, S + "Person"),
+        ("http://ex.org/doc#me", S + "name", Literal("Alice", None, None)),
+        ("http://ex.org/doc#me", S + "url", "http://ex.org/home"),
+        ("http://ex.org/doc#me", S + "image", "http://ex.org/pic.png"),
+        ("http://ex.org/doc#me", S + "age", Literal("30", None, None)),
+        ("http://ex.org/doc#me", S + "birthDate",
+         Literal("1990-01-02", None, None)),
+    }
+
+
+def test_nested_item_and_lang_inheritance():
+    doc = ('<div lang="en" itemscope itemtype="http://schema.org/Person">'
+           '<span itemprop="name">Bob</span>'
+           '<div itemprop="address" itemscope '
+           'itemtype="http://schema.org/PostalAddress">'
+           '<span itemprop="addressLocality" lang="de">Wien</span>'
+           '</div></div>')
+    out = _md(doc)
+    persons = [t for t in out if t[1] == RDF_TYPE and t[2] == S + "Person"]
+    assert len(persons) == 1
+    p = persons[0][0]
+    assert p.startswith("_:md")
+    addr = [t[2] for t in out if t[1] == S + "address"][0]
+    assert addr.startswith("_:md") and addr != p
+    assert (p, S + "name", Literal("Bob", "en", None)) in out
+    assert (addr, S + "addressLocality", Literal("Wien", "de", None)) in out
+    assert (addr, RDF_TYPE, S + "PostalAddress") in out
+
+
+def test_untyped_item_skips_relative_props_keeps_absolute():
+    doc = ('<div itemscope>'
+           '<span itemprop="name">skipped</span>'
+           '<span itemprop="http://p.example/abs">kept</span></div>')
+    out = _md(doc)
+    assert len(out) == 1
+    assert out[0][1] == "http://p.example/abs"
+    assert out[0][2] == Literal("kept", None, None)
+
+
+def test_multiple_types_and_props_and_hash_vocab():
+    doc = ('<div itemscope itemtype="http://v.example/vocab#Thing '
+           'http://other.example/T2" itemid="urn:x:1">'
+           '<span itemprop="a b">v</span></div>')
+    out = set(_md(doc))
+    assert ("urn:x:1", RDF_TYPE, "http://v.example/vocab#Thing") in out
+    assert ("urn:x:1", RDF_TYPE, "http://other.example/T2") in out
+    # vocabulary from the FIRST type, hash-terminated
+    assert ("urn:x:1", "http://v.example/vocab#a",
+            Literal("v", None, None)) in out
+    assert ("urn:x:1", "http://v.example/vocab#b",
+            Literal("v", None, None)) in out
+
+
+def test_text_content_concatenation():
+    doc = ('<div itemscope itemtype="http://schema.org/Thing">'
+           '<span itemprop="description">a <b>deep</b> text</span></div>')
+    out = _md(doc)
+    assert any(t[2] == Literal("a deep text", None, None) for t in out)
+
+
+def test_structured_pass_combines_rdfa_and_microdata(spark):
+    """One parse, both extractors (reference StructuredDataParser)."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    rows = [
+        ("c1", 0, "u",
+         '<div vocab="http://schema.org/" about="#r" '
+         'property="name">via rdfa</div>', "b", None),
+        ("c1", 1, "u",
+         '<div itemscope itemtype="http://schema.org/Thing" '
+         'itemid="#m"><span itemprop="name">via microdata</span></div>',
+         "b", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    triples, _ = split_outputs(extract_tagged(t, microdata=True))
+    got = {(r["subj"], r["pred"], r["obj"]) for r in triples.collect()}
+    assert ("http://transcript.local/c1/0#r", S + "name",
+            "via rdfa") in got
+    assert ("http://transcript.local/c1/1#m", S + "name",
+            "via microdata") in got
+    assert ("http://transcript.local/c1/1#m", RDF_TYPE,
+            S + "Thing") in got
+    # without the flag the microdata-only turn emits nothing
+    plain, _ = split_outputs(extract_tagged(t))
+    assert plain.filter("turn_idx = 1").count() == 0
