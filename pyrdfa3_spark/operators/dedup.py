@@ -199,24 +199,40 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash over whitespace tokens: per bit, sign of the sum of
-    (+1/-1) votes from each distinct token's md5.  Column algebra only:
-    explode tokens -> per-token bit votes via conv(substr(md5,..)) ->
-    groupBy doc -> bit assembly."""
-    toks = (_scale_out(docs)
-            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                    F.explode(F.split(_normalized(), " ")).alias("tok"))
-            .filter(F.col("tok") != "")
-            .dropDuplicates(["doc_id", "tok"])
-            .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-                        .cast("bigint")))
-    votes = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    (+1/-1) votes from each distinct token's md5.
+
+    Scale shape: entirely in-row, like :func:`minhash_signatures` — the
+    distinct-token array is hashed with one ``transform`` (md5 per token
+    computed once) and a single ``aggregate`` accumulates all ``bits``
+    vote counters via ``zip_with``, so there is NO explode and NO
+    groupBy shuffle.  Docs with no tokens are excluded, matching the
+    previous explode semantics (and the SQL oracle's WHERE tok <> '')."""
+    toks = F.filter(F.array_distinct(F.split(_normalized(), " ")),
+                    lambda x: x != "")
+    hs = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("bigint"))
+
+    def bitvotes(hv):
+        return F.array(*[
+            F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+            for b in range(bits)])
+
+    init = F.array(*[F.lit(0).cast("bigint")] * bits)
+    votes = F.aggregate(
+        F.col("hs"), init,
+        lambda acc, hv: F.zip_with(acc, bitvotes(hv),
+                                   lambda a, b: a + b))
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"v{b}") > 0,
+        sig = sig + F.when(F.element_at("v", b + 1) > 0,
                            F.lit(2 ** b).cast("bigint")).otherwise(0)
-    return agg.select("doc_id", sig.alias("simhash"))
+    return (_scale_out(docs)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    toks.alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select("doc_id", hs.alias("hs"))
+            .select("doc_id", votes.alias("v"))
+            .select("doc_id", sig.alias("simhash")))
