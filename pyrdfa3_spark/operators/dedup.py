@@ -176,6 +176,27 @@ def _shingle_arrays(docs: DataFrame, k: int = 5):
                 .alias("sharr")))
 
 
+def near_dup_pipeline(docs: DataFrame, k: int = 5, n_hashes: int = 8,
+                      bands: int = 4, max_bucket: int = 512,
+                      jaccard_threshold: float = 0.8) -> DataFrame:
+    """The composed production dedup flow: LSH candidates -> exact
+    n-gram Jaccard verify -> keep/drop decision (drop = the larger
+    doc_id of a confirmed pair).
+
+    Unlike the per-query gate entries (one query = one plan), the
+    candidate frame is **persisted** between the generation and verify
+    stages so the shingle/signature lineage runs once, not once per
+    consumer; the caller should ``unpersist`` the returned frame's
+    ancestors when done (or rely on LRU eviction).
+    Output: (doc_a, doc_b, jaccard) for pairs at/above the threshold.
+    """
+    candidates = minhash_lsh_candidates(docs, k, n_hashes, bands,
+                                        max_bucket).persist()
+    verified = (ngram_jaccard(docs, candidates, k)
+                .filter(F.col("jaccard") >= jaccard_threshold))
+    return verified
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs
     (verification stage after LSH).  ``pairs``: (doc_a, doc_b).

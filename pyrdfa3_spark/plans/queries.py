@@ -396,6 +396,9 @@ def q_nation_revenue_topk(spark, sf_dir):
            .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                         .cast("double"), 2).alias("revenue"),
                 F.count("*").cast("bigint").alias("n_orders")))
+    # partition-less window is safe HERE ONLY: rev is post-aggregation,
+    # bounded by |nation| = 25 rows — never use this shape on fact-table
+    # cardinality (see entity_link.build_lexicon for the scalable top-n)
     w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
     return (rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rank") <= 5))

@@ -6,6 +6,12 @@ The Spark-native sink is the partitioned triple table (plans/extract.py
 ``write_triples``); this module adds the interchange-text path as pure
 Column algebra — one ``line`` column, writable with ``df.write.text``.
 Escaping follows the N-Triples grammar (ECHAR: \\\\ \\" \\n \\r \\t).
+
+The ``orderBy`` at the tail of each formatter is a deliberate global
+sort for deterministic text output; these sinks run on dimension-sized
+interchange graphs (the whole frame is about to be coalesced into one
+text file anyway).  For 100 TB graph exports use ``write_triples`` —
+partitioned parquet with in-partition sorting — not a text serializer.
 """
 
 from __future__ import annotations

@@ -449,3 +449,14 @@ def test_rdfa_semantic_expansion_end_to_end(spark):
     # vocab triples subtracted; unused vocab never joined
     assert not any("subClassOf" in p for (_, p, _) in out)
     assert not any("other.example" in s for (s, _, _) in out)
+
+
+def test_near_dup_pipeline_composition(spark, dup_docs):
+    from pyrdfa3_spark.operators.dedup import near_dup_pipeline
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in near_dup_pipeline(dup_docs, jaccard_threshold=0.5)
+           .collect()}
+    assert out[(0, 1)] == 1.0 and out[(0, 4)] == 1.0  # exact dups
+    assert 0.5 <= out[(0, 2)] < 1.0                   # near dup kept
+    assert not any(3 in p for p in out)               # unrelated dropped
