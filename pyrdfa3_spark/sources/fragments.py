@@ -258,6 +258,14 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
     ("html5",
      '<div about="#to{K}" rel="http://schema.org/made" '
      'typeof="http://schema.org/Product" resource="#prod{K}"></div>'),
+    # 54. single-digit <time> components: strptime's lexical space
+    # ('2014-5-7', '9:5' ARE valid %Y-%m-%d / %H:%M values) — guards the
+    # r2 shape-gate fix; X=0 cases fall through to plain on both engines
+    ("html5",
+     '<div about="#sd{K}"><time property="http://schema.org/d" '
+     'datetime="2014-5-{X}">d</time>'
+     '<time property="http://schema.org/t" datetime="9:{X}">t</time>'
+     '<time property="http://schema.org/md" datetime="1-{X}">m</time></div>'),
     # 54. unknown datatype IRI: literal kept untouched, no validation
     ("html5",
      '<div about="#ud{K}"><span property="http://schema.org/raw" '
