@@ -109,6 +109,29 @@ def lsh_cosine_candidates(embeddings: DataFrame, dim: int = 64,
             .select("vec_a", "vec_b", "bucket"))
 
 
+def embedding_near_dups(embeddings: DataFrame, dim: int = 64,
+                        n_planes: int = 8, threshold: float = 0.9,
+                        max_bucket: int = 512) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, composed production
+    flow: LSH bucket candidates -> exact cosine verify -> threshold.
+    The candidate frame is persisted so the bucket lineage runs once;
+    the verify join touches only candidate pairs, never all-pairs.
+    Output: (vec_a, vec_b, cos_sim) with cos_sim >= threshold."""
+    cands = lsh_cosine_candidates(embeddings, dim, n_planes,
+                                  max_bucket).select("vec_a", "vec_b") \
+        .persist()
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (cands.join(a, "vec_a").join(b, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(_cos(F.col("ea"), F.col("eb")), 4)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + cell-restricted
 # search.  Training is a driver-side Lloyd loop (distributed assignment +

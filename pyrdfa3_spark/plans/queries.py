@@ -269,6 +269,38 @@ def q_lsh_cosine_candidates(spark, sf_dir):
     return S.lsh_cosine_candidates(emb, dim=64, n_planes=8)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Composed embedding near-dup flow: LSH candidates -> exact cosine
+    verify -> threshold (the similarity twin of near_dup_pipeline).
+    Threshold 0.3 is calibrated to the synthetic random-embedding corpus
+    (max candidate cosine ~0.44); a real embedding space uses 0.9+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dups(emb, dim=64, n_planes=8, threshold=0.3)
+
+
+def _sql_embedding_near_dups(threshold: float = 0.9) -> str:
+    planes = [S.plane_values(64, p) for p in range(8)]
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {planes[p]!r}) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(8))
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
+pairs AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+scored AS (SELECT p.vec_a, p.vec_b,
+                  round(list_dot_product(ea.emb, eb.emb)
+                        / (sqrt(list_dot_product(ea.emb, ea.emb))
+                           * sqrt(list_dot_product(eb.emb, eb.emb))), 4)
+                      AS cos_sim
+           FROM pairs p JOIN e ea ON ea.vec_id = p.vec_a
+                        JOIN e eb ON eb.vec_id = p.vec_b)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: deterministic k-means coarse quantizer +
     nprobe cell-restricted search.  The quantizer is trained on a
@@ -1174,6 +1206,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_candidates": q_lsh_cosine_candidates,
+    "embedding_near_dups": q_embedding_near_dups,
     "ivf_topk": q_ivf_topk,
     "pricing_summary": q_pricing_summary,
     "nation_revenue_topk": q_nation_revenue_topk,
@@ -1218,6 +1251,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_candidates": _sql_lsh_cosine(),
+        "embedding_near_dups": _sql_embedding_near_dups(0.3),
         "ivf_topk": _sql_ivf_topk(),
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue_topk": SQL_NATION_REVENUE_TOPK,
