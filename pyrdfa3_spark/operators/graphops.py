@@ -276,6 +276,11 @@ def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
 
     Head IRIs are deterministic skolems of (origin, pred, pos).
     Output: (subj, pred, obj) triples.
+
+    Plan shape: ONE window pass — the three output kinds (rdf:first,
+    rdf:rest, list anchor) are emitted as an in-row struct array and
+    exploded, instead of a 3-way union of projections that would plan
+    the window's shuffle+sort three times.
     """
     from pyspark.sql import Window
 
@@ -293,19 +298,23 @@ def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
     rest_iri = F.when(F.col("rest") == "rdf:nil-placeholder",
                       F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#nil")
                       ).otherwise(F.col("rest"))
-    firsts = df.select(
-        F.col("head").alias("subj"),
-        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#first").alias("pred"),
-        F.col(value_col).alias("obj"))
-    rests = df.select(
-        F.col("head").alias("subj"),
-        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#rest").alias("pred"),
-        rest_iri.alias("obj"))
-    anchors = (df.filter(F.col("rn") == 1)
-               .select(F.col(origin_col).alias("subj"),
-                       F.col(pred_col).alias("pred"),
-                       F.col("head").alias("obj")))
-    return firsts.unionByName(rests).unionByName(anchors)
+
+    def t(s, p, o):
+        return F.struct(s.alias("subj"), p.alias("pred"), o.alias("obj"))
+
+    triples = F.array(
+        t(F.col("head"),
+          F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#first"),
+          F.col(value_col)),
+        t(F.col("head"),
+          F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"),
+          rest_iri),
+        F.when(F.col("rn") == 1,
+               t(F.col(origin_col), F.col(pred_col), F.col("head"))),
+    )
+    return (df.select(F.explode(triples).alias("tr"))
+            .filter(F.col("tr").isNotNull())
+            .select("tr.subj", "tr.pred", "tr.obj"))
 
 
 def rdfa_semantic_expansion(triples: DataFrame,
