@@ -100,46 +100,59 @@ def union_graphs(*graphs: DataFrame) -> DataFrame:
     return out
 
 
-def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """Semi-naive fixpoint closure of a binary relation (G4 core;
-    reference: MiniOWL ``closure`` pyRdfa/rdfs/process.py:155-183 and the
+def transitive_closure(edges: DataFrame, max_iterations: int = 20,
+                       strategy: str = "seminaive") -> DataFrame:
+    """Fixpoint closure of a binary relation (G4 core; reference:
+    MiniOWL ``closure`` pyRdfa/rdfs/process.py:155-183 and the
     transitivity rules 209-231).
 
     ``edges``: DataFrame(src, dst).  Returns all (src, dst) in the
     transitive closure.  Driver-side loop — Catalyst has no recursion —
-    with per-iteration delta joins (delta ⋈ edges), the standard
-    semi-naive evaluation that only grows the frontier.  ``cache`` +
-    ``localCheckpoint`` keep lineage from exploding at depth.
+    ``cache`` + ``localCheckpoint`` keep lineage from exploding.
+
+    Strategies:
+      * ``seminaive`` (default): per-round delta ⋈ edges — reaches path
+        length r+1 after r rounds; each round shuffles only the frontier.
+        Right for shallow schema graphs (the MiniOWL case).
+      * ``doubling``: delta ⋈ closure — reachable path length *doubles*
+        per round, so a depth-d graph needs O(log d) shuffled rounds
+        instead of O(d).  Rounds are heavier (frontier joins the whole
+        closure); right for deep chains at scale.
 
     Raises ``RuntimeError`` when ``max_iterations`` rounds pass with the
-    frontier still growing (paths longer than max_iterations+1 exist) —
-    returning a silently truncated closure would drop exactly the
-    deepest derivations.
+    frontier still growing — returning a silently truncated closure
+    would drop exactly the deepest derivations.
     """
+    if strategy not in ("seminaive", "doubling"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = edges.select("src", "dst").dropDuplicates().cache()
     closure = base
     delta = base
     converged = False
     for _ in range(max_iterations):
+        right = base if strategy == "seminaive" else closure
         step = (delta.alias("d")
-                .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
+                .join(right.alias("e"), F.col("d.dst") == F.col("e.src"))
                 .select(F.col("d.src").alias("src"),
                         F.col("e.dst").alias("dst"))
                 .dropDuplicates())
         prev_delta = delta
-        delta = step.join(closure, ["src", "dst"], "left_anti").cache()
+        # the frontier must be lineage-truncated too (not just cached):
+        # its plan otherwise nests one join level per round and the
+        # driver's plan handling blows up long before the data does
+        delta = step.join(closure, ["src", "dst"], "left_anti") \
+            .localCheckpoint(eager=True)
         if delta.isEmpty():
             converged = True
             break
         closure = closure.unionByName(delta).localCheckpoint(eager=True)
-        if prev_delta is not base:   # superseded frontier: free its cache
+        if prev_delta is not base:   # superseded frontier: free its store
             prev_delta.unpersist()
     if not converged:
         raise RuntimeError(
             f"transitive_closure frontier still growing after "
-            f"{max_iterations} rounds (paths deeper than "
-            f"{max_iterations + 1} edges); raise max_iterations for "
-            f"genuinely deep graphs")
+            f"{max_iterations} {strategy} rounds; raise max_iterations "
+            f"or use strategy='doubling' for deep graphs")
     return closure
 
 
@@ -248,12 +261,13 @@ def miniowl_expand(data: DataFrame, vocab: DataFrame,
               .join(F.broadcast(cm), delta["obj"] == cm["f"])
               .select("subj", "pred", F.col("t").alias("obj")))
         new = (d1.unionByName(d2).dropDuplicates()
-               .join(all_t, ["subj", "pred", "obj"], "left_anti").cache())
+               .join(all_t, ["subj", "pred", "obj"], "left_anti")
+               .localCheckpoint(eager=True))  # truncate frontier lineage
         if new.isEmpty():
             converged = True
             break
         all_t = all_t.unionByName(new).localCheckpoint(eager=True)
-        if delta is not base:        # superseded frontier: free its cache
+        if delta is not base:        # superseded frontier: free its store
             delta.unpersist()
         delta = new
     if not converged:

@@ -460,3 +460,21 @@ def test_near_dup_pipeline_composition(spark, dup_docs):
     assert out[(0, 1)] == 1.0 and out[(0, 4)] == 1.0  # exact dups
     assert 0.5 <= out[(0, 2)] < 1.0                   # near dup kept
     assert not any(3 in p for p in out)               # unrelated dropped
+
+
+def test_transitive_closure_doubling_strategy(spark):
+    """Path-doubling must reach a depth-24 chain's closure in O(log d)
+    rounds (semi-naive would need 24) and agree with semi-naive."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(24)], ["src", "dst"])
+    out = transitive_closure(chain, max_iterations=7, strategy="doubling")
+    assert out.count() == 24 * 25 // 2
+    ref = transitive_closure(chain, max_iterations=30)
+    assert {tuple(r) for r in out.collect()} == \
+        {tuple(r) for r in ref.collect()}
+    with pytest.raises(RuntimeError, match="still growing"):
+        transitive_closure(chain, max_iterations=2, strategy="doubling")
+    with pytest.raises(ValueError):
+        transitive_closure(chain, strategy="nope")
