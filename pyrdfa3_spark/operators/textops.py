@@ -34,20 +34,87 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Cheap quality heuristics: length, alpha ratio, punctuation ratio,
-    mean token length — the usual pre-training filters."""
+    mean token length, stop-word ratio — the usual pre-training filters.
+    The stop-word ratio uses the deterministic English marker set
+    (``_LANG_MARKERS['en']``) so the SQL oracle reproduces it exactly."""
     text = F.col("text")
     n = F.length(text)
     alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
     toks = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(text), r"\s+")))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = F.lit(0)
+    for w in _LANG_MARKERS["en"]:
+        token = f" {w} "
+        stop_hits = stop_hits + (
+            F.length(padded)
+            - F.length(F.replace(padded, F.lit(token), F.lit("")))
+        ) / len(token)
     return docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.round(alpha / F.greatest(n, F.lit(1)), 4).alias("alpha_ratio"),
         F.round(punct / F.greatest(n, F.lit(1)), 4).alias("punct_ratio"),
         F.round(n / F.greatest(toks, F.lit(1)), 2).alias("mean_tok_len"),
+        F.round(stop_hits / F.greatest(toks, F.lit(1)), 4)
+        .alias("stop_ratio"),
         (n >= 100).alias("len_ok"),
     )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB) agree: contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs.  Whitespace is an explicit class —
+# \s differs between the two dialects.
+BPE_TOKEN_PATTERN = ("'(?:[sdmt]|ll|ve|re)"
+                     "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+"
+                     "|[ \t\n\r\f]+")
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the number of pre-tokenizer segments is
+    the standard cheap proxy for LLM token counts (real BPE merges only
+    subdivide within segments)."""
+    toks = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, k: int = 8, base: int = 131,
+                        mod: int = 1_000_000_007) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): polynomial
+    hash of every ``k``-char window of the normalized text, fingerprint
+    = the minimum window hash.  Robust to local edits away from the
+    minimizing window — the content-defined sampling trick winnowing
+    builds on — where the md5 :func:`fingerprint` changes on any edit.
+    Pure Column algebra: one in-row ``transform`` + ``array_min``;
+    factors fit int64 without interleaved mod (255 * 131^7 * 8 < 2^63).
+    """
+    base_norm = F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                        r"\s+", " "))
+    # pad ONLY when short — rpad alone would TRUNCATE longer text to k
+    # chars (fingerprinting just the first window)
+    normalized = F.when(F.length(base_norm) < k,
+                        F.rpad(base_norm, k, " ")).otherwise(base_norm)
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+
+    def window_hash(i):
+        h = F.lit(0).cast("bigint")
+        for j in range(k):
+            h = h + F.ascii(F.col("norm").substr(i + F.lit(j), F.lit(1))) \
+                * F.lit(base ** (k - 1 - j)).cast("bigint")
+        return h % mod
+
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    normalized.alias("norm"))
+            .select("doc_id",
+                    F.array_min(F.transform(idx, window_hash))
+                    .alias("rolling_fp")))
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

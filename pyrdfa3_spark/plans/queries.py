@@ -51,18 +51,68 @@ def q_quality_score(spark, sf_dir):
     return T.quality_score(_t(spark, sf_dir, "documents"))
 
 
-SQL_QUALITY_SCORE = """
+def _sql_quality_score():
+    from pyrdfa3_spark.operators.textops import _LANG_MARKERS
+
+    hits = " + ".join(
+        f"(length(padded) - length(replace(padded, ' {w} ', '')))"
+        f" / {len(w) + 2}" for w in _LANG_MARKERS["en"])
+    return f"""
+WITH d AS (SELECT *, ' ' || lower(text) || ' ' AS padded,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE length(regexp_split_to_array(trim(text),
+                                                         '\\s+')) END AS toks
+           FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
              / greatest(length(text), 1), 4) AS alpha_ratio,
        round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
              / greatest(length(text), 1), 4) AS punct_ratio,
-       round(length(text) / greatest(
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END,
-             1), 2) AS mean_tok_len,
+       round(length(text) / greatest(toks, 1), 2) AS mean_tok_len,
+       round(({hits}) / greatest(toks, 1), 4) AS stop_ratio,
        length(text) >= 100 AS len_ok
+FROM d
+"""
+
+
+def q_bpe_token_count(spark, sf_dir):
+    return T.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_token_count():
+    from pyrdfa3_spark.operators.textops import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''") \
+        .replace("\t", "\\t").replace("\n", "\\n") \
+        .replace("\r", "\\r").replace("\f", "\\f")
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT)
+           AS n_bpe_tokens
 FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    return T.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _sql_rolling_fingerprint(k: int = 8, base: int = 131,
+                             mod: int = 1_000_000_007) -> str:
+    terms = " + ".join(
+        f"ascii(substr(norm, CAST(i+{j} AS INT), 1))"
+        f" * CAST({base ** (k - 1 - j)} AS BIGINT)" for j in range(k))
+    return f"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_NORM_SQL} AS nn FROM documents),
+d AS (SELECT doc_id, CASE WHEN length(nn) < {k}
+                          THEN rpad(nn, {k}, ' ') ELSE nn END AS norm
+      FROM d0)
+SELECT doc_id,
+       list_min(list_transform(
+           generate_series(1, greatest(length(norm) - {k - 1}, 1)),
+           i -> ({terms}) % {mod})) AS rolling_fp
+FROM d
 """
 
 
@@ -1196,7 +1246,9 @@ FROM hh
 
 QUERIES = {
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "quality_score": q_quality_score,
+    "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -1241,7 +1293,9 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "token_count": SQL_TOKEN_COUNT,
-        "quality_score": SQL_QUALITY_SCORE,
+        "bpe_token_count": _sql_bpe_token_count(),
+        "quality_score": _sql_quality_score(),
+        "rolling_fingerprint": _sql_rolling_fingerprint(),
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -478,3 +478,57 @@ def test_transitive_closure_doubling_strategy(spark):
         transitive_closure(chain, max_iterations=2, strategy="doubling")
     with pytest.raises(ValueError):
         transitive_closure(chain, strategy="nope")
+
+
+def test_bpe_token_count_segments(spark):
+    from pyrdfa3_spark.operators.textops import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(0, "It's 42 test-cases, really!"), (1, ""), (2, "   ")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_count(docs).collect()}
+    # It|'s| 42| test|-|cases|,| really|!  = 9 pre-tokenizer segments
+    assert out[0] == 9
+    assert out[1] == 0 and out[2] == 1  # whitespace run is one segment
+
+
+def test_rolling_fingerprint_locality(spark):
+    """Rolling min-hash is stable under edits away from the minimizing
+    window (the winnowing property) and matches an independent Python
+    implementation."""
+    from pyrdfa3_spark.operators.textops import rolling_fingerprint
+
+    a = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(0, a), (1, a + " extra tail that changes nothing up front"),
+         (2, "completely different content here"), (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["rolling_fp"]
+           for r in rolling_fingerprint(docs).collect()}
+
+    def py_roll(s, k=8, base=131, mod=1_000_000_007):
+        import re
+        s = re.sub(r"\s+", " ", s.lower()).strip()
+        s = s + " " * (k - len(s)) if len(s) < k else s
+        return min(sum(ord(s[i + j]) * base ** (k - 1 - j)
+                       for j in range(k)) % mod
+                   for i in range(len(s) - k + 1))
+
+    assert out[0] == py_roll(a)
+    assert out[2] == py_roll("completely different content here")
+    assert out[3] == py_roll("")
+    # tail edit far from the minimizing window usually keeps the fp;
+    # verify against the python oracle rather than assuming
+    assert out[1] == py_roll(a + " extra tail that changes nothing up front")
+
+
+def test_quality_score_stop_ratio(spark):
+    from pyrdfa3_spark.operators.textops import quality_score
+
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "xyzzy plugh")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["stop_ratio"] for r in quality_score(docs).collect()}
+    assert out[0] == 0.6   # the, and, the = 3 of 5 tokens
+    assert out[1] == 0.0
