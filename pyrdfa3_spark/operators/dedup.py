@@ -197,6 +197,28 @@ def near_dup_pipeline(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     return verified
 
 
+def dedup_decision(docs: DataFrame, k: int = 5, n_hashes: int = 8,
+                   bands: int = 4, max_bucket: int = 512,
+                   jaccard_threshold: float = 0.8) -> DataFrame:
+    """The dedup pipeline's last stage: verified near-dup pairs are
+    clustered (undirected connected components via the same
+    pointer-jumping min-label propagation entity canonicalization uses)
+    and each cluster keeps its minimum doc_id.  Output one row per doc
+    that appears in any confirmed pair: (doc_id, keep_id, is_dup) —
+    ``is_dup`` rows are the delete-list a training-data run applies."""
+    from pyrdfa3_spark.operators.entity_link import sameas_canonical_map
+
+    confirmed = near_dup_pipeline(docs, k, n_hashes, bands, max_bucket,
+                                  jaccard_threshold)
+    edges = confirmed.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst"))
+    canon = sameas_canonical_map(edges)   # bigint labels: numeric min
+    return canon.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("canon").cast("bigint").alias("keep_id"),
+        (F.col("node") != F.col("canon")).alias("is_dup"))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs
     (verification stage after LSH).  ``pairs``: (doc_a, doc_b).

@@ -289,6 +289,50 @@ FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
 )
 
 
+def q_dedup_decision(spark, sf_dir):
+    """Full dedup flow end-state: LSH -> Jaccard verify -> connected
+    components -> keep-min decision (threshold 0.7 keeps the synthetic
+    corpus's 25 confirmed near-dup pairs in play)."""
+    return D.dedup_decision(_t(spark, sf_dir, "documents"),
+                            jaccard_threshold=0.7)
+
+
+SQL_DEDUP_DECISION = (
+    "WITH RECURSIVE " + _SQL_SHINGLES.lstrip() + "," + _SQL_MINHASH_HH + f""",
+sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
+bb AS (""" + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+        for b in range(4)) + """),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+           AND l.doc_id < r.doc_id),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+           FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM cand p JOIN sh a ON a.doc_id = p.doc_a
+                      JOIN sh b ON b.doc_id = p.doc_b
+                               AND b.shingle = a.shingle
+          GROUP BY p.doc_a, p.doc_b),
+confirmed AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+               JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE round(i.n_common / (ca.n_sh + cb.n_sh - i.n_common), 4) >= 0.7),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM confirmed
+          UNION SELECT doc_b, doc_a FROM confirmed),
+reach AS (SELECT a AS node, b AS other FROM edges
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a)
+SELECT node AS doc_id,
+       least(node, min(other)) AS keep_id,
+       node <> least(node, min(other)) AS is_dup
+FROM reach GROUP BY node
+"""
+)
+
+
 # --------------------------------------------------------------------- #
 # similarity (embeddings)
 # --------------------------------------------------------------------- #
@@ -756,6 +800,28 @@ def q_rdfxml_serialize(spark, sf_dir):
     from pyrdfa3_spark.plans.serialize import to_rdfxml
 
     return to_rdfxml(_nation_graph(spark, sf_dir))
+
+
+def q_turtle_serialize(spark, sf_dir):
+    """Turtle sink (S6): subject-grouped, prefix-compressed blocks.
+    Byte-exact oracle; round-trip tested in tests/test_serialize.py."""
+    from pyrdfa3_spark.plans.serialize import to_turtle
+
+    return to_turtle(_nation_graph(spark, sf_dir))
+
+
+SQL_TURTLE_SERIALIZE = r"""
+SELECT '<urn:nation:N' || CAST(n_nationkey AS VARCHAR)
+       || '> <urn:p:key> "' || CAST(n_nationkey AS VARCHAR)
+       || '"^^xsd:integer ;' || chr(10)
+       || '    <urn:p:name> "' || n_name || ' says \"hi\"\n"@en .'
+       AS block
+FROM nation
+UNION ALL
+SELECT '_:bn' || CAST(n_nationkey AS VARCHAR) || ' <urn:p:in> <urn:region:R'
+       || CAST(n_regionkey AS VARCHAR) || '> .' AS block
+FROM nation
+"""
 
 
 # byte-exact reassembly of the serializer outputs over the nation
@@ -1256,6 +1322,7 @@ QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_decision": q_dedup_decision,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_candidates": q_lsh_cosine_candidates,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1269,6 +1336,7 @@ QUERIES = {
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
     "nt_serialize": q_nt_serialize,
+    "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "rdfxml_serialize": q_rdfxml_serialize,
     "dedup_global_triples": q_dedup_global_triples,
@@ -1303,6 +1371,7 @@ def oracles() -> dict[str, str]:
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "dedup_decision": SQL_DEDUP_DECISION,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_candidates": _sql_lsh_cosine(),
         "embedding_near_dups": _sql_embedding_near_dups(0.3),
@@ -1316,6 +1385,7 @@ def oracles() -> dict[str, str]:
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
         "nt_serialize": SQL_NT_SERIALIZE,
+        "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "rdfxml_serialize": SQL_RDFXML_SERIALIZE,
         "dedup_global_triples": SQL_DEDUP_GLOBAL,

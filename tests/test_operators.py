@@ -532,3 +532,16 @@ def test_quality_score_stop_ratio(spark):
     out = {r["doc_id"]: r["stop_ratio"] for r in quality_score(docs).collect()}
     assert out[0] == 0.6   # the, and, the = 3 of 5 tokens
     assert out[1] == 0.0
+
+
+def test_dedup_decision_clusters(spark, dup_docs):
+    from pyrdfa3_spark.operators.dedup import dedup_decision
+
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in dedup_decision(dup_docs, jaccard_threshold=0.5)
+           .collect()}
+    # docs 0,1,2,4 form one near-dup cluster; 0 is kept, rest dropped
+    assert out[0] == (0, False)
+    assert out[1] == (0, True) and out[4] == (0, True)
+    assert out[2] == (0, True)
+    assert 3 not in out  # unrelated doc never enters the decision
