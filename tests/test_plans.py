@@ -86,3 +86,31 @@ def test_minhash_plan_no_cartesian_no_double_scan(spark):
     # bucket-local pair generation: the corpus parquet is scanned once
     assert plan.count("documents.parquet") <= 1 or \
         plan.count("Scan parquet") <= 1, plan
+
+
+def test_ivf_table_probe_is_partition_pruned(spark, tmp_path):
+    """The cell-partitioned IVF layout must turn a probe into a
+    partition-pruned scan (PartitionFilters on cell), never a full-table
+    read — the physical contract of the ANN scale path."""
+    from pyrdfa3_spark.operators.similarity import (
+        ivf_probe_table, ivf_train_local, write_ivf_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = ivf_train_local(sf, n_cells=8, iters=1)
+    path = str(tmp_path / "ivf")
+    write_ivf_table(emb, cents, path)
+
+    qvec = [float(v) for v in
+            emb.orderBy("vec_id").first()["embedding"]]
+    df = ivf_probe_table(spark, path, qvec, cents, nprobe=2, top_k=5)
+    plan = _plan(df)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("cell" in ln for ln in part_lines), plan
+    assert "Window" not in _plan(df, "simple")
+    rows = df.collect()
+    assert 1 <= len(rows) <= 5
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # the query's own vector lives in a probed cell -> cos 1.0 at rank 1
+    assert rows[0]["cos_sim"] == 1.0
