@@ -153,6 +153,14 @@ def _remove_frag_id(uri: str) -> str:
         return uri
 
 
+# attribute sets for the per-node fast paths (checked via one C-level
+# set/dict-keys intersection instead of ten method calls per element)
+_RELEVANT_ATTRS = frozenset((
+    "href", "resource", "about", "property", "rel", "rev",
+    "typeof", "src", "vocab", "prefix"))
+_SUBJECT_ATTRS = frozenset(("about", "resource", "src", "href"))
+
+
 class RDFaProcessor:
     """One instance per document.  ``process(root)`` fills ``triples``
     (list of (s, p, o) with o either str IRI/bnode or Literal) and
@@ -179,6 +187,10 @@ class RDFaProcessor:
         self._bnode_n = 0
         self._named_bnodes: dict[str, str] = {}
         self._empty_bnode: Optional[str] = None
+        # bound-method dispatch for get_uri (replaces a getattr per call
+        # in the hottest resolution path)
+        self._uri_funcs = {attr: getattr(self, name)
+                           for attr, name in self._RESOURCE_TYPE.items()}
 
     # ------------------------------------------------------------------ #
     # infrastructure
@@ -431,6 +443,7 @@ class RDFaProcessor:
     # ------------------------------------------------------------------ #
     def _make_context(self, node: Node, inherited: Optional[EvalContext]) -> EvalContext:
         top = inherited is None
+        attrs = node.attrs
         ctx = EvalContext()
         if not top:
             ctx.rdfa_version = inherited.rdfa_version
@@ -438,16 +451,16 @@ class RDFaProcessor:
             ctx.base = inherited.base
             ctx.list_mapping = inherited.list_mapping
             ctx.new_list = False
-            if ctx.host in ACCEPT_XML_BASE and node.has("xml:base"):
-                ctx.base = _remove_frag_id(node.get("xml:base"))
+            if ctx.host in ACCEPT_XML_BASE and "xml:base" in attrs:
+                ctx.base = _remove_frag_id(attrs["xml:base"])
         else:
             ctx.host = self.host
             ctx.rdfa_version = self.rdfa_version
             ctx.list_mapping = ListMapping()
             ctx.new_list = True
             # @version on the root may pin the RDFa version (state.py:169-175)
-            if node.has("version"):
-                v = node.get("version")
+            if "version" in attrs:
+                v = attrs["version"]
                 if "RDFa 1.0" in v or "RDFa1.0" in v:
                     ctx.rdfa_version = "1.0"
                 elif "RDFa 1.1" in v or "RDFa1.1" in v:
@@ -458,8 +471,8 @@ class RDFaProcessor:
                 for el in node.iter_elements():
                     if el.tag == "base" and el.has("href"):
                         ctx.base = _remove_frag_id(el.get("href"))
-            elif ctx.host in ACCEPT_XML_BASE and node.has("xml:base"):
-                ctx.base = _remove_frag_id(node.get("xml:base"))
+            elif ctx.host in ACCEPT_XML_BASE and "xml:base" in attrs:
+                ctx.base = _remove_frag_id(attrs["xml:base"])
             if ctx.base == "":
                 ctx.base = self.base_arg
         if inherited is not None and ctx.base == inherited.base:
@@ -473,19 +486,20 @@ class RDFaProcessor:
         # (@xml:lang wins, empty value resets), @xml:lang alone elsewhere.
         ctx.lang = inherited.lang if not top else None
         if ctx.host in HTML_HOSTS:
-            lang = node.get("lang").lower() if node.has("lang") else None
-            xmllang = node.get("xml:lang").lower() if node.has("xml:lang") else None
+            lang = attrs["lang"].lower() if "lang" in attrs else None
+            xmllang = attrs["xml:lang"].lower() if "xml:lang" in attrs \
+                else None
             if xmllang is not None:
                 ctx.lang = xmllang if xmllang else None
             elif lang is not None:
                 ctx.lang = lang if lang else None
-        elif ctx.host in ACCEPT_XML_LANG and node.has("xml:lang"):
-            v = node.get("xml:lang").lower()
+        elif ctx.host in ACCEPT_XML_LANG and "xml:lang" in attrs:
+            v = attrs["xml:lang"].lower()
             ctx.lang = v if v else None
 
         # default namespace for XML literals (state.py:261-266)
-        if node.has("xmlns"):
-            ctx.default_ns = node.get("xmlns")
+        if "xmlns" in attrs:
+            ctx.default_ns = attrs["xmlns"]
         elif not top and inherited.default_ns is not None:
             ctx.default_ns = inherited.default_ns
         else:
@@ -503,14 +517,15 @@ class RDFaProcessor:
         ``INITIAL_PREFIXES`` plays the role of the initial-context dim table
         (joined via broadcast on the Spark side for canonicalization)."""
         top = inherited is None
+        attrs = node.attrs
 
         ctx.default_curie_uri = XHTML_VOCAB if top else inherited.default_curie_uri
 
         # default vocabulary (@vocab, 1.1 only; termorcurie.py:199-221)
         if ctx.rdfa_version >= "1.1":
             ctx.vocab = self._initial_vocabulary(ctx.host) if top else inherited.vocab
-            if node.has("vocab"):
-                if node.get("vocab") == "":
+            if "vocab" in attrs:
+                if attrs["vocab"] == "":
                     ctx.vocab = self._initial_vocabulary(ctx.host) if top else None
                 else:
                     v = self.get_uri(node, ctx, "vocab")
@@ -535,7 +550,7 @@ class RDFaProcessor:
         # local xmlns:* declarations (termorcurie.py:247-273)
         local: dict[str, str] = {}
         xmlns_local: dict[str, str] = {}
-        for name, value in list(node.attrs.items()):
+        for name, value in attrs.items():
             if name.startswith("xmlns:"):
                 prefix = name[6:]
                 if prefix == "":
@@ -555,8 +570,8 @@ class RDFaProcessor:
                     xmlns_local[pr] = uri
 
         # @prefix declarations, leftmost wins (termorcurie.py:277-320)
-        if ctx.rdfa_version >= "1.1" and node.has("prefix"):
-            toks = node.get("prefix").strip().split()
+        if ctx.rdfa_version >= "1.1" and "prefix" in attrs:
+            toks = attrs["prefix"].strip().split()
             for i in range(len(toks) - 2, -1, -2):
                 prefix, value = toks[i], toks[i + 1]
                 if not prefix.endswith(":"):
@@ -754,10 +769,10 @@ class RDFaProcessor:
 
     def get_uri(self, node: Node, ctx, attr: str):
         """Attribute -> IRI(s) dispatch (reference: pyRdfa/state.py:434-465)."""
-        if not node.has(attr):
+        val = node.attrs.get(attr)
+        if val is None:
             return [] if attr in _LIST_ATTRS else None
-        val = node.get(attr)
-        func = getattr(self, self._RESOURCE_TYPE.get(attr, "_uri"))
+        func = self._uri_funcs.get(attr) or self._uri
         if attr in _LIST_ATTRS:
             out = []
             for v in val.strip().split():
@@ -779,23 +794,22 @@ class RDFaProcessor:
     # HTML5 host transforms (reference: pyRdfa/host/html5.py:157-224)
     # ------------------------------------------------------------------ #
     def _html5_extra_attributes(self, node: Node, ctx):
-        if node.has("content"):
+        attrs = node.attrs
+        if "content" in attrs:
             return
-        value = None
-        if node.has("datetime"):
-            value = node.get("datetime")
-        elif node.tag == "time":
+        value = attrs.get("datetime")
+        if value is None and node.tag == "time":
             value = self._collect_text(node)
         if value is None:
             return
-        if not node.has("datatype"):
+        if "datatype" not in attrs:
             dt = _format_test(value)
             if dt is not None:
                 node.set("datatype", dt)
         node.set("content", value)
 
     def _remove_rel(self, node: Node):
-        if not node.has("property"):
+        if "property" not in node.attrs:
             return
         for attr in ("rev", "rel"):
             if node.has(attr):
@@ -811,7 +825,7 @@ class RDFaProcessor:
     # @role (reference: pyRdfa/parse.py:491-508)
     # ------------------------------------------------------------------ #
     def _handle_role(self, node: Node, ctx):
-        if not node.has("role"):
+        if "role" not in node.attrs:
             return
         if node.has("id"):
             subject = ctx.base + "#" + node.get("id").strip()
@@ -861,12 +875,11 @@ class RDFaProcessor:
         if self._is_embedded_rdf(node, ctx):
             return
         self._host_transforms(node, ctx)
+        attrs = node.attrs  # bound once: this method dominates the profile
 
         # fast path: no relevant RDFa attribute on the element
         # (parse.py:133-137) — recurse, forwarding incomplete triples.
-        if not any(node.has(a) for a in (
-                "href", "resource", "about", "property", "rel", "rev",
-                "typeof", "src", "vocab", "prefix")):
+        if not (_RELEVANT_ATTRS & attrs.keys()):
             for ch in node.element_children():
                 self._node_1_1(ch, parent_object, ctx, parent_incomplete)
             return
@@ -875,25 +888,24 @@ class RDFaProcessor:
             # <head>/<body> without resource attrs inherit the parent
             # object as subject (parse.py:89-96)
             if ctx.host in HTML_HOSTS and node.tag in ("head", "body"):
-                if not any(node.has(a) for a in
-                           ("about", "resource", "src", "href")):
+                if not (_SUBJECT_ATTRS & attrs.keys()):
                     return parent_object
             return None
 
         current_subject = None
         current_object = None
         typed_resource = None
-        has_rel_rev = node.has("rel") or node.has("rev")
-        bare_property = (node.has("property")
-                         and not node.has("content")
-                         and not node.has("datatype"))
+        has_rel_rev = "rel" in attrs or "rev" in attrs
+        bare_property = ("property" in attrs
+                         and "content" not in attrs
+                         and "datatype" not in attrs)
 
         if has_rel_rev:
             # @rel/@rev branch (parse.py:147-175)
             current_subject = header_check()
-            if node.has("about"):
+            if "about" in attrs:
                 current_subject = self.get_uri(node, ctx, "about")
-                if node.has("typeof"):
+                if "typeof" in attrs:
                     typed_resource = current_subject
             if current_subject is None:
                 current_subject = parent_object
@@ -902,20 +914,20 @@ class RDFaProcessor:
                 ctx.list_mapping.origin = current_subject
                 ctx.new_list = True
             current_object = self.get_resource(node, ctx, "resource", "href", "src")
-            if node.has("typeof") and not node.has("about"):
+            if "typeof" in attrs and "about" not in attrs:
                 if current_object is None:
                     current_object = self.new_bnode()
                 typed_resource = current_object
-            if not node.has("inlist") and current_object is not None:
+            if "inlist" not in attrs and current_object is not None:
                 ctx.list_mapping = ListMapping()
                 ctx.list_mapping.origin = current_object
                 ctx.new_list = True
         elif bare_property:
             # bare @property branch (parse.py:177-198)
             current_subject = header_check()
-            if node.has("about"):
+            if "about" in attrs:
                 current_subject = self.get_uri(node, ctx, "about")
-                if node.has("typeof"):
+                if "typeof" in attrs:
                     typed_resource = current_subject
             if current_subject is None:
                 current_subject = parent_object
@@ -923,7 +935,7 @@ class RDFaProcessor:
                 ctx.list_mapping = ListMapping()
                 ctx.list_mapping.origin = current_subject
                 ctx.new_list = True
-            if typed_resource is None and node.has("typeof"):
+            if typed_resource is None and "typeof" in attrs:
                 typed_resource = self.get_resource(
                     node, ctx, "resource", "href", "src")
                 if typed_resource is None:
@@ -938,7 +950,7 @@ class RDFaProcessor:
                 current_subject = self.get_resource(
                     node, ctx, "about", "resource", "href", "src")
             if current_subject is None:
-                if node.has("typeof"):
+                if "typeof" in attrs:
                     current_subject = self.new_bnode()
                     ctx.list_mapping = ListMapping()
                     ctx.list_mapping.origin = current_subject
@@ -950,24 +962,24 @@ class RDFaProcessor:
                 ctx.list_mapping.origin = current_subject
                 ctx.new_list = True
             current_object = current_subject
-            if node.has("typeof"):
+            if "typeof" in attrs:
                 typed_resource = current_subject
 
         # type triples (parse.py:227-229)
-        if node.has("typeof"):
+        if "typeof" in attrs:
             for t in self.get_uri(node, ctx, "typeof"):
                 if typed_resource:
                     self.add(typed_resource, RDF_TYPE, t)
 
         # @rel / @rev triples + incomplete triples (parse.py:234-268)
         incomplete: list = []
-        if node.has("rel"):
+        if "rel" in attrs:
             for prop in self.get_uri(node, ctx, "rel"):
                 if is_bnode(prop):
                     self.warn("bnode-predicate",
                               "blank node cannot be used as @rel")
                     continue
-                if node.has("inlist"):
+                if "inlist" in attrs:
                     if current_object is not None:
                         ctx.list_mapping.add(prop, current_object)
                     else:
@@ -978,7 +990,7 @@ class RDFaProcessor:
                         self.add(current_subject, prop, current_object)
                     else:
                         incomplete.append((current_subject, prop, None))
-        if node.has("rev"):
+        if "rev" in attrs:
             for prop in self.get_uri(node, ctx, "rev"):
                 if is_bnode(prop):
                     self.warn("bnode-predicate",
@@ -990,7 +1002,7 @@ class RDFaProcessor:
                     incomplete.append((None, prop, current_subject))
 
         # @property generation (pyRdfa/property.py:76-150)
-        if node.has("property"):
+        if "property" in attrs:
             self._process_property_1_1(node, ctx, current_subject, typed_resource)
 
         object_to_children = current_object if current_object is not None \
