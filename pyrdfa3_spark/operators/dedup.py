@@ -82,28 +82,40 @@ def minhash_signatures(docs: DataFrame, k: int = 5,
                       for j in range(n_hashes)]))
 
 
-def _bucket_pairs(buckets: DataFrame, a_col: str, b_col: str,
-                  max_bucket: int) -> DataFrame:
-    """Pair generation inside LSH buckets with a degenerate-bucket cap.
+def _capped_bucket_pairs(members: DataFrame, keys: list[str], id_col: str,
+                         a_col: str, b_col: str,
+                         max_bucket: int) -> DataFrame:
+    """Pair generation from bucket-membership rows with a
+    degenerate-bucket cap and NO per-bucket arrays.
 
-    ``buckets`` must carry an ``ids`` array column.  Buckets up to
-    ``max_bucket`` members emit all C(n,2) pairs; larger ones (N
-    identical boilerplate docs — a common real-corpus case that would
-    otherwise put one N-element row and N² pairs through a single task)
-    are *star-linked*: every member pairs with the bucket's minimum id
-    only, so the output stays O(N).  Branchless (``when`` on the
-    left-explode source) so the expensive upstream aggregate is planned
-    exactly once, not once per branch of a union.
+    ``members``: one row per (id, *keys) bucket membership.  Buckets up
+    to ``max_bucket`` members emit all C(n,2) pairs via an equi-self-join
+    on the bucket key (AQE splits hot key partitions; per-bucket output
+    is bounded by cap²); larger buckets — N identical boilerplate docs —
+    are star-linked to the bucket's minimum id via a direct stats join,
+    so NOTHING ever materializes an O(bucket) row: the old
+    ``collect_set`` shape built the full member array before any cap
+    could apply, which is itself the OOM at a 10^9-member bucket.
+    The membership frame is persisted across its three consumers.
     """
-    ids = F.array_sort(F.col("ids"))
-    left_src = F.when(F.size(ids) <= max_bucket, ids) \
-        .otherwise(F.slice(ids, 1, 1))   # oversized: only the rep on the left
-    passthrough = [c for c in buckets.columns if c != "ids"]
-    return (buckets
-            .select(*passthrough, F.explode(left_src).alias(a_col),
-                    ids.alias("ids"))
-            .select(*passthrough, a_col, F.explode("ids").alias(b_col))
-            .filter(F.col(a_col) < F.col(b_col)))
+    members = members.persist()
+    stats = (members.groupBy(*keys)
+             .agg(F.count("*").alias("n"),
+                  F.min(id_col).alias("rep"))
+             .filter(F.col("n") > 1))
+    small = stats.filter(F.col("n") <= max_bucket).select(*keys)
+    big = stats.filter(F.col("n") > max_bucket).select(*keys, "rep")
+    left = (members.join(small, keys)
+            .select(*keys, F.col(id_col).alias(a_col)))
+    right = members.select(*keys, F.col(id_col).alias(b_col))
+    small_pairs = (left.join(right, keys)
+                   .filter(F.col(a_col) < F.col(b_col))
+                   .select(*keys, a_col, b_col))
+    big_pairs = (members.join(big, keys)
+                 .filter(F.col(id_col) != F.col("rep"))
+                 .select(*keys, F.col("rep").alias(a_col),
+                         F.col(id_col).alias(b_col)))  # rep = min < id
+    return small_pairs.unionByName(big_pairs)
 
 
 def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
@@ -113,20 +125,14 @@ def minhash_lsh_candidates(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     ``n_hashes/bands`` rows; docs sharing any band bucket are duplicate
     candidates.  Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
 
-    Scale shape: groupBy(band, bucket) + collect_set only *inside*
-    buckets that collide — bucket cardinality is bounded by near-dup
-    cluster size, not corpus size, and the signature lineage is computed
-    exactly once (a self-join of the band relation would recompute the
-    whole shingle->signature pipeline for each side).  Buckets larger
-    than ``max_bucket`` are star-linked to a representative instead of
-    all-pairs (see :func:`_bucket_pairs`); audit what the cap touched
-    with :func:`minhash_lsh_bucket_stats`.
+    Scale shape: in-row signatures (no shuffle), then bucket-keyed pair
+    generation with the degenerate-bucket cap of
+    :func:`_capped_bucket_pairs` — no per-bucket arrays anywhere; audit
+    what the cap touched with :func:`minhash_lsh_bucket_stats`.
     """
-    buckets = (_band_buckets(docs, k, n_hashes, bands)
-               .groupBy("band", "bucket")
-               .agg(F.collect_set("doc_id").alias("ids"))
-               .filter(F.size("ids") > 1))
-    return (_bucket_pairs(buckets, "doc_a", "doc_b", max_bucket)
+    members = _band_buckets(docs, k, n_hashes, bands)
+    return (_capped_bucket_pairs(members, ["band", "bucket"], "doc_id",
+                                 "doc_a", "doc_b", max_bucket)
             .select("doc_a", "doc_b")
             .dropDuplicates())
 

@@ -94,18 +94,16 @@ def lsh_cosine_candidates(embeddings: DataFrame, dim: int = 64,
     """ANN candidate pairs: vectors sharing an LSH bucket
     (vec_a < vec_b).  groupBy(bucket) + in-bucket pair expansion: one
     shuffle of O(corpus) rows, and the signature lineage (8 dot products
-    per row) is computed exactly once — a bucket self-join would
-    recompute it for each side.  Buckets larger than ``max_bucket``
-    (degenerate near-identical clusters) are star-linked to their
-    minimum member instead of all-pairs, bounding any single task at
-    O(bucket) — same cap as ``dedup._bucket_pairs``."""
-    from pyrdfa3_spark.operators.dedup import _bucket_pairs
+    per row) is computed exactly once (the membership frame is
+    persisted, so the equi-self-join does not recompute it).  Buckets
+    larger than ``max_bucket`` (degenerate near-identical clusters) are
+    star-linked to their minimum member with no per-bucket arrays — see
+    ``dedup._capped_bucket_pairs``."""
+    from pyrdfa3_spark.operators.dedup import _capped_bucket_pairs
 
     b = lsh_bucket(embeddings, dim, n_planes)
-    buckets = (b.groupBy("bucket")
-               .agg(F.collect_set("vec_id").alias("ids"))
-               .filter(F.size("ids") > 1))
-    return (_bucket_pairs(buckets, "vec_a", "vec_b", max_bucket)
+    return (_capped_bucket_pairs(b, ["bucket"], "vec_id",
+                                 "vec_a", "vec_b", max_bucket)
             .select("vec_a", "vec_b", "bucket"))
 
 
