@@ -99,12 +99,16 @@ def rewrite_canonical(triples: DataFrame, mapping: DataFrame,
                       drop_sameas: bool = True) -> DataFrame:
     """Rewrite subj/obj of a triple table onto canonical identifiers.
 
-    ``mapping``: (node, canon).  Dimension-sized mapping -> broadcast;
-    IRI objects only (literals are never entity identifiers).  With
-    ``drop_sameas`` the now-redundant intra-component sameAs triples
-    are removed.  Output deduplicates, since distinct aliases collapse
-    onto one canonical triple."""
-    m = F.broadcast(mapping)
+    ``mapping``: (node, canon); IRI objects only (literals are never
+    entity identifiers).  The join strategy is left to Catalyst/AQE: a
+    dimension-sized mapping broadcasts automatically, but the mapping
+    covers EVERY aliased node, which at corpus scale can be billions of
+    rows — a forced broadcast here would OOM every executor, so the
+    shuffle-join fallback must stay available.  With ``drop_sameas``
+    the now-redundant intra-component sameAs triples are removed.
+    Output deduplicates, since distinct aliases collapse onto one
+    canonical triple."""
+    m = mapping
     out = (triples
            .join(m.withColumnRenamed("node", "subj")
                  .withColumnRenamed("canon", "subj_canon"),

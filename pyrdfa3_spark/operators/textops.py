@@ -99,19 +99,25 @@ def rolling_fingerprint(docs: DataFrame, k: int = 8, base: int = 131,
     # chars (fingerprinting just the first window)
     normalized = F.when(F.length(base_norm) < k,
                         F.rpad(base_norm, k, " ")).otherwise(base_norm)
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+    # char codes materialized ONCE as an int array: substr(i, 1) per
+    # window char would re-scan the UTF8 string for the byte offset
+    # (O(i) each -> O(n^2 k) per long document); element_at is O(1)
+    codes = F.transform(F.split(F.col("norm"), ""),
+                        lambda c: F.ascii(c).cast("bigint"))
 
     def window_hash(i):
         h = F.lit(0).cast("bigint")
         for j in range(k):
-            h = h + F.ascii(F.col("norm").substr(i + F.lit(j), F.lit(1))) \
+            h = h + F.element_at(F.col("codes"), (i + F.lit(j)).cast("int")) \
                 * F.lit(base ** (k - 1 - j)).cast("bigint")
         return h % mod
 
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("codes") - (k - 1), F.lit(1)))
     return (docs
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     normalized.alias("norm"))
+            .select("doc_id", codes.alias("codes"))
             .select("doc_id",
                     F.array_min(F.transform(idx, window_hash))
                     .alias("rolling_fp")))
