@@ -19,6 +19,33 @@ def _dot(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of (query_id, vec_id, cos_sim) WITHOUT a window:
+    a per-query ranking window puts every candidate of a query into one
+    partition (the whole corpus per query at scale).  Two-phase instead:
+    partial top-k inside each scan partition (bounded by partition
+    size), then a merge of the ≤ partitions×k survivors — both phases
+    are sort+slice over small in-row arrays.  Ordering matches the
+    previous window exactly: cos_sim DESC, vec_id ASC."""
+    item = F.struct((-F.col("cos_sim")).alias("neg"),
+                    F.col("vec_id").alias("vec_id"))
+    partial = (scored
+               .groupBy("query_id", F.spark_partition_id().alias("p"))
+               .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
+                    .alias("top")))
+    merged = (partial
+              .select("query_id", F.explode("top").alias("r"))
+              .groupBy("query_id")
+              .agg(F.slice(F.array_sort(F.collect_list("r")), 1, k)
+                   .alias("top")))
+    return (merged
+            .select("query_id", F.posexplode("top").alias("pos", "r"))
+            .select(F.col("query_id").cast("bigint").alias("query_id"),
+                    F.col("r.vec_id").cast("bigint").alias("vec_id"),
+                    (-F.col("r.neg")).alias("cos_sim"),
+                    (F.col("pos") + 1).cast("bigint").alias("rank")))
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
@@ -29,11 +56,9 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
     """Exact top-k cosine neighbours for the given query vec_ids.
 
     Scale shape: the query side is tiny -> broadcast; the corpus side
-    streams once; ranking is a per-query window top-k (partial top-k
-    happens map-side via the rank filter under AQE).
+    streams once; ranking is the two-phase partition-local top-k of
+    :func:`_topk_per_query` — no per-query global ranking window.
     """
-    from pyspark.sql import Window
-
     from pyrdfa3_spark.operators.dedup import _scale_out
 
     embeddings = embeddings.withColumn(
@@ -50,12 +75,7 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
         F.round(_dot(F.col("q_emb"), F.col("embedding"))
                 / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
                 4).alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select("query_id", "vec_id", "cos_sim",
-                    F.col("rank").cast("bigint").alias("rank")))
+    return _topk_per_query(scored, top_k)
 
 
 def plane_values(dim: int, p: int) -> list[float]:
@@ -302,8 +322,6 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int],
     ``nprobe`` best cells.  Join key is the cell -> the corpus side is a
     cell-pruned fraction of the table, broadcast-joined to the tiny
     query list."""
-    from pyspark.sql import Window
-
     emb = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"))
@@ -328,9 +346,4 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int],
         F.col("query_id"), F.col("vec_id"),
         F.round(_cos(F.col("q_emb"), F.col("embedding")), 4)
         .alias("cos_sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_k)
-            .select("query_id", "vec_id", "cos_sim",
-                    F.col("rank").cast("bigint").alias("rank")))
+    return _topk_per_query(scored, top_k)
