@@ -220,23 +220,34 @@ def ivf_train(embeddings: DataFrame, n_cells: int = 16,
     return centroids
 
 
-def ivf_train_local(sf_dir: str, n_cells: int = 16,
-                    iters: int = 2) -> list[list[float]]:
+def ivf_train_local(sf_dir: str, n_cells: int = 16, iters: int = 2,
+                    sample_rows: int = 200_000) -> list[list[float]]:
     """Driver-side trainer twin of :func:`ivf_train` over a parquet
     sample — standard IVF practice: the coarse quantizer is trained on a
     driver-resident sample and only *assignment + probe* run
-    distributed.  Identical semantics to ivf_train (min-vec_id init,
-    cosine argmax with ties to the lower cell, per-dimension means,
-    empty cells keep their centroid); the returned floats are inlined as
-    plan literals, which is what lets the SQL oracle mirror the probe
-    stage bit-for-bit (same trick as :func:`plane_values`)."""
+    distributed.  The read is CAPPED at ``sample_rows`` (streamed in
+    record batches, never the whole table — a 100 TB corpus must not
+    land on the driver).  Identical semantics to ivf_train (min-vec_id
+    init, cosine argmax with ties to the lower cell, per-dimension
+    means, empty cells keep their centroid); the returned floats are
+    inlined as plan literals, which is what lets the SQL oracle mirror
+    the probe stage bit-for-bit (same trick as :func:`plane_values`)."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    vid = np.asarray(t["vec_id"].to_numpy())
-    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches, seen = [], 0
+    for batch in pf.iter_batches(columns=["vec_id", "embedding"],
+                                 batch_size=min(sample_rows, 65_536)):
+        batches.append(batch)
+        seen += batch.num_rows
+        if seen >= sample_rows:
+            break
+    vid = np.concatenate([b["vec_id"].to_numpy() for b in batches])
+    emb = np.array([v for b in batches
+                    for v in b["embedding"].to_pylist()],
+                   dtype=np.float64)[:sample_rows]
+    vid = vid[:sample_rows]
     order = np.argsort(vid)
     emb = emb[order]
     cents = emb[:n_cells].copy()
