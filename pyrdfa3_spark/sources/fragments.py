@@ -266,6 +266,46 @@ FRAGMENT_TEMPLATES: list[tuple[str, str]] = [
      'datetime="2014-5-{X}">d</time>'
      '<time property="http://schema.org/t" datetime="9:{X}">t</time>'
      '<time property="http://schema.org/md" datetime="1-{X}">m</time></div>'),
+    # 55. @datetime on a NON-time element (html5 extra-attrs applies to
+    # any element carrying the attribute, html5.py:157-175)
+    ("html5",
+     '<div about="#nd{K}"><span property="http://schema.org/published" '
+     'datetime="2026-0{X}-15">long ago</span></div>'),
+    # 56. @rel whose every token is a term -> removed entirely when
+    # @property is present (remove_rel T5 edge: attr dropped, rel branch
+    # never taken)
+    ("html5",
+     '<div about="#rr{K}"><a rel="license next" '
+     'property="http://schema.org/url" href="/l{K}">t</a></div>'),
+    # 57. @typeof="" (empty) on an element with @about: no type triple,
+    # but the typed-resource branch still anchors the subject
+    ("html5",
+     '<div about="#te{K}" typeof="">'
+     '<span property="http://schema.org/name">T{K}</span></div>'),
+    # 58. @href-only subject in the no-rel branch (subject from href)
+    ("html5",
+     '<a href="/doc{K}" property="http://schema.org/name">D{K}</a>'),
+    # 59. @inlist with multi-valued @property: both lists get the member
+    ("html5",
+     '<div about="#ml{K}">'
+     '<span property="http://schema.org/a http://schema.org/b" '
+     'inlist="">v{K}</span></div>'),
+    # 60. nested xml:base re-basing inside SVG (ACCEPT_XML_BASE host)
+    ("svg",
+     '<svg xmlns="http://www.w3.org/2000/svg" '
+     'xml:base="http://base{X}.example/dir/">'
+     '<g xml:base="http://inner{X}.example/sub/">'
+     '<title property="http://schema.org/name" about="rel{K}">n{K}'
+     '</title></g></svg>'),
+    # 61. safe CURIE with unknown prefix in @about: skipped entirely
+    # (empty-safe-curie prune keeps descendants from hanging)
+    ("html5",
+     '<div about="[nosuch:x{K}]">'
+     '<span property="http://schema.org/name">orphan {K}</span></div>'),
+    # 62. unterminated safe CURIE treated as plain (lexical edge)
+    ("html5",
+     '<div about="[broken{K}" rel="http://schema.org/url" '
+     'href="/u{K}"></div>'),
     # 54. unknown datatype IRI: literal kept untouched, no validation
     ("html5",
      '<div about="#ud{K}"><span property="http://schema.org/raw" '
