@@ -157,6 +157,170 @@ FROM documents
 
 
 # --------------------------------------------------------------------- #
+# curation (redact / stats / composed filter)
+# --------------------------------------------------------------------- #
+
+def _enriched_docs(spark, sf_dir):
+    """documents twin with deterministic synthetic PII/provenance
+    (emails, URLs, IPv4) appended — the raw corpus carries none."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("bigint")
+    return d.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), k.cast("string"),
+            F.lit("@example.com via https://site"),
+            (k % 7).cast("string"),
+            F.lit(".example/path/"), k.cast("string"),
+            F.lit(" or 10.0."), (k % 256).cast("string"),
+            F.lit("."), ((k * 7) % 256).cast("string"),
+        ).alias("text"))
+
+
+_SQL_ENRICHED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com via https://site'
+            || CAST(doc_id % 7 AS VARCHAR) || '.example/path/'
+            || CAST(doc_id AS VARCHAR)
+            || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST(doc_id * 7 % 256 AS VARCHAR) AS text
+FROM documents
+"""
+
+
+def q_redact(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import redact
+
+    return redact(_enriched_docs(spark, sf_dir))
+
+
+def _sql_redact():
+    from pyrdfa3_spark.operators.curation import EMAIL_RE, IPV4_RE, URL_RE
+
+    # RE2 needs regex-level escapes only; patterns are already portable
+    return f"""
+WITH e AS ({_SQL_ENRICHED}),
+r1 AS (SELECT doc_id, text,
+              length(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+              length(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+              regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>',
+                                            'g'),
+                             '{URL_RE}', '<URL>', 'g') AS c1
+       FROM e)
+SELECT doc_id,
+       regexp_replace(c1, '{IPV4_RE}', '<IP>', 'g') AS clean_text,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(length(regexp_extract_all(c1, '{IPV4_RE}')) AS BIGINT) AS n_ips
+FROM r1
+"""
+
+
+def q_top_ngrams(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, top_n=20)
+
+
+SQL_TOP_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0),
+grams AS (
+  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)] AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+counted AS (SELECT ngram, CAST(count(*) AS BIGINT) AS n
+            FROM grams GROUP BY ngram),
+top AS (SELECT * FROM counted ORDER BY n DESC, ngram LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, ngram) AS BIGINT) AS rank,
+       ngram, n
+FROM top
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import domain_stats
+
+    return domain_stats(_enriched_docs(spark, sf_dir), top_n=20)
+
+
+def _sql_domain_stats():
+    from pyrdfa3_spark.operators.curation import URL_RE
+
+    return f"""
+WITH e AS ({_SQL_ENRICHED}),
+urls AS (SELECT unnest(regexp_extract_all(text, '{URL_RE}')) AS url FROM e),
+doms AS (SELECT lower(regexp_extract(url, 'https?://([^/:?#]+)', 1))
+             AS domain FROM urls),
+counted AS (SELECT domain, CAST(count(*) AS BIGINT) AS n FROM doms
+            WHERE domain <> '' GROUP BY domain),
+top AS (SELECT * FROM counted ORDER BY n DESC, domain LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, domain) AS BIGINT) AS rank,
+       domain, n
+FROM top
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composed keep/drop decision (thresholds calibrated so every rule
+    fires on the synthetic corpus: 37 short docs, alpha p5 ~0.81,
+    stop-ratio p95 ~0.07, 25 confirmed near-dup pairs)."""
+    from pyrdfa3_spark.operators.curation import corpus_filter
+
+    return corpus_filter(_t(spark, sf_dir, "documents"),
+                         max_stop_ratio=0.06, min_alpha_ratio=0.815,
+                         jaccard_threshold=0.7)
+
+
+def _sql_corpus_filter():
+    """Quality rules + the recursive near-dup CTE chain, composed the
+    same way the operator composes quality_score and dedup_decision."""
+    from pyrdfa3_spark.operators.textops import _LANG_MARKERS
+
+    # the dedup CTE chain of SQL_DEDUP_DECISION, without its final SELECT
+    cte_part = SQL_DEDUP_DECISION.split("\nSELECT node AS doc_id,")[0]
+    cte_part = cte_part.replace("WITH RECURSIVE ", "", 1).strip()
+    hits = " + ".join(
+        f"(length(padded) - length(replace(padded, ' {w} ', '')))"
+        f" / {len(w) + 2}" for w in _LANG_MARKERS["en"])
+    return f"""
+WITH RECURSIVE {cte_part},
+dups AS (SELECT node AS doc_id FROM reach GROUP BY node
+         HAVING node <> least(node, min(other))),
+qd AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+              ' ' || lower(text) || ' ' AS padded,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(regexp_split_to_array(trim(text),
+                                                     '\\s+')) END AS toks
+       FROM documents),
+quality AS (
+  SELECT doc_id,
+         round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               / greatest(length(text), 1), 4) AS alpha_ratio,
+         round(({hits}) / greatest(toks, 1), 4) AS stop_ratio,
+         length(text) >= 100 AS len_ok
+  FROM qd)
+SELECT q.doc_id,
+       CASE WHEN NOT q.len_ok THEN false
+            WHEN q.alpha_ratio < 0.815 THEN false
+            WHEN q.stop_ratio > 0.06 THEN false
+            WHEN d.doc_id IS NOT NULL THEN false
+            ELSE true END AS keep,
+       CASE WHEN NOT q.len_ok THEN 'short'
+            WHEN q.alpha_ratio < 0.815 THEN 'low_alpha'
+            WHEN q.stop_ratio > 0.06 THEN 'stopword_heavy'
+            WHEN d.doc_id IS NOT NULL THEN 'near_duplicate'
+       END AS reason
+FROM quality q LEFT JOIN dups d ON d.doc_id = q.doc_id
+"""
+
+
+# --------------------------------------------------------------------- #
 # dedup (documents)
 # --------------------------------------------------------------------- #
 
@@ -1313,6 +1477,10 @@ FROM hh
 QUERIES = {
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "redact": q_redact,
+    "top_ngrams": q_top_ngrams,
+    "domain_stats": q_domain_stats,
+    "corpus_filter": q_corpus_filter,
     "quality_score": q_quality_score,
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
@@ -1362,6 +1530,10 @@ def oracles() -> dict[str, str]:
     return {
         "token_count": SQL_TOKEN_COUNT,
         "bpe_token_count": _sql_bpe_token_count(),
+        "redact": _sql_redact(),
+        "top_ngrams": SQL_TOP_NGRAMS,
+        "domain_stats": _sql_domain_stats(),
+        "corpus_filter": _sql_corpus_filter(),
         "quality_score": _sql_quality_score(),
         "rolling_fingerprint": _sql_rolling_fingerprint(),
         "lang_id": _sql_lang_id(),

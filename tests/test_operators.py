@@ -545,3 +545,58 @@ def test_dedup_decision_clusters(spark, dup_docs):
     assert out[1] == (0, True) and out[4] == (0, True)
     assert out[2] == (0, True)
     assert 3 not in out  # unrelated doc never enters the decision
+
+
+def test_redact_scrubs_pii(spark):
+    from pyrdfa3_spark.operators.curation import redact
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-ample.org or http://x.example/p?q=1 "
+             "from 192.168.1.7 ok"),
+         (1, "clean text")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact(docs).collect()}
+    assert out[0]["clean_text"] == "mail <EMAIL> or <URL> from <IP> ok"
+    assert (out[0]["n_emails"], out[0]["n_urls"], out[0]["n_ips"]) \
+        == (1, 1, 1)
+    assert out[1]["clean_text"] == "clean text"
+    assert out[1]["n_emails"] == 0
+
+
+def test_top_ngrams_and_domains(spark):
+    from pyrdfa3_spark.operators.curation import domain_stats, top_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "big data big data small data"), (1, "big data again"),
+         (2, "see https://a.example/x and https://b.example/y and "
+             "https://a.example/z")],
+        ["doc_id", "text"])
+    grams = [(r["rank"], r["ngram"], r["n"])
+             for r in top_ngrams(docs.filter("doc_id < 2"),
+                                 n=2, top_n=3).collect()]
+    assert grams[0] == (1, "big data", 3)
+    assert grams[1] == (2, "data again", 1)  # ties ordered by ngram asc
+    assert grams[2] == (3, "data big", 1)
+
+    doms = [(r["rank"], r["domain"], r["n"])
+            for r in domain_stats(docs, top_n=5).collect()]
+    assert doms == [(1, "a.example", 2), (2, "b.example", 1)]
+
+
+def test_corpus_filter_reasons(spark):
+    from pyrdfa3_spark.operators.curation import corpus_filter
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the green forest tonight to sleep") * 2
+    docs = spark.createDataFrame(
+        [(0, base), (1, base.upper()),          # near-dup cluster {0,1}
+         (2, "tiny"),                           # short
+         (3, "9" * 150)],                       # long but no letters
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in corpus_filter(docs, jaccard_threshold=0.5,
+                                  min_alpha_ratio=0.5).collect()}
+    assert out[0] == (True, None)               # cluster keeper survives
+    assert out[1] == (False, "near_duplicate")
+    assert out[2] == (False, "short")
+    assert out[3] == (False, "low_alpha")
