@@ -66,6 +66,22 @@ def windowed_turn_metrics(transcripts: DataFrame,
                     "conv_id", "n_turns", "n_carrier_turns"))
 
 
+def dedup_stream(transcripts: DataFrame,
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact-dedup: one row per normalized-text fingerprint
+    within the event-time watermark (``dropDuplicatesWithinWatermark``
+    keeps the dedup state bounded — fingerprints older than the
+    watermark are evicted, so state size tracks the duplicate horizon,
+    not the stream's lifetime).  The streaming twin of
+    ``dedup.exact_duplicates``'s keep-side."""
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")),
+                                       r"\s+", " ")))
+    return (transcripts
+            .withWatermark("ts", watermark)
+            .withColumn("fp", fp)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def run_to_completion(stream_df: DataFrame, out_dir: str,
                       checkpoint_dir: str, mode: str = "append"):
     """Drain the available backlog (Trigger.AvailableNow) into parquet

@@ -145,3 +145,33 @@ def test_stream_bucketed_materialize(spark, tmp_path):
         extract_stream(stream_transcripts(spark, in_dir)),
         out_dir, str(tmp_path / "ckpt2"), buckets=4)
     assert spark.read.parquet(out_dir).count() == n
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate turns arriving within the watermark collapse to one
+    output row; distinct texts all pass."""
+    import datetime
+
+    from pyrdfa3_spark.streaming.stream_extract import (
+        dedup_stream, run_to_completion, stream_transcripts,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(30):
+        # 10 distinct texts, each appearing 3x with close timestamps
+        rows.append((f"c{i % 10}", i, "u", f"text variant {i % 10}",
+                     "b", t0 + datetime.timedelta(seconds=i)))
+    in_dir = str(tmp_path / "in")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    run_to_completion(
+        dedup_stream(stream_transcripts(spark, in_dir)),
+        out_dir, str(tmp_path / "ckpt"))
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 10
+    assert out.select("fp").distinct().count() == 10
