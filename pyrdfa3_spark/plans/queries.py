@@ -1274,6 +1274,95 @@ def q_rdfa_extract(spark, sf_dir):
     return extract_triples(transcripts_from_documents(spark, sf_dir))
 
 
+def q_rdfa_extract_fixture(spark, sf_dir):
+    """End-to-end extraction through the real Arrow UDF over a
+    nation-derived RDFa corpus whose output is fully predictable —
+    the oracle-checkable slice of the extraction surface (the general
+    corpus stays rows-only + reference-parity-checked): @vocab
+    declaration + usesVocabulary, lang-tagged literal from @property,
+    typed literal via @content/@datatype, IRI object via
+    @rel/@resource."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    r = F.col("n_regionkey").cast("string")
+    html = F.concat(
+        F.lit('<div about="#n'), k,
+        F.lit('" vocab="http://schema.org/" lang="en">'
+              '<span property="name">'), F.col("n_name"),
+        F.lit('</span><span property="code" content="'), k,
+        F.lit('" datatype="http://www.w3.org/2001/XMLSchema#integer">'
+              '</span><div rel="memberOf" resource="urn:region:R'), r,
+        F.lit('"></div></div>'))
+    t = nation.select(
+        F.concat(F.lit("rx"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    return (extract_triples(t)
+            .withColumn("turn_idx", F.col("turn_idx").cast("bigint")))
+
+
+SQL_RDFA_EXTRACT_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k,
+                  CAST(n_regionkey AS VARCHAR) AS r, n_name FROM nation),
+base AS (SELECT *, 'http://transcript.local/rx' || k || '/0' AS b FROM n)
+SELECT 'rx' || k AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+       b AS subj, 'http://www.w3.org/ns/rdfa#usesVocabulary' AS pred,
+       'http://schema.org/' AS obj, true AS obj_is_iri,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM base
+UNION ALL
+SELECT 'rx' || k, CAST(0 AS BIGINT), b || '#n' || k,
+       'http://schema.org/name', n_name, false, 'en', NULL FROM base
+UNION ALL
+SELECT 'rx' || k, CAST(0 AS BIGINT), b || '#n' || k,
+       'http://schema.org/code', k, false, NULL,
+       'http://www.w3.org/2001/XMLSchema#integer' FROM base
+UNION ALL
+SELECT 'rx' || k, CAST(0 AS BIGINT), b || '#n' || k,
+       'http://schema.org/memberOf', 'urn:region:R' || r,
+       true, NULL, NULL FROM base
+"""
+
+
+def q_rdfa_diagnostics_fixture(spark, sf_dir):
+    """Processor-graph diagnostics through the real UDF over a
+    deliberate-error corpus with deterministic warnings (G6's
+    oracle-checkable slice)."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('<div about="#b'), k,
+        F.lit('"><span property="http://schema.org/v" '
+              'datatype="http://www.w3.org/2001/XMLSchema#integer" '
+              'content="notanint'), k, F.lit('">x</span></div>'))
+    t = nation.select(
+        F.concat(F.lit("dx"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    _, diags = split_outputs(extract_tagged(t))
+    return diags.withColumn("turn_idx", F.col("turn_idx").cast("bigint"))
+
+
+SQL_RDFA_DIAGNOSTICS_FIXTURE = """
+SELECT 'dx' || CAST(n_nationkey AS VARCHAR) AS conv_id,
+       CAST(0 AS BIGINT) AS turn_idx,
+       'warning' AS severity, 'incompatible-literal' AS code,
+       'value ''notanint' || CAST(n_nationkey AS VARCHAR)
+       || ''' does not match datatype '
+       || 'http://www.w3.org/2001/XMLSchema#integer' AS message
+FROM nation
+"""
+
+
 def q_rdfa_diagnostics(spark, sf_dir):
     from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
     from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
@@ -1518,6 +1607,8 @@ QUERIES = {
     "hturtle_extract": q_hturtle_extract,
     "rdfa_vocab_expand": q_rdfa_vocab_expand,
     "rdfa_extract": q_rdfa_extract,
+    "rdfa_extract_fixture": q_rdfa_extract_fixture,
+    "rdfa_diagnostics_fixture": q_rdfa_diagnostics_fixture,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
     "microdata_extract": q_microdata_extract,
@@ -1566,6 +1657,8 @@ def oracles() -> dict[str, str]:
         "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
         "entity_link": SQL_ENTITY_LINK,
         "sessionize": SQL_SESSIONIZE,
+        "rdfa_extract_fixture": SQL_RDFA_EXTRACT_FIXTURE,
+        "rdfa_diagnostics_fixture": SQL_RDFA_DIAGNOSTICS_FIXTURE,
         "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
