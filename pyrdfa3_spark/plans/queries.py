@@ -1480,6 +1480,79 @@ SELECT 'md' || k, CAST(0 AS BIGINT), 'urn:nation:N' || k,
 """
 
 
+def q_hturtle_fixture(spark, sf_dir):
+    """Embedded-turtle-island extraction (HTurtle plugin mode) over a
+    deterministic corpus — E14's oracle-checkable slice."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('x <script type="text/turtle">@prefix s: '
+              '<http://schema.org/> . <#a'), k,
+        F.lit("> s:follows <#b"), k, F.lit("> .</script> y"))
+    t = nation.select(
+        F.concat(F.lit("hx"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    triples, _ = split_outputs(extract_tagged(t, hturtle_only=True))
+    return triples.withColumn("turn_idx", F.col("turn_idx").cast("bigint"))
+
+
+SQL_HTURTLE_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k FROM nation),
+b AS (SELECT k, 'http://transcript.local/hx' || k || '/0' AS base FROM n)
+SELECT 'hx' || k AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+       base || '#a' || k AS subj, 'http://schema.org/follows' AS pred,
+       base || '#b' || k AS obj, true AS obj_is_iri,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM b
+"""
+
+
+def q_vocab_expand_fixture(spark, sf_dir):
+    """The full process_rdfa_sem composition (G2 collect + G3 select +
+    G4 expand + G5 subtract) over a deterministic corpus and vocab dim —
+    the oracle-checkable slice of rdfa_vocab_expand."""
+    from pyrdfa3_spark.operators.graphops import (
+        OWL_SUBPROP, rdfa_semantic_expansion,
+    )
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('<div about="#n'), k,
+        F.lit('" vocab="http://schema.org/"><span property="name">'),
+        F.col("n_name"), F.lit("</span></div>"))
+    t = nation.select(
+        F.concat(F.lit("vx"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    vocab_dim = spark.createDataFrame(
+        [("http://schema.org/", "http://schema.org/name", OWL_SUBPROP,
+          "http://schema.org/alternateName")],
+        ["vocab", "subj", "pred", "obj"])
+    return rdfa_semantic_expansion(extract_triples(t), vocab_dim)
+
+
+SQL_VOCAB_EXPAND_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name FROM nation),
+b AS (SELECT *, 'http://transcript.local/vx' || k || '/0' AS base FROM n)
+SELECT base AS subj, 'http://www.w3.org/ns/rdfa#usesVocabulary' AS pred,
+       'http://schema.org/' AS obj FROM b
+UNION ALL
+SELECT base || '#n' || k, 'http://schema.org/name', n_name FROM b
+UNION ALL
+SELECT base || '#n' || k, 'http://schema.org/alternateName', n_name FROM b
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction (mapInPandas).  The driver
     projection carries ``feature_str`` (canonical comma-joined milli
@@ -1605,6 +1678,8 @@ QUERIES = {
     "graph_metrics": q_graph_metrics,
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
     "hturtle_extract": q_hturtle_extract,
+    "hturtle_fixture": q_hturtle_fixture,
+    "vocab_expand_fixture": q_vocab_expand_fixture,
     "rdfa_vocab_expand": q_rdfa_vocab_expand,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_extract_fixture": q_rdfa_extract_fixture,
@@ -1659,6 +1734,8 @@ def oracles() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "rdfa_extract_fixture": SQL_RDFA_EXTRACT_FIXTURE,
         "rdfa_diagnostics_fixture": SQL_RDFA_DIAGNOSTICS_FIXTURE,
+        "hturtle_fixture": SQL_HTURTLE_FIXTURE,
+        "vocab_expand_fixture": SQL_VOCAB_EXPAND_FIXTURE,
         "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
