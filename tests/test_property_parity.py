@@ -5,7 +5,8 @@ RDFa attributes (the cross-product space the fixed fixture templates
 cannot cover), runs the actual reference (via scripts/refshim) and our
 engine on the same DOM, and asserts bnode-insensitive graph
 isomorphism.  ``derandomize=True`` keeps CI deterministic; bump
-``max_examples`` locally for deeper hunts.
+``max_examples`` locally for deeper hunts, and set ``PARITY_RANDOM=1``
+for fresh randomized exploration per run (background hunting).
 """
 
 from __future__ import annotations
@@ -166,7 +167,8 @@ def _run_ours(fragment: str, base: str, mode: str):
 
 @pytest.mark.parametrize("mode", sorted(_MODES))
 @settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "100")),
-          derandomize=True, deadline=None)
+          derandomize=os.environ.get("PARITY_RANDOM") is None,
+          deadline=None)
 @given(tree=trees)
 def test_random_fragment_parity(tree, mode):
     fragment = _MODES[mode][0].format(_render(tree))
@@ -193,7 +195,8 @@ _FUZZ_TOKENS = st.sampled_from([
 
 
 @settings(max_examples=int(os.environ.get("PARITY_EXAMPLES", "100")),
-          derandomize=True, deadline=None)
+          derandomize=os.environ.get("PARITY_RANDOM") is None,
+          deadline=None)
 @given(st.lists(_FUZZ_TOKENS, min_size=0, max_size=40).map("".join))
 def test_engine_never_crashes_on_garbage(text):
     """The extraction worker isolates per-document faults; the engine
