@@ -16,10 +16,16 @@ Supported (the subset real schema.org markup uses):
     data/meter@value, time@datetime, else concatenated text content);
   * ``lang`` / ``xml:lang`` inheritance onto text literals.
 
-Not implemented (documented contract): ``itemref`` (cross-subtree
-property borrowing) and the md-registry fallback vocabulary for untyped
-items — properties of an item with no vocabulary and a non-absolute
-name are skipped, as are relative ``itemtype`` tokens.
+``itemref`` (cross-subtree property borrowing) is supported: each
+referenced element is crawled as part of the item, with cycle
+protection; the referenced element's ``lang`` is its own attribute (or
+the item's, when absent) — full ancestor-chain lang inheritance for
+out-of-tree references is a documented simplification.
+
+Not implemented (documented contract): the md-registry fallback
+vocabulary for untyped items — properties of an item with no vocabulary
+and a non-absolute name are skipped, as are relative ``itemtype``
+tokens.
 """
 
 from __future__ import annotations
@@ -64,14 +70,23 @@ class _MicrodataWalker:
         self.base = base
         self.counter = 0
         self.triples: list = []
+        self._ids: dict = {}
 
     def _bnode(self) -> str:
         self.counter += 1
         return f"_:md{self.counter}"
 
     def run(self, root, lang: str | None = None) -> list:
+        self._index_ids(root)
         self._find_items(root, lang)
         return self.triples
+
+    def _index_ids(self, node):
+        nid = node.attrs.get("id")
+        if nid and nid not in self._ids:
+            self._ids[nid] = node
+        for c in node.element_children():
+            self._index_ids(c)
 
     def _lang(self, node, inherited):
         explicit = node.attrs.get("lang") or node.attrs.get("xml:lang")
@@ -97,8 +112,20 @@ class _MicrodataWalker:
                 self.triples.append((subj, RDF_TYPE, t))
                 if i == 0:
                     vocab = _vocab_of(t)
+        item_lang = self._lang(node, lang)
         for c in node.element_children():
-            self._properties(c, subj, vocab, self._lang(node, lang))
+            self._properties(c, subj, vocab, item_lang)
+        # itemref: crawl each referenced element (itself included) as
+        # part of this item; guard against reference cycles
+        seen: set = set()
+        for ref in (node.attrs.get("itemref") or "").split():
+            if ref in seen:
+                continue
+            seen.add(ref)
+            el = self._ids.get(ref)
+            if el is not None and el is not node:
+                self._properties(el, subj, vocab,
+                                 self._lang(el, item_lang))
         return subj
 
     def _properties(self, node, subj, vocab, lang):

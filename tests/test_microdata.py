@@ -112,3 +112,36 @@ def test_structured_pass_combines_rdfa_and_microdata(spark):
     # without the flag the microdata-only turn emits nothing
     plain, _ = split_outputs(extract_tagged(t))
     assert plain.filter("turn_idx = 1").count() == 0
+
+
+def test_itemref_borrows_properties():
+    """itemref crawls referenced elements (themselves included) as part
+    of the item, with cycle tolerance."""
+    doc = ('<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#p" itemref="extra licenses"></div>'
+           '<p id="extra"><span itemprop="name">Carol</span></p>'
+           '<a id="licenses" itemprop="url" href="/c">c</a>')
+    out = set(_md(doc))
+    assert ("http://ex.org/doc#p", S + "name",
+            Literal("Carol", None, None)) in out
+    assert ("http://ex.org/doc#p", S + "url", "http://ex.org/c") in out
+
+    # dangling + repeated refs are ignored, not fatal
+    doc2 = ('<div itemscope itemtype="http://schema.org/Thing" '
+            'itemid="#t" itemref="nope nope"></div>')
+    assert set(_md(doc2)) == {
+        ("http://ex.org/doc#t",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", S + "Thing")}
+
+
+def test_itemref_nested_item_in_reference():
+    doc = ('<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#p2" itemref="addr"></div>'
+           '<div id="addr" itemprop="address" itemscope '
+           'itemtype="http://schema.org/PostalAddress">'
+           '<span itemprop="addressLocality">Graz</span></div>')
+    out = _md(doc)
+    addr = [t[2] for t in out if t[1] == S + "address"]
+    assert len(addr) == 1 and addr[0].startswith("_:md")
+    assert (addr[0], S + "addressLocality",
+            Literal("Graz", None, None)) in out
