@@ -53,11 +53,13 @@ def _bench_extraction(spark, n_conv: int, warmup: bool = True):
     n_turns = t.count()
     if warmup:  # spawn + warm the executor Python workers
         extract_triples(t.limit(2000)).count()
-    t0 = time.time()
-    n_triples = extract_triples(t).count()
-    dt = time.time() - t0
+    best, n_triples = float("inf"), 0
+    for _ in range(3):  # best-of-3, same policy as the suite queries:
+        t0 = time.time()  # stage-scheduling noise on the shared host
+        n_triples = extract_triples(t).count()
+        best = min(best, time.time() - t0)
     t.unpersist()
-    return dt, n_turns, n_triples
+    return best, n_turns, n_triples
 
 
 # scaling-study corpus: larger than the suite corpus so the highest

@@ -1378,16 +1378,38 @@ def q_rdfa_prototype_expand(spark, sf_dir):
     return handle_prototypes(q_rdfa_extract(spark, sf_dir))
 
 
-def q_graph_metrics(spark, sf_dir):
-    """Per-conversation graph telemetry (north rule 'metrics'): triples,
-    documents, distinct predicates (exact + approx sketch)."""
-    triples = q_rdfa_extract(spark, sf_dir)
+def _metrics_agg(triples):
+    """Per-conversation graph telemetry aggregation (north rule
+    'metrics'): triples, documents, distinct predicates (exact + approx
+    sketch).  Map-side partial aggregation; the HLL sketch keeps the
+    shuffled state O(1) per group at corpus scale."""
     return (triples.groupBy("conv_id")
             .agg(F.count("*").cast("bigint").alias("n_triples"),
                  F.countDistinct("turn_idx").cast("bigint").alias("n_docs"),
                  F.countDistinct("pred").cast("bigint").alias("n_preds"),
                  F.approx_count_distinct("subj").cast("bigint")
                  .alias("approx_subjects")))
+
+
+def q_graph_metrics(spark, sf_dir):
+    return _metrics_agg(q_rdfa_extract(spark, sf_dir))
+
+
+def q_graph_metrics_fixture(spark, sf_dir):
+    """The same telemetry aggregation over the deterministic
+    nation-derived extraction corpus (oracle-checkable slice of
+    graph_metrics: each conversation holds exactly one document with 4
+    triples, 4 distinct predicates, 2 distinct subjects — small enough
+    that the HLL++ sketch is exact)."""
+    return _metrics_agg(q_rdfa_extract_fixture(spark, sf_dir))
+
+
+SQL_GRAPH_METRICS_FIXTURE = """
+SELECT 'rx' || CAST(n_nationkey AS VARCHAR) AS conv_id,
+       CAST(4 AS BIGINT) AS n_triples, CAST(1 AS BIGINT) AS n_docs,
+       CAST(4 AS BIGINT) AS n_preds, CAST(2 AS BIGINT) AS approx_subjects
+FROM nation
+"""
 
 
 def q_rdfa_vocab_usage(spark, sf_dir):
@@ -1397,6 +1419,84 @@ def q_rdfa_vocab_usage(spark, sf_dir):
             .filter(F.col("pred") ==
                     "http://www.w3.org/ns/rdfa#usesVocabulary")
             .select(F.col("obj").alias("vocab")).distinct())
+
+
+def q_vocab_usage_fixture(spark, sf_dir):
+    """G2 vocab collection over a deterministic corpus that declares two
+    different @vocab values (parity of the nation key) — the
+    oracle-checkable slice of rdfa_vocab_usage."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    vocab = F.when(F.col("n_nationkey") % 2 == 0,
+                   F.lit("http://schema.org/")) \
+             .otherwise(F.lit("http://purl.org/dc/terms/"))
+    html = F.concat(F.lit('<div vocab="'), vocab,
+                    F.lit('"><span property="name">'), F.col("n_name"),
+                    F.lit("</span></div>"))
+    t = nation.select(
+        F.concat(F.lit("vu"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    triples = extract_triples(t)
+    return (triples
+            .filter(F.col("pred") ==
+                    "http://www.w3.org/ns/rdfa#usesVocabulary")
+            .select(F.col("obj").alias("vocab")).distinct())
+
+
+SQL_VOCAB_USAGE_FIXTURE = """
+SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0
+       THEN 'http://schema.org/' ELSE 'http://purl.org/dc/terms/' END
+       AS vocab
+FROM nation
+"""
+
+
+def q_prototype_fixture(spark, sf_dir):
+    """Extraction + G1 prototype expansion composed end-to-end over a
+    deterministic corpus planting rdfa:Pattern / rdfa:copy pairs — the
+    oracle-checkable slice of rdfa_prototype_expand.  The pattern's
+    property is copied onto the referring subject; the copy reference,
+    the Pattern typing, and the pattern's own body are removed
+    (reference: pyRdfa/transform/prototype.py:26-37)."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('<div vocab="http://schema.org/"><div about="#item'), k,
+        F.lit('"><div rel="rdfa:copy" resource="#pat'), k,
+        F.lit('"></div></div><div about="#pat'), k,
+        F.lit('" typeof="rdfa:Pattern"><span property="name">'),
+        F.col("n_name"), F.lit("</span></div></div>"))
+    t = nation.select(
+        F.concat(F.lit("px"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    return (handle_prototypes(extract_triples(t))
+            .withColumn("turn_idx", F.col("turn_idx").cast("bigint")))
+
+
+SQL_PROTOTYPE_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name FROM nation),
+b AS (SELECT *, 'http://transcript.local/px' || k || '/0' AS base FROM n)
+SELECT 'px' || k AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+       base AS subj,
+       'http://www.w3.org/ns/rdfa#usesVocabulary' AS pred,
+       'http://schema.org/' AS obj, true AS obj_is_iri,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM b
+UNION ALL
+SELECT 'px' || k, CAST(0 AS BIGINT), base || '#item' || k,
+       'http://schema.org/name', n_name, false, NULL, NULL FROM b
+"""
 
 
 def q_rdfa_vocab_expand(spark, sf_dir):
@@ -1676,7 +1776,10 @@ QUERIES = {
     "entity_link": q_entity_link,
     "sessionize": q_sessionize,
     "graph_metrics": q_graph_metrics,
+    "graph_metrics_fixture": q_graph_metrics_fixture,
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
+    "vocab_usage_fixture": q_vocab_usage_fixture,
+    "prototype_fixture": q_prototype_fixture,
     "hturtle_extract": q_hturtle_extract,
     "hturtle_fixture": q_hturtle_fixture,
     "vocab_expand_fixture": q_vocab_expand_fixture,
@@ -1736,6 +1839,9 @@ def oracles() -> dict[str, str]:
         "rdfa_diagnostics_fixture": SQL_RDFA_DIAGNOSTICS_FIXTURE,
         "hturtle_fixture": SQL_HTURTLE_FIXTURE,
         "vocab_expand_fixture": SQL_VOCAB_EXPAND_FIXTURE,
+        "graph_metrics_fixture": SQL_GRAPH_METRICS_FIXTURE,
+        "vocab_usage_fixture": SQL_VOCAB_USAGE_FIXTURE,
+        "prototype_fixture": SQL_PROTOTYPE_FIXTURE,
         "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
