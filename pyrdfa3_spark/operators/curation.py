@@ -8,7 +8,7 @@ classes so Java regex (Spark) and RE2 (DuckDB) parse them identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # lookahead-free, dialect-portable patterns
@@ -89,6 +89,140 @@ def domain_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
                .groupBy("domain")
                .agg(F.count("*").cast("bigint").alias("n")))
     return _ranked_topk(counted, "domain", top_n)
+
+
+def _hash32(col) -> F.Column:
+    """Portable deterministic 32-bit hash (md5 prefix as integer) —
+    reproducible bit-for-bit in the DuckDB oracle via a hex-digit
+    polynomial, unlike Spark's xxhash64/hash builtins."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _word_tokens(text_col) -> F.Column:
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text_col),
+                                           r"\s+", " ")), " ")
+    return F.filter(toks, lambda t: t != "")
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_shards: int = 32) -> DataFrame:
+    """Concatenation-style sequence packing (the GPT pre-training
+    layout): documents are deterministically sharded by a portable hash
+    of ``doc_id``, concatenated in doc_id order within each shard, and
+    the shard's token stream is chunked into fixed ``seq_len`` windows.
+    Output maps every document to its shard, start offset in the
+    stream, and the pack (training sequence) its first token lands in.
+
+    Scale shape: ONE window, partitioned by shard (never global) — at
+    10^9 documents each shard's running sum is an independent
+    partition-local scan; n_shards is the write parallelism of the
+    downstream packed-sequence materialization.
+    """
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.cast("bigint").alias("n_tokens"),
+        (_hash32(F.col("doc_id").cast("string")) % n_shards)
+        .cast("bigint").alias("shard"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        start.cast("bigint").alias("start_offset"),
+        F.floor(start / seq_len).cast("bigint").alias("pack_id"))
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with an evaluation set (the standard eval-leakage scrub
+    before pre-training).  Output: doc_id, n_hits (distinct shared
+    n-grams), contaminated.
+
+    Scale shape: n-grams are built in-row (transform over the token
+    array — no per-token rows), hashed to 32 bits, and the eval side is
+    a dim-sized distinct list that Catalyst broadcasts; the per-doc
+    count is a map-side-combined groupBy.  No window, no all-pairs.
+    """
+    def gram_hashes(frame: DataFrame) -> DataFrame:
+        toks = _word_tokens(F.col("text"))
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size("toks") - (n - 1), F.lit(0)))
+        grams = F.transform(idx, lambda i: _hash32(F.concat_ws(
+            " ", *[F.element_at("toks", (i + F.lit(j)).cast("int"))
+                   for j in range(n)])))
+        return (frame
+                .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        toks.alias("toks"))
+                .filter(F.size("toks") >= n)
+                .select("doc_id", F.explode(F.array_distinct(grams))
+                        .alias("gh")))
+    eval_grams = (gram_hashes(eval_docs).select("gh").distinct())
+    hits = (gram_hashes(docs)
+            .join(F.broadcast(eval_grams), "gh", "inner")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits")))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+def _length_stratum(bounds: tuple[int, int]) -> F.Column:
+    return (F.when(F.length("text") < bounds[0], "short")
+            .when(F.length("text") < bounds[1], "medium")
+            .otherwise("long"))
+
+
+def stratified_sample(docs: DataFrame, fractions: dict[str, float],
+                      bounds: tuple[int, int] = (200, 1000)) -> DataFrame:
+    """Deterministic per-stratum downsampling (training-mix control):
+    each document is kept iff a portable hash of its id falls under the
+    stratum's keep-rate — reproducible across runs, cluster sizes and
+    engines (unlike ``sampleBy``'s RNG).  Strata here are document
+    length classes; thresholds use integer per-mille math so the oracle
+    compares integers, never floats.  Output: kept doc_id, stratum.
+
+    Scale shape: pure Column algebra over the scan — no shuffle at all.
+    """
+    stratum = _length_stratum(bounds)
+    permille = (_hash32(F.concat(F.lit("samp|"),
+                                 F.col("doc_id").cast("string"))) % 1000)
+    keep = F.lit(False)
+    for name, frac in fractions.items():
+        keep = keep | ((stratum == name) & (permille < int(frac * 1000)))
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    stratum.alias("stratum"), keep.alias("keep"))
+            .filter("keep").drop("keep"))
+
+
+def quota_mix(docs: DataFrame, quota: int = 50,
+              bounds: tuple[int, int] = (200, 1000)) -> DataFrame:
+    """Per-stratum quota capping (domain/length mixing): keep at most
+    ``quota`` documents per stratum, chosen by deterministic hash order
+    so the subset is stable across runs.  Output: doc_id, stratum, rnk.
+
+    Scale shape: the ranking window is partitioned by stratum — never
+    global — so each stratum ranks independently; with many strata this
+    parallelizes, and a single mega-stratum is bounded by the quota
+    read (rank computation is a partition-local sort, AQE splits skewed
+    partitions).
+    """
+    stratum = _length_stratum(bounds)
+    h = _hash32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        stratum.alias("stratum"), h.alias("h"))
+    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
+    return (base
+            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= quota)
+            .drop("h"))
 
 
 def corpus_filter(docs: DataFrame,

@@ -320,6 +320,109 @@ FROM quality q LEFT JOIN dups d ON d.doc_id = q.doc_id
 """
 
 
+# portable 32-bit hash: Spark conv(substr(md5(x),1,8),16,10) rebuilt in
+# DuckDB as a hex-digit polynomial (same trick as the minhash oracle)
+def _sql_h32(expr: str) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {1 + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8)) + ")"
+
+
+def q_pack_sequences(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"),
+                          seq_len=512, n_shards=8)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+       AS BIGINT) AS n_tokens,
+  CAST({_sql_h32('CAST(doc_id AS VARCHAR)')} % 8 AS BIGINT) AS shard
+ FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+               - n_tokens AS start_offset FROM d)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set = every 7th document (a synthetic benchmark); corpus =
+    the whole documents table, so eval members self-flag — the
+    realistic leak scenario a decontamination scrub hunts."""
+    from pyrdfa3_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 7 == 0), n=5)
+
+
+_SQL_GRAM5 = " || ' ' || ".join(
+    f"t[CAST(i + {j} AS INT)]" for j in range(5))
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+           FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS t FROM d
+       WHERE length(norm) > 0),
+g AS (SELECT DISTINCT doc_id, {_sql_h32(f"({_SQL_GRAM5})")} AS gh
+      FROM tk, unnest(generate_series(1, greatest(len(t) - 4, 0))) u(i)),
+eg AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 = 0),
+h AS (SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN eg USING (gh) GROUP BY g.doc_id)
+SELECT d0.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d0
+LEFT JOIN h ON h.doc_id = d0.doc_id
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"short": 1.0, "medium": 0.5, "long": 0.1}, bounds=(200, 400))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN length(text) < 200 THEN 'short'
+       WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
+  {_sql_h32("'samp|' || CAST(doc_id AS VARCHAR)")} % 1000 AS pm
+ FROM documents)
+SELECT doc_id, stratum FROM d
+WHERE (stratum = 'short' AND pm < 1000)
+   OR (stratum = 'medium' AND pm < 500)
+   OR (stratum = 'long' AND pm < 100)
+"""
+
+
+def q_quota_mix(spark, sf_dir):
+    from pyrdfa3_spark.operators.curation import quota_mix
+
+    return quota_mix(_t(spark, sf_dir, "documents"), quota=50,
+                     bounds=(200, 400))
+
+
+SQL_QUOTA_MIX = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN length(text) < 200 THEN 'short'
+       WHEN length(text) < 400 THEN 'medium' ELSE 'long' END AS stratum,
+  {_sql_h32("'mix|' || CAST(doc_id AS VARCHAR)")} AS h
+ FROM documents),
+r AS (SELECT doc_id, stratum,
+             CAST(row_number() OVER (PARTITION BY stratum
+                                     ORDER BY h, doc_id) AS BIGINT) AS rnk
+      FROM d)
+SELECT doc_id, stratum, rnk FROM r WHERE rnk <= 50
+"""
+
+
 # --------------------------------------------------------------------- #
 # dedup (documents)
 # --------------------------------------------------------------------- #
@@ -1743,6 +1846,10 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "domain_stats": q_domain_stats,
     "corpus_filter": q_corpus_filter,
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "quota_mix": q_quota_mix,
     "quality_score": q_quality_score,
     "rolling_fingerprint": q_rolling_fingerprint,
     "lang_id": q_lang_id,
@@ -1803,6 +1910,10 @@ def oracles() -> dict[str, str]:
         "top_ngrams": SQL_TOP_NGRAMS,
         "domain_stats": _sql_domain_stats(),
         "corpus_filter": _sql_corpus_filter(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "decontaminate": SQL_DECONTAMINATE,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "quota_mix": SQL_QUOTA_MIX,
         "quality_score": _sql_quality_score(),
         "rolling_fingerprint": _sql_rolling_fingerprint(),
         "lang_id": _sql_lang_id(),

@@ -600,3 +600,103 @@ def test_corpus_filter_reasons(spark):
     assert out[1] == (False, "near_duplicate")
     assert out[2] == (False, "short")
     assert out[3] == (False, "low_alpha")
+
+
+# ------------------------------------------------------------------ #
+# training-mix curation: packing / decontamination / sampling / quota
+# (each cross-checked against an independent pure-python computation,
+# not just the SQL oracle — rpad-style dual-engine blind spots)
+# ------------------------------------------------------------------ #
+
+def _py_h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon nothing shared here"),
+        (2, "totally different words in this one document body"),
+        (3, "x " * 150),                       # medium length
+        (4, "y " * 300),                       # long
+        (5, ""),                               # empty
+        (6, "alpha beta gamma delta epsilon zeta eta theta tail"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_sequences_matches_python(spark, mix_docs):
+    from pyrdfa3_spark.operators.curation import pack_sequences
+
+    out = {r["doc_id"]: r for r in
+           pack_sequences(mix_docs, seq_len=16, n_shards=4).collect()}
+    rows = [(i, t) for i, t in mix_docs.collect()]
+    ntok = {i: (0 if not t.strip() else len(t.split())) for i, t in rows}
+    shard = {i: _py_h32(str(i)) % 4 for i, _ in rows}
+    for s in set(shard.values()):
+        off = 0
+        for i in sorted(k for k in shard if shard[k] == s):
+            r = out[i]
+            assert (r["shard"], r["n_tokens"]) == (s, ntok[i])
+            assert r["start_offset"] == off
+            assert r["pack_id"] == off // 16
+            off += ntok[i]
+
+
+def test_decontaminate_matches_python(spark, mix_docs):
+    from pyrdfa3_spark.operators.curation import decontaminate
+
+    eval_docs = mix_docs.filter("doc_id = 0")
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(mix_docs, eval_docs, n=5).collect()}
+
+    def grams(t, n=5):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    ev = grams("alpha beta gamma delta epsilon zeta eta theta")
+    for i, t in mix_docs.collect():
+        hits = len(grams(t) & ev)
+        assert out[i] == (hits, hits > 0), (i, out[i], hits)
+    # docs 0/1/6 share the "alpha beta gamma delta epsilon" 5-gram;
+    # doc 2 has disjoint vocabulary
+    assert out[0][1] and out[1][1] and out[6][1]
+    assert not out[2][1]
+
+
+def test_stratified_sample_matches_python(spark, mix_docs):
+    from pyrdfa3_spark.operators.curation import stratified_sample
+
+    frac = {"short": 1.0, "medium": 0.5, "long": 0.0}
+    kept = {r["doc_id"]: r["stratum"]
+            for r in stratified_sample(mix_docs, frac,
+                                       bounds=(100, 400)).collect()}
+    for i, t in mix_docs.collect():
+        stratum = ("short" if len(t) < 100
+                   else "medium" if len(t) < 400 else "long")
+        expect = _py_h32(f"samp|{i}") % 1000 < int(frac[stratum] * 1000)
+        assert (i in kept) == expect
+        if i in kept:
+            assert kept[i] == stratum
+
+
+def test_quota_mix_matches_python(spark, mix_docs):
+    from pyrdfa3_spark.operators.curation import quota_mix
+
+    out = {r["doc_id"]: (r["stratum"], r["rnk"])
+           for r in quota_mix(mix_docs, quota=2,
+                              bounds=(100, 400)).collect()}
+    strata: dict = {}
+    for i, t in mix_docs.collect():
+        s = ("short" if len(t) < 100
+             else "medium" if len(t) < 400 else "long")
+        strata.setdefault(s, []).append((_py_h32(f"mix|{i}"), i))
+    expect = {}
+    for s, members in strata.items():
+        for rnk, (_, i) in enumerate(sorted(members), start=1):
+            if rnk <= 2:
+                expect[i] = (s, rnk)
+    assert out == expect

@@ -114,3 +114,34 @@ def test_ivf_table_probe_is_partition_pruned(spark, tmp_path):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     # the query's own vector lives in a probed cell -> cos 1.0 at rank 1
     assert rows[0]["cos_sim"] == 1.0
+
+
+def test_curation_mix_plans_scale_shape(spark):
+    """pack_sequences / quota_mix windows must be PARTITIONED (shard /
+    stratum) — a partition-less window would serialize the whole corpus
+    through one task at 100 TB; decontaminate's eval side must broadcast
+    and its per-doc count keep map-side partial aggregation;
+    stratified_sample must stay a pure scan (no shuffle at all)."""
+    from pyrdfa3_spark.operators.curation import (
+        decontaminate, pack_sequences, quota_mix, stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    for df in (pack_sequences(docs), quota_mix(docs)):
+        simple = _plan(df, mode="simple")
+        win_lines = [ln for ln in simple.splitlines() if "Window [" in ln]
+        assert win_lines, simple
+        # partitioned windows print three bracket groups
+        # "Window [exprs], [partition], [ordering]"; a global window
+        # prints only two ("Window [exprs], [ordering]")
+        for ln in win_lines:
+            assert ln.count("], [") >= 2, ln
+
+    plan = _plan(decontaminate(docs, docs.filter("doc_id % 7 = 0")))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+    simple = _plan(stratified_sample(
+        docs, {"short": 1.0, "medium": 0.5, "long": 0.1}), mode="simple")
+    assert "Exchange" not in simple, simple
