@@ -356,3 +356,89 @@ def rdfa_semantic_expansion(triples: DataFrame,
                    .dropDuplicates())
     data = triples.select("subj", "pred", "obj")
     return miniowl_expand(data, vocab_graph)
+
+
+def bgp_match(triples: DataFrame,
+              patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """Basic-graph-pattern matching — the SPARQL SELECT core the
+    reference's consumers run over its emitted graphs (pyrdfa3 hands an
+    rdflib Graph to SPARQL; this is the lake-side equivalent over the
+    triples table).  Each pattern is an (s, p, o) string triple where a
+    leading ``?`` marks a variable; the result carries one column per
+    variable and one row per solution mapping (bag semantics, matching
+    SPARQL's default).
+
+    Spark-first shape: each pattern compiles to a filtered projection of
+    the SAME triples frame (constant positions become scan predicates —
+    pushed down to parquet), and patterns join pairwise on their shared
+    variables.  Catalyst plans the join order/strategy; AQE broadcasts
+    selective patterns and splits skewed join keys at runtime.  Patterns
+    are greedily reordered so every join shares at least one variable
+    with the frame built so far — a disjoint pattern would be a
+    cartesian product and raises instead.
+    """
+    def compile_one(pat):
+        s, p, o = pat
+        df = triples
+        cols = []
+        seen: dict[str, str] = {}
+        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in seen:      # repeated variable inside a pattern
+                    df = df.filter(F.col(pos) == F.col(seen[var]))
+                else:
+                    seen[var] = pos
+                    cols.append(F.col(pos).alias(var))
+            else:
+                df = df.filter(F.col(pos) == term)
+        if not cols:
+            raise ValueError(f"pattern {pat} binds no variables")
+        return set(seen), df.select(*cols)
+
+    compiled = [compile_one(p) for p in patterns]
+    bound, out = compiled[0]
+    rest = list(compiled[1:])
+    while rest:
+        idx = next((i for i, (vs, _) in enumerate(rest) if vs & bound),
+                   None)
+        if idx is None:
+            raise ValueError(
+                "disjoint basic graph pattern: no shared variable with "
+                f"{sorted(bound)} — a cartesian product at corpus scale; "
+                "split the query instead")
+        vs, df = rest.pop(idx)
+        out = out.join(df, sorted(vs & bound), "inner")
+        bound |= vs
+    return out
+
+
+def property_table(triples: DataFrame,
+                   predicates: list[str]) -> DataFrame:
+    """Subject × predicate pivot: the classic KG 'property table'
+    materialization (one wide row per subject, one column per chosen
+    predicate) that downstream feature pipelines and entity views read
+    instead of self-joining the triple store per attribute.
+
+    Column names are the predicates' local names (after ``#`` / last
+    ``/``).  Multi-valued predicates keep the MINIMUM object so the
+    table is deterministic under any partitioning.
+
+    Scale shape: ONE hash aggregation on subj (map-side partial min per
+    predicate — conditional aggregation, no joins, no pivot shuffle per
+    column); the predicate IN-filter prunes the scan.
+    """
+    def local_name(p: str) -> str:
+        tail = (p.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                .rsplit(":", 1)[-1])
+        return tail or p
+
+    names = [local_name(p) for p in predicates]
+    if len(set(names)) != len(names):
+        raise ValueError(f"predicate local names collide: {names}")
+    aggs = [F.min(F.when(F.col("pred") == p, F.col("obj")))
+            .alias(name) for p, name in zip(predicates, names)]
+    return (triples
+            .filter(F.col("pred").isin(predicates))
+            .groupBy("subj")
+            .agg(*aggs))

@@ -971,6 +971,83 @@ UNION ALL SELECT nn, 'p:linked', 'region:R' || CAST(r AS VARCHAR) FROM n
 """
 
 
+def _geo_triples(spark, sf_dir):
+    """supplier→nation→region KG derived from the relational tables:
+    the deterministic triple store the BGP / property-table queries run
+    over."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
+    t1 = supplier.select(
+        F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "locatedIn").alias("pred"),
+        F.concat(F.lit("nation:"), F.col("s_nationkey").cast("string"))
+        .alias("obj"))
+    t2 = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "memberOf").alias("pred"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string"))
+        .alias("obj"))
+    t3 = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"))
+    t4 = region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(_EX + "Region").alias("obj"))
+    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+
+
+def q_bgp_match(spark, sf_dir):
+    """4-pattern star-path BGP over the geo KG: which supplier sits in
+    which named nation of which typed region."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    return bgp_match(_geo_triples(spark, sf_dir), [
+        ("?s", _EX + "locatedIn", "?n"),
+        ("?n", _EX + "memberOf", "?r"),
+        ("?r", RDF_TYPE, _EX + "Region"),
+        ("?n", _EX + "name", "?name"),
+    ])
+
+
+SQL_BGP_MATCH = """
+SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
+       'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       n_name AS name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_property_table(spark, sf_dir):
+    """Subject × predicate pivot of the geo KG's nation entities; the
+    absent 'motto' predicate exercises the NULL column path."""
+    from pyrdfa3_spark.operators.graphops import property_table
+
+    t = _geo_triples(spark, sf_dir)
+    return (property_table(
+        t.filter(F.col("subj").startswith("nation:")),
+        [_EX + "name", _EX + "memberOf", _EX + "motto"]))
+
+
+SQL_PROPERTY_TABLE = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       n_name AS name,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS memberOf,
+       CAST(NULL AS VARCHAR) AS motto
+FROM nation
+"""
+
+
 def q_list_chain(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     items = li.select(
@@ -1872,6 +1949,8 @@ QUERIES = {
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
+    "bgp_match": q_bgp_match,
+    "property_table": q_property_table,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
@@ -1936,6 +2015,8 @@ def oracles() -> dict[str, str]:
         "transitive_closure": SQL_TRANSITIVE_CLOSURE,
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
+        "bgp_match": SQL_BGP_MATCH,
+        "property_table": SQL_PROPERTY_TABLE,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,

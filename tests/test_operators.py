@@ -700,3 +700,58 @@ def test_quota_mix_matches_python(spark, mix_docs):
             if rnk <= 2:
                 expect[i] = (s, rnk)
     assert out == expect
+
+
+# ------------------------------------------------------------------ #
+# KG query surface: BGP matching + property-table pivot
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def kg_triples(spark):
+    rows = [
+        ("a", "p:knows", "b"), ("b", "p:knows", "c"),
+        ("a", "p:name", "Ada"), ("b", "p:name", "Bob"),
+        ("b", "p:name", "Bobby"),          # multi-valued
+        ("c", "p:knows", "c"),             # self-loop
+        ("a", "p:type", "Person"), ("b", "p:type", "Person"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_bgp_match_join_and_constants(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    out = sorted(tuple(r) for r in bgp_match(kg_triples, [
+        ("?x", "p:knows", "?y"),
+        ("?y", "p:name", "?n"),
+        ("?x", "p:type", "Person"),
+    ]).select("x", "y", "n").collect())
+    assert out == [("a", "b", "Bob"), ("a", "b", "Bobby")]
+
+
+def test_bgp_match_repeated_variable_and_errors(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    loops = [tuple(r) for r in
+             bgp_match(kg_triples, [("?x", "p:knows", "?x")]).collect()]
+    assert loops == [("c",)]
+
+    with pytest.raises(ValueError, match="disjoint"):
+        bgp_match(kg_triples, [("?x", "p:knows", "?y"),
+                               ("?a", "p:name", "?b")]).collect()
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(kg_triples, [("a", "p:knows", "b")])
+
+
+def test_property_table_pivot(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import property_table
+
+    out = {r["subj"]: (r["name"], r["knows"])
+           for r in property_table(
+               kg_triples, ["p:name", "p:knows"]).collect()}
+    # multi-valued p:name keeps the minimum ("Bob" < "Bobby")
+    assert out == {"a": ("Ada", "b"), "b": ("Bob", "c"),
+                   "c": (None, "c")}
+
+    with pytest.raises(ValueError, match="collide"):
+        property_table(kg_triples, ["a#x", "b/x"])

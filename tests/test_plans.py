@@ -145,3 +145,33 @@ def test_curation_mix_plans_scale_shape(spark):
     simple = _plan(stratified_sample(
         docs, {"short": 1.0, "medium": 0.5, "long": 0.1}), mode="simple")
     assert "Exchange" not in simple, simple
+
+
+def test_kg_query_plans(spark, tmp_path):
+    """BGP joins must be hash joins (never cartesian) and, over a
+    parquet-backed triple store, the constant pattern positions must
+    push down into the scan; property_table must partially aggregate
+    map-side (one shuffle keyed on subj)."""
+    from pyrdfa3_spark.operators.graphops import bgp_match
+    from pyrdfa3_spark.plans.queries import q_bgp_match, q_property_table
+
+    plan = _plan(q_bgp_match(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
+        not in plan, plan
+
+    # parquet-backed store: pred constants reach the scan as pushed
+    # filters (the property a 100 TB triple table lives or dies by)
+    store = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [("a", "p:knows", "b"), ("b", "p:name", "Bob")],
+        ["subj", "pred", "obj"]).write.parquet(store)
+    t = spark.read.parquet(store)
+    plan = _plan(bgp_match(t, [("?x", "p:knows", "?y"),
+                               ("?y", "p:name", "?n")]))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("pred" in ln and "p:knows" in ln
+                          for ln in pushed), plan
+
+    plan = _plan(q_property_table(spark, "/root/testdata/sf0.001"))
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan
