@@ -1281,8 +1281,12 @@ _TIME_SHAPES = [
 _TIME_SHAPES_BY.update(dict(_TIME_SHAPES))
 
 
+@lru_cache(maxsize=8192)
 def _format_test(value: str) -> Optional[str]:
-    """Return the xsd datatype IRI the HTML5 time value matches, else None."""
+    """Return the xsd datatype IRI the HTML5 time value matches, else
+    None.  Pure function of the value string — memoized because real
+    corpora repeat timestamps heavily and the strptime fallbacks
+    dominate the profile when they run."""
     for dtype, formats in _TIME_FORMATS:
         if _TIME_SHAPES_BY[dtype].match(value) \
                 and _strptime_any(value, formats):
