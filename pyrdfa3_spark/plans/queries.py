@@ -1679,6 +1679,54 @@ SELECT 'px' || k, CAST(0 AS BIGINT), base || '#item' || k,
 """
 
 
+def q_kg_pipeline_fixture(spark, sf_dir):
+    """The full north-star flow composed end-to-end and oracle-checked:
+    RDFa extraction (real Arrow UDF) → owl:sameAs connected components
+    (pointer-jumping min-label) → canonical rewrite → BGP query over
+    the canonicalized graph.  Each nation is described under two
+    aliases (urn:n:A*k* carries the name, urn:n:B*k* the code, linked
+    by sameAs); the BGP star (?e name ?name)(?e code ?code) only joins
+    AFTER canonicalization collapses the aliases."""
+    from pyrdfa3_spark.operators.entity_link import (
+        SAMEAS, rewrite_canonical, sameas_canonical_map,
+    )
+    from pyrdfa3_spark.operators.graphops import bgp_match
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('<div vocab="http://schema.org/"><div about="urn:n:A'), k,
+        F.lit('"><span property="name">'), F.col("n_name"),
+        F.lit('</span><div rel="http://www.w3.org/2002/07/owl#sameAs" '
+              'resource="urn:n:B'), k,
+        F.lit('"></div></div><div about="urn:n:B'), k,
+        F.lit('"><span property="code" content="'), k,
+        F.lit('"></span></div></div>'))
+    t = nation.select(
+        F.concat(F.lit("kg"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    triples = extract_triples(t).select("subj", "pred", "obj")
+    edges = (triples.filter(F.col("pred") == SAMEAS)
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    canon = rewrite_canonical(triples, sameas_canonical_map(edges))
+    return bgp_match(canon, [
+        ("?e", "http://schema.org/name", "?name"),
+        ("?e", "http://schema.org/code", "?code"),
+    ])
+
+
+SQL_KG_PIPELINE_FIXTURE = """
+SELECT 'urn:n:A' || CAST(n_nationkey AS VARCHAR) AS e,
+       n_name AS name, CAST(n_nationkey AS VARCHAR) AS code
+FROM nation
+"""
+
+
 def q_rdfa_vocab_expand(spark, sf_dir):
     """Full process_rdfa_sem flow (G2+G3+G4+G5) over the extraction
     output: vocabularies the corpus declares via @vocab are pulled from
@@ -1969,6 +2017,7 @@ QUERIES = {
     "hturtle_extract": q_hturtle_extract,
     "hturtle_fixture": q_hturtle_fixture,
     "vocab_expand_fixture": q_vocab_expand_fixture,
+    "kg_pipeline_fixture": q_kg_pipeline_fixture,
     "rdfa_vocab_expand": q_rdfa_vocab_expand,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_extract_fixture": q_rdfa_extract_fixture,
@@ -2034,6 +2083,7 @@ def oracles() -> dict[str, str]:
         "graph_metrics_fixture": SQL_GRAPH_METRICS_FIXTURE,
         "vocab_usage_fixture": SQL_VOCAB_USAGE_FIXTURE,
         "prototype_fixture": SQL_PROTOTYPE_FIXTURE,
+        "kg_pipeline_fixture": SQL_KG_PIPELINE_FIXTURE,
         "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
