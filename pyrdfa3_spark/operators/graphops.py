@@ -359,7 +359,9 @@ def rdfa_semantic_expansion(triples: DataFrame,
 
 
 def bgp_match(triples: DataFrame,
-              patterns: list[tuple[str, str, str]]) -> DataFrame:
+              patterns: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None
+              ) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL SELECT core the
     reference's consumers run over its emitted graphs (pyrdfa3 hands an
     rdflib Graph to SPARQL; this is the lake-side equivalent over the
@@ -367,6 +369,11 @@ def bgp_match(triples: DataFrame,
     leading ``?`` marks a variable; the result carries one column per
     variable and one row per solution mapping (bag semantics, matching
     SPARQL's default).
+
+    ``optional`` patterns implement SPARQL's OPTIONAL: each left-joins
+    onto the required solution on its shared variables, so unmatched
+    solutions survive with NULL bindings for the optional-only
+    variables.
 
     Spark-first shape: each pattern compiles to a filtered projection of
     the SAME triples frame (constant positions become scan predicates —
@@ -409,6 +416,14 @@ def bgp_match(triples: DataFrame,
                 "split the query instead")
         vs, df = rest.pop(idx)
         out = out.join(df, sorted(vs & bound), "inner")
+        bound |= vs
+    for pat in optional or []:
+        vs, df = compile_one(pat)
+        if not vs & bound:
+            raise ValueError(
+                f"optional pattern {pat} shares no variable with "
+                f"{sorted(bound)}")
+        out = out.join(df, sorted(vs & bound), "left")
         bound |= vs
     return out
 

@@ -1002,7 +1002,14 @@ def _geo_triples(spark, sf_dir):
         .alias("subj"),
         F.lit(RDF_TYPE).alias("pred"),
         F.lit(_EX + "Region").alias("obj"))
-    return t1.unionByName(t2).unionByName(t3).unionByName(t4)
+    # partial predicate (even regions only) — exercises OPTIONAL NULLs
+    t5 = region.filter(F.col("r_regionkey") % 2 == 0).select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "comment").alias("pred"),
+        F.col("r_name").alias("obj"))
+    return (t1.unionByName(t2).unionByName(t3).unionByName(t4)
+            .unionByName(t5))
 
 
 def q_bgp_match(spark, sf_dir):
@@ -1025,6 +1032,25 @@ SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
        'region:' || CAST(n_regionkey AS VARCHAR) AS r,
        n_name AS name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_bgp_optional(spark, sf_dir):
+    """BGP with an OPTIONAL pattern (SPARQL left join): every nation and
+    its region, plus the region comment only even regions carry."""
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    return bgp_match(
+        _geo_triples(spark, sf_dir),
+        [("?n", _EX + "memberOf", "?r")],
+        optional=[("?r", _EX + "comment", "?c")])
+
+
+SQL_BGP_OPTIONAL = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       CASE WHEN n_regionkey % 2 = 0 THEN r_name END AS c
+FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
@@ -1998,6 +2024,7 @@ QUERIES = {
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
     "bgp_match": q_bgp_match,
+    "bgp_optional": q_bgp_optional,
     "property_table": q_property_table,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2065,6 +2092,7 @@ def oracles() -> dict[str, str]:
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
         "bgp_match": SQL_BGP_MATCH,
+        "bgp_optional": SQL_BGP_OPTIONAL,
         "property_table": SQL_PROPERTY_TABLE,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

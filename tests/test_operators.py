@@ -755,3 +755,21 @@ def test_property_table_pivot(spark, kg_triples):
 
     with pytest.raises(ValueError, match="collide"):
         property_table(kg_triples, ["a#x", "b/x"])
+
+
+def test_bgp_match_optional(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    out = {(r["x"], r["y"]): r["n"] for r in bgp_match(
+        kg_triples, [("?x", "p:knows", "?y")],
+        optional=[("?y", "p:name", "?n")]).collect()}
+    # c has no p:name -> NULL binding survives the left join
+    assert out[("b", "c")] is None and out[("c", "c")] is None
+    assert out[("a", "b")] in ("Bob", "Bobby")
+    n_rows = bgp_match(kg_triples, [("?x", "p:knows", "?y")],
+                       optional=[("?y", "p:name", "?n")]).count()
+    assert n_rows == 4  # (a,b)x2 names + (b,c) + (c,c)
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(kg_triples, [("?x", "p:knows", "?y")],
+                  optional=[("?q", "p:name", "?m")]).collect()
