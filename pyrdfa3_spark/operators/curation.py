@@ -207,22 +207,33 @@ def quota_mix(docs: DataFrame, quota: int = 50,
     ``quota`` documents per stratum, chosen by deterministic hash order
     so the subset is stable across runs.  Output: doc_id, stratum, rnk.
 
-    Scale shape: the ranking window is partitioned by stratum — never
-    global — so each stratum ranks independently; with many strata this
-    parallelizes, and a single mega-stratum is bounded by the quota
-    read (rank computation is a partition-local sort, AQE splits skewed
-    partitions).
+    Scale shape: NO ranking window — a window partitioned by stratum
+    sorts a mega-stratum (most of a web corpus is 'medium') through a
+    single task, and AQE cannot split window partitions.  Two-phase
+    top-k instead (the `_topk_per_query` shape from similarity.py):
+    partial top-quota inside each scan partition, then a per-stratum
+    merge of the ≤ partitions×quota survivors — both phases sort+slice
+    small in-row arrays with map-side partial aggregation.
     """
     stratum = _length_stratum(bounds)
     h = _hash32(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
     base = docs.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         stratum.alias("stratum"), h.alias("h"))
-    w = Window.partitionBy("stratum").orderBy("h", "doc_id")
-    return (base
-            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rnk") <= quota)
-            .drop("h"))
+    item = F.struct(F.col("h"), F.col("doc_id"))
+    partial = (base
+               .groupBy("stratum", F.spark_partition_id().alias("p"))
+               .agg(F.slice(F.array_sort(F.collect_list(item)), 1, quota)
+                    .alias("top")))
+    merged = (partial
+              .select("stratum", F.explode("top").alias("r"))
+              .groupBy("stratum")
+              .agg(F.slice(F.array_sort(F.collect_list("r")), 1, quota)
+                   .alias("top")))
+    return (merged
+            .select("stratum", F.posexplode("top").alias("pos", "r"))
+            .select(F.col("r.doc_id").alias("doc_id"), "stratum",
+                    (F.col("pos") + 1).cast("bigint").alias("rnk")))
 
 
 def corpus_filter(docs: DataFrame,

@@ -128,15 +128,19 @@ def test_curation_mix_plans_scale_shape(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
-    for df in (pack_sequences(docs), quota_mix(docs)):
-        simple = _plan(df, mode="simple")
-        win_lines = [ln for ln in simple.splitlines() if "Window [" in ln]
-        assert win_lines, simple
-        # partitioned windows print three bracket groups
-        # "Window [exprs], [partition], [ordering]"; a global window
-        # prints only two ("Window [exprs], [ordering]")
-        for ln in win_lines:
-            assert ln.count("], [") >= 2, ln
+    simple = _plan(pack_sequences(docs), mode="simple")
+    win_lines = [ln for ln in simple.splitlines() if "Window [" in ln]
+    assert win_lines, simple
+    # partitioned windows print three bracket groups
+    # "Window [exprs], [partition], [ordering]"; a global window
+    # prints only two ("Window [exprs], [ordering]")
+    for ln in win_lines:
+        assert ln.count("], [") >= 2, ln
+
+    # quota_mix: two-phase top-k — no window at all, partial aggregation
+    simple = _plan(quota_mix(docs), mode="simple")
+    assert "Window" not in simple, simple
+    assert "partial" in _plan(quota_mix(docs)).lower()
 
     plan = _plan(decontaminate(docs, docs.filter("doc_id % 7 = 0")))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
