@@ -134,7 +134,7 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
-                  n: int = 5) -> DataFrame:
+                  n: int = 5, broadcast_eval: bool = True) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
     ``n``-gram with an evaluation set (the standard eval-leakage scrub
     before pre-training).  Output: doc_id, n_hits (distinct shared
@@ -144,6 +144,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
     array — no per-token rows), hashed to 32 bits, and the eval side is
     a dim-sized distinct list that Catalyst broadcasts; the per-doc
     count is a map-side-combined groupBy.  No window, no all-pairs.
+    Benchmark suites are dim-sized (thousands of documents), so the
+    broadcast is the right default; pass ``broadcast_eval=False`` for a
+    pathologically large eval side to fall back to a shuffle join
+    rather than OOM every executor on the broadcast build.
     """
     def gram_hashes(frame: DataFrame) -> DataFrame:
         toks = _word_tokens(F.col("text"))
@@ -158,9 +162,11 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                 .filter(F.size("toks") >= n)
                 .select("doc_id", F.explode(F.array_distinct(grams))
                         .alias("gh")))
-    eval_grams = (gram_hashes(eval_docs).select("gh").distinct())
+    eval_grams = gram_hashes(eval_docs).select("gh").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     hits = (gram_hashes(docs)
-            .join(F.broadcast(eval_grams), "gh", "inner")
+            .join(eval_grams, "gh", "inner")
             .groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_hits")))
     return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
