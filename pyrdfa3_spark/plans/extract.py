@@ -79,7 +79,8 @@ ARROW_SCHEMA = pa.schema([
 
 def _extract_batches(batches: Iterator[pa.RecordBatch],
                      hturtle_only: bool = False,
-                     microdata: bool = False
+                     microdata: bool = False,
+                     max_doc_bytes: Optional[int] = None
                      ) -> Iterator[pa.RecordBatch]:
     """mapInArrow worker: one call per Arrow batch (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch).  With ``microdata``
@@ -120,6 +121,16 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
             if start < 0 or end <= start:
                 continue
             fragment = text[start:end + 1]
+            if max_doc_bytes is not None and len(fragment) > max_doc_bytes:
+                # web corpora carry multi-100MB spam pages; parsing one
+                # is a ~linear but minutes-long straggler task, so the
+                # opt-in guard skips it VISIBLY (diagnostics row, the
+                # repo's no-silent-caps rule) instead of stalling a wave
+                emit("d", conv, turn, "warning", "doc-too-large",
+                     f"fragment {len(fragment)} bytes > "
+                     f"max_doc_bytes={max_doc_bytes}; skipped",
+                     None, None, None)
+                continue
             base = f"http://transcript.local/{conv}/{turn}"
             media = sniff_media_type(fragment)
             host = host_for(media)
@@ -185,8 +196,14 @@ def extract_tagged(transcripts: DataFrame,
                    repartition_to: Optional[int] = None,
                    prefilter: bool = True,
                    hturtle_only: bool = False,
-                   microdata: bool = False) -> DataFrame:
+                   microdata: bool = False,
+                   max_doc_bytes: Optional[int] = None) -> DataFrame:
     """transcripts -> tagged union of triples ('t') and diagnostics ('d').
+
+    ``max_doc_bytes``: opt-in straggler guard — fragments larger than
+    this are skipped with a ``doc-too-large`` diagnostics row instead of
+    parsed (parse cost is ~linear at ~1 MB/s/core, so one 300 MB spam
+    page otherwise pins a task for minutes).
 
     ``repartition_to``: optional explicit shuffle on
     pmod(hash(conv_id, turn_idx)) before the UDF.  Extraction is
@@ -212,10 +229,11 @@ def extract_tagged(transcripts: DataFrame,
         df = df.repartition(repartition_to,
                             F.pmod(F.hash("conv_id", "turn_idx"),
                                    F.lit(repartition_to)))
-    if hturtle_only or microdata:
+    if hturtle_only or microdata or max_doc_bytes is not None:
         def run(batches):
             return _extract_batches(batches, hturtle_only=hturtle_only,
-                                    microdata=microdata)
+                                    microdata=microdata,
+                                    max_doc_bytes=max_doc_bytes)
 
         return df.mapInArrow(run, schema=TRIPLE_SCHEMA)
     return df.mapInArrow(_extract_batches, schema=TRIPLE_SCHEMA)

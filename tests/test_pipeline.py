@@ -150,3 +150,29 @@ def test_turtle_only_document_survives_prefilter(spark):
               "tool string, ts timestamp")
     out = extract_triples(t).collect()
     assert len(out) == 1 and out[0]["pred"] == "http://schema.org/v"
+
+
+def test_max_doc_bytes_guard(spark):
+    """Oversized fragments are skipped with a visible doc-too-large
+    diagnostic, never a task failure or a silent drop."""
+    from pyrdfa3_spark.plans.extract import extract_tagged, split_outputs
+
+    big = '<div about="#x"><span property="p:v">' + "y" * 5000 + \
+        "</span></div>"
+    small = '<div about="#s" vocab="http://schema.org/">' \
+        '<span property="name">ok</span></div>'
+    t = spark.createDataFrame(
+        [("c1", 0, "u", big, "b", None), ("c1", 1, "u", small, "b", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    triples, diags = split_outputs(
+        extract_tagged(t, max_doc_bytes=1000))
+    trows = triples.collect()
+    drows = diags.collect()
+    assert all(r["turn_idx"] == 1 for r in trows) and trows
+    assert len(drows) == 1 and drows[0]["code"] == "doc-too-large"
+    assert "5043" in drows[0]["message"] or "bytes" in drows[0]["message"]
+
+    # guard off by default: the same corpus extracts everything
+    all_triples, _ = split_outputs(extract_tagged(t))
+    assert {r["turn_idx"] for r in all_triples.collect()} == {0, 1}
