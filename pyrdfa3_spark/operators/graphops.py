@@ -457,3 +457,23 @@ def property_table(triples: DataFrame,
             .filter(F.col("pred").isin(predicates))
             .groupBy("subj")
             .agg(*aggs))
+
+
+def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot delta between two graph versions: one row per triple
+    that was added or removed, tagged ``op`` ('added' / 'removed') —
+    the primitive an incremental KG pipeline publishes per run so
+    downstream consumers replay changes instead of re-reading the full
+    table (the lake-side analogue of an Iceberg changelog scan).
+
+    Scale shape: two left-anti joins on the triple key; both sides
+    shuffle-partition on the same key so AQE coalesces/splits
+    symmetrically.  Output is exact — no sketches — because diffs feed
+    idempotent MERGEs.
+    """
+    on = [c for c in TRIPLE_KEY if c in old.columns and c in new.columns]
+    added = (new.join(old.select(on).dropDuplicates(), on, "left_anti")
+             .select(F.lit("added").alias("op"), *on))
+    removed = (old.join(new.select(on).dropDuplicates(), on, "left_anti")
+               .select(F.lit("removed").alias("op"), *on))
+    return added.unionByName(removed)

@@ -1054,6 +1054,44 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def q_graph_diff(spark, sf_dir):
+    """Snapshot delta: the 'new' run renames every third nation, so the
+    diff carries exactly one added + one removed name triple per
+    affected subject."""
+    from pyrdfa3_spark.operators.graphops import graph_diff
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit("nation:"), k)
+
+    def snapshot(name_col):
+        names = nation.select(subj.alias("subj"),
+                              F.lit(_EX + "name").alias("pred"),
+                              name_col.alias("obj"))
+        member = nation.select(
+            subj.alias("subj"), F.lit(_EX + "memberOf").alias("pred"),
+            F.concat(F.lit("region:"),
+                     F.col("n_regionkey").cast("string")).alias("obj"))
+        return names.unionByName(member)
+
+    old = snapshot(F.col("n_name"))
+    new = snapshot(F.when(F.col("n_nationkey") % 3 == 0,
+                          F.concat(F.col("n_name"), F.lit("!")))
+                   .otherwise(F.col("n_name")))
+    return graph_diff(old, new)
+
+
+SQL_GRAPH_DIFF = f"""
+SELECT 'added' AS op, 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '{_EX}name' AS pred, n_name || '!' AS obj
+FROM nation WHERE n_nationkey % 3 = 0
+UNION ALL
+SELECT 'removed', 'nation:' || CAST(n_nationkey AS VARCHAR),
+       '{_EX}name', n_name
+FROM nation WHERE n_nationkey % 3 = 0
+"""
+
+
 def q_property_table(spark, sf_dir):
     """Subject × predicate pivot of the geo KG's nation entities; the
     absent 'motto' predicate exercises the NULL column path."""
@@ -2025,6 +2063,7 @@ QUERIES = {
     "list_chain": q_list_chain,
     "bgp_match": q_bgp_match,
     "bgp_optional": q_bgp_optional,
+    "graph_diff": q_graph_diff,
     "property_table": q_property_table,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2093,6 +2132,7 @@ def oracles() -> dict[str, str]:
         "list_chain": SQL_LIST_CHAIN,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
+        "graph_diff": SQL_GRAPH_DIFF,
         "property_table": SQL_PROPERTY_TABLE,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

@@ -773,3 +773,18 @@ def test_bgp_match_optional(spark, kg_triples):
     with pytest.raises(ValueError, match="shares no variable"):
         bgp_match(kg_triples, [("?x", "p:knows", "?y")],
                   optional=[("?q", "p:name", "?m")]).collect()
+
+
+def test_graph_diff(spark):
+    from pyrdfa3_spark.operators.graphops import graph_diff
+
+    old = _triples(spark, [("a", "p", "1"), ("a", "p", "2"),
+                           ("b", "q", "3")])
+    new = _triples(spark, [("a", "p", "1"), ("a", "p", "9"),
+                           ("c", "q", "3")])
+    out = {(r["op"], r["subj"], r["pred"], r["obj"])
+           for r in graph_diff(old, new).collect()}
+    assert out == {("added", "a", "p", "9"), ("added", "c", "q", "3"),
+                   ("removed", "a", "p", "2"), ("removed", "b", "q", "3")}
+
+    assert graph_diff(old, old).count() == 0
