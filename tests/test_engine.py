@@ -533,3 +533,40 @@ def test_cdata_agrees_across_parse_paths():
                        for c in n.children)
 
     assert text_of(root) == "world"
+
+
+def test_uri_fast_paths_match_urljoin():
+    """The _uri fast paths (fragment-only refs, foreign-scheme refs)
+    must stay byte-identical to CPython urljoin + the #/? tail repair —
+    driven through @href, the attribute the spec types as a plain URI
+    (CURIE-shaped values in @about resolve as CURIEs, a different
+    path)."""
+    import random
+    from urllib.parse import urljoin
+
+    from pyrdfa3_spark.functions.hostlang import Host
+    from pyrdfa3_spark.operators.rdfa_engine import RDFaProcessor
+    from pyrdfa3_spark.sources.dom import parse_html
+
+    base = "http://transcript.local/c1/0"
+    refs = ["#", "#x", "#a?b", "urn:isbn:123", "URN:isbn:123",
+            "mailto:a@b", "tag:x,2020:y", "doi:10.1/2", "about:blank",
+            "data:text/plain,x", "ws://h/p", "svn+ssh://h/p",
+            "custom:opaque", "http://other/p", "HTTP://other/p",
+            "../up", "down/rel", "?query"]
+    rng = random.Random(13)
+    for _ in range(300):
+        refs.append("".join(rng.choice("#?:/abAB+.-_%~")
+                            for _ in range(rng.randint(1, 12))))
+    for ref in refs:
+        if '"' in ref:
+            continue
+        want = urljoin(base, ref)
+        if ref and ref[-1] in "#?" and (not want or want[-1] != ref[-1]):
+            want += ref[-1]
+        proc = RDFaProcessor(base=base, host=Host.HTML5,
+                             rdfa_version="1.1")
+        doc = f'<div about="#s"><a rel="p:r" href="{ref}">x</a></div>'
+        triples = proc.process(parse_html(doc))
+        objs = {o for s, p, o in triples if p == "p:r"}
+        assert objs == {want.strip()}, (ref, objs, want)
