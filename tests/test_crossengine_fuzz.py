@@ -98,3 +98,19 @@ def test_fuzz_dedup_oracles(fuzz_env):
     _compare(D.minhash_lsh_candidates(sdf), con, Q.SQL_MINHASH_LSH,
              ["doc_a", "doc_b"])
     _compare(D.exact_duplicates(sdf), con, Q.SQL_DEDUP_EXACT, ["fp"])
+
+
+def test_fuzz_training_mix_oracles(fuzz_env):
+    from pyrdfa3_spark.operators import curation as C
+    from pyrdfa3_spark.plans import queries as Q
+
+    sdf, con = fuzz_env
+    _compare(C.pack_sequences(sdf, seq_len=512, n_shards=8), con,
+             Q.SQL_PACK_SEQUENCES, ["doc_id"])
+    _compare(C.decontaminate(sdf, sdf.filter("doc_id % 7 = 0"), n=5),
+             con, Q.SQL_DECONTAMINATE, ["doc_id"])
+    _compare(C.stratified_sample(
+        sdf, {"short": 1.0, "medium": 0.5, "long": 0.1},
+        bounds=(200, 400)), con, Q.SQL_STRATIFIED_SAMPLE, ["doc_id"])
+    _compare(C.quota_mix(sdf, quota=50, bounds=(200, 400)), con,
+             Q.SQL_QUOTA_MIX, ["doc_id"])
