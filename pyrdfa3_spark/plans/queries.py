@@ -11,6 +11,8 @@ the final value to DOUBLE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -478,17 +480,41 @@ def q_minhash_lsh_candidates(spark, sf_dir):
                                     k=5, n_hashes=8, bands=4)
 
 
+_SQL_BB = ("bb AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+    f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
+    for b in range(4)) + ")")
+
+
+# Mirrors dedup._capped_bucket_pairs: buckets up to max_bucket emit all
+# C(n,2) pairs; oversized (degenerate boilerplate) buckets star-link
+# every member to the bucket's minimum doc_id.  Without the cap in the
+# oracle, the two sides agree at sf0.01 (small buckets) but diverge the
+# moment real bucket skew appears — exactly the regime the cap exists
+# for, caught by running the gate at sf0.1.
+def _sql_capped_pairs(out: str = "pairs", max_bucket: int = 512) -> str:
+    return f"""
+st AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+       FROM bb GROUP BY band, bucket HAVING count(*) > 1),
+{out} AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+                       AND l.doc_id < r.doc_id
+    JOIN st ON st.band = l.band AND st.bucket = l.bucket
+           AND st.n <= {max_bucket}
+    UNION ALL
+    SELECT st.rep, m.doc_id
+    FROM bb m JOIN st ON st.band = m.band AND st.bucket = m.bucket
+                     AND st.n > {max_bucket} AND m.doc_id <> st.rep))"""
+
+
 SQL_MINHASH_LSH = (
     "WITH " + _SQL_SHINGLES + "," + _SQL_MINHASH_HH + f""",
 sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
-bb AS (""" + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
-        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
-        for b in range(4)) + """)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bb l JOIN bb r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+{_SQL_BB},{_sql_capped_pairs()}
+SELECT doc_a, doc_b FROM pairs
 """
 )
 
@@ -533,14 +559,7 @@ def q_ngram_jaccard(spark, sf_dir):
 SQL_NGRAM_JACCARD = (
     "WITH " + _SQL_SHINGLES + "," + _SQL_MINHASH_HH + f""",
 sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
-bb AS (""" + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
-        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
-        for b in range(4)) + """),
-pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
-            AND l.doc_id < r.doc_id),
+{_SQL_BB},{_sql_capped_pairs()},
 counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
            FROM sh GROUP BY doc_id),
 inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
@@ -567,14 +586,7 @@ def q_dedup_decision(spark, sf_dir):
 SQL_DEDUP_DECISION = (
     "WITH RECURSIVE " + _SQL_SHINGLES.lstrip() + "," + _SQL_MINHASH_HH + f""",
 sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM hh GROUP BY doc_id),
-bb AS (""" + " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
-        f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM sig"
-        for b in range(4)) + """),
-cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
-           AND l.doc_id < r.doc_id),
+{_SQL_BB},{_sql_capped_pairs(out="cand")},
 counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
            FROM sh GROUP BY doc_id),
 inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
@@ -649,8 +661,8 @@ def _sql_embedding_near_dups(threshold: float = 0.9) -> str:
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
-pairs AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
-          FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+{_SQL_VEC_CAPPED_PAIRS},
+pairs AS (SELECT vec_a, vec_b FROM vpairs),
 scored AS (SELECT p.vec_a, p.vec_b,
                   round(list_dot_product(ea.emb, eb.emb)
                         / (sqrt(list_dot_product(ea.emb, ea.emb))
@@ -662,17 +674,29 @@ SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
 """
 
 
+def _ivf_train_dir(sf_dir: str) -> str:
+    """Fixed quantizer-training sample: the sibling sf0.001 table when
+    the layout has one, else ``sf_dir`` itself.  Standard IVF practice —
+    at 100 TB the coarse quantizer is trained once on a tiny sample, not
+    re-trained per corpus slice — and it makes the trained centroids
+    identical at every sf, so the one static oracle string below matches
+    the Spark side at sf0.01 (the driver gate) AND sf0.1 (the bench)."""
+    sib = os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.001")
+    return sib if os.path.exists(os.path.join(sib, "embeddings.parquet")) \
+        else sf_dir
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: deterministic k-means coarse quantizer +
     nprobe cell-restricted search.  The quantizer is trained on a
-    driver-side sample (ivf_train_local — the centroids become plan
-    literals, exactly like the LSH plane constants) so the probe stage
-    is plain SQL and the oracle below verifies it bit-for-bit; the
-    fully-distributed trainer ivf_train remains for corpora whose
-    training sample must itself be distributed (numpy-verified in
-    tests/test_operators.py)."""
+    driver-side fixed sample (ivf_train_local over _ivf_train_dir — the
+    centroids become plan literals, exactly like the LSH plane
+    constants) so the probe stage is plain SQL and the oracle below
+    verifies it bit-for-bit; the fully-distributed trainer ivf_train
+    remains for corpora whose training sample must itself be distributed
+    (numpy-verified in tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = S.ivf_train_local(sf_dir, n_cells=16, iters=2)
+    cents = S.ivf_train_local(_ivf_train_dir(sf_dir), n_cells=16, iters=2)
     return S.ivf_topk(emb, query_ids=list(range(10)), centroids=cents,
                       nprobe=2, top_k=5)
 
@@ -681,8 +705,9 @@ def _sql_ivf_topk(n_cells: int = 16, iters: int = 2, nprobe: int = 2,
                   top_k: int = 5,
                   sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Probe-stage oracle with the trained centroids inlined as SQL
-    literals (the driver's correctness gate runs at sf0.01, so the
-    trainer reads that sample)."""
+    literals — trained on the same fixed sample (_ivf_train_dir) as the
+    Spark side, so one static string is sf-independent."""
+    sf_dir = _ivf_train_dir(sf_dir)
     import math
 
     cents = S.ivf_train_local(sf_dir, n_cells=n_cells, iters=iters)
@@ -724,6 +749,22 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+# the bucket-cap twin of _sql_capped_pairs for the embedding side
+# (mirrors dedup._capped_bucket_pairs with keys=["bucket"]; each vector
+# sits in exactly one bucket, so no cross-bucket pair dedup is needed)
+_SQL_VEC_CAPPED_PAIRS = """
+st AS (SELECT bucket, count(*) AS n, min(vec_id) AS rep
+       FROM b GROUP BY bucket HAVING count(*) > 1),
+vpairs AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  JOIN st ON st.bucket = l.bucket AND st.n <= 512
+  UNION ALL
+  SELECT st.rep, m.vec_id, m.bucket
+  FROM b m JOIN st ON st.bucket = m.bucket
+                  AND st.n > 512 AND m.vec_id <> st.rep)"""
+
+
 def _sql_lsh_cosine():
     planes = [S.plane_values(64, p) for p in range(8)]
     bits = " + ".join(
@@ -733,10 +774,10 @@ def _sql_lsh_cosine():
     return f"""
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                   CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e)
-SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, l.bucket AS bucket
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-""".replace("[", "[").replace("]", "]")
+b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM e),
+{_SQL_VEC_CAPPED_PAIRS}
+SELECT vec_a, vec_b, bucket FROM vpairs
+"""
 
 
 # --------------------------------------------------------------------- #
