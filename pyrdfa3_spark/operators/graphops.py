@@ -360,8 +360,8 @@ def rdfa_semantic_expansion(triples: DataFrame,
 
 def bgp_match(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
-              optional: list[tuple[str, str, str]] | None = None
-              ) -> DataFrame:
+              optional: list[tuple[str, str, str]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL SELECT core the
     reference's consumers run over its emitted graphs (pyrdfa3 hands an
     rdflib Graph to SPARQL; this is the lake-side equivalent over the
@@ -374,6 +374,12 @@ def bgp_match(triples: DataFrame,
     onto the required solution on its shared variables, so unmatched
     solutions survive with NULL bindings for the optional-only
     variables.
+
+    ``filters`` are SPARQL FILTER expressions as SQL boolean strings
+    over the variable columns (e.g. ``"name > 'K'"``); they compile via
+    ``F.expr`` so Catalyst folds them into the join tree — a filter
+    touching one pattern's variables is pushed below the joins all the
+    way to the scan.
 
     Spark-first shape: each pattern compiles to a filtered projection of
     the SAME triples frame (constant positions become scan predicates —
@@ -425,7 +431,56 @@ def bgp_match(triples: DataFrame,
                 f"{sorted(bound)}")
         out = out.join(df, sorted(vs & bound), "left")
         bound |= vs
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
     return out
+
+
+def bgp_union(triples: DataFrame,
+              branches: list[dict]) -> DataFrame:
+    """SPARQL UNION: each branch is a kwargs dict for :func:`bgp_match`
+    (``patterns`` required; ``optional`` / ``filters`` as needed).
+    Branch solutions concatenate; variables bound in only some branches
+    come back NULL elsewhere (SPARQL's unbound), via
+    ``unionByName(allowMissingColumns=True)``.
+
+    Scale shape: branches are independent subplans over the same scan —
+    Catalyst reuses the exchange where the patterns overlap, and the
+    union is a zero-shuffle concatenation.
+    """
+    if not branches:
+        raise ValueError("bgp_union needs at least one branch")
+    outs = [bgp_match(triples, **b) for b in branches]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o, allowMissingColumns=True)
+    return result
+
+
+def path_closure(triples: DataFrame, pred: str,
+                 out_pred: str | None = None,
+                 max_iterations: int = 20,
+                 strategy: str = "seminaive") -> DataFrame:
+    """SPARQL property path ``pred+``: the transitive closure of one
+    predicate's edges, rematerialized as triples under ``out_pred``
+    (default: ``pred`` itself).  Join the result into :func:`bgp_match`
+    patterns to query ``?x pred+ ?y`` — the path becomes an ordinary
+    virtual predicate, so the BGP planner (and Catalyst) treat it like
+    any other pattern.
+
+    The predicate filter is pushed to the scan before the fixpoint, so
+    the closure only ever shuffles that predicate's edge set — at corpus
+    scale that's the difference between closing a hierarchy (millions of
+    edges) and closing the whole graph (trillions).
+    """
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    closed = transitive_closure(edges, max_iterations=max_iterations,
+                                strategy=strategy)
+    return closed.select(F.col("src").alias("subj"),
+                         F.lit(out_pred or pred).alias("pred"),
+                         F.col("dst").alias("obj"))
 
 
 def property_table(triples: DataFrame,

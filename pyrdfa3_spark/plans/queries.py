@@ -1153,6 +1153,114 @@ FROM nation
 """
 
 
+def q_bgp_filter(spark, sf_dir):
+    """BGP + SPARQL FILTER: named nations past 'K', with their region.
+    The filter string compiles to a Catalyst predicate pushed below the
+    pattern joins down to the scan."""
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    return bgp_match(
+        _geo_triples(spark, sf_dir),
+        [("?n", _EX + "name", "?name"),
+         ("?n", _EX + "memberOf", "?r")],
+        filters=["name > 'K'"])
+
+
+SQL_BGP_FILTER = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r
+FROM nation WHERE n_name > 'K'
+"""
+
+
+def q_bgp_union(spark, sf_dir):
+    """SPARQL UNION over the geo KG: entity labels from nation names in
+    one branch and (even-region-only) comments in the other; branch-
+    local variables surface as NULL in the other branch's rows."""
+    from pyrdfa3_spark.operators.graphops import bgp_union
+
+    return bgp_union(_geo_triples(spark, sf_dir), [
+        {"patterns": [("?e", _EX + "name", "?name")]},
+        {"patterns": [("?e", _EX + "comment", "?c")]},
+    ])
+
+
+SQL_BGP_UNION = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS e,
+       n_name AS name, CAST(NULL AS VARCHAR) AS c
+FROM nation
+UNION ALL
+SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+       CAST(NULL AS VARCHAR), r_name
+FROM region WHERE r_regionkey % 2 = 0
+"""
+
+
+def q_bgp_path(spark, sf_dir):
+    """SPARQL property path ``within+``: the supplier/nation/region/
+    'world' containment hierarchy closed transitively and queried as a
+    virtual predicate — every (entity, ancestor) pair."""
+    from pyrdfa3_spark.operators.graphops import path_closure
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    w = F.lit(_EX + "within")
+    e1 = supplier.select(
+        F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string"))
+        .alias("subj"), w.alias("pred"),
+        F.concat(F.lit("nation:"), F.col("s_nationkey").cast("string"))
+        .alias("obj"))
+    e2 = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"), w.alias("pred"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string"))
+        .alias("obj"))
+    e3 = region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"), w.alias("pred"), F.lit("world").alias("obj"))
+    return path_closure(e1.unionByName(e2).unionByName(e3),
+                        _EX + "within")
+
+
+SQL_BGP_PATH = f"""
+WITH RECURSIVE edges AS (
+  SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS src,
+         'nation:' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR), 'world' FROM region),
+tc AS (SELECT src, dst FROM edges
+       UNION
+       SELECT e.src, t.dst FROM edges e JOIN tc t ON e.dst = t.src)
+SELECT src AS subj, '{_EX}within' AS pred, dst AS obj FROM tc
+"""
+
+
+def q_kg_group_count(spark, sf_dir):
+    """Aggregation over BGP solutions (SPARQL GROUP BY / COUNT):
+    suppliers per region.  The solution frame is an ordinary DataFrame,
+    so the aggregate is one hash groupBy with map-side partials."""
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    sols = bgp_match(_geo_triples(spark, sf_dir), [
+        ("?s", _EX + "locatedIn", "?n"),
+        ("?n", _EX + "memberOf", "?r"),
+    ])
+    return sols.groupBy("r").agg(F.count("s").alias("n_sup"))
+
+
+SQL_KG_GROUP_COUNT = """
+SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       CAST(count(*) AS BIGINT) AS n_sup
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_regionkey
+"""
+
+
 def q_list_chain(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     items = li.select(
@@ -2106,6 +2214,10 @@ QUERIES = {
     "bgp_optional": q_bgp_optional,
     "graph_diff": q_graph_diff,
     "property_table": q_property_table,
+    "bgp_filter": q_bgp_filter,
+    "bgp_union": q_bgp_union,
+    "bgp_path": q_bgp_path,
+    "kg_group_count": q_kg_group_count,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
@@ -2175,6 +2287,10 @@ def oracles() -> dict[str, str]:
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,
         "property_table": SQL_PROPERTY_TABLE,
+        "bgp_filter": SQL_BGP_FILTER,
+        "bgp_union": SQL_BGP_UNION,
+        "bgp_path": SQL_BGP_PATH,
+        "kg_group_count": SQL_KG_GROUP_COUNT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,

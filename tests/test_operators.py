@@ -775,6 +775,55 @@ def test_bgp_match_optional(spark, kg_triples):
                   optional=[("?q", "p:name", "?m")]).collect()
 
 
+def test_bgp_match_filters(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match
+
+    out = sorted(tuple(r) for r in bgp_match(
+        kg_triples, [("?x", "p:name", "?n")],
+        filters=["n >= 'B'", "x <> 'zzz'"]).collect())
+    assert out == [("b", "Bob"), ("b", "Bobby")]
+
+    # FILTER over an OPTIONAL variable: NULL comparison drops the row
+    # (SPARQL: an error-valued filter removes the solution)
+    kept = bgp_match(kg_triples, [("?x", "p:knows", "?y")],
+                     optional=[("?y", "p:name", "?n")],
+                     filters=["n < 'Bz'"]).count()
+    assert kept == 2  # only (a,b,Bob) and (a,b,Bobby)
+
+
+def test_bgp_union(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_union
+
+    out = bgp_union(kg_triples, [
+        {"patterns": [("?e", "p:name", "?n")]},
+        {"patterns": [("?e", "p:type", "?t")]},
+    ])
+    assert sorted(out.columns) == ["e", "n", "t"]
+    rows = {(r["e"], r["n"], r["t"]) for r in out.collect()}
+    # branch-local variables are NULL in the other branch's rows
+    assert ("a", "Ada", None) in rows and ("a", None, "Person") in rows
+    assert out.count() == 5
+
+    with pytest.raises(ValueError, match="at least one branch"):
+        bgp_union(kg_triples, [])
+
+
+def test_path_closure(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match, path_closure
+
+    closed = path_closure(kg_triples, "p:knows", out_pred="p:knows+")
+    pairs = {(r["subj"], r["obj"]) for r in closed.collect()}
+    assert pairs == {("a", "b"), ("b", "c"), ("a", "c"), ("c", "c")}
+    assert closed.select("pred").distinct().collect()[0][0] == "p:knows+"
+
+    # the closure composes with bgp_match as a virtual predicate
+    out = sorted(tuple(r) for r in bgp_match(
+        closed.unionByName(kg_triples),
+        [("?x", "p:knows+", "?y"), ("?y", "p:name", "?n")])
+        .select("x", "n").collect())
+    assert out == [("a", "Bob"), ("a", "Bobby")]
+
+
 def test_graph_diff(spark):
     from pyrdfa3_spark.operators.graphops import graph_diff
 
