@@ -269,3 +269,64 @@ def corpus_filter(docs: DataFrame,
         "doc_id",
         reason.isNull().alias("keep"),
         reason.alias("reason"))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    family of quality rules: repetitious documents are low-value
+    training data and often machine-generated):
+
+    * ``dup_line_frac``  — fraction of non-empty lines that repeat an
+      earlier line (1 - distinct/total).
+    * ``dup_word_frac``  — same over whitespace word tokens.
+    * ``top_bigram_frac`` — share of all word-bigram occurrences taken
+      by the single most frequent bigram.
+
+    Scale shape: every metric is in-row Column algebra over split
+    arrays — no explode, no shuffle, no Python.  The bigram mode is
+    found by sorting the in-row bigram array and scanning for the
+    longest equal run with ``aggregate`` (O(n log n) per document,
+    not the O(n^2) per-element recount).  Fractions are rounded to 6
+    places so they compare exactly across engines.
+    """
+    # NB: the lambda must be explicit — a bare F.trim would receive the
+    # element INDEX as trim's optional second (trim-characters) argument
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    words = _word_tokens(F.col("text"))
+    bigrams = F.filter(
+        F.zip_with(words, F.slice(words, 2, F.size(words)),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        # zip_with pads the shifted copy with NULL; concat_ws drops
+        # NULLs, so the padded tail collapses to the bare first word —
+        # strip it by requiring a space
+        lambda x: x.contains(" "))
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(arr)) / n)
+
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            .cast("long").alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                .cast("long")).alias("best")))
+    nb = F.size(bigrams)
+    top_bigram = F.when(nb == 0, F.lit(0.0)) \
+        .otherwise(run.best / nb)
+
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(dup_frac(lines), 6).alias("dup_line_frac"),
+        F.round(dup_frac(words), 6).alias("dup_word_frac"),
+        F.round(top_bigram, 6).alias("top_bigram_frac"))

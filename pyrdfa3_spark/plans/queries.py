@@ -268,6 +268,44 @@ FROM top
 """
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style within-document repetition quality signals —
+    duplicate-line/word fractions and top-bigram share, all in-row
+    Column algebra (no shuffle)."""
+    from pyrdfa3_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_METRICS = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  list_filter(list_transform(string_split(text, chr(10)),
+                                             x -> trim(x)),
+                              x -> x <> '') AS lines,
+                  list_filter(string_split({_NORM_SQL}, ' '),
+                              x -> x <> '') AS words
+           FROM documents),
+big AS (SELECT doc_id,
+               list_extract(words, i) || ' ' || list_extract(words, i + 1)
+               AS bg
+        FROM d, unnest(generate_series(1, len(words) - 1)) AS g(i)),
+bstat AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg
+          FROM (SELECT doc_id, bg, count(*) AS c FROM big
+                GROUP BY doc_id, bg)
+          GROUP BY doc_id)
+SELECT d.doc_id,
+       round(CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                        / len(lines) END, 6) AS dup_line_frac,
+       round(CASE WHEN len(words) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                        / len(words) END, 6) AS dup_word_frac,
+       round(coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0), 6)
+           AS top_bigram_frac
+FROM d LEFT JOIN bstat ON d.doc_id = bstat.doc_id
+"""
+
+
 def q_corpus_filter(spark, sf_dir):
     """Composed keep/drop decision (thresholds calibrated so every rule
     fires on the synthetic corpus: 37 short docs, alpha p5 ~0.81,
@@ -2184,6 +2222,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "domain_stats": q_domain_stats,
     "corpus_filter": q_corpus_filter,
+    "repetition_metrics": q_repetition_metrics,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -2257,6 +2296,7 @@ def oracles() -> dict[str, str]:
         "top_ngrams": SQL_TOP_NGRAMS,
         "domain_stats": _sql_domain_stats(),
         "corpus_filter": _sql_corpus_filter(),
+        "repetition_metrics": SQL_REPETITION_METRICS,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -837,3 +837,36 @@ def test_graph_diff(spark):
                    ("removed", "a", "p", "2"), ("removed", "b", "q", "3")}
 
     assert graph_diff(old, old).count() == 0
+
+
+def test_repetition_metrics_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from pyrdfa3_spark.operators.curation import repetition_metrics
+
+    docs = [
+        (0, "a b c\na b c\nx y"),              # one duplicate line
+        (1, "the the the the"),                # all-dup words + bigrams
+        (2, ""),                               # empty: all metrics 0
+        (3, "  7 lines \n7 lines\nunique 7 "), # digit-edged lines must
+                                               # trim whitespace ONLY
+        (4, "one two one two three"),
+    ]
+    out = {r["doc_id"]: (r["dup_line_frac"], r["dup_word_frac"],
+                         r["top_bigram_frac"])
+           for r in repetition_metrics(
+               spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+
+    for doc_id, text in docs:
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        words = re.sub(r"\s+", " ", text.lower()).strip().split()
+        words = [w for w in words if w]
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        exp = (
+            round(1 - len(set(lines)) / len(lines), 6) if lines else 0.0,
+            round(1 - len(set(words)) / len(words), 6) if words else 0.0,
+            round(Counter(bigrams).most_common(1)[0][1] / len(bigrams), 6)
+            if bigrams else 0.0,
+        )
+        assert out[doc_id] == pytest.approx(exp), (doc_id, out[doc_id], exp)
