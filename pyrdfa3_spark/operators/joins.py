@@ -63,3 +63,83 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None,
+              prefix: str = "asof_",
+              tolerance_ms: int | None = None) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, the latest right
+    row with ``right_ts <= left_ts`` on the same key — the standard
+    enrichment for event streams (attach the last known state/price/
+    error to each observation) that Spark has no native operator for.
+
+    Implemented with the union+window technique, NOT a range join: both
+    sides are tagged and unioned, one window per key orders by
+    (ts, side) with right rows sorting first at equal timestamps
+    (at-or-before semantics), and ``last(..., ignorenulls)`` carries the
+    most recent right payload forward onto each left row.  Cost is ONE
+    shuffle on the key — identical to the equi-join — with no
+    quadratic per-key pair generation and no range-join interval
+    explosion; AQE handles moderate key skew.  (A key so hot its whole
+    history exceeds one task's memory needs time-bucketed pre-ordering;
+    at that point the right side is usually pre-aggregated anyway.)
+
+    ``right_cols`` (default: every right column that is neither key nor
+    timestamp) come back prefixed with ``prefix``; ``prefix +
+    "staleness_ms"`` carries left_ts - matched right_ts in ms (NULL
+    when no match).  With ``tolerance_ms``, matches older than the
+    tolerance are nulled out.
+
+    Exact (key, right_ts) duplicates are tie-broken arbitrarily —
+    pre-aggregate the right side to one row per (key, ts) when that
+    matters (the oracle-checked query does).
+    """
+    from pyspark.sql import Window
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+    out_cols = [prefix + c for c in right_cols]
+
+    ms = ("_asof_ms", "_asof_side", "_asof_rts")
+    left_pay = [c for c in left.columns if c not in keys]
+    r = right.select(
+        *keys,
+        F.unix_millis(F.col(right_ts).cast("timestamp_ltz")).alias(ms[0]),
+        F.lit(0).alias(ms[1]),
+        F.unix_millis(F.col(right_ts).cast("timestamp_ltz")).alias(ms[2]),
+        *[F.col(c).alias(p) for c, p in zip(right_cols, out_cols)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_pay])
+    l = left.select(
+        *keys,
+        F.unix_millis(F.col(left_ts).cast("timestamp_ltz")).alias(ms[0]),
+        F.lit(1).alias(ms[1]),
+        F.lit(None).cast("bigint").alias(ms[2]),
+        *[F.lit(None).cast(r.schema[p].dataType).alias(p)
+          for p in out_cols],
+        *left_pay)
+    u = r.unionByName(l)
+
+    w = (Window.partitionBy(*keys).orderBy(ms[0], ms[1])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.select(
+        *keys, ms[0], ms[1],
+        F.last(ms[2], ignorenulls=True).over(w).alias(ms[2]),
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in out_cols],
+        *left_pay)
+    out = filled.filter(F.col(ms[1]) == 1)
+    stale = (F.col(ms[0]) - F.col(ms[2]))
+    if tolerance_ms is not None:
+        in_tol = stale <= F.lit(tolerance_ms)
+        out = out.select(
+            *keys, ms[0], ms[2],
+            *[F.when(in_tol, F.col(p)).alias(p) for p in out_cols],
+            *left_pay,
+            F.when(in_tol, stale).alias(prefix + "staleness_ms"))
+    else:
+        out = out.withColumn(prefix + "staleness_ms", stale)
+    return out.drop(ms[0], ms[1], ms[2])

@@ -915,6 +915,43 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time enrichment: every click event carries the latest
+    at-or-before error value for its user (asof_join's union+window
+    path — one shuffle, no range join).  The error side is
+    pre-aggregated to one row per (user, ts) so the as-of tie-break is
+    deterministic; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyrdfa3_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("err_value")))
+    out = asof_join(clicks, errors, on="user_id",
+                    right_cols=["err_value"])
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("asof_err_value"),
+        F.col("asof_staleness_ms").cast("bigint")
+        .alias("asof_staleness_ms"))
+
+
+SQL_ASOF_ENRICH = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS err_value FROM events
+      WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT CAST(l.event_id AS BIGINT) AS event_id,
+       CAST(l.user_id AS BIGINT) AS user_id,
+       r.err_value AS asof_err_value,
+       CAST(epoch_ms(l.ts) - epoch_ms(r.ts) AS BIGINT) AS asof_staleness_ms
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_customers_without_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -2223,6 +2260,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "corpus_filter": q_corpus_filter,
     "repetition_metrics": q_repetition_metrics,
+    "asof_enrich": q_asof_enrich,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -2297,6 +2335,7 @@ def oracles() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "corpus_filter": _sql_corpus_filter(),
         "repetition_metrics": SQL_REPETITION_METRICS,
+        "asof_enrich": SQL_ASOF_ENRICH,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

@@ -870,3 +870,47 @@ def test_repetition_metrics_matches_python(spark):
             if bigrams else 0.0,
         )
         assert out[doc_id] == pytest.approx(exp), (doc_id, out[doc_id], exp)
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from pyrdfa3_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("u1", T(10), "a"), ("u1", T(20), "b"), ("u1", T(5), "c"),
+         ("u2", T(10), "d")],
+        ["user", "ts", "tag"])
+    right = spark.createDataFrame(
+        [("u1", T(8), 1.0), ("u1", T(10), 2.0), ("u1", T(15), 3.0)],
+        ["user", "ts", "state"])
+
+    out = {r["tag"]: (r["asof_state"], r["asof_staleness_ms"])
+           for r in asof_join(left, right, on="user").collect()}
+    assert out["a"] == (2.0, 0)        # equal ts matches (at-or-before)
+    assert out["b"] == (3.0, 5000)     # latest preceding
+    assert out["c"] == (None, None)    # nothing at-or-before
+    assert out["d"] == (None, None)    # key with no right rows
+
+    # tolerance nulls out stale matches but keeps the row
+    tol = {r["tag"]: r["asof_state"]
+           for r in asof_join(left, right, on="user",
+                              tolerance_ms=3000).collect()}
+    assert tol == {"a": 2.0, "b": None, "c": None, "d": None}
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    import datetime as dt
+
+    from pyrdfa3_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([("u1", T(10), 1)], ["k", "ts", "x"])
+    right = spark.createDataFrame([("u1", T(8), 2.0)], ["k", "ts", "v"])
+    plan = asof_join(left, right, on="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # union+window: exactly one exchange partitions the union on the
+    # key; no join operator (and certainly no cartesian/range join)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
