@@ -915,6 +915,34 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_event_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup with hierarchy totals: hourly
+    buckets x event_type via ROLLUP grouping sets (bucket subtotals and
+    the grand total come out of the SAME single shuffle — Catalyst
+    expands grouping sets map-side, no second pass over the data).
+    Sums go through DECIMAL so they are exact and order-independent —
+    a double sum would hash-differ across partitionings."""
+    ev = _t(spark, sf_dir, "events")
+    bucket_ms = F.unix_millis(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ltz"))
+    return (ev
+            .select(bucket_ms.alias("bucket_ms"), "event_type",
+                    F.col("value").cast("decimal(18,2)").alias("v"))
+            .rollup("bucket_ms", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("v").cast("double").alias("sum_value")))
+
+
+SQL_EVENT_ROLLUP = """
+SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (bucket_ms, event_type)
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time enrichment: every click event carries the latest
     at-or-before error value for its user (asof_join's union+window
@@ -2261,6 +2289,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "repetition_metrics": q_repetition_metrics,
     "asof_enrich": q_asof_enrich,
+    "event_rollup": q_event_rollup,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -2336,6 +2365,7 @@ def oracles() -> dict[str, str]:
         "corpus_filter": _sql_corpus_filter(),
         "repetition_metrics": SQL_REPETITION_METRICS,
         "asof_enrich": SQL_ASOF_ENRICH,
+        "event_rollup": SQL_EVENT_ROLLUP,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
