@@ -943,6 +943,28 @@ GROUP BY ROLLUP (bucket_ms, event_type)
 """
 
 
+def q_event_quantiles(spark, sf_dir):
+    """Exact per-type value quantiles (p50/p95/p99).  Spark's
+    percentile and DuckDB's quantile_cont both linearly interpolate, so
+    the two engines agree bit-for-bit after a 6-place round; at corpus
+    scale the approx_percentile sketch replaces this, traded in by the
+    caller when exactness stops mattering."""
+    ev = _t(spark, sf_dir, "events")
+    qs = [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(q)), 6).alias(n)
+                   for q, n in qs]))
+
+
+SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time enrichment: every click event carries the latest
     at-or-before error value for its user (asof_join's union+window
@@ -2290,6 +2312,7 @@ QUERIES = {
     "repetition_metrics": q_repetition_metrics,
     "asof_enrich": q_asof_enrich,
     "event_rollup": q_event_rollup,
+    "event_quantiles": q_event_quantiles,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -2366,6 +2389,7 @@ def oracles() -> dict[str, str]:
         "repetition_metrics": SQL_REPETITION_METRICS,
         "asof_enrich": SQL_ASOF_ENRICH,
         "event_rollup": SQL_EVENT_ROLLUP,
+        "event_quantiles": SQL_EVENT_QUANTILES,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "decontaminate": SQL_DECONTAMINATE,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
