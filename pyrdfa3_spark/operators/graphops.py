@@ -457,6 +457,64 @@ def bgp_union(triples: DataFrame,
     return result
 
 
+def bgp_minus(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              minus: list[tuple[str, str, str]],
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL MINUS / FILTER NOT EXISTS: solutions of ``patterns`` that
+    have NO match for the ``minus`` group on their shared variables.
+    One left-anti join on the shared variables — the same shuffle an
+    inner join would take, with Catalyst free to broadcast whichever
+    side is small.
+    """
+    base = bgp_match(triples, patterns, filters=filters)
+    neg = bgp_match(triples, minus)
+    shared = sorted(set(base.columns) & set(neg.columns))
+    if not shared:
+        raise ValueError(
+            "MINUS group shares no variable with the base pattern — "
+            "per SPARQL semantics that removes nothing; drop the MINUS")
+    return base.join(neg.select(*shared).dropDuplicates(), shared,
+                     "left_anti")
+
+
+def construct(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]],
+              optional: list[tuple[str, str, str]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT — rule-based triple derivation, the KG-
+    construction primitive: match ``patterns``, instantiate every
+    ``template`` (s, p, o) per solution (``?var`` positions substitute
+    bindings, other positions are constants), emit the derived graph
+    with set semantics.
+
+    Template rows containing a variable that is NULL in a solution
+    (possible via ``optional``) are skipped for that solution, matching
+    SPARQL's incomplete-triple rule.
+
+    Scale shape: the solution frame fans out through an in-row array of
+    template structs + explode — one narrow map over the join output,
+    no extra shuffle; the final distinct is the only added exchange
+    (set semantics, same as every other graph op here).
+    """
+    sols = bgp_match(triples, patterns, optional=optional,
+                     filters=filters)
+
+    def term(t):
+        return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+    rows = F.array(*[
+        F.struct(term(s).alias("subj"), term(p).alias("pred"),
+                 term(o).alias("obj"))
+        for s, p, o in template])
+    out = (sols.select(F.explode(rows).alias("t"))
+           .select("t.subj", "t.pred", "t.obj")
+           .filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
+                   & F.col("obj").isNotNull()))
+    return out.dropDuplicates()
+
+
 def path_closure(triples: DataFrame, pred: str,
                  out_pred: str | None = None,
                  max_iterations: int = 20,

@@ -1365,6 +1365,61 @@ SELECT src AS subj, '{_EX}within' AS pred, dst AS obj FROM tc
 """
 
 
+def q_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS: named nations whose region carries no comment
+    (odd regions in the geo KG) — one left-anti join on the shared
+    variable."""
+    from pyrdfa3_spark.operators.graphops import bgp_minus
+
+    return bgp_minus(
+        _geo_triples(spark, sf_dir),
+        [("?n", _EX + "name", "?name"),
+         ("?n", _EX + "memberOf", "?r")],
+        minus=[("?r", _EX + "comment", "?c")])
+
+
+SQL_BGP_MINUS = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r
+FROM nation WHERE n_regionkey % 2 = 1
+"""
+
+
+def q_kg_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT — rule-based derivation: from the supplier/
+    nation/region BGP, materialize a new graph of supplier->region
+    shortcuts, region typing, and (optional-bound) region notes.  The
+    NULL-skip rule is exercised by odd regions, which carry no
+    comment."""
+    from pyrdfa3_spark.operators.graphops import construct
+
+    return construct(
+        _geo_triples(spark, sf_dir),
+        [("?s", _EX + "locatedIn", "?n"),
+         ("?n", _EX + "memberOf", "?r")],
+        template=[("?s", _EX + "inRegion", "?r"),
+                  ("?r", _RDF_TYPE, _EX + "Region"),
+                  ("?r", _EX + "note", "?c")],
+        optional=[("?r", _EX + "comment", "?c")])
+
+
+SQL_KG_CONSTRUCT = f"""
+WITH sols AS (
+  SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
+         'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+         CASE WHEN n_regionkey % 2 = 0 THEN r_name END AS c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT s AS subj, '{_EX}inRegion' AS pred, r AS obj FROM sols
+  UNION ALL
+  SELECT r, '{_RDF_TYPE}', '{_EX}Region' FROM sols
+  UNION ALL
+  SELECT r, '{_EX}note', c FROM sols WHERE c IS NOT NULL)
+"""
+
+
 def q_kg_group_count(spark, sf_dir):
     """Aggregation over BGP solutions (SPARQL GROUP BY / COUNT):
     suppliers per region.  The solution frame is an ordinary DataFrame,
@@ -2347,6 +2402,8 @@ QUERIES = {
     "bgp_union": q_bgp_union,
     "bgp_path": q_bgp_path,
     "kg_group_count": q_kg_group_count,
+    "bgp_minus": q_bgp_minus,
+    "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
@@ -2424,6 +2481,8 @@ def oracles() -> dict[str, str]:
         "bgp_union": SQL_BGP_UNION,
         "bgp_path": SQL_BGP_PATH,
         "kg_group_count": SQL_KG_GROUP_COUNT,
+        "bgp_minus": SQL_BGP_MINUS,
+        "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,

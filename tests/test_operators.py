@@ -914,3 +914,35 @@ def test_asof_join_plan_single_shuffle(spark):
     # key; no join operator (and certainly no cartesian/range join)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bgp_minus(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_minus
+
+    # people with a name but no outgoing knows edge: none (a and b both
+    # know someone); people with a name not known BY anyone: a
+    out = sorted(r["x"] for r in bgp_minus(
+        kg_triples, [("?x", "p:name", "?n")],
+        minus=[("?y", "p:knows", "?x")]).select("x").distinct().collect())
+    assert out == ["a"]
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_minus(kg_triples, [("?x", "p:name", "?n")],
+                  minus=[("?q", "p:knows", "?z")])
+
+
+def test_construct_templates_and_null_skip(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import construct
+
+    out = {tuple(r) for r in construct(
+        kg_triples,
+        [("?x", "p:knows", "?y")],
+        template=[("?x", "p:reaches", "?y"),
+                  ("?y", "p:label", "?n")],
+        optional=[("?y", "p:name", "?n")]).collect()}
+    # c has no p:name: the ?n template row is skipped for (b,c),(c,c)
+    assert out == {
+        ("a", "p:reaches", "b"), ("b", "p:reaches", "c"),
+        ("c", "p:reaches", "c"),
+        ("b", "p:label", "Bob"), ("b", "p:label", "Bobby"),
+    }
