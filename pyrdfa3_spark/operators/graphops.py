@@ -572,6 +572,28 @@ def property_table(triples: DataFrame,
             .agg(*aggs))
 
 
+def apply_diff(snapshot: DataFrame, diff: DataFrame) -> DataFrame:
+    """Replay a :func:`graph_diff` changelog onto a snapshot — the
+    consumer half of the CDC loop: ``apply_diff(old, graph_diff(old,
+    new))`` reproduces ``new`` exactly (set semantics).  Idempotent:
+    replaying the same diff twice is a no-op, so at-least-once delivery
+    of the changelog is safe.
+
+    Scale shape: one left-anti join (removals) + a union with the
+    additions; both shuffle on the same triple key, AQE broadcasts the
+    diff side when a run's changelog is small — the common case for
+    incremental extraction.
+    """
+    on = [c for c in TRIPLE_KEY if c in snapshot.columns]
+    removed = (diff.filter(F.col("op") == "removed")
+               .select(on).dropDuplicates())
+    added = diff.filter(F.col("op") == "added").select(on)
+    return (snapshot.select(on)
+            .join(removed, on, "left_anti")
+            .unionByName(added)
+            .dropDuplicates())
+
+
 def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Snapshot delta between two graph versions: one row per triple
     that was added or removed, tagged ``op`` ('added' / 'removed') —

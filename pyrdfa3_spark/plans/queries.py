@@ -1258,6 +1258,47 @@ FROM nation WHERE n_nationkey % 3 = 0
 """
 
 
+def q_apply_diff(spark, sf_dir):
+    """Changelog replay (the consumer half of graph_diff's CDC loop):
+    applying the recorded diff onto the old snapshot must reproduce the
+    new snapshot exactly — the oracle is the new snapshot's closed
+    form."""
+    from pyrdfa3_spark.operators.graphops import apply_diff, graph_diff
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit("nation:"), k)
+
+    def snapshot(name_col):
+        names = nation.select(subj.alias("subj"),
+                              F.lit(_EX + "name").alias("pred"),
+                              name_col.alias("obj"))
+        member = nation.select(
+            subj.alias("subj"), F.lit(_EX + "memberOf").alias("pred"),
+            F.concat(F.lit("region:"),
+                     F.col("n_regionkey").cast("string")).alias("obj"))
+        return names.unionByName(member)
+
+    old = snapshot(F.col("n_name"))
+    new = snapshot(F.when(F.col("n_nationkey") % 3 == 0,
+                          F.concat(F.col("n_name"), F.lit("!")))
+                   .otherwise(F.col("n_name")))
+    return apply_diff(old, graph_diff(old, new))
+
+
+SQL_APPLY_DIFF = f"""
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '{_EX}name' AS pred,
+       CASE WHEN n_nationkey % 3 = 0 THEN n_name || '!'
+            ELSE n_name END AS obj
+FROM nation
+UNION ALL
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+       '{_EX}memberOf', 'region:' || CAST(n_regionkey AS VARCHAR)
+FROM nation
+"""
+
+
 def q_property_table(spark, sf_dir):
     """Subject × predicate pivot of the geo KG's nation entities; the
     absent 'motto' predicate exercises the NULL column path."""
@@ -2403,6 +2444,7 @@ QUERIES = {
     "bgp_path": q_bgp_path,
     "kg_group_count": q_kg_group_count,
     "bgp_minus": q_bgp_minus,
+    "apply_diff": q_apply_diff,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2482,6 +2524,7 @@ def oracles() -> dict[str, str]:
         "bgp_path": SQL_BGP_PATH,
         "kg_group_count": SQL_KG_GROUP_COUNT,
         "bgp_minus": SQL_BGP_MINUS,
+        "apply_diff": SQL_APPLY_DIFF,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

@@ -946,3 +946,20 @@ def test_construct_templates_and_null_skip(spark, kg_triples):
         ("c", "p:reaches", "c"),
         ("b", "p:label", "Bob"), ("b", "p:label", "Bobby"),
     }
+
+
+def test_apply_diff_roundtrip_and_idempotence(spark):
+    from pyrdfa3_spark.operators.graphops import apply_diff, graph_diff
+
+    old = _triples(spark, [("a", "p", "1"), ("a", "p", "2"),
+                           ("b", "q", "3")])
+    new = _triples(spark, [("a", "p", "1"), ("a", "p", "9"),
+                           ("c", "q", "3")])
+    diff = graph_diff(old, new)
+    replayed = apply_diff(old, diff)
+    assert {tuple(r) for r in replayed.collect()} == \
+        {tuple(r) for r in new.collect()}
+    # at-least-once safety: replaying the same diff again is a no-op
+    twice = apply_diff(replayed, diff)
+    assert {tuple(r) for r in twice.collect()} == \
+        {tuple(r) for r in new.collect()}
