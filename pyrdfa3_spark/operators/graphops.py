@@ -541,6 +541,49 @@ def path_closure(triples: DataFrame, pred: str,
                          F.col("dst").alias("obj"))
 
 
+def path_seq(triples: DataFrame, preds: list[str],
+             out_pred: str) -> DataFrame:
+    """SPARQL sequence path ``p1/p2/.../pn`` as a virtual predicate:
+    endpoints connected by following each predicate in order.  Compiles
+    to n-1 equi-joins over per-predicate scan slices (each predicate
+    filter pushes down); Catalyst picks broadcast vs shuffle per hop.
+    """
+    if not preds:
+        raise ValueError("path_seq needs at least one predicate")
+    hops = [triples.filter(F.col("pred") == p)
+            .select(F.col("subj").alias(f"_n{i}"),
+                    F.col("obj").alias(f"_n{i + 1}"))
+            for i, p in enumerate(preds)]
+    out = hops[0]
+    for i, h in enumerate(hops[1:], start=1):
+        out = out.join(h, f"_n{i}")
+    return (out.select(F.col("_n0").alias("subj"),
+                       F.lit(out_pred).alias("pred"),
+                       F.col(f"_n{len(preds)}").alias("obj"))
+            .dropDuplicates())
+
+
+def path_alt(triples: DataFrame, preds: list[str],
+             out_pred: str) -> DataFrame:
+    """SPARQL alternative path ``p1|p2|...`` — one scan with an IN
+    filter, rewritten under the virtual predicate (set semantics)."""
+    if not preds:
+        raise ValueError("path_alt needs at least one predicate")
+    return (triples.filter(F.col("pred").isin(preds))
+            .select("subj", F.lit(out_pred).alias("pred"), "obj")
+            .dropDuplicates())
+
+
+def path_inverse(triples: DataFrame, pred: str,
+                 out_pred: str) -> DataFrame:
+    """SPARQL inverse path ``^p`` — subject/object swap under the
+    virtual predicate (a projection; zero shuffle)."""
+    return (triples.filter(F.col("pred") == pred)
+            .select(F.col("obj").alias("subj"),
+                    F.lit(out_pred).alias("pred"),
+                    F.col("subj").alias("obj")))
+
+
 def property_table(triples: DataFrame,
                    predicates: list[str]) -> DataFrame:
     """Subject × predicate pivot: the classic KG 'property table'

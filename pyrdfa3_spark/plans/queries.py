@@ -1461,6 +1461,34 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def q_bgp_path_seq(spark, sf_dir):
+    """Sequence path locatedIn/memberOf composed with an inverse hop:
+    supplier -> region via the 2-hop sequence, then joined to the
+    nations of that region through ^memberOf — all as virtual
+    predicates inside one BGP."""
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match, path_inverse, path_seq,
+    )
+
+    t = _geo_triples(spark, sf_dir)
+    seq = path_seq(t, [_EX + "locatedIn", _EX + "memberOf"], "supRegion")
+    inv = path_inverse(t, _EX + "memberOf", "hasNation")
+    return bgp_match(seq.unionByName(inv), [
+        ("?s", "supRegion", "?r"),
+        ("?r", "hasNation", "?n"),
+    ])
+
+
+SQL_BGP_PATH_SEQ = """
+SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
+       'region:' || CAST(s_n.n_regionkey AS VARCHAR) AS r,
+       'nation:' || CAST(r_n.n_nationkey AS VARCHAR) AS n
+FROM supplier
+JOIN nation s_n ON s_nationkey = s_n.n_nationkey
+JOIN nation r_n ON r_n.n_regionkey = s_n.n_regionkey
+"""
+
+
 def q_kg_group_count(spark, sf_dir):
     """Aggregation over BGP solutions (SPARQL GROUP BY / COUNT):
     suppliers per region.  The solution frame is an ordinary DataFrame,
@@ -2445,6 +2473,7 @@ QUERIES = {
     "kg_group_count": q_kg_group_count,
     "bgp_minus": q_bgp_minus,
     "apply_diff": q_apply_diff,
+    "bgp_path_seq": q_bgp_path_seq,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2525,6 +2554,7 @@ def oracles() -> dict[str, str]:
         "kg_group_count": SQL_KG_GROUP_COUNT,
         "bgp_minus": SQL_BGP_MINUS,
         "apply_diff": SQL_APPLY_DIFF,
+        "bgp_path_seq": SQL_BGP_PATH_SEQ,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

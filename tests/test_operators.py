@@ -963,3 +963,24 @@ def test_apply_diff_roundtrip_and_idempotence(spark):
     twice = apply_diff(replayed, diff)
     assert {tuple(r) for r in twice.collect()} == \
         {tuple(r) for r in new.collect()}
+
+
+def test_path_seq_alt_inverse(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import (
+        path_alt, path_inverse, path_seq,
+    )
+
+    seq = {(r["subj"], r["obj"]) for r in path_seq(
+        kg_triples, ["p:knows", "p:name"], "kn").collect()}
+    assert seq == {("a", "Bob"), ("a", "Bobby")}  # a -knows-> b -name->
+
+    alt = path_alt(kg_triples, ["p:name", "p:type"], "meta")
+    assert alt.select("pred").distinct().collect()[0][0] == "meta"
+    assert alt.count() == 5
+
+    inv = {(r["subj"], r["obj"]) for r in path_inverse(
+        kg_triples, "p:knows", "knownBy").collect()}
+    assert inv == {("b", "a"), ("c", "b"), ("c", "c")}
+
+    with pytest.raises(ValueError, match="at least one predicate"):
+        path_seq(kg_triples, [], "x")
