@@ -984,3 +984,41 @@ def test_path_seq_alt_inverse(spark, kg_triples):
 
     with pytest.raises(ValueError, match="at least one predicate"):
         path_seq(kg_triples, [], "x")
+
+
+def test_asof_join_fuzz_vs_python(spark):
+    """Randomized as-of join instances checked against a brute-force
+    python model (latest right row with ts <= left ts per key)."""
+    import datetime as dt
+    import random
+
+    from pyrdfa3_spark.operators.joins import asof_join
+
+    rng = random.Random(20260817)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(5):
+        keys = ["k0", "k1", "k2"]
+        left = [(rng.choice(keys), base + dt.timedelta(seconds=rng.randint(0, 120)), i)
+                for i in range(40)]
+        # unique (key, ts) on the right: the operator's documented
+        # deterministic regime
+        right_keys = rng.sample(
+            [(k, s) for k in keys for s in range(0, 121, 3)], 30)
+        right = [(k, base + dt.timedelta(seconds=s), float(i))
+                 for i, (k, s) in enumerate(right_keys)]
+
+        out = {r["lid"]: (r["asof_v"], r["asof_staleness_ms"])
+               for r in asof_join(
+                   spark.createDataFrame(left, ["k", "ts", "lid"]),
+                   spark.createDataFrame(right, ["k", "ts", "v"]),
+                   on="k").collect()}
+
+        for k, ts, lid in left:
+            cand = [(rts, v) for (rk, rts, v) in right
+                    if rk == k and rts <= ts]
+            if cand:
+                rts, v = max(cand)
+                exp = (v, int((ts - rts).total_seconds() * 1000))
+            else:
+                exp = (None, None)
+            assert out[lid] == exp, (trial, k, ts, lid, out[lid], exp)
