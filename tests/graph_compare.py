@@ -95,8 +95,22 @@ def isomorphic(a, b, max_combos: int = 100_000) -> bool:
     # search only within color classes (usually singletons)
     import math
     total = math.prod(math.factorial(len(v)) for v in classes_a.values())
-    if total > max_combos:  # pragma: no cover - degenerate symmetry
-        raise ValueError("graph too symmetric for class-wise matching")
+    if total > max_combos:
+        # Degenerate symmetry: many structurally-identical bnodes (e.g.
+        # one @role bnode per element across a deep uniform tree) make
+        # the class-wise permutation search factorial.  Document graphs
+        # are forests, and WL refinement is a complete isomorphism
+        # invariant on forests — so comparing the color-canonicalized
+        # triple MULTISETS is exact here, no enumeration needed.
+        from collections import Counter
+
+        def canon(ts, colors):
+            def m(x):
+                return (("b", colors[x])
+                        if isinstance(x, str) and is_bnode(x) else x)
+            return Counter((m(s), p, m(o)) for s, p, o in ts)
+
+        return canon(ta, ca) == canon(tb, cb)
     colors = sorted(classes_a)
     per_class = [permutations(classes_b[c]) for c in colors]
     for combo in product(*per_class):

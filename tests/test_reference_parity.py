@@ -28,3 +28,20 @@ def test_reference_parity_pr(version, min_docs):
     m = re.search(r"documents: pass=(\d+) fail=(\d+)", out.stdout)
     assert m and int(m.group(1)) >= min_docs and int(m.group(2)) == 0, \
         out.stdout
+
+
+def test_isomorphic_degenerate_symmetry():
+    """Many interchangeable bnodes must not blow up the class-wise
+    permutation search: the checker falls back to WL-canonicalized
+    multiset equality (complete on forests) instead of raising."""
+    from tests.graph_compare import isomorphic
+
+    n = 12  # 12! permutations — far beyond max_combos
+    a = [(f"_:a{i}", "p:role", "nav") for i in range(n)]
+    b = [(f"_:b{i}", "p:role", "nav") for i in range(n)]
+    assert isomorphic(a, b, max_combos=10)
+
+    # same bnode count, one node structurally different -> not iso
+    c = [(f"_:c{i}", "p:role", "nav") for i in range(n - 1)] \
+        + [("_:cx", "p:other", "nav")]
+    assert not isomorphic(a, c, max_combos=10)
