@@ -1685,6 +1685,46 @@ FROM nation
 """
 
 
+def q_nquads_serialize(spark, sf_dir):
+    """N-Quads sink (S6 + provenance): the serializer fixture graph
+    with each statement tagged by a per-nation conversation graph IRI —
+    the named-graph form the transcript lake emits so consumers keep
+    triple->turn lineage."""
+    from pyrdfa3_spark.plans.serialize import to_nquads
+
+    # IRI subjects carry their nation key; bnode subjects (no stable
+    # IRI) are tagged from the region key in the object instead —
+    # deterministic either way, mirroring per-turn provenance tagging
+    g = _nation_graph(spark, sf_dir).withColumn(
+        "graph",
+        F.when(F.col("subj").startswith("_:"),
+               F.concat(F.lit("urn:conv:r"),
+                        F.regexp_extract("obj", r"R(\d+)$", 1)))
+        .otherwise(F.concat(F.lit("urn:conv:"),
+                            F.regexp_extract("subj", r"N(\d+)$", 1))))
+    return to_nquads(g)
+
+
+SQL_NQUADS_SERIALIZE = """
+SELECT '<urn:nation:N' || CAST(n_nationkey AS VARCHAR) || '> <urn:p:name> "'
+       || replace(replace(n_name || ' says "hi"' || chr(10),
+                  '"', '\\"'), chr(10), '\\n')
+       || '"@en <urn:conv:' || CAST(n_nationkey AS VARCHAR) || '> .' AS line
+FROM nation
+UNION ALL
+SELECT '<urn:nation:N' || CAST(n_nationkey AS VARCHAR) || '> <urn:p:key> "'
+       || CAST(n_nationkey AS VARCHAR)
+       || '"^^<http://www.w3.org/2001/XMLSchema#integer> <urn:conv:'
+       || CAST(n_nationkey AS VARCHAR) || '> .' AS line
+FROM nation
+UNION ALL
+SELECT '_:bn' || CAST(n_nationkey AS VARCHAR) || ' <urn:p:in> <urn:region:R'
+       || CAST(n_regionkey AS VARCHAR) || '> <urn:conv:r'
+       || CAST(n_regionkey AS VARCHAR) || '> .' AS line
+FROM nation
+"""
+
+
 def q_dedup_global_triples(spark, sf_dir):
     """Cross-document set semantics (E16 global variant): distinct
     (subj,pred,obj) across the corpus — collapses per-turn duplicates
@@ -2474,6 +2514,7 @@ QUERIES = {
     "bgp_minus": q_bgp_minus,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
+    "nquads_serialize": q_nquads_serialize,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2555,6 +2596,7 @@ def oracles() -> dict[str, str]:
         "bgp_minus": SQL_BGP_MINUS,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,
+        "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

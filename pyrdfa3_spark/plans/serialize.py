@@ -30,9 +30,9 @@ def _nt_escape(col):
     return out
 
 
-def to_ntriples(triples: DataFrame) -> DataFrame:
-    """triples(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype) ->
-    one-column DataFrame ``line`` of N-Triples statements."""
+def _nt_terms():
+    """(subj, pred, obj) N-Triples term expressions — shared by the
+    N-Triples and N-Quads statement assemblers."""
     subj = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
         .otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
     pred = F.concat(F.lit("<"), F.col("pred"), F.lit(">"))
@@ -46,12 +46,36 @@ def to_ntriples(triples: DataFrame) -> DataFrame:
     obj = F.when(~F.col("obj_is_iri"), literal) \
         .when(F.col("obj").startswith("_:"), F.col("obj")) \
         .otherwise(F.concat(F.lit("<"), F.col("obj"), F.lit(">")))
+    return subj, pred, obj
+
+
+def to_ntriples(triples: DataFrame) -> DataFrame:
+    """triples(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype) ->
+    one-column DataFrame ``line`` of N-Triples statements."""
+    subj, pred, obj = _nt_terms()
     return triples.select(
         F.concat_ws(" ", subj, pred, obj, F.lit(".")).alias("line"))
 
 
 def write_ntriples(triples: DataFrame, path: str) -> None:
     to_ntriples(triples).write.mode("overwrite").text(path)
+
+
+def to_nquads(quads: DataFrame, graph_col: str = "graph") -> DataFrame:
+    """Named-graph quad lines: the N-Triples terms plus a graph label
+    (IRI or bnode) — the provenance-preserving interchange format for a
+    lake whose extraction tags every triple with its source
+    conversation/turn.  Same single narrow projection as N-Triples."""
+    subj, pred, obj = _nt_terms()
+    g = F.when(F.col(graph_col).startswith("_:"), F.col(graph_col)) \
+        .otherwise(F.concat(F.lit("<"), F.col(graph_col), F.lit(">")))
+    return quads.select(
+        F.concat_ws(" ", subj, pred, obj, g, F.lit(".")).alias("line"))
+
+
+def write_nquads(quads: DataFrame, path: str,
+                 graph_col: str = "graph") -> None:
+    to_nquads(quads, graph_col).write.mode("overwrite").text(path)
 
 
 # --------------------------------------------------------------------------

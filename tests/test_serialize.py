@@ -121,3 +121,27 @@ def test_rdfxml_unserializable_predicate(spark):
         ["http://ex.org/p/"]
     blocks = "\n".join(r["block"] for r in to_rdfxml(df).collect())
     assert "p:ok" in blocks and "http://ex.org/p/" not in blocks
+
+
+def test_nquads_lines_extend_ntriples(spark):
+    """Each N-Quads line is its N-Triples statement with the graph
+    label spliced in before the terminating dot."""
+    from pyspark.sql import functions as F
+
+    from pyrdfa3_spark.plans.serialize import to_nquads, to_ntriples
+
+    rows = [
+        ("urn:s", "urn:p", "plain \"text\"\n", False, "en", None, "urn:g1"),
+        ("_:b0", "urn:p", "urn:o", True, None, None, "_:g2"),
+        ("urn:s", "urn:p", "5", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer", "urn:g1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_datatype string, graph string")
+    nt = [r["line"] for r in to_ntriples(df).collect()]
+    nq = [r["line"] for r in to_nquads(df).collect()]
+    for t_line, q_line, row in zip(nt, nq, rows):
+        gterm = row[6] if row[6].startswith("_:") else f"<{row[6]}>"
+        assert q_line == t_line[:-1] + gterm + " ."
