@@ -390,12 +390,40 @@ def bgp_match(triples: DataFrame,
     with the frame built so far — a disjoint pattern would be a
     cartesian product and raises instead.
     """
+    return _match(triples, ("subj", "pred", "obj"), patterns,
+                  optional, filters)
+
+
+def bgp_match_quads(quads: DataFrame,
+                    patterns: list[tuple[str, str, str, str]],
+                    optional: list[tuple[str, str, str, str]] | None = None,
+                    filters: list[str] | None = None) -> DataFrame:
+    """SPARQL GRAPH-clause matching over a quad store: each pattern is
+    an (s, p, o, g) 4-tuple whose fourth term scopes the triple pattern
+    to a named graph — constant (``GRAPH <g> {...}``) or variable
+    (``GRAPH ?g {...}``, binding the provenance graph into the
+    solution).  In the transcript lake the graph term is the
+    conversation/turn IRI the extraction stamps on every triple, so
+    this is how consumers query *where* a fact was said.
+
+    Same compilation as :func:`bgp_match` — a constant graph term
+    becomes a scan predicate (partition-prunable when the store is
+    written partitioned by graph), a variable joins like any other.
+    """
+    return _match(quads, ("subj", "pred", "obj", "graph"), patterns,
+                  optional, filters)
+
+
+def _match(frame, positions, patterns, optional, filters):
     def compile_one(pat):
-        s, p, o = pat
-        df = triples
+        if len(pat) != len(positions):
+            raise ValueError(
+                f"pattern {pat} has {len(pat)} terms; expected "
+                f"{len(positions)} {positions}")
+        df = frame
         cols = []
         seen: dict[str, str] = {}
-        for pos, term in zip(("subj", "pred", "obj"), (s, p, o)):
+        for pos, term in zip(positions, pat):
             if term.startswith("?"):
                 var = term[1:]
                 if var in seen:      # repeated variable inside a pattern
@@ -582,6 +610,248 @@ def path_inverse(triples: DataFrame, pred: str,
             .select(F.col("obj").alias("subj"),
                     F.lit(out_pred).alias("pred"),
                     F.col("subj").alias("obj")))
+
+
+def path_negated(triples: DataFrame, preds: list[str],
+                 out_pred: str) -> DataFrame:
+    """SPARQL negated property set ``!(p1|p2|...)`` — every edge whose
+    predicate is NOT in the excluded set, rewritten under the virtual
+    predicate.  One scan with a NOT-IN filter (pushed down); set
+    semantics like the other path operators."""
+    if not preds:
+        raise ValueError("path_negated needs at least one excluded "
+                         "predicate (use the triples frame directly "
+                         "for the empty set)")
+    return (triples.filter(~F.col("pred").isin(preds))
+            .select("subj", F.lit(out_pred).alias("pred"), "obj")
+            .dropDuplicates())
+
+
+def graph_terms(triples: DataFrame) -> DataFrame:
+    """All RDF terms appearing in subject or object position — the
+    domain SPARQL gives zero-length property paths.  One column
+    ``node``; a union of two projections of the same scan (Catalyst
+    reuses the exchange), distinct."""
+    return (triples.select(F.col("subj").alias("node"))
+            .unionByName(triples.select(F.col("obj").alias("node")))
+            .dropDuplicates())
+
+
+def path_zero_or_one(triples: DataFrame, pred: str,
+                     out_pred: str) -> DataFrame:
+    """SPARQL path ``p?``: the predicate's edges plus the zero-length
+    path (t, t) for every term in the graph — per the SPARQL spec the
+    zero-length path relates each graph term to itself, independent of
+    the predicate."""
+    edges = (triples.filter(F.col("pred") == pred)
+             .select("subj", F.lit(out_pred).alias("pred"), "obj"))
+    zero = graph_terms(triples).select(
+        F.col("node").alias("subj"), F.lit(out_pred).alias("pred"),
+        F.col("node").alias("obj"))
+    return edges.unionByName(zero).dropDuplicates()
+
+
+def path_zero_or_more(triples: DataFrame, pred: str,
+                      out_pred: str | None = None,
+                      max_iterations: int = 20,
+                      strategy: str = "seminaive") -> DataFrame:
+    """SPARQL path ``p*``: :func:`path_closure` (``p+``) unioned with
+    the zero-length (t, t) pairs over every graph term.  The closure
+    only shuffles the predicate's edge slice; the zero pairs are a
+    narrow distinct over the scan."""
+    out = out_pred or pred
+    plus = path_closure(triples, pred, out_pred=out,
+                        max_iterations=max_iterations, strategy=strategy)
+    zero = graph_terms(triples).select(
+        F.col("node").alias("subj"), F.lit(out).alias("pred"),
+        F.col("node").alias("obj"))
+    return plus.unionByName(zero).dropDuplicates()
+
+
+def bgp_values(triples: DataFrame,
+               patterns: list[tuple[str, str, str]],
+               var_names: list[str],
+               rows: list[tuple],
+               optional: list[tuple[str, str, str]] | None = None,
+               filters: list[str] | None = None) -> DataFrame:
+    """SPARQL VALUES: constrain (and extend) BGP solutions with an
+    inline binding table.  ``var_names`` are the VALUES variables (no
+    ``?``), ``rows`` their bindings; ``None`` is UNDEF — that variable
+    is unconstrained for that row, per the spec's compatible-mapping
+    rule.
+
+    Scale shape: the binding table is literal driver data, so Spark
+    broadcasts it and the join never shuffles the solution side.  UNDEF
+    support without a non-equi join: rows group by their defined-column
+    mask, each group equi-joins on exactly its defined variables, and
+    the groups union — every join stays a hash join.
+    """
+    if not var_names:
+        raise ValueError("bgp_values needs at least one variable")
+    for r in rows:
+        if len(r) != len(var_names):
+            raise ValueError(f"VALUES row {r} arity != {var_names}")
+    sols = bgp_match(triples, patterns, optional=optional,
+                     filters=filters)
+    shared = [v for v in var_names if v in sols.columns]
+    if not shared:
+        raise ValueError(
+            "VALUES shares no variable with the pattern group — the "
+            "binding table would cross-join every solution")
+
+    spark = triples.sparkSession
+    by_mask: dict[tuple[str, ...], list[tuple]] = {}
+    for r in rows:
+        mask = tuple(v for v, cell in zip(var_names, r)
+                     if cell is not None and v in shared)
+        if not mask:
+            # all-UNDEF row: constrains nothing, keeps every solution
+            return sols
+        by_mask.setdefault(mask, []).append(r)
+
+    out = None
+    for mask, grp in by_mask.items():
+        vals = spark.createDataFrame(
+            [tuple(str(c) if c is not None else None for c in r)
+             for r in grp],
+            ", ".join(f"`{v}` string" for v in var_names))
+        extra = [v for v in var_names if v not in sols.columns]
+        joined = sols.join(
+            F.broadcast(vals.select(*mask, *extra).dropDuplicates()),
+            list(mask), "inner")
+        out = joined if out is None else out.unionByName(joined)
+    return out
+
+
+def select_solutions(sols: DataFrame,
+                     order_by: list[str] | None = None,
+                     limit: int | None = None,
+                     offset: int = 0,
+                     distinct: bool = False,
+                     project: list[str] | None = None) -> DataFrame:
+    """SPARQL solution modifiers: SELECT projection, DISTINCT,
+    ORDER BY (``"var"`` ascending, ``"-var"`` descending), LIMIT /
+    OFFSET.
+
+    Scale shape: ORDER BY + LIMIT plans as TakeOrdered — each partition
+    keeps its local top (limit+offset) and only those rows reach the
+    driver-side merge; no global sort materializes.  An ORDER BY with
+    no LIMIT is an honest full sort (range-partitioned exchange),
+    because that is what the query asks for.
+    """
+    out = sols
+    if project:
+        out = out.select(*project)
+    if distinct:
+        out = out.dropDuplicates()
+    if order_by:
+        keys = [F.col(k[1:]).desc() if k.startswith("-") else F.col(k)
+                for k in order_by]
+        out = out.orderBy(*keys)
+    if offset:
+        if not order_by:
+            raise ValueError("OFFSET without ORDER BY is "
+                             "non-deterministic; add order_by")
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def solution_agg(sols: DataFrame, group_by: list[str],
+                 aggs: dict[str, tuple]) -> DataFrame:
+    """SPARQL aggregates over a solution frame.  ``aggs`` maps output
+    column -> (kind, var) or (kind, var, separator) for group_concat.
+    Kinds: count (var ``*`` for COUNT(*)), count_distinct, sum, avg,
+    min, max, sample, group_concat.
+
+    Determinism: SPARQL leaves SAMPLE's choice and GROUP_CONCAT's order
+    implementation-defined; here SAMPLE is the minimum and GROUP_CONCAT
+    sorts its values, so results are stable across runs and partition
+    layouts — required for the lake's reproducibility contract.
+
+    One hash aggregation with map-side partials; group_concat's
+    collect_list is bounded by the group's solution count (document
+    cardinality), not the corpus.
+    """
+    exprs = []
+    for name, spec in aggs.items():
+        kind, var = spec[0], spec[1]
+        if kind == "count":
+            e = F.count(F.lit(1)) if var == "*" else F.count(var)
+        elif kind == "count_distinct":
+            e = F.countDistinct(var)
+        elif kind == "sum":
+            e = F.sum(var)
+        elif kind == "avg":
+            e = F.avg(var)
+        elif kind == "min":
+            e = F.min(var)
+        elif kind == "max":
+            e = F.max(var)
+        elif kind == "sample":
+            e = F.min(var)
+        elif kind == "group_concat":
+            sep = spec[2] if len(spec) > 2 else " "
+            e = F.array_join(F.array_sort(F.collect_list(var)), sep)
+        else:
+            raise ValueError(f"unknown aggregate kind {kind!r}")
+        exprs.append(e.alias(name))
+    return sols.groupBy(*group_by).agg(*exprs)
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over (src, dst) edges — the KG
+    centrality signal curation pipelines use to weight entities (and
+    the canonical iterative-algorithm shape alongside
+    :func:`transitive_closure`).
+
+    Returns (node, rank) for every node appearing in the edge list;
+    ranks sum to 1.  Dangling nodes (no out-edges) redistribute their
+    mass uniformly each round, per the standard formulation.
+
+    Scale shape per round: one shuffle to aggregate contributions by
+    destination (map-side partial sums) plus one broadcast of the
+    1-row dangling-mass aggregate; the rank frame is
+    ``localCheckpoint``ed so lineage stays flat across rounds (same
+    discipline as :func:`transitive_closure`).  Out-degrees are
+    computed once, outside the loop.
+    """
+    e = edges.select("src", "dst").dropDuplicates().cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .dropDuplicates().cache())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = (e.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg")).cache())
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, "node", "left")
+        # dangling mass: a 1-row aggregate, broadcast onto every node
+        dm = with_deg.filter(F.col("outdeg").isNull()) \
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        contribs = (with_deg.filter(F.col("outdeg").isNotNull())
+                    .join(e, F.col("node") == F.col("src"))
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                         .alias("contrib")))
+        prev = ranks
+        ranks = (nodes.join(contribs, "node", "left")
+                 .join(F.broadcast(dm))
+                 .select("node",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("_dm") / n)).alias("rank"))
+                 .localCheckpoint(eager=True))
+        if prev is not None and prev.is_cached:
+            prev.unpersist()
+    return ranks
 
 
 def property_table(triples: DataFrame,

@@ -1489,6 +1489,236 @@ JOIN nation r_n ON r_n.n_regionkey = s_n.n_regionkey
 """
 
 
+def q_bgp_graph(spark, sf_dir):
+    """SPARQL GRAPH clause over the quad store: nation facts stamped
+    with a per-region conversation graph; the shared ?g variable scopes
+    the name/memberOf join per graph and binds provenance into the
+    solution."""
+    from pyrdfa3_spark.operators.graphops import bgp_match_quads
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit("nation:"), k)
+    g = F.concat(F.lit("urn:conv:r"), F.col("n_regionkey").cast("string"))
+    quads = nation.select(
+        subj.alias("subj"), F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"), g.alias("graph")
+    ).unionByName(nation.select(
+        subj.alias("subj"), F.lit(_EX + "memberOf").alias("pred"),
+        F.concat(F.lit("region:"),
+                 F.col("n_regionkey").cast("string")).alias("obj"),
+        g.alias("graph")))
+    return bgp_match_quads(quads, [
+        ("?n", _EX + "name", "?name", "?g"),
+        ("?n", _EX + "memberOf", "?r", "?g"),
+    ])
+
+
+SQL_BGP_GRAPH = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'urn:conv:r' || CAST(n_regionkey AS VARCHAR) AS g,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r
+FROM nation
+"""
+
+
+def q_bgp_values(spark, sf_dir):
+    """SPARQL VALUES: an inline binding table constrains the solutions
+    to three regions and extends them with a zone label; the
+    UNDEF-zone row exercises the compatible-mapping split (it joins on
+    ?r only and leaves ?zone unbound)."""
+    from pyrdfa3_spark.operators.graphops import bgp_values
+
+    return bgp_values(
+        _geo_triples(spark, sf_dir),
+        [("?n", _EX + "name", "?name"),
+         ("?n", _EX + "memberOf", "?r")],
+        ["r", "zone"],
+        [("region:0", "zone-a"), ("region:2", "zone-a"),
+         ("region:1", "zone-b"), ("region:3", None)])
+
+
+SQL_BGP_VALUES = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       CASE WHEN n_regionkey IN (0, 2) THEN 'zone-a'
+            WHEN n_regionkey = 1 THEN 'zone-b' END AS zone
+FROM nation WHERE n_regionkey IN (0, 1, 2, 3)
+"""
+
+
+def q_bgp_path_star(spark, sf_dir):
+    """SPARQL path ``within*`` over the nation->region->'world'
+    hierarchy: the transitive closure plus the spec's zero-length
+    (t, t) pair for every graph term."""
+    from pyrdfa3_spark.operators.graphops import path_zero_or_more
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    w = F.lit(_EX + "within")
+    e1 = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"), w.alias("pred"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string"))
+        .alias("obj"))
+    e2 = region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"), w.alias("pred"), F.lit("world").alias("obj"))
+    return path_zero_or_more(e1.unionByName(e2), _EX + "within")
+
+
+SQL_BGP_PATH_STAR = f"""
+WITH pairs AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'region:' || CAST(n_regionkey AS VARCHAR) AS obj FROM nation
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'world' FROM nation
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR), 'world' FROM region
+  UNION ALL
+  SELECT t, t FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS t FROM nation
+    UNION ALL
+    SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region
+    UNION ALL SELECT 'world'))
+SELECT DISTINCT subj, '{_EX}within' AS pred, obj FROM pairs
+"""
+
+
+def q_kg_topk(spark, sf_dir):
+    """SPARQL solution modifiers (ORDER BY / LIMIT / OFFSET): nations
+    ranked by supplier count, fully tie-broken so the page window is
+    deterministic.  ORDER BY + LIMIT plans as TakeOrdered — partition-
+    local top-k, no global sort."""
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match, select_solutions, solution_agg,
+    )
+
+    sols = bgp_match(_geo_triples(spark, sf_dir), [
+        ("?s", _EX + "locatedIn", "?n"),
+    ])
+    counts = solution_agg(sols, ["n"], {"n_sup": ("count", "*")})
+    return select_solutions(counts, order_by=["-n_sup", "n"],
+                            limit=10, offset=2)
+
+
+SQL_KG_TOPK = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       CAST(count(*) AS BIGINT) AS n_sup
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+ORDER BY n_sup DESC, n LIMIT 10 OFFSET 2
+"""
+
+
+def q_kg_group_concat(spark, sf_dir):
+    """SPARQL aggregates (GROUP_CONCAT / SAMPLE / COUNT DISTINCT) over
+    BGP solutions: per region, the sorted pipe-joined nation names plus
+    the deterministic sample (minimum) and distinct count."""
+    from pyrdfa3_spark.operators.graphops import bgp_match, solution_agg
+
+    sols = bgp_match(_geo_triples(spark, sf_dir), [
+        ("?n", _EX + "name", "?name"),
+        ("?n", _EX + "memberOf", "?r"),
+    ])
+    return solution_agg(sols, ["r"], {
+        "names": ("group_concat", "name", "|"),
+        "one_name": ("sample", "name"),
+        "n_nations": ("count_distinct", "name"),
+    })
+
+
+SQL_KG_GROUP_CONCAT = """
+SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       string_agg(n_name, '|' ORDER BY n_name) AS names,
+       min(n_name) AS one_name,
+       CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+_PR_ITERS = 10
+_PR_MOD = 200
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over a deterministic entity graph
+    derived from customer keys: node i links to (7i+3) mod 200 (a
+    permutation — keeps every node non-dangling) and to (i²+1) mod 200
+    (non-invertible — quadratic-residue hubs give genuinely skewed
+    in-degrees, so ranks differ and the check is non-trivial).
+    Cross-checked value-by-value against an unrolled-SQL oracle; ranks
+    round at 9 dp — per-node contribution counts are small, so
+    cross-engine float-sum error sits ~1e-16, far inside the
+    rounding."""
+    from pyrdfa3_spark.operators.graphops import pagerank
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+    src = F.concat(F.lit("n"), i.cast("string"))
+    edges = customer.select(
+        src.alias("src"),
+        F.concat(F.lit("n"), ((i * 7 + 3) % _PR_MOD).cast("string"))
+        .alias("dst")
+    ).unionByName(customer.select(
+        src.alias("src"),
+        F.concat(F.lit("n"), ((i * i + 1) % _PR_MOD).cast("string"))
+        .alias("dst")))
+    pr = pagerank(edges, iterations=_PR_ITERS)
+    return pr.select("node", F.round(F.col("rank"), 9).alias("rank"))
+
+
+def _sql_pagerank() -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL: one CTE per
+    round, each computing contributions + dangling mass exactly as the
+    operator does."""
+    # every CTE is MATERIALIZED: each pr{k} is referenced more than
+    # once, and an inlining planner would otherwise expand the chain
+    # exponentially (2^iterations plan copies)
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR) AS src,
+           'n' || CAST((c_custkey % {_PR_MOD} * 7 + 3) % {_PR_MOD}
+                       AS VARCHAR) AS dst
+    FROM customer
+    UNION ALL
+    SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR),
+           'n' || CAST((c_custkey % {_PR_MOD} * (c_custkey % {_PR_MOD})
+                        + 1) % {_PR_MOD} AS VARCHAR)
+    FROM customer)),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+           FROM edges GROUP BY src),
+pr0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for k in range(_PR_ITERS):
+        parts.append(f""",
+dm{k} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS m FROM pr{k}
+  LEFT JOIN outdeg USING (node) WHERE d IS NULL),
+c{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.rank / o.d) AS contrib
+  FROM pr{k} p JOIN outdeg o USING (node)
+  JOIN edges e ON e.src = p.node GROUP BY e.dst),
+pr{k + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c{k}.contrib, 0.0)
+                   + (SELECT m FROM dm{k}) / (SELECT n FROM nn)) AS rank
+  FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node)""")
+    parts.append(f"""
+SELECT node, round(rank, 9) AS rank FROM pr{_PR_ITERS}""")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 def q_kg_group_count(spark, sf_dir):
     """Aggregation over BGP solutions (SPARQL GROUP BY / COUNT):
     suppliers per region.  The solution frame is an ordinary DataFrame,
@@ -2514,6 +2744,12 @@ QUERIES = {
     "bgp_minus": q_bgp_minus,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
+    "bgp_graph": q_bgp_graph,
+    "bgp_values": q_bgp_values,
+    "bgp_path_star": q_bgp_path_star,
+    "kg_topk": q_kg_topk,
+    "kg_group_concat": q_kg_group_concat,
+    "pagerank": q_pagerank,
     "nquads_serialize": q_nquads_serialize,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
@@ -2596,6 +2832,12 @@ def oracles() -> dict[str, str]:
         "bgp_minus": SQL_BGP_MINUS,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,
+        "bgp_graph": SQL_BGP_GRAPH,
+        "bgp_values": SQL_BGP_VALUES,
+        "bgp_path_star": SQL_BGP_PATH_STAR,
+        "kg_topk": SQL_KG_TOPK,
+        "kg_group_concat": SQL_KG_GROUP_CONCAT,
+        "pagerank": SQL_PAGERANK,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,

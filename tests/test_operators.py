@@ -1022,3 +1022,152 @@ def test_asof_join_fuzz_vs_python(spark):
             else:
                 exp = (None, None)
             assert out[lid] == exp, (trial, k, ts, lid, out[lid], exp)
+
+
+# ------------------------------------------------------------------ #
+# SPARQL surface round-out: GRAPH, VALUES, path extras, modifiers,
+# aggregates, PageRank
+# ------------------------------------------------------------------ #
+
+def test_bgp_match_quads_graph_clause(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_match_quads
+    from pyspark.sql import functions as F
+
+    quads = kg_triples.withColumn(
+        "graph", F.when(F.col("subj") == "a", "urn:g:1")
+        .otherwise("urn:g:2"))
+    # constant graph: GRAPH <urn:g:1> { ?x p:name ?n }
+    out = sorted(tuple(r) for r in bgp_match_quads(
+        quads, [("?x", "p:name", "?n", "urn:g:1")]).collect())
+    assert out == [("a", "Ada")]
+    # variable graph binds provenance into the solution
+    out = sorted(tuple(r) for r in bgp_match_quads(
+        quads, [("?x", "p:name", "?n", "?g")]).collect())
+    assert ("a", "Ada", "urn:g:1") in out
+    assert ("b", "Bob", "urn:g:2") in out
+    # graph variable shared across patterns scopes the join per-graph
+    out = bgp_match_quads(quads, [
+        ("?x", "p:knows", "?y", "?g"),
+        ("?x", "p:name", "?n", "?g"),
+    ]).collect()
+    assert {(r["x"], r["g"]) for r in out} == {("a", "urn:g:1"),
+                                              ("b", "urn:g:2")}
+
+
+def test_bgp_values_constrains_and_extends(spark, kg_triples):
+    import pytest
+
+    from pyrdfa3_spark.operators.graphops import bgp_values
+
+    # plain IN-style constraint
+    out = {(r["x"], r["n"]) for r in bgp_values(
+        kg_triples, [("?x", "p:name", "?n")],
+        ["x"], [("a",), ("c",)]).collect()}
+    assert out == {("a", "Ada")}
+    # UNDEF rows constrain only their defined columns
+    out = {(r["x"], r["n"]) for r in bgp_values(
+        kg_triples, [("?x", "p:name", "?n")],
+        ["x", "n"], [("a", None), (None, "Bobby")]).collect()}
+    assert out == {("a", "Ada"), ("b", "Bobby")}
+    # extra (non-pattern) variables extend solutions; two rows with the
+    # same key multiply per SPARQL bag semantics
+    out = sorted((r["x"], r["n"], r["tag"]) for r in bgp_values(
+        kg_triples, [("?x", "p:name", "?n")],
+        ["x", "tag"], [("a", "t1"), ("a", "t2")]).collect())
+    assert out == [("a", "Ada", "t1"), ("a", "Ada", "t2")]
+    # all-UNDEF row keeps everything
+    assert bgp_values(
+        kg_triples, [("?x", "p:name", "?n")],
+        ["x"], [(None,)]).count() == 3
+    with pytest.raises(ValueError):
+        bgp_values(kg_triples, [("?x", "p:name", "?n")],
+                   ["zzz"], [("v",)])
+
+
+def test_path_negated_zero_or_one_zero_or_more(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import (
+        graph_terms, path_negated, path_zero_or_more, path_zero_or_one,
+    )
+
+    neg = {(r["subj"], r["obj"]) for r in path_negated(
+        kg_triples, ["p:knows", "p:type"], "v:other").collect()}
+    assert neg == {("a", "Ada"), ("b", "Bob"), ("b", "Bobby")}
+
+    terms = {r["node"] for r in graph_terms(kg_triples).collect()}
+    assert {"a", "b", "c", "Ada", "Person"} <= terms
+
+    zo = {(r["subj"], r["obj"]) for r in path_zero_or_one(
+        kg_triples, "p:knows", "v:k").collect()}
+    assert ("a", "b") in zo and ("b", "c") in zo
+    assert all((t, t) in zo for t in terms)      # zero-length pairs
+    assert ("a", "c") not in zo                  # no 2-hop in p?
+
+    star = {(r["subj"], r["obj"]) for r in path_zero_or_more(
+        kg_triples, "p:knows").collect()}
+    assert ("a", "c") in star                    # 2-hop via closure
+    assert all((t, t) in star for t in terms)
+    assert ("Ada", "b") not in star
+
+
+def test_select_solutions_modifiers(spark, kg_triples):
+    import pytest
+
+    from pyrdfa3_spark.operators.graphops import bgp_match, select_solutions
+
+    sols = bgp_match(kg_triples, [("?x", "p:name", "?n")])
+    top = select_solutions(sols, order_by=["-n"], limit=2)
+    assert [r["n"] for r in top.collect()] == ["Bobby", "Bob"]
+    rest = select_solutions(sols, order_by=["n"], limit=5, offset=1,
+                            project=["n"])
+    assert [r["n"] for r in rest.collect()] == ["Bob", "Bobby"]
+    dd = select_solutions(sols.select("x"), distinct=True)
+    assert dd.count() == 2
+    with pytest.raises(ValueError):
+        select_solutions(sols, offset=1)
+
+
+def test_solution_agg_sparql_aggregates(spark, kg_triples):
+    import pytest
+
+    from pyrdfa3_spark.operators.graphops import bgp_match, solution_agg
+
+    sols = bgp_match(kg_triples, [("?x", "p:name", "?n")])
+    out = {r["x"]: r for r in solution_agg(sols, ["x"], {
+        "n_names": ("count", "*"),
+        "uniq": ("count_distinct", "n"),
+        "first": ("sample", "n"),
+        "all_names": ("group_concat", "n", "|"),
+    }).collect()}
+    assert out["b"]["n_names"] == 2 and out["b"]["uniq"] == 2
+    assert out["b"]["first"] == "Bob"
+    assert out["b"]["all_names"] == "Bob|Bobby"
+    assert out["a"]["all_names"] == "Ada"
+    with pytest.raises(ValueError):
+        solution_agg(sols, ["x"], {"z": ("median", "n")})
+
+
+def test_pagerank_matches_python(spark):
+    from pyrdfa3_spark.operators.graphops import pagerank
+
+    # deterministic small graph incl. a dangling node (d) and a cycle
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    out = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame(edges, ["src", "dst"]),
+        iterations=15).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(15):
+        dm = sum(r for v, r in ranks.items() if v not in outdeg)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += ranks[s] / outdeg[s]
+        ranks = {v: 0.15 / n + 0.85 * (contrib[v] + dm / n)
+                 for v in nodes}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(out[v] - ranks[v]) < 1e-9, (v, out[v], ranks[v])
