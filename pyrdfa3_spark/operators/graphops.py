@@ -800,6 +800,55 @@ def solution_agg(sols: DataFrame, group_by: list[str],
     return sols.groupBy(*group_by).agg(*exprs)
 
 
+def ask(triples: DataFrame,
+        patterns: list[tuple[str, str, str]],
+        filters: list[str] | None = None) -> DataFrame:
+    """SPARQL ASK: one row, one boolean ``result`` column — does the
+    pattern group have any solution.  ``limit(1)`` before the aggregate
+    short-circuits the scan (GlobalLimit stops tasks after the first
+    solution); the aggregate turns present/absent into true/false."""
+    sols = bgp_match(triples, patterns, filters=filters)
+    return sols.limit(1).agg(
+        (F.count(F.lit(1)) > 0).alias("result"))
+
+
+def describe(triples: DataFrame, nodes: list[str],
+             max_hops: int = 10) -> DataFrame:
+    """SPARQL DESCRIBE as a Concise Bounded Description: every triple
+    whose subject is a requested node, recursing through blank-node
+    objects (a bnode has no global identity, so its description belongs
+    to the describing resource) up to ``max_hops`` levels.
+
+    Scale shape: the frontier is per-entity-sized (the seeds plus their
+    bnode children), so each hop is a broadcast semi-join against the
+    triple scan — no shuffle of the corpus; the frontier is
+    lineage-truncated per hop.  Raises if bnode chains outrun
+    ``max_hops`` rather than returning a silently truncated
+    description.
+    """
+    if not nodes:
+        raise ValueError("describe needs at least one node")
+    spark = triples.sparkSession
+    frontier = spark.createDataFrame([(n,) for n in nodes], ["subj"]) \
+        .dropDuplicates()
+    seen = frontier
+    out = None
+    for _ in range(max_hops):
+        hop = triples.join(F.broadcast(frontier), "subj", "inner")
+        out = hop if out is None else out.unionByName(hop)
+        frontier = (hop.filter(F.col("obj").startswith("_:"))
+                    .select(F.col("obj").alias("subj"))
+                    .dropDuplicates()
+                    .join(seen, "subj", "left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            return out.dropDuplicates()
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"describe: blank-node chain deeper than {max_hops} hops; "
+        "raise max_hops")
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85) -> DataFrame:
     """Fixed-iteration PageRank over (src, dst) edges — the KG

@@ -1719,6 +1719,69 @@ SELECT node, round(rank, 9) AS rank FROM pr{_PR_ITERS}""")
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK, one row per question: the geo KG does hold a
+    supplier in region 0 (true) and holds no nation mottos (false).
+    Each ASK short-circuits at its first solution via limit(1)."""
+    from pyrdfa3_spark.operators.graphops import ask
+
+    t = _geo_triples(spark, sf_dir)
+    yes = ask(t, [("?s", _EX + "locatedIn", "?n"),
+                  ("?n", _EX + "memberOf", "region:0")]) \
+        .select(F.lit("supplier_in_r0").alias("q"), "result")
+    no = ask(t, [("?n", _EX + "motto", "?m")]) \
+        .select(F.lit("any_motto").alias("q"), "result")
+    return yes.unionByName(no)
+
+
+SQL_KG_ASK = """
+SELECT 'supplier_in_r0' AS q,
+       EXISTS(SELECT 1 FROM supplier JOIN nation
+              ON s_nationkey = n_nationkey WHERE n_regionkey = 0)
+       AS result
+UNION ALL
+SELECT 'any_motto', false
+"""
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (concise bounded description): two nation
+    entities plus their blank-node address children — the bnode hop
+    exercises the CBD recursion."""
+    from pyrdfa3_spark.operators.graphops import describe
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit("nation:"), k)
+    bn = F.concat(F.lit("_:addr"), k)
+    g = nation.select(
+        subj.alias("subj"), F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj")
+    ).unionByName(nation.select(
+        subj.alias("subj"), F.lit(_EX + "addr").alias("pred"),
+        bn.alias("obj"))
+    ).unionByName(nation.select(
+        bn.alias("subj"), F.lit(_EX + "region").alias("pred"),
+        F.concat(F.lit("region:"),
+                 F.col("n_regionkey").cast("string")).alias("obj")))
+    return describe(g, ["nation:3", "nation:7"])
+
+
+SQL_KG_DESCRIBE = f"""
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '{_EX}name' AS pred, n_name AS obj
+FROM nation WHERE n_nationkey IN (3, 7)
+UNION ALL
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), '{_EX}addr',
+       '_:addr' || CAST(n_nationkey AS VARCHAR)
+FROM nation WHERE n_nationkey IN (3, 7)
+UNION ALL
+SELECT '_:addr' || CAST(n_nationkey AS VARCHAR), '{_EX}region',
+       'region:' || CAST(n_regionkey AS VARCHAR)
+FROM nation WHERE n_nationkey IN (3, 7)
+"""
+
+
 def q_kg_group_count(spark, sf_dir):
     """Aggregation over BGP solutions (SPARQL GROUP BY / COUNT):
     suppliers per region.  The solution frame is an ordinary DataFrame,
@@ -2748,6 +2811,8 @@ QUERIES = {
     "bgp_values": q_bgp_values,
     "bgp_path_star": q_bgp_path_star,
     "kg_topk": q_kg_topk,
+    "kg_ask": q_kg_ask,
+    "kg_describe": q_kg_describe,
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
     "nquads_serialize": q_nquads_serialize,
@@ -2836,6 +2901,8 @@ def oracles() -> dict[str, str]:
         "bgp_values": SQL_BGP_VALUES,
         "bgp_path_star": SQL_BGP_PATH_STAR,
         "kg_topk": SQL_KG_TOPK,
+        "kg_ask": SQL_KG_ASK,
+        "kg_describe": SQL_KG_DESCRIBE,
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,

@@ -1171,3 +1171,44 @@ def test_pagerank_matches_python(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(out[v] - ranks[v]) < 1e-9, (v, out[v], ranks[v])
+
+
+def test_ask_short_circuit_and_false(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import ask
+
+    assert ask(kg_triples, [("?x", "p:knows", "?y")]) \
+        .collect()[0]["result"] is True
+    assert ask(kg_triples, [("?x", "p:hates", "?y")]) \
+        .collect()[0]["result"] is False
+    # joined group with no solution
+    assert ask(kg_triples, [("?x", "p:knows", "?y"),
+                            ("?y", "p:name", "Zed")]) \
+        .collect()[0]["result"] is False
+
+
+def test_describe_cbd_bnode_recursion(spark):
+    import pytest
+
+    from pyrdfa3_spark.operators.graphops import describe
+
+    rows = [
+        ("e1", "p:name", "One"),
+        ("e1", "p:addr", "_:a1"),
+        ("_:a1", "p:city", "X"),
+        ("_:a1", "p:geo", "_:g1"),
+        ("_:g1", "p:lat", "1.0"),
+        ("e2", "p:name", "Two"),          # not requested
+        ("_:a9", "p:city", "Y"),          # unreachable bnode
+    ]
+    g = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = {tuple(r) for r in describe(g, ["e1"]).collect()}
+    assert out == {("e1", "p:name", "One"), ("e1", "p:addr", "_:a1"),
+                   ("_:a1", "p:city", "X"), ("_:a1", "p:geo", "_:g1"),
+                   ("_:g1", "p:lat", "1.0")}
+    # depth guard raises instead of silently truncating
+    chain = [("e1", "p:next", "_:b0")] + [
+        (f"_:b{i}", "p:next", f"_:b{i + 1}") for i in range(5)]
+    gg = spark.createDataFrame(chain, ["subj", "pred", "obj"])
+    with pytest.raises(RuntimeError):
+        describe(gg, ["e1"], max_hops=3)
+    assert describe(gg, ["e1"], max_hops=10).count() == 6
