@@ -800,6 +800,65 @@ def solution_agg(sols: DataFrame, group_by: list[str],
     return sols.groupBy(*group_by).agg(*exprs)
 
 
+GENID = "/.well-known/genid/"
+
+
+def skolemize(triples: DataFrame,
+              base: str = "http://transcript.local") -> DataFrame:
+    """Replace blank-node labels with RDF 1.1 skolem IRIs
+    (``<base>/.well-known/genid/<label>``) in subject and object
+    position — the spec's mechanism for making bnodes stable across
+    graph merges, exactly what a lake needs before cross-document joins
+    or sinks.  The extraction UDF already emits per-document
+    deterministic labels (keyed on conv_id/turn_idx), so the rewrite is
+    collision-free corpus-wide.
+
+    Pure column algebra (two conditional string concats) — zero
+    shuffle, stays inside whole-stage codegen.  ``obj_is_iri`` (when
+    present) flips to true for rewritten objects, since a skolem IRI
+    *is* an IRI.
+    """
+    prefix = base + GENID
+
+    def sk(col):
+        return F.when(col.startswith("_:"),
+                      F.concat(F.lit(prefix), col.substr(F.lit(3),
+                                                         F.length(col)))
+                      ).otherwise(col)
+
+    out = triples.withColumn("subj", sk(F.col("subj"))) \
+        .withColumn("obj", sk(F.col("obj")))
+    if "obj_is_iri" in triples.columns:
+        out = out.withColumn(
+            "obj_is_iri",
+            F.col("obj_is_iri") | F.col("obj").startswith(prefix))
+    return out
+
+
+def deskolemize(triples: DataFrame,
+                base: str = "http://transcript.local") -> DataFrame:
+    """Inverse of :func:`skolemize`: genid IRIs under ``base`` become
+    ``_:`` labels again (for serializers whose consumers expect
+    bnodes).  Same zero-shuffle column algebra; ``obj_is_iri`` flips
+    back to false for rewritten objects."""
+    prefix = base + GENID
+
+    def unsk(col):
+        return F.when(
+            col.startswith(prefix),
+            F.concat(F.lit("_:"),
+                     col.substr(F.lit(len(prefix) + 1), F.length(col)))
+        ).otherwise(col)
+
+    out = triples.withColumn("subj", unsk(F.col("subj"))) \
+        .withColumn("obj", unsk(F.col("obj")))
+    if "obj_is_iri" in triples.columns:
+        out = out.withColumn(
+            "obj_is_iri",
+            F.col("obj_is_iri") & ~F.col("obj").startswith("_:"))
+    return out
+
+
 def ask(triples: DataFrame,
         patterns: list[tuple[str, str, str]],
         filters: list[str] | None = None) -> DataFrame:

@@ -162,3 +162,55 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.md5(normalized).alias("fp"),
     )
+
+
+def bm25_score(docs: DataFrame, query_terms: list[str],
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query —
+    the retrieval scorer curation pipelines use to mine topical
+    training data at corpus scale.
+
+    Tokenization is the deterministic lowercase-alnum split (matching
+    the SQL oracle).  Per query term everything is in-row Column
+    algebra (``size(filter(tokens, = term))`` — no explode, no
+    per-token rows); the only non-map stages are two dimension-sized
+    aggregates — average document length and per-term document
+    frequency — broadcast back onto the corpus as a single-row
+    cross join.  IDF uses the Lucene/BM25+ form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so scores stay positive.
+
+    Returns (doc_id, score) with score rounded at 6 dp for
+    cross-engine float determinism.
+    """
+    if not query_terms:
+        raise ValueError("bm25_score needs at least one query term")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda x: x != "")
+    base = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       toks.alias("toks"))
+    def tf_of(term):
+        # nb: a two-arg lambda would make F.filter pass the element
+        # INDEX as the second argument — bind the term via closure
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    tf_cols = [tf_of(t).cast("double").alias(f"_tf{i}")
+               for i, t in enumerate(query_terms)]
+    wide = base.select("doc_id",
+                       F.size("toks").cast("double").alias("_dl"),
+                       *tf_cols)
+    # corpus statistics: one 1-row aggregate, broadcast onto every doc
+    stats = wide.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[F.sum((F.col(f"_tf{i}") > 0).cast("double")).alias(f"_df{i}")
+          for i in range(len(query_terms))])
+    scored = wide.join(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf, df = F.col(f"_tf{i}"), F.col(f"_df{i}")
+        idf = F.log(F.lit(1.0)
+                    + (F.col("_n") - df + 0.5) / (df + 0.5))
+        norm = tf + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+        score = score + idf * (tf * (k1 + 1)) / norm
+    return scored.select(
+        "doc_id", F.round(score, 6).alias("score"))

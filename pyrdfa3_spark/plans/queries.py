@@ -2018,6 +2018,80 @@ FROM nation
 """
 
 
+def q_skolemize(spark, sf_dir):
+    """RDF 1.1 skolemization over the serializer fixture graph: the
+    bnode subjects become /.well-known/genid/ IRIs, every other term
+    passes through.  Zero-shuffle column rewrite; the deskolemize
+    inverse is round-trip unit-tested."""
+    from pyrdfa3_spark.operators.graphops import skolemize
+
+    return skolemize(_nation_graph(spark, sf_dir))
+
+
+SQL_SKOLEMIZE = """
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'urn:p:name' AS pred, n_name || ' says "hi"' || chr(10) AS obj,
+       false AS obj_is_iri, 'en' AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM nation
+UNION ALL
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:key',
+       CAST(n_nationkey AS VARCHAR), false, NULL,
+       'http://www.w3.org/2001/XMLSchema#integer'
+FROM nation
+UNION ALL
+SELECT 'http://transcript.local/.well-known/genid/bn'
+       || CAST(n_nationkey AS VARCHAR), 'urn:p:in',
+       'urn:region:R' || CAST(n_regionkey AS VARCHAR), true, NULL, NULL
+FROM nation
+"""
+
+
+_BM25_TERMS = ["spark", "window", "vector"]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 of every document against a fixed 3-term query —
+    topical-mining relevance at corpus scale, all in-row except the
+    1-row corpus-stats aggregate."""
+    from pyrdfa3_spark.operators.textops import bm25_score
+
+    return bm25_score(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+def _sql_bm25() -> str:
+    tf = {t: f"""CAST(len(list_filter(toks, x -> x = '{t}'))
+                 AS DOUBLE)""" for t in _BM25_TERMS}
+    per_term = []
+    for i, t in enumerate(_BM25_TERMS):
+        per_term.append(f"""
+  ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5))
+  * (d.tf{i} * 2.2)
+  / (d.tf{i} + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))""")
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    tfs = ", ".join(f"{expr} AS tf{i}"
+                    for i, (t, expr) in enumerate(tf.items()))
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+d AS MATERIALIZED (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tfs} FROM tok),
+s AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {dfs}
+  FROM d)
+SELECT d.doc_id, round({" + ".join(per_term)}, 6) AS score
+FROM d CROSS JOIN s
+"""
+
+
+SQL_BM25 = _sql_bm25()
+
+
 def q_dedup_global_triples(spark, sf_dir):
     """Cross-document set semantics (E16 global variant): distinct
     (subj,pred,obj) across the corpus — collapses per-turn duplicates
@@ -2816,6 +2890,8 @@ QUERIES = {
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
     "nquads_serialize": q_nquads_serialize,
+    "skolemize": q_skolemize,
+    "bm25": q_bm25,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
@@ -2906,6 +2982,8 @@ def oracles() -> dict[str, str]:
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
+        "skolemize": SQL_SKOLEMIZE,
+        "bm25": SQL_BM25,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,

@@ -1212,3 +1212,58 @@ def test_describe_cbd_bnode_recursion(spark):
     with pytest.raises(RuntimeError):
         describe(gg, ["e1"], max_hops=3)
     assert describe(gg, ["e1"], max_hops=10).count() == 6
+
+
+def test_skolemize_deskolemize_roundtrip(spark):
+    from pyrdfa3_spark.operators.graphops import deskolemize, skolemize
+
+    rows = [
+        ("_:b0", "p:knows", "http://ex.org/a", True, None, None),
+        ("http://ex.org/a", "p:knows", "_:b0", False, None, None),
+        ("http://ex.org/a", "p:name", "_:not really", False, None, None),
+    ]
+    cols = "subj string, pred string, obj string, obj_is_iri boolean, " \
+           "obj_lang string, obj_datatype string"
+    g = spark.createDataFrame(rows, cols)
+    sk = skolemize(g).collect()
+    pre = "http://transcript.local/.well-known/genid/"
+    assert sk[0]["subj"] == pre + "b0"
+    assert sk[1]["obj"] == pre + "b0" and sk[1]["obj_is_iri"] is True
+    # a literal that merely starts with "_:" is still rewritten only in
+    # term positions — here obj row 2 IS a term position, so it maps;
+    # the operator works on term columns, not free text
+    back = deskolemize(skolemize(g))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_bm25_matches_python(spark):
+    import math
+    import re
+
+    from pyrdfa3_spark.operators.textops import bm25_score
+
+    docs = [
+        (0, "spark window spark table"),
+        (1, "vector vector vector"),
+        (2, "nothing relevant here at all"),
+        (3, ""),
+        (4, "spark"),
+    ]
+    out = {r["doc_id"]: r["score"] for r in bm25_score(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        ["spark", "window", "vector"]).collect()}
+
+    toks = {i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    for i, _ in docs:
+        score = 0.0
+        for term in ["spark", "window", "vector"]:
+            tf = toks[i].count(term)
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * 2.2 / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(toks[i]) / avgdl))
+        assert abs(out[i] - round(score, 6)) < 2e-6, (i, out[i], score)
+    assert out[3] == 0.0 and out[2] == 0.0
