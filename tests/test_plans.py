@@ -179,3 +179,66 @@ def test_kg_query_plans(spark, tmp_path):
     plan = _plan(q_property_table(spark, "/root/testdata/sf0.001"))
     assert "partial_min" in plan or "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_sparql_surface_plans(spark, tmp_path):
+    """Plan guards for the round-2 SPARQL additions: quad patterns with
+    a constant graph must push the graph filter into a parquet scan
+    (partition-prunable layout); VALUES joins must broadcast the
+    binding table; kg_topk must plan as TakeOrdered (partition-local
+    top-k), not a global sort; bm25 must stay JVM-side with exactly one
+    1-row stats broadcast."""
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match_quads, bgp_values,
+    )
+    from pyrdfa3_spark.operators.textops import bm25_score
+    from pyrdfa3_spark.plans.queries import q_bgp_values, q_kg_topk
+
+    store = str(tmp_path / "quads")
+    spark.createDataFrame(
+        [("a", "p:name", "x", "urn:g:1"), ("b", "p:name", "y", "urn:g:2")],
+        ["subj", "pred", "obj", "graph"]).write.parquet(store)
+    q = spark.read.parquet(store)
+    plan = _plan(bgp_match_quads(q, [("?s", "p:name", "?n", "urn:g:1")]))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("graph" in ln and "urn:g:1" in ln
+                          for ln in pushed), plan
+
+    plan = _plan(q_bgp_values(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(q_kg_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(bm25_score(docs, ["spark", "window"]))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan \
+        and "FlatMapsInPandas" not in plan, plan
+    # the only join is the 1-row corpus-stats broadcast — never a
+    # shuffled join of the corpus against itself
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Broadcast" in plan, plan
+
+
+def test_pagerank_describe_plan_shape(spark):
+    """pagerank's per-round joins must never go cartesian (the 1-row
+    dangling-mass frame joins via broadcast nested-loop by design — a
+    single-row build side, constant cost); describe's frontier join
+    must broadcast the frontier, not shuffle the corpus."""
+    from pyspark.sql import functions as F
+
+    from pyrdfa3_spark.operators.graphops import describe, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    pr = pagerank(edges, iterations=1)
+    plan = _plan(pr)
+    assert "CartesianProduct" not in plan, plan
+
+    g = spark.createDataFrame(
+        [("e1", "p", "_:b"), ("_:b", "p", "v")], ["subj", "pred", "obj"])
+    plan = _plan(describe(g, ["e1"]))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
