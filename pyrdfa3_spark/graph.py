@@ -1,0 +1,212 @@
+"""rdflib-``Graph``-shaped facade over a triples DataFrame.
+
+The reference hands its callers an ``rdflib.Graph`` (pyRdfa
+``__init__.py:graph_from_source``) whose consumers live on a small API:
+wildcard ``triples()`` access, ``subjects``/``objects``/``value``
+helpers, ``in``/``len``, set arithmetic, ``serialize``, ``skolemize``,
+and SPARQL ``query``.  :class:`SparkGraph` re-expresses that surface
+over a distributed triples frame so those call sites translate 1:1 —
+with two deliberate deviations, both documented per-method:
+
+* terms are plain strings plus the literal-shape columns
+  (``obj_is_iri``/``obj_lang``/``obj_datatype``) instead of
+  URIRef/Literal/BNode objects — the lake's columnar term model;
+* anything that would materialize the corpus on the driver
+  (``__iter__``, ``__len__``) is either lazy (returns a DataFrame) or
+  an explicit Spark action, never a hidden collect inside a helper.
+
+Everything delegates to the operator modules, so plans stay identical
+to calling the operators directly — the facade adds no extra shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyrdfa3_spark.operators import graphops as G
+
+_PATTERN_COLS = ("subj", "pred", "obj")
+
+
+class SparkGraph:
+    """A (possibly huge) RDF graph backed by a triples DataFrame.
+
+    Schema: at least ``subj, pred, obj`` strings; the literal-shape and
+    provenance columns pass through when present.  Construct from an
+    existing frame, from transcripts (:meth:`from_transcripts`), or
+    empty (:meth:`empty`) and build up with :meth:`add`.
+    """
+
+    def __init__(self, df: DataFrame):
+        missing = [c for c in _PATTERN_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"triples frame lacks columns {missing}")
+        self.df = df
+
+    # -- construction ------------------------------------------------
+
+    @classmethod
+    def from_transcripts(cls, transcripts: DataFrame,
+                         repartition_to: Optional[int] = None,
+                         ) -> "SparkGraph":
+        """Run the RDFa extraction pipeline (the facade twin of the
+        reference's ``pyRdfa().graph_from_source``)."""
+        from pyrdfa3_spark.plans.extract import extract_triples
+
+        return cls(extract_triples(transcripts, repartition_to))
+
+    @classmethod
+    def empty(cls, spark) -> "SparkGraph":
+        return cls(spark.createDataFrame(
+            [], "subj string, pred string, obj string"))
+
+    # -- rdflib-style triple access ----------------------------------
+
+    def triples(self, pattern=(None, None, None)) -> DataFrame:
+        """``graph.triples((s, p, o))`` with ``None`` wildcards —
+        returns the matching rows as a DataFrame (lazy; rdflib yields
+        tuples).  Constant positions become scan predicates."""
+        out = self.df
+        for col, term in zip(_PATTERN_COLS, pattern):
+            if term is not None:
+                out = out.filter(F.col(col) == term)
+        return out
+
+    def subjects(self, predicate=None, obj=None) -> DataFrame:
+        return (self.triples((None, predicate, obj))
+                .select("subj").dropDuplicates())
+
+    def predicates(self, subject=None, obj=None) -> DataFrame:
+        return (self.triples((subject, None, obj))
+                .select("pred").dropDuplicates())
+
+    def objects(self, subject=None, predicate=None) -> DataFrame:
+        return (self.triples((subject, predicate, None))
+                .select("obj").dropDuplicates())
+
+    def value(self, subject: str, predicate: str) -> Optional[str]:
+        """rdflib ``Graph.value``: one object or None.  Driver-side by
+        contract (a single small lookup); ``limit(2)`` bounds the
+        fetch, and like rdflib the choice among multiple values is
+        arbitrary — here deterministically the minimum."""
+        rows = (self.triples((subject, predicate, None))
+                .select("obj").orderBy("obj").limit(2).collect())
+        return rows[0]["obj"] if rows else None
+
+    def __contains__(self, triple) -> bool:
+        s, p, o = triple
+        return not self.triples((s, p, o)).isEmpty()
+
+    def __len__(self) -> int:
+        """Number of distinct triples (rdflib Graphs are sets; the
+        frame may carry per-document duplicates).  A Spark action."""
+        return (self.df.select(*_PATTERN_COLS).dropDuplicates().count())
+
+    def iter_triples(self, limit: int = 10_000) -> Iterator[tuple]:
+        """Explicitly bounded driver-side iteration — the honest stand-
+        in for rdflib's ``__iter__`` (unbounded iteration over a lake-
+        scale graph is a driver OOM, so the bound is mandatory)."""
+        for r in self.df.select(*_PATTERN_COLS).limit(limit).collect():
+            yield (r["subj"], r["pred"], r["obj"])
+
+    # -- mutation (returns new graphs: frames are immutable) ---------
+
+    def add(self, triple) -> "SparkGraph":
+        """rdflib ``add`` — returns a NEW graph (DataFrames are
+        immutable).  For bulk loads union whole frames instead."""
+        s, p, o = triple
+        row = self.df.sparkSession.createDataFrame(
+            [(s, p, o)], "subj string, pred string, obj string")
+        return SparkGraph(
+            self.df.unionByName(row, allowMissingColumns=True))
+
+    def remove(self, pattern) -> "SparkGraph":
+        """rdflib ``remove`` with ``None`` wildcards — an anti-filter,
+        zero shuffle."""
+        keep = None
+        for col, term in zip(_PATTERN_COLS, pattern):
+            if term is not None:
+                c = F.col(col) != term
+                keep = c if keep is None else keep & c
+        if keep is None:      # remove((None,None,None)) clears all
+            return SparkGraph(self.df.filter(F.lit(False)))
+        return SparkGraph(self.df.filter(keep))
+
+    # -- set arithmetic (rdflib operator overloads) ------------------
+
+    def __add__(self, other: "SparkGraph") -> "SparkGraph":
+        return SparkGraph(G.union_graphs(self.df, other.df))
+
+    def __sub__(self, other: "SparkGraph") -> "SparkGraph":
+        return SparkGraph(G.subtract_graph(self.df, other.df))
+
+    def __mul__(self, other: "SparkGraph") -> "SparkGraph":
+        """Intersection — a null-safe semi-join on the triple key
+        (broadcastable, like subtraction)."""
+        return SparkGraph(G.intersect_graphs(self.df, other.df))
+
+    # -- skolemization ----------------------------------------------
+
+    def skolemize(self, base: str = "http://transcript.local",
+                  ) -> "SparkGraph":
+        return SparkGraph(G.skolemize(self.df, base))
+
+    def de_skolemize(self, base: str = "http://transcript.local",
+                     ) -> "SparkGraph":
+        return SparkGraph(G.deskolemize(self.df, base))
+
+    # -- query verbs -------------------------------------------------
+
+    def query(self, patterns, optional=None, filters=None) -> DataFrame:
+        """SPARQL SELECT core (``rdflib Graph.query`` takes SPARQL
+        text; here the parsed BGP form goes straight to the planner)."""
+        return G.bgp_match(self.df, patterns, optional=optional,
+                           filters=filters)
+
+    def ask(self, patterns, filters=None) -> bool:
+        return G.ask(self.df, patterns,
+                     filters=filters).collect()[0]["result"]
+
+    def construct(self, patterns, template, **kw) -> "SparkGraph":
+        return SparkGraph(G.construct(self.df, patterns, template, **kw))
+
+    def describe(self, nodes, max_hops: int = 10) -> "SparkGraph":
+        return SparkGraph(G.describe(self.df, nodes, max_hops=max_hops))
+
+    # -- serialization ----------------------------------------------
+
+    def serialize(self, format: str = "nt") -> DataFrame:
+        """Serializer sinks as line/block DataFrames (rdflib returns a
+        string; at lake scale the caller writes the frame out).
+        Formats: nt, nquads (needs a ``graph`` column), turtle,
+        json-ld, xml."""
+        from pyrdfa3_spark.plans import serialize as S
+
+        fmt = format.lower().replace("-", "").replace("/", "")
+        df = self._with_literal_shape()
+        if fmt in ("nt", "ntriples"):
+            return S.to_ntriples(df)
+        if fmt == "nquads":
+            return S.to_nquads(df)
+        if fmt in ("turtle", "ttl"):
+            return S.to_turtle(df)
+        if fmt == "jsonld":
+            return S.to_jsonld(df)
+        if fmt in ("xml", "rdfxml", "prettyxml"):
+            return S.to_rdfxml(df)
+        raise ValueError(f"unknown serialization format {format!r}")
+
+    def _with_literal_shape(self) -> DataFrame:
+        """Serializers need the literal-shape columns; graphs built
+        from bare (s, p, o) rows get the all-IRI default rdflib would
+        infer for URIRef-only triples."""
+        df = self.df
+        if "obj_is_iri" not in df.columns:
+            df = df.withColumn("obj_is_iri", F.lit(True))
+        for c in ("obj_lang", "obj_datatype"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        return df

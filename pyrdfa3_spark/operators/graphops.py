@@ -84,12 +84,36 @@ def handle_prototypes(triples: DataFrame) -> DataFrame:
     return kept.unionByName(expanded)
 
 
+def _triple_key_join(triples: DataFrame, other: DataFrame,
+                     how: str) -> DataFrame:
+    """Semi/anti join on the shared triple-key columns with NULL-SAFE
+    equality — ``obj_lang``/``obj_datatype`` are NULL for plain
+    literals, and a plain ``=`` join would treat every such row as
+    unmatched (subtraction silently no-ops, intersection empties).
+
+    Both sides are aliased so the condition stays unambiguous even when
+    the two frames share lineage (``g - g`` is a legal self-join)."""
+    on = [c for c in TRIPLE_KEY if c in triples.columns
+          and c in other.columns]
+    left = triples.alias("__tkj_l")
+    right = other.select(on).dropDuplicates().alias("__tkj_r")
+    cond = None
+    for c in on:
+        eq = F.col(f"__tkj_l.{c}").eqNullSafe(F.col(f"__tkj_r.{c}"))
+        cond = eq if cond is None else cond & eq
+    return left.join(right, cond, how)
+
+
 def subtract_graph(triples: DataFrame, other: DataFrame) -> DataFrame:
     """Set difference on the triple key (G5; reference:
     pyRdfa/rdfs/process.py:300) — left_anti join, broadcastable."""
-    on = [c for c in TRIPLE_KEY if c in triples.columns
-          and c in other.columns]
-    return triples.join(other.select(on).dropDuplicates(), on, "left_anti")
+    return _triple_key_join(triples, other, "left_anti")
+
+
+def intersect_graphs(triples: DataFrame, other: DataFrame) -> DataFrame:
+    """Set intersection on the triple key — left_semi twin of
+    :func:`subtract_graph`."""
+    return _triple_key_join(triples, other, "left_semi")
 
 
 def union_graphs(*graphs: DataFrame) -> DataFrame:
@@ -814,9 +838,10 @@ def skolemize(triples: DataFrame,
     collision-free corpus-wide.
 
     Pure column algebra (two conditional string concats) — zero
-    shuffle, stays inside whole-stage codegen.  ``obj_is_iri`` (when
-    present) flips to true for rewritten objects, since a skolem IRI
-    *is* an IRI.
+    shuffle, stays inside whole-stage codegen.  ``obj_is_iri`` is left
+    untouched: in this term model it means "reference, not literal",
+    which covers bnodes and skolem IRIs alike, so it is invariant under
+    the rewrite (and the inverse).
     """
     prefix = base + GENID
 
@@ -826,21 +851,16 @@ def skolemize(triples: DataFrame,
                                                          F.length(col)))
                       ).otherwise(col)
 
-    out = triples.withColumn("subj", sk(F.col("subj"))) \
+    return triples.withColumn("subj", sk(F.col("subj"))) \
         .withColumn("obj", sk(F.col("obj")))
-    if "obj_is_iri" in triples.columns:
-        out = out.withColumn(
-            "obj_is_iri",
-            F.col("obj_is_iri") | F.col("obj").startswith(prefix))
-    return out
 
 
 def deskolemize(triples: DataFrame,
                 base: str = "http://transcript.local") -> DataFrame:
     """Inverse of :func:`skolemize`: genid IRIs under ``base`` become
     ``_:`` labels again (for serializers whose consumers expect
-    bnodes).  Same zero-shuffle column algebra; ``obj_is_iri`` flips
-    back to false for rewritten objects."""
+    bnodes).  Same zero-shuffle column algebra; ``obj_is_iri`` is
+    invariant (see :func:`skolemize`)."""
     prefix = base + GENID
 
     def unsk(col):
@@ -850,13 +870,8 @@ def deskolemize(triples: DataFrame,
                      col.substr(F.lit(len(prefix) + 1), F.length(col)))
         ).otherwise(col)
 
-    out = triples.withColumn("subj", unsk(F.col("subj"))) \
+    return triples.withColumn("subj", unsk(F.col("subj"))) \
         .withColumn("obj", unsk(F.col("obj")))
-    if "obj_is_iri" in triples.columns:
-        out = out.withColumn(
-            "obj_is_iri",
-            F.col("obj_is_iri") & ~F.col("obj").startswith("_:"))
-    return out
 
 
 def ask(triples: DataFrame,

@@ -1219,8 +1219,8 @@ def test_skolemize_deskolemize_roundtrip(spark):
 
     rows = [
         ("_:b0", "p:knows", "http://ex.org/a", True, None, None),
-        ("http://ex.org/a", "p:knows", "_:b0", False, None, None),
-        ("http://ex.org/a", "p:name", "_:not really", False, None, None),
+        ("http://ex.org/a", "p:knows", "_:b0", True, None, None),
+        ("http://ex.org/a", "p:name", "plain", False, "en", None),
     ]
     cols = "subj string, pred string, obj string, obj_is_iri boolean, " \
            "obj_lang string, obj_datatype string"
@@ -1228,12 +1228,36 @@ def test_skolemize_deskolemize_roundtrip(spark):
     sk = skolemize(g).collect()
     pre = "http://transcript.local/.well-known/genid/"
     assert sk[0]["subj"] == pre + "b0"
+    # obj_is_iri is invariant: it means reference-not-literal, which
+    # covers bnodes and their skolem IRIs alike
     assert sk[1]["obj"] == pre + "b0" and sk[1]["obj_is_iri"] is True
-    # a literal that merely starts with "_:" is still rewritten only in
-    # term positions — here obj row 2 IS a term position, so it maps;
-    # the operator works on term columns, not free text
+    assert sk[2]["obj"] == "plain"
     back = deskolemize(skolemize(g))
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_subtract_intersect_null_safe_on_literal_shape(spark):
+    """Regression: plain literals carry NULL obj_lang/obj_datatype, and
+    an equality join on the triple key would never match them —
+    subtraction must still remove and intersection must still keep
+    NULL-shaped rows."""
+    from pyrdfa3_spark.operators.graphops import (
+        intersect_graphs, subtract_graph,
+    )
+
+    cols = "subj string, pred string, obj string, obj_is_iri boolean, " \
+           "obj_lang string, obj_datatype string"
+    a = spark.createDataFrame(
+        [("s", "p", "lit", False, None, None),
+         ("s", "p", "lit", False, "en", None),
+         ("s", "p", "o2", True, None, None)], cols)
+    b = spark.createDataFrame(
+        [("s", "p", "lit", False, None, None)], cols)
+    assert sorted((r["obj"], r["obj_lang"]) for r in
+                  subtract_graph(a, b).collect()) \
+        == [("lit", "en"), ("o2", None)]
+    assert [(r["obj"], r["obj_lang"]) for r in
+            intersect_graphs(a, b).collect()] == [("lit", None)]
 
 
 def test_bm25_matches_python(spark):
