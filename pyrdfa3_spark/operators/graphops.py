@@ -530,6 +530,60 @@ def bgp_minus(triples: DataFrame,
                      "left_anti")
 
 
+def bgp_exists(triples: DataFrame,
+               patterns: list[tuple[str, str, str]],
+               exists: list[tuple[str, str, str]],
+               negate: bool = False,
+               filters: list[str] | None = None) -> DataFrame:
+    """SPARQL ``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }``:
+    keep solutions of ``patterns`` for which the ``exists`` group does
+    (does not, with ``negate``) match under the solution's bindings.
+
+    This is NOT the same operator as :func:`bgp_minus` — the two
+    diverge exactly where SPARQL says they do (spec §8.3.3): when the
+    inner group shares no variable with the base, MINUS removes nothing
+    (disjoint domains), while NOT EXISTS substitutes the (irrelevant)
+    bindings and so degenerates to a corpus-level boolean — the group
+    either matches at all (drop every solution) or never matches (keep
+    every solution).  ``bgp_minus`` refuses the disjoint case; this
+    operator implements it.
+
+    Scale shape: shared variables -> one ``left_semi`` / ``left_anti``
+    join on them (duplicate-free probe side, broadcastable).  Disjoint
+    group -> the existence test collapses to a 0-or-1-row frame
+    (``limit(1)``; executes a partial scan with early stop, never a
+    full count) that joins on a constant key — a broadcast of at most
+    one row, no data shuffle.
+    """
+    base = bgp_match(triples, patterns, filters=filters)
+    grp = bgp_match(triples, exists)
+    shared = sorted(set(base.columns) & set(grp.columns))
+    if shared:
+        return base.join(grp.select(*shared).dropDuplicates(), shared,
+                         "left_anti" if negate else "left_semi")
+    flag = grp.limit(1).select(F.lit(1).alias("_k"))
+    return (base.withColumn("_k", F.lit(1))
+            .join(F.broadcast(flag), "_k",
+                  "left_anti" if negate else "left_semi")
+            .drop("_k"))
+
+
+def bind(sols: DataFrame, var: str, expr: str) -> DataFrame:
+    """SPARQL ``BIND(expr AS ?var)``: extend every solution with a
+    computed binding.  ``expr`` is a SQL expression over the bound
+    variable columns, compiled via ``F.expr`` so it stays inside
+    whole-stage codegen — a pure projection, zero shuffle.
+
+    SPARQL forbids rebinding an in-scope variable (spec §10.1); this
+    raises rather than silently shadowing.
+    """
+    if var in sols.columns:
+        raise ValueError(
+            f"BIND target ?{var} is already bound — SPARQL forbids "
+            "rebinding an in-scope variable; pick a fresh name")
+    return sols.withColumn(var, F.expr(expr))
+
+
 def construct(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               template: list[tuple[str, str, str]],
@@ -783,11 +837,17 @@ def select_solutions(sols: DataFrame,
 
 
 def solution_agg(sols: DataFrame, group_by: list[str],
-                 aggs: dict[str, tuple]) -> DataFrame:
+                 aggs: dict[str, tuple],
+                 having: str | None = None) -> DataFrame:
     """SPARQL aggregates over a solution frame.  ``aggs`` maps output
     column -> (kind, var) or (kind, var, separator) for group_concat.
     Kinds: count (var ``*`` for COUNT(*)), count_distinct, sum, avg,
-    min, max, sample, group_concat.
+    min, max, sample, group_concat.  ``having`` is a SPARQL HAVING
+    clause as a SQL boolean over the OUTPUT columns (group keys +
+    aggregate aliases), applied after the aggregation — Catalyst keeps
+    the partial (map-side) aggregation intact and filters post-merge,
+    which is the only correct placement for a predicate over aggregate
+    values.
 
     Determinism: SPARQL leaves SAMPLE's choice and GROUP_CONCAT's order
     implementation-defined; here SAMPLE is the minimum and GROUP_CONCAT
@@ -821,7 +881,10 @@ def solution_agg(sols: DataFrame, group_by: list[str],
         else:
             raise ValueError(f"unknown aggregate kind {kind!r}")
         exprs.append(e.alias(name))
-    return sols.groupBy(*group_by).agg(*exprs)
+    out = sols.groupBy(*group_by).agg(*exprs)
+    if having:
+        out = out.filter(F.expr(having))
+    return out
 
 
 GENID = "/.well-known/genid/"

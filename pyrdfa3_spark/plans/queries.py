@@ -1427,6 +1427,58 @@ FROM nation WHERE n_regionkey % 2 = 1
 """
 
 
+def q_bgp_exists(spark, sf_dir):
+    """SPARQL FILTER EXISTS: named nations whose region DOES carry a
+    comment (even regions) — the left-semi complement of the
+    ``bgp_minus`` query; the NOT EXISTS / disjoint-group fork is
+    unit-tested where MINUS and NOT EXISTS semantically diverge."""
+    from pyrdfa3_spark.operators.graphops import bgp_exists
+
+    return bgp_exists(
+        _geo_triples(spark, sf_dir),
+        [("?n", _EX + "name", "?name"),
+         ("?n", _EX + "memberOf", "?r")],
+        exists=[("?r", _EX + "comment", "?c")])
+
+
+SQL_BGP_EXISTS = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'region:' || CAST(n_regionkey AS VARCHAR) AS r
+FROM nation WHERE n_regionkey % 2 = 0
+"""
+
+
+def q_kg_having(spark, sf_dir):
+    """SPARQL BIND + aggregates + HAVING: per region, nation count and
+    total BIND-computed name length, keeping only groups whose
+    deterministic SAMPLE (minimum) name sorts early — the HAVING
+    predicate filters after the map-side-partial aggregation."""
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match, bind, solution_agg,
+    )
+
+    sols = bgp_match(_geo_triples(spark, sf_dir), [
+        ("?n", _EX + "name", "?name"),
+        ("?n", _EX + "memberOf", "?r"),
+    ])
+    sols = bind(sols, "name_len", "length(name)")
+    return solution_agg(sols, ["r"], {
+        "n_nations": ("count", "*"),
+        "total_len": ("sum", "name_len"),
+        "first_name": ("sample", "name"),
+    }, having="first_name < 'NATION_12'")
+
+
+SQL_KG_HAVING = """
+SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(length(n_name)) AS BIGINT) AS total_len,
+       min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey HAVING min(n_name) < 'NATION_12'
+"""
+
+
 def q_kg_construct(spark, sf_dir):
     """SPARQL CONSTRUCT — rule-based derivation: from the supplier/
     nation/region BGP, materialize a new graph of supplier->region
@@ -2879,6 +2931,8 @@ QUERIES = {
     "bgp_path": q_bgp_path,
     "kg_group_count": q_kg_group_count,
     "bgp_minus": q_bgp_minus,
+    "bgp_exists": q_bgp_exists,
+    "kg_having": q_kg_having,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
     "bgp_graph": q_bgp_graph,
@@ -2971,6 +3025,8 @@ def oracles() -> dict[str, str]:
         "bgp_path": SQL_BGP_PATH,
         "kg_group_count": SQL_KG_GROUP_COUNT,
         "bgp_minus": SQL_BGP_MINUS,
+        "bgp_exists": SQL_BGP_EXISTS,
+        "kg_having": SQL_KG_HAVING,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,
         "bgp_graph": SQL_BGP_GRAPH,

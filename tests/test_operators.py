@@ -931,6 +931,64 @@ def test_bgp_minus(spark, kg_triples):
                   minus=[("?q", "p:knows", "?z")])
 
 
+def test_bgp_exists_and_not_exists(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import bgp_exists
+
+    # EXISTS: named nodes that know someone (a, b — not c, unnamed)
+    out = sorted(r["x"] for r in bgp_exists(
+        kg_triples, [("?x", "p:name", "?n")],
+        exists=[("?x", "p:knows", "?y")]).select("x").distinct().collect())
+    assert out == ["a", "b"]
+
+    # NOT EXISTS on shared vars: named nodes known by nobody
+    out = sorted(r["x"] for r in bgp_exists(
+        kg_triples, [("?x", "p:name", "?n")],
+        exists=[("?y", "p:knows", "?x")],
+        negate=True).select("x").distinct().collect())
+    assert out == ["a"]
+
+
+def test_bgp_exists_disjoint_group_spec_divergence(spark, kg_triples):
+    """Where SPARQL spec §8.3.3 splits MINUS from NOT EXISTS: a group
+    sharing no variable with the base is a corpus-level boolean for
+    EXISTS/NOT EXISTS (keep-all or drop-all), while MINUS removes
+    nothing (and bgp_minus refuses it)."""
+    from pyrdfa3_spark.operators.graphops import bgp_exists
+
+    base = [("?x", "p:name", "?n")]
+    n_base = 3
+    # disjoint group that matches: EXISTS keeps all, NOT EXISTS drops all
+    grp = [("?q", "p:knows", "?z")]
+    assert bgp_exists(kg_triples, base, exists=grp).count() == n_base
+    assert bgp_exists(kg_triples, base, exists=grp,
+                      negate=True).count() == 0
+    # disjoint group that never matches: the reverse
+    grp = [("?q", "p:absent", "?z")]
+    assert bgp_exists(kg_triples, base, exists=grp).count() == 0
+    assert bgp_exists(kg_triples, base, exists=grp,
+                      negate=True).count() == n_base
+
+
+def test_bind_and_having(spark, kg_triples):
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match, bind, solution_agg,
+    )
+
+    sols = bgp_match(kg_triples, [("?x", "p:name", "?n")])
+    sols = bind(sols, "n_len", "length(n)")
+    assert {(r["n"], r["n_len"]) for r in sols.collect()} == {
+        ("Ada", 3), ("Bob", 3), ("Bobby", 5)}
+
+    with pytest.raises(ValueError, match="already bound"):
+        bind(sols, "n", "upper(n)")
+
+    out = solution_agg(sols, ["x"],
+                       {"total": ("sum", "n_len"),
+                        "names": ("count", "*")},
+                       having="total > 3")
+    assert [tuple(r) for r in out.collect()] == [("b", 8, 2)]
+
+
 def test_construct_templates_and_null_skip(spark, kg_triples):
     from pyrdfa3_spark.operators.graphops import construct
 

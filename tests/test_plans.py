@@ -222,6 +222,28 @@ def test_new_sparql_surface_plans(spark, tmp_path):
     assert "Broadcast" in plan, plan
 
 
+def test_exists_having_plan_shape(spark):
+    """bgp_exists must plan its disjoint-group fork as a broadcast of
+    the 0-or-1-row existence flag (never a cartesian product or a
+    corpus shuffle), and solution_agg+HAVING must keep the map-side
+    partial aggregation with the filter after the merge."""
+    from pyrdfa3_spark.operators.graphops import bgp_exists
+    from pyrdfa3_spark.plans.queries import q_kg_having
+
+    t = spark.createDataFrame(
+        [("a", "p:name", "x"), ("b", "p:knows", "a")],
+        ["subj", "pred", "obj"])
+    plan = _plan(bgp_exists(t, [("?x", "p:name", "?n")],
+                            exists=[("?q", "p:knows", "?z")]))
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    plan = _plan(q_kg_having(spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan, plan          # map-side partial agg kept
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_pagerank_describe_plan_shape(spark):
     """pagerank's per-round joins must never go cartesian (the 1-row
     dangling-mass frame joins via broadcast nested-loop by design — a
