@@ -1479,6 +1479,98 @@ FROM nation GROUP BY n_regionkey HAVING min(n_name) < 'NATION_12'
 """
 
 
+def _shacl_triples(spark, sf_dir):
+    """Deterministic supplier KG with INJECTED shape violations (the
+    validation fixture): every 7th supplier misses its name (minCount),
+    every 11th non-7th carries a second 'alt:' name (maxCount + bad
+    pattern), every 13th points at an untyped nation (class), every
+    17th has a status outside the enumeration (in)."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("s_suppkey")
+    subj = F.concat(F.lit("sup:"), k.cast("string"))
+
+    typed = supplier.select(subj.alias("subj"),
+                            F.lit(RDF_TYPE).alias("pred"),
+                            F.lit(_EX + "Supplier").alias("obj"))
+    name = supplier.filter(k % 7 != 0).select(
+        subj.alias("subj"), F.lit(_EX + "name").alias("pred"),
+        F.col("s_name").alias("obj"))
+    alt = supplier.filter((k % 11 == 0) & (k % 7 != 0)).select(
+        subj.alias("subj"), F.lit(_EX + "name").alias("pred"),
+        F.concat(F.lit("alt:"), F.col("s_name")).alias("obj"))
+    located = supplier.select(
+        subj.alias("subj"), F.lit(_EX + "locatedIn").alias("pred"),
+        F.when(k % 13 == 0, F.lit("nation:x999"))
+        .otherwise(F.concat(F.lit("nation:"),
+                            F.col("s_nationkey").cast("string")))
+        .alias("obj"))
+    status = supplier.select(
+        subj.alias("subj"), F.lit(_EX + "status").alias("pred"),
+        F.when(k % 17 == 0, F.lit("bogus"))
+        .when(k % 2 == 0, F.lit("active")).otherwise(F.lit("inactive"))
+        .alias("obj"))
+    nation_typed = nation.select(
+        F.concat(F.lit("nation:"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(_EX + "Nation").alias("obj"))
+    return (typed.unionByName(name).unionByName(alt)
+            .unionByName(located).unionByName(status)
+            .unionByName(nation_typed))
+
+
+SUPPLIER_SHAPE = {
+    "name": "SupplierShape",
+    "target_class": _EX + "Supplier",
+    "properties": [
+        {"path": _EX + "name", "min_count": 1, "max_count": 1,
+         "pattern": "^Supplier#"},
+        {"path": _EX + "locatedIn", "min_count": 1,
+         "class": _EX + "Nation"},
+        {"path": _EX + "status", "in": ["active", "inactive"]},
+    ],
+}
+
+
+def q_shacl_report(spark, sf_dir):
+    """SHACL-lite validation report over the injected-violation KG:
+    exact per-focus violations for minCount / maxCount / pattern /
+    class / in, each an independent filter-or-join over the same
+    scan."""
+    from pyrdfa3_spark.operators.shacl import shacl_validate
+
+    return shacl_validate(_shacl_triples(spark, sf_dir),
+                          [SUPPLIER_SHAPE])
+
+
+SQL_SHACL_REPORT = f"""
+WITH s AS (SELECT s_suppkey AS k, s_name FROM supplier)
+SELECT 'sup:' || CAST(k AS VARCHAR) AS focus, 'SupplierShape' AS shape,
+       '{_EX}name' AS path, 'minCount' AS "constraint",
+       CAST(NULL AS VARCHAR) AS value
+FROM s WHERE k % 7 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'SupplierShape', '{_EX}name',
+       'maxCount', NULL
+FROM s WHERE k % 11 = 0 AND k % 7 <> 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'SupplierShape', '{_EX}name',
+       'pattern', 'alt:' || s_name
+FROM s WHERE k % 11 = 0 AND k % 7 <> 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'SupplierShape',
+       '{_EX}locatedIn', 'class', 'nation:x999'
+FROM s WHERE k % 13 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'SupplierShape', '{_EX}status',
+       'in', 'bogus'
+FROM s WHERE k % 17 = 0
+"""
+
+
 def q_kg_construct(spark, sf_dir):
     """SPARQL CONSTRUCT — rule-based derivation: from the supplier/
     nation/region BGP, materialize a new graph of supplier->region
@@ -2933,6 +3025,7 @@ QUERIES = {
     "bgp_minus": q_bgp_minus,
     "bgp_exists": q_bgp_exists,
     "kg_having": q_kg_having,
+    "shacl_report": q_shacl_report,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
     "bgp_graph": q_bgp_graph,
@@ -3027,6 +3120,7 @@ def oracles() -> dict[str, str]:
         "bgp_minus": SQL_BGP_MINUS,
         "bgp_exists": SQL_BGP_EXISTS,
         "kg_having": SQL_KG_HAVING,
+        "shacl_report": SQL_SHACL_REPORT,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,
         "bgp_graph": SQL_BGP_GRAPH,

@@ -1349,3 +1349,74 @@ def test_bm25_matches_python(spark):
                 tf + 1.2 * (1 - 0.75 + 0.75 * len(toks[i]) / avgdl))
         assert abs(out[i] - round(score, 6)) < 2e-6, (i, out[i], score)
     assert out[3] == 0.0 and out[2] == 0.0
+
+
+def test_shacl_validate_constraints(spark):
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+    from pyrdfa3_spark.operators.shacl import conforms, shacl_validate
+
+    t = spark.createDataFrame([
+        ("e1", RDF_TYPE, "C"), ("e2", RDF_TYPE, "C"),
+        ("e3", RDF_TYPE, "C"),
+        ("e1", "p:name", "Ada"),
+        ("e2", "p:name", "bob"),            # pattern violation
+        ("e2", "p:name", "Bob"),            # -> maxCount violation too
+        # e3 has no name -> minCount violation
+        ("e1", "p:home", "http://x.example/"),
+        ("e3", "p:home", "not a url"),      # nodeKind iri violation
+        ("e1", "p:ref", "n1"), ("e2", "p:ref", "n2"),  # n2 untyped
+        ("n1", RDF_TYPE, "N"),
+        ("e1", "p:status", "ok"), ("e2", "p:status", "weird"),  # in
+        ("zz", "p:name", "ignored"),        # not a focus node
+    ], ["subj", "pred", "obj"])
+    shape = {"name": "S", "target_class": "C", "properties": [
+        {"path": "p:name", "min_count": 1, "max_count": 1,
+         "pattern": "^[A-Z]"},
+        {"path": "p:home", "node_kind": "iri"},
+        {"path": "p:ref", "class": "N"},
+        {"path": "p:status", "in": ["ok", "fine"]},
+    ]}
+    got = {(r["focus"], r["path"], r["constraint"], r["value"])
+           for r in shacl_validate(t, [shape]).collect()}
+    assert got == {
+        ("e3", "p:name", "minCount", None),
+        ("e2", "p:name", "maxCount", None),
+        ("e2", "p:name", "pattern", "bob"),
+        ("e3", "p:home", "nodeKind", "not a url"),
+        ("e2", "p:ref", "class", "n2"),
+        ("e2", "p:status", "in", "weird"),
+    }
+    assert not conforms(t, [shape])
+
+    clean = t.filter(F.col("subj") == "e1") \
+        .unionByName(t.filter(F.col("subj") == "n1"))
+    assert conforms(clean, [shape])
+    assert shacl_validate(t, []).count() == 0
+
+    with pytest.raises(ValueError, match="node_kind"):
+        shacl_validate(t, [{"name": "S", "target_class": "C",
+                            "properties": [{"path": "p:home",
+                                            "node_kind": "uri"}]}]) \
+            .collect()
+
+
+def test_shacl_prefers_obj_is_iri_bit(spark):
+    """When the triple store carries the extraction pipeline's exact
+    obj_is_iri bit, nodeKind must trust it over the scheme-regex
+    heuristic ('mailto:x' literal vs IRI is indistinguishable by
+    shape)."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+    from pyrdfa3_spark.operators.shacl import shacl_validate
+
+    t = spark.createDataFrame([
+        ("e1", RDF_TYPE, "C", True),
+        ("e1", "p:home", "mailto:a@b.c", False),   # literal despite scheme
+        ("e1", "p:link", "urn:x", True),
+    ], ["subj", "pred", "obj", "obj_is_iri"])
+    shape = {"name": "S", "target_class": "C", "properties": [
+        {"path": "p:home", "node_kind": "iri"},
+        {"path": "p:link", "node_kind": "iri"},
+    ]}
+    got = {(r["path"], r["value"])
+           for r in shacl_validate(t, [shape]).collect()}
+    assert got == {("p:home", "mailto:a@b.c")}

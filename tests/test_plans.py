@@ -244,6 +244,18 @@ def test_exists_having_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_shacl_plan_shape(spark):
+    """The SHACL validation report must stay one-scan-per-constraint
+    relational algebra: no cartesian products, no Python evaluation,
+    and the dimension-sized focus/class joins broadcast."""
+    from pyrdfa3_spark.plans.queries import q_shacl_report
+
+    plan = _plan(q_shacl_report(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Broadcast" in plan, plan
+
+
 def test_pagerank_describe_plan_shape(spark):
     """pagerank's per-round joins must never go cartesian (the 1-row
     dangling-mass frame joins via broadcast nested-loop by design — a
