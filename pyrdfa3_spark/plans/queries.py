@@ -1787,6 +1787,64 @@ _PR_ITERS = 10
 _PR_MOD = 200
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts over a deterministic 200-node graph
+    derived from customer keys (ring + chord + doubling + quadratic
+    edge families mod 200 give a non-trivial, skewed triangle
+    census).  The operator's degree-ordered
+    orientation is internal — per-vertex counts are orientation-
+    independent, so the oracle can count id-ordered triangles."""
+    from pyrdfa3_spark.operators.graphops import triangle_count
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+
+    def n(expr):
+        return F.concat(F.lit("n"), expr.cast("string"))
+
+    edges = (customer.select(n(i).alias("src"),
+                             n((i + 1) % _PR_MOD).alias("dst"))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i + 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * i + 1) % _PR_MOD).alias("dst"))))
+    return triangle_count(edges, per_vertex=True)
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH raw AS (
+  SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR) AS s,
+         'n' || CAST((c_custkey % {_PR_MOD} + 1) % {_PR_MOD}
+                     AS VARCHAR) AS d FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR),
+         'n' || CAST((c_custkey % {_PR_MOD} + 2) % {_PR_MOD}
+                     AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR),
+         'n' || CAST((c_custkey % {_PR_MOD} * 2) % {_PR_MOD}
+                     AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'n' || CAST(c_custkey % {_PR_MOD} AS VARCHAR),
+         'n' || CAST((c_custkey % {_PR_MOD} * (c_custkey % {_PR_MOD})
+                      + 1) % {_PR_MOD} AS VARCHAR) FROM customer),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+  FROM raw WHERE s <> d),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+GROUP BY node
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over a deterministic entity graph
     derived from customer keys: node i links to (7i+3) mod 200 (a
@@ -3026,6 +3084,7 @@ QUERIES = {
     "bgp_exists": q_bgp_exists,
     "kg_having": q_kg_having,
     "shacl_report": q_shacl_report,
+    "triangle_count": q_triangle_count,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
     "bgp_graph": q_bgp_graph,
@@ -3121,6 +3180,7 @@ def oracles() -> dict[str, str]:
         "bgp_exists": SQL_BGP_EXISTS,
         "kg_having": SQL_KG_HAVING,
         "shacl_report": SQL_SHACL_REPORT,
+        "triangle_count": SQL_TRIANGLE_COUNT,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,
         "bgp_graph": SQL_BGP_GRAPH,

@@ -1420,3 +1420,41 @@ def test_shacl_prefers_obj_is_iri_bit(spark):
     got = {(r["path"], r["value"])
            for r in shacl_validate(t, [shape]).collect()}
     assert got == {("p:home", "mailto:a@b.c")}
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from pyrdfa3_spark.operators.graphops import triangle_count, triangles
+
+    # deterministic pseudo-random graph incl. a hub (node h connects to
+    # everyone) to exercise the degree-ordered orientation
+    nodes = [f"v{i}" for i in range(12)]
+    edges = [(nodes[i], nodes[(i * i + 1) % 12]) for i in range(12)]
+    edges += [(nodes[i], nodes[(i * 5 + 2) % 12]) for i in range(12)]
+    edges += [("h", n) for n in nodes]
+    edges += [("v3", "v3"), (nodes[1], nodes[0])]  # self-loop + reversed dup
+
+    adj = set()
+    for s, d in edges:
+        if s != d:
+            adj.add((min(s, d), max(s, d)))
+    verts = sorted({x for e in adj for x in e})
+    expect = [frozenset(t) for t in combinations(verts, 3)
+              if all((min(p), max(p)) in adj
+                     for p in combinations(t, 2))]
+    assert len(expect) >= 5              # non-trivial census
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = [frozenset(r) for r in triangles(e).collect()]
+    assert sorted(map(sorted, got)) == sorted(map(sorted, expect))
+
+    assert triangle_count(e).collect()[0]["n_triangles"] == len(expect)
+
+    per_v = {r["node"]: r["n_tri"]
+             for r in triangle_count(e, per_vertex=True).collect()}
+    brute = {}
+    for t in expect:
+        for v in t:
+            brute[v] = brute.get(v, 0) + 1
+    assert per_v == brute

@@ -244,6 +244,20 @@ def test_exists_having_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_triangle_plan_shape(spark):
+    """Triangle counting must stay equi-join relational algebra: no
+    cartesian products, no global window, no Python evaluation — the
+    rank comparison rides as a post-join filter on the equi-keyed
+    wedge join."""
+    from pyrdfa3_spark.plans.queries import q_triangle_count
+
+    plan = _plan(q_triangle_count(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowExec" not in plan and "Window [" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_shacl_plan_shape(spark):
     """The SHACL validation report must stay one-scan-per-constraint
     relational algebra: no cartesian products, no Python evaluation,
