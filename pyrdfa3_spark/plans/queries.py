@@ -2095,6 +2095,47 @@ def q_jsonld_serialize(spark, sf_dir):
     return to_jsonld(_nation_graph(spark, sf_dir))
 
 
+JSONLD_CTX = {"p": "urn:p:", "reg": "urn:region:",
+              "xsd": "http://www.w3.org/2001/XMLSchema#"}
+
+
+def q_jsonld_compact(spark, sf_dir):
+    """@context-compacted JSON-LD lines (S6): CURIE keys, rdf:type
+    folded to "@type", typed/lang literals as term objects, against a
+    caller-pinned context — the compacted form the reference's rdflib
+    json-ld plugin emits.  Byte-exact string-assembly oracle."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+
+    nation = _t(spark, sf_dir, "nation")
+    typed = nation.select(
+        F.concat(F.lit("urn:nation:N"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit("urn:p:Nation").alias("obj"),
+        F.lit(True).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    return to_jsonld(_nation_graph(spark, sf_dir).unionByName(typed),
+                     context=JSONLD_CTX)
+
+
+SQL_JSONLD_COMPACT = r"""
+SELECT '{"@id":"_:bn' || CAST(n_nationkey AS VARCHAR)
+       || '","p:in":[{"@id":"reg:R'
+       || CAST(n_regionkey AS VARCHAR) || '"}]}' AS jsonld
+FROM nation
+UNION ALL
+SELECT '{"@id":"urn:nation:N' || CAST(n_nationkey AS VARCHAR)
+       || '","@type":["p:Nation"]'
+       || ',"p:key":[{"@type":"xsd:integer","@value":"'
+       || CAST(n_nationkey AS VARCHAR) || '"}]'
+       || ',"p:name":[{"@language":"en","@value":"' || n_name
+       || ' says \"hi\"\n"}]}' AS jsonld
+FROM nation
+"""
+
+
 def q_rdfxml_serialize(spark, sf_dir):
     """RDF/XML sink (S6): one rdf:Description block per subject.
     Round-trip-tested in tests/test_serialize.py; byte-exact oracle."""
@@ -3102,6 +3143,7 @@ QUERIES = {
     "nt_serialize": q_nt_serialize,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
+    "jsonld_compact": q_jsonld_compact,
     "rdfxml_serialize": q_rdfxml_serialize,
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
@@ -3198,6 +3240,7 @@ def oracles() -> dict[str, str]:
         "nt_serialize": SQL_NT_SERIALIZE,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
+        "jsonld_compact": SQL_JSONLD_COMPACT,
         "rdfxml_serialize": SQL_RDFXML_SERIALIZE,
         "dedup_global_triples": SQL_DEDUP_GLOBAL,
         "curie_resolve": SQL_CURIE_RESOLVE,

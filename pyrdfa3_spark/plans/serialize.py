@@ -157,13 +157,16 @@ def write_turtle(triples: DataFrame, path: str,
 # pyRdfa/__init__.py:722-725).  One flat node object per subject per
 # line ("JSON-LD lines"): {"@id": s, pred: [{"@value"|"@id": ...}], ...}.
 #
-# CONTRACT / limitation: this emits *expanded-form* node objects with
-# full predicate IRIs as keys — a lake-interchange format that any
-# JSON-LD processor accepts — NOT the @context-compacted document the
-# reference's rdflib json-ld plugin produces.  Compaction is a
-# whole-document operation (a shared @context over all nodes) that does
-# not fit a line-per-subject distributed sink; run a JSON-LD processor
-# over the output when compact form is required.
+# CONTRACT: the default emits *expanded-form* node objects with full
+# predicate IRIs as keys — a lake-interchange format that any JSON-LD
+# processor accepts.  Passing ``context`` (prefix -> namespace) emits
+# @context-COMPACTED node lines instead (CURIE keys, rdf:type folded to
+# "@type", plain literals as bare strings), matching what the
+# reference's rdflib json-ld plugin produces for that context; pair the
+# lines with :func:`jsonld_context_line`.  Only context *inference*
+# (deriving the context from the data, a whole-document pass) is out of
+# scope — with a caller-pinned context, compaction is per-row local and
+# distributes freely.
 # Term objects are built as typed structs and serialized with ``to_json``
 # (null fields dropped), so literal escaping is Spark's own JSON writer;
 # only subject/predicate key strings are escaped by hand.
@@ -179,9 +182,85 @@ def _json_str(col):
     return F.concat(F.lit('"'), out, F.lit('"'))
 
 
-def to_jsonld(triples: DataFrame) -> DataFrame:
+def _compact_iri(col, context: dict[str, str]):
+    """IRI -> CURIE string under ``context`` when a namespace matches
+    and the local part is term-safe, else the IRI unchanged.  Longest
+    namespace wins (checked last = outermost ``when``) so nested
+    namespaces compact deterministically."""
+    out = col
+    for pr, ns in sorted(context.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 10_000)
+        ok = col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_.\-]*$")
+        out = F.when(ok, F.concat(F.lit(pr + ":"), local)).otherwise(out)
+    return out
+
+
+def jsonld_context_line(context: dict[str, str]) -> str:
+    """The shared ``{"@context": {...}}`` object (sorted keys) that
+    pairs with compacted node lines — write it as the sidecar/first
+    line of a compacted JSON-LD-lines dataset."""
+    import json as _json
+
+    return _json.dumps({"@context": dict(sorted(context.items()))},
+                       separators=(",", ":"))
+
+
+def _to_jsonld_compact(triples: DataFrame,
+                       context: dict[str, str]) -> DataFrame:
+    """Compacted node lines: CURIE keys, ``rdf:type`` folded to
+    ``"@type"`` with compacted-IRI string values, IRI objects as
+    ``{"@id": curie}``, plain literals as bare JSON strings,
+    lang/typed literals as alphabetically-keyed term objects.  All
+    string assembly — same two-shuffle shape as the expanded form."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+
+    is_type = (F.col("pred") == RDF_TYPE) & F.col("obj_is_iri")
+    rendered = (
+        F.when(is_type, _json_str(_compact_iri(F.col("obj"), context)))
+        .when(F.col("obj_is_iri"),
+              F.concat(F.lit('{"@id":'),
+                       _json_str(_compact_iri(F.col("obj"), context)),
+                       F.lit("}")))
+        .when(F.col("obj_lang").isNotNull(),
+              F.concat(F.lit('{"@language":'), _json_str(F.col("obj_lang")),
+                       F.lit(',"@value":'), _json_str(F.col("obj")),
+                       F.lit("}")))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(F.lit('{"@type":'),
+                       _json_str(_compact_iri(F.col("obj_datatype"),
+                                              context)),
+                       F.lit(',"@value":'), _json_str(F.col("obj")),
+                       F.lit("}")))
+        .otherwise(_json_str(F.col("obj"))))
+    key = F.when(is_type, F.lit('"@type"')) \
+        .otherwise(_json_str(_compact_iri(F.col("pred"), context)))
+    subj = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
+        .otherwise(_compact_iri(F.col("subj"), context))
+    by_key = (triples
+              .select(subj.alias("s"), key.alias("key"),
+                      rendered.alias("term"))
+              .groupBy("s", "key")
+              .agg(F.array_sort(F.collect_list("term")).alias("terms")))
+    entry = F.concat(F.col("key"), F.lit(":["),
+                     F.concat_ws(",", F.col("terms")), F.lit("]"))
+    node = (by_key
+            .select("s", entry.alias("entry"))
+            .groupBy("s")
+            .agg(F.array_sort(F.collect_list("entry")).alias("entries")))
+    jsonld = F.concat(F.lit('{"@id":'), _json_str(F.col("s")),
+                      F.lit(","), F.concat_ws(",", F.col("entries")),
+                      F.lit("}"))
+    return node.select(jsonld.alias("jsonld")).orderBy("jsonld")
+
+
+def to_jsonld(triples: DataFrame,
+              context: dict[str, str] | None = None) -> DataFrame:
     """triples -> one row per subject, column ``jsonld`` holding a flat
-    JSON-LD node object (expanded form; bnodes keep ``_:`` labels)."""
+    JSON-LD node object (expanded form; bnodes keep ``_:`` labels).
+    With ``context``, nodes are @context-compacted instead (see
+    :func:`_to_jsonld_compact`)."""
+    if context is not None:
+        return _to_jsonld_compact(triples, context)
     term = F.struct(
         F.when(F.col("obj_is_iri"), F.col("obj")).alias("@id"),
         F.when(~F.col("obj_is_iri"), F.col("obj")).alias("@value"),
@@ -204,9 +283,14 @@ def to_jsonld(triples: DataFrame) -> DataFrame:
     return node.select(jsonld.alias("jsonld")).orderBy("jsonld")
 
 
-def write_jsonld(triples: DataFrame, path: str) -> None:
-    (to_jsonld(triples).withColumnRenamed("jsonld", "value")
-     .write.mode("overwrite").text(path))
+def write_jsonld(triples: DataFrame, path: str,
+                 context: dict[str, str] | None = None) -> None:
+    out = to_jsonld(triples, context).withColumnRenamed("jsonld", "value")
+    if context is not None:
+        header = triples.sparkSession.createDataFrame(
+            [(jsonld_context_line(context),)], ["value"])
+        out = header.unionByName(out).coalesce(1)
+    out.write.mode("overwrite").text(path)
 
 
 # --------------------------------------------------------------------------

@@ -145,3 +145,47 @@ def test_nquads_lines_extend_ntriples(spark):
     for t_line, q_line, row in zip(nt, nq, rows):
         gterm = row[6] if row[6].startswith("_:") else f"<{row[6]}>"
         assert q_line == t_line[:-1] + gterm + " ."
+
+
+def test_jsonld_compact(spark):
+    import json
+
+    from pyrdfa3_spark.plans.serialize import (
+        jsonld_context_line, to_jsonld,
+    )
+
+    ctx = {"schema": "http://schema.org/",
+           "xsd": "http://www.w3.org/2001/XMLSchema#",
+           "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+           "ex": "http://ex.org/"}
+    df = spark.createDataFrame(ROWS, COLS)
+    nodes = {json.loads(r["jsonld"])["@id"]: json.loads(r["jsonld"])
+             for r in to_jsonld(df, context=ctx).collect()}
+
+    # rdf:type folds to @type with compacted-IRI string values
+    assert nodes["schema:Person"]["@type"] == ["rdfs:Class"]
+    s = nodes["ex:s"]
+    assert s["schema:age"] == [{"@type": "xsd:integer", "@value": "42"}]
+    assert s["schema:name"] == [{"@language": "en",
+                                 "@value": 'A "quoted"\nname'}]
+    # plain literal compacts to a bare string; IRI object to {"@id"}
+    assert s["schema:tag"] == ["back\\slash"]
+    assert nodes["_:b1"]["schema:knows"] == [{"@id": "ex:s"}]
+
+    hdr = json.loads(jsonld_context_line(ctx))
+    assert hdr["@context"]["schema"] == "http://schema.org/"
+
+
+def test_jsonld_compact_longest_prefix_wins(spark):
+    import json
+
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+
+    ctx = {"v": "urn:v:", "vx": "urn:v:x/"}
+    rows = [("urn:v:x/a", "urn:v:p", "urn:v:x/b", True, None, None)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean, "
+              "obj_lang string, obj_datatype string")
+    node = json.loads(to_jsonld(df, context=ctx).collect()[0]["jsonld"])
+    assert node["@id"] == "vx:a"
+    assert node["v:p"] == [{"@id": "vx:b"}]
