@@ -1150,14 +1150,15 @@ def apply_diff(snapshot: DataFrame, diff: DataFrame) -> DataFrame:
     Scale shape: one left-anti join (removals) + a union with the
     additions; both shuffle on the same triple key, AQE broadcasts the
     diff side when a run's changelog is small — the common case for
-    incremental extraction.
+    incremental extraction.  The anti join is NULL-SAFE on
+    ``obj_lang``/``obj_datatype`` (NULL for plain literals and IRIs) —
+    a plain ``=`` key would never match those rows and removals would
+    silently no-op.
     """
     on = [c for c in TRIPLE_KEY if c in snapshot.columns]
-    removed = (diff.filter(F.col("op") == "removed")
-               .select(on).dropDuplicates())
+    removed = diff.filter(F.col("op") == "removed").select(on)
     added = diff.filter(F.col("op") == "added").select(on)
-    return (snapshot.select(on)
-            .join(removed, on, "left_anti")
+    return (_triple_key_join(snapshot.select(on), removed, "left_anti")
             .unionByName(added)
             .dropDuplicates())
 
@@ -1172,11 +1173,14 @@ def graph_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     Scale shape: two left-anti joins on the triple key; both sides
     shuffle-partition on the same key so AQE coalesces/splits
     symmetrically.  Output is exact — no sketches — because diffs feed
-    idempotent MERGEs.
+    idempotent MERGEs.  Joins are NULL-SAFE on the nullable key columns
+    (``obj_lang``/``obj_datatype`` are NULL for plain literals and
+    IRIs) — with a plain ``=`` key every such triple would come back as
+    both added AND removed when diffing identical graphs.
     """
     on = [c for c in TRIPLE_KEY if c in old.columns and c in new.columns]
-    added = (new.join(old.select(on).dropDuplicates(), on, "left_anti")
+    added = (_triple_key_join(new.select(on), old, "left_anti")
              .select(F.lit("added").alias("op"), *on))
-    removed = (old.join(new.select(on).dropDuplicates(), on, "left_anti")
+    removed = (_triple_key_join(old.select(on), new, "left_anti")
                .select(F.lit("removed").alias("op"), *on))
     return added.unionByName(removed)

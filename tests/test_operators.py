@@ -839,6 +839,32 @@ def test_graph_diff(spark):
     assert graph_diff(old, old).count() == 0
 
 
+def test_graph_diff_nullsafe_on_full_triple_key(spark):
+    """Regression: obj_lang/obj_datatype are NULL for plain literals
+    and IRIs; the diff joins must be null-safe on them or every such
+    triple diffs as both added and removed against itself."""
+    from pyrdfa3_spark.operators.graphops import apply_diff, graph_diff
+
+    schema = ("subj string, pred string, obj string, obj_is_iri "
+              "boolean, obj_lang string, obj_datatype string")
+    old = spark.createDataFrame(
+        [("s", "p", "o", True, None, None),
+         ("s", "p", "plain", False, None, None),
+         ("s", "p", "hello", False, "en", None)], schema)
+    assert graph_diff(old, old).count() == 0
+
+    new = spark.createDataFrame(
+        [("s", "p", "o", True, None, None),
+         ("s", "p", "hallo", False, "de", None)], schema)
+    out = {(r["op"], r["obj"], r["obj_lang"])
+           for r in graph_diff(old, new).collect()}
+    assert out == {("removed", "plain", None), ("removed", "hello", "en"),
+                   ("added", "hallo", "de")}
+    replayed = apply_diff(old, graph_diff(old, new))
+    assert {tuple(r) for r in replayed.collect()} == \
+        {tuple(r) for r in new.collect()}
+
+
 def test_repetition_metrics_matches_python(spark):
     import re
     from collections import Counter
