@@ -178,6 +178,79 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame,
                     .alias("contaminated")))
 
 
+def _gram_buckets(frame: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b, c): per-document counts of hashed word uni+bigram
+    features — DSIR's featurization.  Grams are built in-row (the
+    bigram shift is ``zip_with`` over the token array, as in
+    :func:`repetition_metrics`) and bucketed with the portable
+    :func:`_hash32`; the only explode is the one the per-bucket count
+    needs."""
+    toks = _word_tokens(F.col("text"))
+    bi = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, F.size(toks)),
+                   lambda a, b: F.concat_ws(" ", a, b)),
+        lambda x: x.contains(" "))
+    buckets = F.transform(F.concat(toks, bi),
+                          lambda g: _hash32(g) % n_buckets)
+    return (frame
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    buckets.alias("bs"))
+            .filter(F.size("bs") > 0)
+            .select("doc_id", F.explode("bs").alias("b"))
+            .groupBy("doc_id", "b")
+            .agg(F.count("*").cast("bigint").alias("c")))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): featurize every
+    document as hashed word uni+bigram counts and score it by the
+    log-likelihood ratio of Laplace-smoothed bucket-multinomial models
+    of the ``target`` domain vs the ``docs`` (raw) corpus — the weight
+    a pre-training mix uses to resample raw data toward a target
+    domain.  Output: ``(doc_id, log_weight)`` for every raw document
+    (higher = more target-like; rounded to 4 places for cross-engine
+    comparison).
+
+    Scale shape: the feature-bucket models are ``n_buckets``-row
+    dimension tables (map-side-partial counts), joined back broadcast;
+    the per-document score is one more map-side-partial sum.  The raw
+    corpus is scanned twice (model + scoring) — at 100 TB persist the
+    gram-bucket frame or estimate the raw model on a sample, as the
+    paper does.
+
+    Determinism: Java's ``Math.log`` and libm disagree in the last ulp
+    for ~1% of integer inputs, so each log term is rounded to 9 places
+    before combining and the per-document sum runs in DECIMAL (exact,
+    order-independent — double summation order varies with partition
+    layout), the module's standard float-aggregate discipline.
+    """
+    def ln9(col):
+        return F.round(F.log(col.cast("double")), 9)
+
+    raw_g = _gram_buckets(docs, n_buckets)
+    tgt_cnt = (_gram_buckets(target, n_buckets)
+               .groupBy("b").agg(F.sum("c").alias("t_cnt")))
+    raw_cnt = raw_g.groupBy("b").agg(F.sum("c").alias("r_cnt"))
+    dim = (raw_cnt.join(tgt_cnt, "b", "left")
+           .select("b", F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+                   "r_cnt"))
+    # totals over each corpus in full (the papers' multinomial
+    # denominators), not just the buckets the raw side happens to share
+    totals = (tgt_cnt.agg(F.sum("t_cnt").alias("t_tot"))
+              .crossJoin(raw_cnt.agg(F.sum("r_cnt").alias("r_tot"))))
+    lr = (ln9(F.col("t_cnt") + 1) - ln9(F.col("t_tot") + n_buckets)
+          - ln9(F.col("r_cnt") + 1) + ln9(F.col("r_tot") + n_buckets))
+    scored_dim = (dim.join(F.broadcast(totals))
+                  .select("b", lr.alias("lr")))
+    return (raw_g.join(F.broadcast(scored_dim), "b")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum((F.col("c") * F.col("lr"))
+                               .cast("decimal(38,12)")).cast("double"), 4)
+                 .alias("log_weight")))
+
+
 def _length_stratum(bounds: tuple[int, int]) -> F.Column:
     return (F.when(F.length("text") < bounds[0], "short")
             .when(F.length("text") < bounds[1], "medium")

@@ -225,6 +225,52 @@ def dedup_decision(docs: DataFrame, k: int = 5, n_hashes: int = 8,
         (F.col("node") != F.col("canon")).alias("is_dup"))
 
 
+def duplicate_spans(docs: DataFrame, window: int = 8,
+                    min_occurrences: int = 2) -> DataFrame:
+    """Exact duplicate token-window spans across the corpus — the
+    fixed-window distillation of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which cuts any ≥50-token substring that repeats): every run of
+    ``window`` consecutive word tokens is hashed, and a hash occurring
+    ``min_occurrences``+ times marks boilerplate to cut (repeated
+    headers, license blocks, templated paragraphs — the within- and
+    cross-document duplication MinHash's whole-document granularity
+    cannot see).
+
+    Output: one row per duplicated span —
+    ``(span_hash, n_occurrences, n_docs, keep_key)`` where ``keep_key``
+    encodes the first occurrence to keep (``doc_id * 10^9 + pos``,
+    minimal over all occurrences; pos is the 1-based token offset).
+
+    Scale shape: windows are built IN-ROW (one ``transform`` over the
+    token array, md5 per window), so the only explode is the one the
+    cross-document groupBy genuinely needs — one row per token
+    position, the same cost class as building an inverted index; the
+    aggregation is map-side-partial, no windows, no self-joins.  A
+    full suffix-array pass (arbitrary-length matches) does not
+    distribute on DataFrames; fixed windows at 100 TB are the standard
+    approximation and catch every duplicate run ≥ ``window`` tokens.
+    """
+    toks = F.filter(F.split(_normalized(), " "), lambda t: t != "")
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size("toks") - (window - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(
+        " ", *[F.element_at("toks", (i + F.lit(j)).cast("int"))
+               for j in range(window)])))
+    occ = (_scale_out(docs)
+           .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                   toks.alias("toks"))
+           .filter(F.size("toks") >= window)
+           .select("doc_id", F.posexplode(grams).alias("p", "span_hash"))
+           .select("doc_id", (F.col("p") + 1).alias("pos"), "span_hash"))
+    return (occ.groupBy("span_hash")
+            .agg(F.count("*").cast("bigint").alias("n_occurrences"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.min(F.col("doc_id") * F.lit(1_000_000_000)
+                       + F.col("pos")).cast("bigint").alias("keep_key"))
+            .filter(F.col("n_occurrences") >= min_occurrences))
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs
     (verification stage after LSH).  ``pairs``: (doc_a, doc_b).

@@ -326,6 +326,50 @@ def ivf_probe_table(spark, path: str, query_vec: list[float],
                     (F.col("pos") + 1).cast("bigint").alias("rank")))
 
 
+def semantic_dedup(embeddings: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.85,
+                   max_bucket: int = 512) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with the k-means coarse quantizer, compare cosine
+    similarity ONLY within each cluster, and drop every vector that has
+    a smaller-id near-duplicate — the semantic complement to MinHash
+    (catches paraphrases and re-encodings exact shingles miss).
+
+    Output: the delete-list — one row per dropped vector,
+    ``(vec_id, keep_id, cos_sim)`` where ``keep_id`` is the smallest
+    confirmed near-duplicate and ``cos_sim`` the similarity to it.
+
+    Scale shape: cell assignment is in-row column algebra against
+    centroid literals (no shuffle); within-cell pairs come from the
+    capped bucket-pair generator (AQE splits hot cells, degenerate
+    cells star-link — never a per-cell array); the verify join touches
+    candidate pairs only.  Cluster count bounds the per-cell pair
+    fan-out exactly as in the paper (they use k≈10^5 for 10^8 docs).
+    """
+    from pyrdfa3_spark.operators.dedup import _capped_bucket_pairs
+
+    members = ivf_assign(embeddings, centroids)
+    pairs = _capped_bucket_pairs(members, ["cell"], "vec_id",
+                                 "vec_a", "vec_b", max_bucket)
+    e = embeddings.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    confirmed = (pairs.select("vec_a", "vec_b")
+                 .join(a, "vec_a").join(b, "vec_b")
+                 .select("vec_a", "vec_b",
+                         F.round(_cos(F.col("ea"), F.col("eb")), 4)
+                         .alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= threshold))
+    # vec_a < vec_b always, so vec_b is the candidate to drop and the
+    # smallest confirmed vec_a is its keeper
+    return (confirmed.groupBy(F.col("vec_b").alias("vec_id"))
+            .agg(F.min("vec_a").cast("bigint").alias("keep_id"),
+                 F.min_by("cos_sim", "vec_a").alias("cos_sim")))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int],
              centroids: list[list[float]], nprobe: int = 2,
              top_k: int = 5) -> DataFrame:

@@ -650,6 +650,86 @@ FROM reach GROUP BY node
 )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate token-window spans (Lee et al. 2022-style
+    substring dedup at fixed window length) — catches the repeated
+    boilerplate runs whole-document MinHash cannot see."""
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"),
+                             window=8, min_occurrences=2)
+
+
+SQL_DUPLICATE_SPANS = f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     regexp_split_to_array({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+                 list_slice(t, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))
+                 AS span_hash
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8)
+SELECT span_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id * 1000000000 + pos) AS BIGINT) AS keep_key
+FROM w GROUP BY span_hash HAVING count(*) >= 2
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward a deterministic pseudo-target
+    domain (every 10th document) — the hashed-n-gram log-likelihood
+    ratio a pre-training mix resamples raw data by."""
+    from pyrdfa3_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs.filter(F.col("doc_id") % 10 != 0),
+                        docs.filter(F.col("doc_id") % 10 == 0),
+                        n_buckets=1024)
+
+
+def _sql_dsir_weights(n_buckets: int = 1024) -> str:
+    h = _sql_h32("g")
+
+    def grams(src: str) -> str:
+        return f"""(
+  SELECT doc_id, t[CAST(i AS INT)] AS g
+  FROM {src}, unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
+  FROM {src}, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2)"""
+
+    return f"""
+WITH rt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   regexp_split_to_array({_NORM_SQL}, ' ') AS t
+            FROM documents
+            WHERE doc_id % 10 <> 0 AND length(trim(text)) > 0),
+tt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              regexp_split_to_array({_NORM_SQL}, ' ') AS t
+       FROM documents
+       WHERE doc_id % 10 = 0 AND length(trim(text)) > 0),
+rg AS {grams("rt")},
+tg AS {grams("tt")},
+rb AS (SELECT doc_id, {h} % {n_buckets} AS b,
+              CAST(count(*) AS BIGINT) AS c
+       FROM rg GROUP BY 1, 2),
+tb AS (SELECT {h} % {n_buckets} AS b, count(*) AS t_cnt FROM tg GROUP BY 1),
+rc AS (SELECT b, sum(c) AS r_cnt FROM rb GROUP BY b),
+lrs AS (SELECT rc.b,
+               round(ln(CAST(coalesce(tb.t_cnt, 0) + 1 AS DOUBLE)), 9)
+             - round(ln(CAST((SELECT count(*) FROM tg) + {n_buckets}
+                             AS DOUBLE)), 9)
+             - round(ln(CAST(rc.r_cnt + 1 AS DOUBLE)), 9)
+             + round(ln(CAST((SELECT count(*) FROM rg) + {n_buckets}
+                             AS DOUBLE)), 9) AS lr
+        FROM rc LEFT JOIN tb ON rc.b = tb.b)
+SELECT rb.doc_id,
+       round(CAST(sum(CAST(rb.c * l.lr AS DECIMAL(38,12))) AS DOUBLE), 4)
+           AS log_weight
+FROM rb JOIN lrs l ON rb.b = l.b GROUP BY rb.doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # similarity (embeddings)
 # --------------------------------------------------------------------- #
@@ -784,6 +864,57 @@ SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored) WHERE rank <= {top_k}
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means-cluster the embedding space (the IVF coarse
+    quantizer, same fixed-sample training as ivf_topk), verify cosine
+    within clusters only, emit the drop-list.  Threshold 0.3 is
+    calibrated to the synthetic random-embedding corpus (see
+    q_embedding_near_dups); a real embedding space uses ~0.95+."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.ivf_train_local(_ivf_train_dir(sf_dir), n_cells=16, iters=2)
+    return S.semantic_dedup(emb, cents, threshold=0.3)
+
+
+def _sql_semantic_dedup(n_cells: int = 16, iters: int = 2,
+                        threshold: float = 0.3,
+                        sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Cell assignment mirrors _sql_ivf_topk (same trained centroids
+    inlined as literals, same tie-to-lower-index CASE); pair generation
+    reuses the capped-bucket SQL with cell as the bucket key."""
+    import math
+
+    cents = S.ivf_train_local(_ivf_train_dir(sf_dir),
+                              n_cells=n_cells, iters=iters)
+    sims = []
+    for c in cents:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        sims.append(f"round(list_dot_product(emb, {c!r}) / (vn * {cn!r}), 9)")
+    sim_cols = ", ".join(f"{s} AS s{i}" for i, s in enumerate(sims))
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    cell_case = "CASE " + " ".join(
+        f"WHEN s{i} = best THEN {i}" for i in range(n_cells)) + " END"
+    return f"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS vn FROM e),
+sims AS (SELECT vec_id, emb, {sim_cols} FROM n),
+b AS (SELECT vec_id, CAST({cell_case} AS BIGINT) AS bucket
+      FROM (SELECT *, {best} AS best FROM sims)),
+{_SQL_VEC_CAPPED_PAIRS},
+scored AS (SELECT p.vec_a, p.vec_b,
+                  round(list_dot_product(ea.emb, eb.emb)
+                        / (sqrt(list_dot_product(ea.emb, ea.emb))
+                           * sqrt(list_dot_product(eb.emb, eb.emb))), 4)
+                      AS cos_sim
+           FROM vpairs p JOIN e ea ON ea.vec_id = p.vec_a
+                         JOIN e eb ON eb.vec_id = p.vec_b)
+SELECT vec_b AS vec_id, CAST(min(vec_a) AS BIGINT) AS keep_id,
+       arg_min(cos_sim, vec_a) AS cos_sim
+FROM scored WHERE cos_sim >= {threshold}
+GROUP BY vec_b
 """
 
 
@@ -3098,6 +3229,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "duplicate_spans": q_duplicate_spans,
+    "dsir_weights": q_dsir_weights,
+    "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_decision": q_dedup_decision,
@@ -3195,6 +3329,9 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
+        "duplicate_spans": SQL_DUPLICATE_SPANS,
+        "dsir_weights": _sql_dsir_weights(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_decision": SQL_DEDUP_DECISION,

@@ -865,6 +865,118 @@ def test_graph_diff_nullsafe_on_full_triple_key(spark):
         {tuple(r) for r in new.collect()}
 
 
+def test_duplicate_spans_matches_python(spark):
+    """Brute-force model: every 3-token window, md5-hashed, counted
+    across docs; spans occurring >= 2 times must come back with exact
+    occurrence/doc counts and the minimal (doc_id, pos) keep key."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from pyrdfa3_spark.operators.dedup import duplicate_spans
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "THE  quick   Brown fox sleeps",       # normalization collapses
+        3: "unique words only here today",
+        4: "the quick brown fox jumps again and the quick brown fox",
+        5: "   ",                                  # whitespace-only: no rows
+    }
+    occ = defaultdict(list)
+    for did, text in texts.items():
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        for i in range(len(toks) - 2):
+            h = hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
+            occ[h].append((did, i + 1))
+    expected = {
+        h: (len(ps), len({d for d, _ in ps}),
+            min(d * 1_000_000_000 + p for d, p in ps))
+        for h, ps in occ.items() if len(ps) >= 2
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["span_hash"]: (r["n_occurrences"], r["n_docs"], r["keep_key"])
+           for r in duplicate_spans(docs, window=3).collect()}
+    assert got == expected
+    assert expected  # the fixture genuinely exercises duplicates
+
+
+def test_semantic_dedup_drop_list(spark):
+    """Hand-built clusters: two groups of near-identical vectors plus a
+    singleton.  Every non-minimal member of a near-dup group must be
+    dropped with keep_id = the group minimum; the singleton survives."""
+    from pyrdfa3_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 0
+        (2, [0.998, 0.02, 0.0, 0.0]),     # near-dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),     # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),        # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    out = {r["vec_id"]: r["keep_id"]
+           for r in semantic_dedup(emb, cents, threshold=0.95).collect()}
+    assert out == {1: 0, 2: 0, 4: 3}
+
+    # vectors straddling cluster boundaries are NOT compared — the
+    # approximation SemDeDup accepts by design
+    far = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    assert semantic_dedup(far, cents, threshold=0.1).count() == 0
+
+
+def test_dsir_weights_matches_python(spark):
+    """Independent model: hashed uni+bigram multinomials with Laplace
+    smoothing; target-like raw docs must outscore off-domain ones."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from pyrdfa3_spark.operators.curation import dsir_weights
+
+    def grams(text):
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def h32(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    raw = {1: "spark runs big jobs", 2: "cats purr softly at home",
+           3: "spark shuffles big data", 4: "dogs bark at cats"}
+    target = {10: "spark big data jobs", 11: "spark data shuffles"}
+    B = 64
+    t_cnt = Counter(h32(g, B) for t in target.values() for g in grams(t))
+    r_cnt = Counter(h32(g, B) for t in raw.values() for g in grams(t))
+    t_tot, r_tot = sum(t_cnt.values()), sum(r_cnt.values())
+
+    def weight(text):
+        c = Counter(h32(g, B) for g in grams(text))
+        return round(sum(
+            n * (round(math.log(t_cnt.get(b, 0) + 1), 9)
+                 - round(math.log(t_tot + B), 9)
+                 - round(math.log(r_cnt[b] + 1), 9)
+                 + round(math.log(r_tot + B), 9))
+            for b, n in c.items()), 4)
+
+    docs = spark.createDataFrame(list(raw.items()), ["doc_id", "text"])
+    tgt = spark.createDataFrame(list(target.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r["log_weight"]
+           for r in dsir_weights(docs, tgt, n_buckets=B).collect()}
+    expected = {d: weight(t) for d, t in raw.items()}
+    for d in raw:
+        assert got[d] == pytest.approx(expected[d], abs=2e-4), (d, got,
+                                                                expected)
+    # domain separation: the spark-y raw docs score above the animal ones
+    assert min(got[1], got[3]) > max(got[2], got[4])
+
+
 def test_repetition_metrics_matches_python(spark):
     import re
     from collections import Counter

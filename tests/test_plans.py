@@ -151,6 +151,39 @@ def test_curation_mix_plans_scale_shape(spark):
     assert "Exchange" not in simple, simple
 
 
+def test_span_dsir_semdedup_plans_scale_shape(spark):
+    """duplicate_spans: in-row window hashing — exactly one Generate
+    (the cross-document explode), partial aggregation, no window, no
+    join.  dsir_weights: the bucket dims broadcast onto the corpus
+    side, never cartesian.  semantic_dedup: equi-joined candidate
+    pairs only — no CartesianProduct/NestedLoop anywhere."""
+    from pyrdfa3_spark.operators.curation import dsir_weights
+    from pyrdfa3_spark.operators.dedup import duplicate_spans
+    from pyrdfa3_spark.operators.similarity import (
+        ivf_train_local, semantic_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    simple = _plan(duplicate_spans(docs), mode="simple")
+    assert simple.count("Generate") == 1, simple
+    assert "Window" not in simple and "Join" not in simple, simple
+    assert "partial" in _plan(duplicate_spans(docs)).lower()
+
+    plan = _plan(dsir_weights(docs.filter("doc_id % 10 != 0"),
+                              docs.filter("doc_id % 10 = 0")))
+    assert "BroadcastHashJoin" in plan, plan
+    # the totals crossJoin is a broadcast of one row, never a cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_train_local("/root/testdata/sf0.001", n_cells=4, iters=1)
+    simple = _plan(semantic_dedup(emb, cents), mode="simple")
+    assert "CartesianProduct" not in simple, simple
+    assert "Window" not in simple, simple
+
+
 def test_kg_query_plans(spark, tmp_path):
     """BGP joins must be hash joins (never cartesian) and, over a
     parquet-backed triple store, the constant pattern positions must
