@@ -161,8 +161,19 @@ class SparkGraph:
     # -- query verbs -------------------------------------------------
 
     def query(self, patterns, optional=None, filters=None) -> DataFrame:
-        """SPARQL SELECT core (``rdflib Graph.query`` takes SPARQL
-        text; here the parsed BGP form goes straight to the planner)."""
+        """``rdflib Graph.query`` twin.  Accepts SPARQL *text* (a str —
+        parsed and executed by :mod:`..operators.sparql`, covering
+        SELECT/ASK/CONSTRUCT/DESCRIBE with paths, OPTIONAL, FILTER,
+        UNION, MINUS, VALUES, BIND, aggregates and modifiers) or the
+        parsed BGP form (a pattern list, handed straight to the
+        planner)."""
+        if isinstance(patterns, str):
+            if optional is not None or filters is not None:
+                raise ValueError("text queries carry OPTIONAL/FILTER "
+                                 "inline")
+            from pyrdfa3_spark.operators.sparql import sparql
+
+            return sparql(self.df, patterns)
         return G.bgp_match(self.df, patterns, optional=optional,
                            filters=filters)
 

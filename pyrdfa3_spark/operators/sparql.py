@@ -1,0 +1,777 @@
+"""SPARQL *text* front-end: parse a query string and execute it by
+compiling onto the existing BGP/path/aggregate operators.
+
+The reference hands its emitted graphs to rdflib, whose consumers run
+``graph.query("SELECT ...")`` with SPARQL text (pyRdfa/__init__.py
+returns an rdflib Graph precisely so that call works).  The operator
+modules cover the *algebra* (``graphops.bgp_match`` and friends); this
+module closes the surface gap by accepting the text form, so an
+rdflib call site ports as ``SparkGraph.query("SELECT ...")`` verbatim.
+
+Supported subset (raises ``SparqlUnsupported`` — never silently
+misparses — outside it):
+
+* ``PREFIX`` declarations; ``a`` for rdf:type; prefixed names expand
+  against declared prefixes and pass through UNCHANGED when the prefix
+  is undeclared (lake triple stores routinely hold CURIE-shaped terms).
+* ``SELECT [DISTINCT] * | ?v ... | (AGG(?v) AS ?a) ...`` with COUNT /
+  COUNT(*) / COUNT(DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
+  GROUP_CONCAT(?v; SEPARATOR="..."), ``GROUP BY`` / ``HAVING``,
+  ``ORDER BY [ASC|DESC]`` / ``LIMIT`` / ``OFFSET``.
+* WHERE groups: triple blocks with ``;`` / ``,`` lists, ``OPTIONAL``,
+  ``FILTER (expr)``, ``FILTER [NOT] EXISTS {..}``, ``MINUS {..}``,
+  ``VALUES`` (incl. UNDEF), ``BIND (expr AS ?v)``, and a top-level
+  ``{..} UNION {..}`` chain.
+* Property paths in predicate position: ``p+  p*  p?  ^p  p1/p2/..
+  p1|p2|..  !(p1|p2)`` (each compiles to the matching ``path_*``
+  virtual-predicate operator; nested combinations raise).
+* ``ASK``, ``CONSTRUCT {template} WHERE {..}``, ``DESCRIBE <iri>...``.
+
+FILTER/BIND/HAVING expressions translate to Spark SQL (the operators
+compile them via ``F.expr``): ``&& || !``, comparisons, arithmetic,
+``IN``, and the function set REGEX / STRSTARTS / STRENDS / CONTAINS /
+STRLEN / LCASE / UCASE / STR / BOUND / ABS / CEIL / FLOOR / ROUND.
+
+Scale note: parsing is driver-side string work on a query of bytes;
+every execution decision (join order, broadcast, path closure) is the
+underlying operator's — this module adds no plan shape of its own.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from pyrdfa3_spark.operators import graphops as G
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlError(ValueError):
+    """Malformed query text."""
+
+
+class SparqlUnsupported(SparqlError):
+    """Syntactically valid SPARQL outside the implemented subset."""
+
+
+# ------------------------------------------------------------------ #
+# tokenizer
+# ------------------------------------------------------------------ #
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>\s{}|^`\\]*>)
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUM>[+-]?\d+(?:\.\d+)?)
+  | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:
+              (?:[A-Za-z0-9_%\-]+(?:\.[A-Za-z0-9_%\-]+)*)?)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!^/|+*?])
+""", re.X)
+
+_KEYWORDS = {
+    "PREFIX", "BASE", "SELECT", "DISTINCT", "REDUCED", "WHERE", "AS",
+    "OPTIONAL", "FILTER", "UNION", "MINUS", "VALUES", "BIND", "UNDEF",
+    "EXISTS", "NOT", "IN", "GROUP", "BY", "HAVING", "ORDER", "ASC",
+    "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
+    "FALSE", "A",
+}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlError(
+                f"cannot tokenize at ...{text[pos:pos + 30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        val = m.group()
+        if kind == "NAME" and val.upper() in _KEYWORDS:
+            kind, val = "KW", val.upper()
+        out.append((kind, val))
+    out.append(("EOF", ""))
+    return out
+
+
+# ------------------------------------------------------------------ #
+# parser
+# ------------------------------------------------------------------ #
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token plumbing ------------------------------------------------
+    def peek(self, ahead: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def eat(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise SparqlError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def at(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        return k == kind and (val is None or v == val)
+
+    def take(self, kind: str, val: str | None = None) -> bool:
+        if self.at(kind, val):
+            self.next()
+            return True
+        return False
+
+    # -- terms ----------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx in self.prefixes:
+            return self.prefixes[pfx] + local
+        return pname  # undeclared: the store's term is the CURIE text
+
+    def term(self, *, allow_var: bool = True,
+             allow_literal: bool = True) -> str:
+        k, v = self.next()
+        if k == "VAR" and allow_var:
+            return "?" + v[1:]
+        if k == "IRI":
+            return v[1:-1]
+        if k == "PNAME":
+            return self._expand_pname(v)
+        if k == "KW" and v == "A":
+            return RDF_TYPE
+        if k == "STRING" and allow_literal:
+            if self.at("OP", "^") and self.peek(1) == ("OP", "^"):
+                raise SparqlUnsupported(
+                    "typed literals in patterns: the term model "
+                    "stores the lexical form — match on it")
+            return _unquote(v)
+        if k == "NUM" and allow_literal:
+            return v
+        raise SparqlError(f"unexpected term {v!r}")
+
+    # -- property paths --------------------------------------------------
+    def _path_primary(self):
+        if self.at("VAR"):  # variable predicate: a plain pattern term
+            return ("pred", "?" + self.next()[1][1:])
+        if self.take("OP", "!"):
+            self.eat("OP", "(")
+            preds = [self.term(allow_var=False, allow_literal=False)]
+            while self.take("OP", "|"):
+                preds.append(self.term(allow_var=False,
+                                       allow_literal=False))
+            self.eat("OP", ")")
+            return ("neg", preds)
+        if self.take("OP", "("):
+            p = self.path()
+            self.eat("OP", ")")
+            return p
+        return ("pred", self.term(allow_var=False, allow_literal=False))
+
+    def _path_elt(self):
+        inv = self.take("OP", "^")
+        p = self._path_primary()
+        mod = None
+        for op, name in (("+", "plus"), ("*", "star"), ("?", "opt")):
+            if self.at("OP", op):
+                self.next()
+                mod = name
+                break
+        if (inv or mod) and p[0] != "pred":
+            raise SparqlUnsupported(
+                "path modifiers on grouped/negated paths")
+        if inv and mod:
+            raise SparqlUnsupported("combined ^ and +/*/? on one step")
+        if inv:
+            return ("inv", p[1])
+        if mod:
+            return (mod, p[1])
+        return p
+
+    def path(self):
+        seq = [self._path_elt()]
+        while self.at("OP", "/"):
+            self.next()
+            seq.append(self._path_elt())
+        if len(seq) > 1:
+            if any(e[0] != "pred" for e in seq):
+                raise SparqlUnsupported("modifiers inside sequence paths")
+            seq = [("seq", [e[1] for e in seq])]
+        alt = seq[0]
+        alts = [alt]
+        while self.at("OP", "|"):
+            self.next()
+            nxt = self._path_elt()
+            alts.append(nxt)
+        if len(alts) > 1:
+            if any(e[0] != "pred" for e in alts):
+                raise SparqlUnsupported(
+                    "modifiers inside alternative paths")
+            return ("alt", [e[1] for e in alts])
+        return alt
+
+    # -- variables / select clause ---------------------------------------
+    def var(self) -> str:
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlError(f"expected variable, got {v!r}")
+        return v[1:]
+
+    _AGG = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
+
+    def select_item(self):
+        if self.at("VAR"):
+            return ("var", self.var())
+        self.eat("OP", "(")
+        k, fn = self.next()
+        if k != "NAME" or fn.upper() not in self._AGG:
+            raise SparqlUnsupported(f"projection expression {fn!r}")
+        fn = fn.upper()
+        self.eat("OP", "(")
+        distinct = self.take("KW", "DISTINCT")
+        if self.take("OP", "*"):
+            arg = "*"
+        else:
+            arg = self.var()
+        sep = " "
+        if fn == "GROUP_CONCAT" and self.take("OP", ";"):
+            k, v = self.next()  # SEPARATOR
+            if not (k == "NAME" and v.upper() == "SEPARATOR"):
+                raise SparqlError("expected SEPARATOR")
+            self.eat("OP", "=")
+            sep = _unquote(self.eat("STRING"))
+        self.eat("OP", ")")
+        self.eat("KW", "AS")
+        alias = self.var()
+        self.eat("OP", ")")
+        return ("agg", fn, distinct, arg, alias, sep)
+
+    # -- expressions (FILTER / BIND / HAVING) -> Spark SQL ----------------
+    _FUNCS = {
+        "STRLEN": "length({0})", "LCASE": "lower({0})",
+        "UCASE": "upper({0})", "STR": "{0}", "ABS": "abs({0})",
+        "CEIL": "ceil({0})", "FLOOR": "floor({0})",
+        "ROUND": "round({0})", "BOUND": "({0} IS NOT NULL)",
+        "STRSTARTS": "startswith({0}, {1})",
+        "STRENDS": "endswith({0}, {1})",
+        "CONTAINS": "contains({0}, {1})",
+    }
+
+    def expr(self) -> str:
+        out = self._expr_and()
+        while self.take("OP", "||"):
+            out = f"({out} OR {self._expr_and()})"
+        return out
+
+    def _expr_and(self) -> str:
+        out = self._expr_not()
+        while self.take("OP", "&&"):
+            out = f"({out} AND {self._expr_not()})"
+        return out
+
+    def _expr_not(self) -> str:
+        if self.take("OP", "!"):
+            return f"(NOT {self._expr_not()})"
+        return self._expr_rel()
+
+    def _expr_rel(self) -> str:
+        left = self._expr_add()
+        for op, sql in (("=", "="), ("!=", "<>"), ("<=", "<="),
+                        (">=", ">="), ("<", "<"), (">", ">")):
+            if self.at("OP", op):
+                self.next()
+                return f"({left} {sql} {self._expr_add()})"
+        neg = False
+        if self.at("KW", "NOT") and self.peek(1) == ("KW", "IN"):
+            self.next()
+            neg = True
+        if self.take("KW", "IN"):
+            self.eat("OP", "(")
+            items = [self._expr_add()]
+            while self.take("OP", ","):
+                items.append(self._expr_add())
+            self.eat("OP", ")")
+            return (f"({left} {'NOT ' if neg else ''}IN "
+                    f"({', '.join(items)}))")
+        return left
+
+    def _expr_add(self) -> str:
+        out = self._expr_mul()
+        while self.at("OP", "+") or self.at("OP", "-"):
+            _, op = self.next()
+            out = f"({out} {op} {self._expr_mul()})"
+        return out
+
+    def _expr_mul(self) -> str:
+        out = self._expr_prim()
+        while self.at("OP", "*") or self.at("OP", "/"):
+            _, op = self.next()
+            out = f"({out} {op} {self._expr_prim()})"
+        return out
+
+    def _expr_prim(self) -> str:
+        k, v = self.peek()
+        if k == "OP" and v == "(":
+            self.next()
+            out = self.expr()
+            self.eat("OP", ")")
+            return f"({out})"
+        if k == "VAR":
+            self.next()
+            name = v[1:]
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise SparqlError(f"unmappable variable name {name!r}")
+            return name
+        if k == "NUM":
+            self.next()
+            return v
+        if k == "STRING":
+            self.next()
+            return _sql_str(_unquote(v))
+        if k == "KW" and v in ("TRUE", "FALSE"):
+            self.next()
+            return v.lower()
+        if k == "IRI" or k == "PNAME":
+            self.next()
+            iri = v[1:-1] if k == "IRI" else self._expand_pname(v)
+            return _sql_str(iri)
+        if k == "NAME" and v.upper() == "REGEX":
+            self.next()
+            self.eat("OP", "(")
+            target = self.expr()
+            self.eat("OP", ",")
+            pat = _unquote(self.eat("STRING"))
+            flags = ""
+            if self.take("OP", ","):
+                flags = _unquote(self.eat("STRING"))
+            self.eat("OP", ")")
+            if "i" in flags:
+                pat = "(?i)" + pat
+            return f"({target} RLIKE {_sql_str(pat)})"
+        if k == "NAME" and v.upper() in self._FUNCS:
+            self.next()
+            tmpl = self._FUNCS[v.upper()]
+            self.eat("OP", "(")
+            args = [self.expr()]
+            while self.take("OP", ","):
+                args.append(self.expr())
+            self.eat("OP", ")")
+            return tmpl.format(*args)
+        raise SparqlUnsupported(f"expression token {v!r}")
+
+    # -- group graph pattern ----------------------------------------------
+    def group(self) -> dict:
+        """Parse ``{ ... }`` into the executable group description."""
+        self.eat("OP", "{")
+        g = {"patterns": [], "optionals": [], "filters": [],
+             "exists": [], "minus": [], "values": None, "binds": [],
+             "union": None}
+        while not self.at("OP", "}"):
+            if self.take("KW", "OPTIONAL"):
+                sub = self.group()
+                _require_simple(sub, "OPTIONAL", filters_ok=False)
+                g["optionals"].extend(sub["patterns"])
+            elif self.take("KW", "FILTER"):
+                if self.at("KW", "EXISTS") or (
+                        self.at("KW", "NOT")
+                        and self.peek(1) == ("KW", "EXISTS")):
+                    negate = self.take("KW", "NOT")
+                    self.eat("KW", "EXISTS")
+                    sub = self.group()
+                    _require_simple(sub, "EXISTS", filters_ok=False)
+                    g["exists"].append((negate, sub["patterns"]))
+                else:
+                    self.eat("OP", "(")
+                    g["filters"].append(self.expr())
+                    self.eat("OP", ")")
+            elif self.take("KW", "MINUS"):
+                sub = self.group()
+                _require_simple(sub, "MINUS", filters_ok=False)
+                g["minus"].append(sub["patterns"])
+            elif self.take("KW", "BIND"):
+                self.eat("OP", "(")
+                e = self.expr()
+                self.eat("KW", "AS")
+                g["binds"].append((self.var(), e))
+                self.eat("OP", ")")
+            elif self.take("KW", "VALUES"):
+                g["values"] = self._values()
+            elif self.at("OP", "{"):
+                g["union"] = self._union_chain()
+            else:
+                self._triples_block(g["patterns"])
+            self.take("OP", ".")
+        self.eat("OP", "}")
+        if g["union"] is not None and (g["patterns"] or g["optionals"]
+                                       or g["minus"] or g["exists"]
+                                       or g["values"]):
+            raise SparqlUnsupported(
+                "UNION mixed with sibling patterns in one group — "
+                "wrap the query as nested groups instead")
+        return g
+
+    def _union_chain(self) -> list[dict]:
+        branches = [self.group()]
+        while self.take("KW", "UNION"):
+            branches.append(self.group())
+        for b in branches:
+            if (b["union"] or b["minus"] or b["exists"] or b["values"]
+                    or b["binds"]):
+                raise SparqlUnsupported(
+                    "UNION branches support patterns, OPTIONAL and "
+                    "FILTER only")
+        return branches
+
+    def _values(self):
+        if self.at("VAR"):
+            names = [self.var()]
+            self.eat("OP", "{")
+            rows = []
+            while not self.at("OP", "}"):
+                rows.append((self._values_cell(),))
+            self.eat("OP", "}")
+            return (names, rows)
+        self.eat("OP", "(")
+        names = []
+        while not self.at("OP", ")"):
+            names.append(self.var())
+        self.eat("OP", ")")
+        self.eat("OP", "{")
+        rows = []
+        while not self.at("OP", "}"):
+            self.eat("OP", "(")
+            row = []
+            while not self.at("OP", ")"):
+                row.append(self._values_cell())
+            self.eat("OP", ")")
+            rows.append(tuple(row))
+        self.eat("OP", "}")
+        return (names, rows)
+
+    def _values_cell(self):
+        if self.take("KW", "UNDEF"):
+            return None
+        return self.term(allow_var=False)
+
+    def _triples_block(self, patterns: list):
+        subj = self.term()
+        while True:
+            path = self.path()
+            while True:
+                obj = self.term()
+                patterns.append((subj, path, obj))
+                if not self.take("OP", ","):
+                    break
+            if not self.take("OP", ";"):
+                break
+            if self.at("OP", ".") or self.at("OP", "}"):
+                break  # trailing ';'
+
+
+def _require_simple(group: dict, where: str, filters_ok: bool = True):
+    bad = (group["union"] or group["optionals"] or group["minus"]
+           or group["exists"] or group["values"] or group["binds"]
+           or (group["filters"] and not filters_ok))
+    if bad:
+        raise SparqlUnsupported(f"only plain triple patterns inside "
+                                f"{where} groups")
+
+
+def _unquote(tok: str) -> str:
+    body = tok[1:-1]
+    return re.sub(r"\\(.)",
+                  lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
+                      m.group(1), m.group(1)), body)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ------------------------------------------------------------------ #
+# query forms
+# ------------------------------------------------------------------ #
+
+def parse(text: str) -> dict:
+    """Parse SPARQL text into the executable query description."""
+    p = _Parser(text)
+    while p.take("KW", "PREFIX"):
+        pname = p.eat("PNAME")
+        iri = p.eat("IRI")[1:-1]
+        p.prefixes[pname[:-1] if pname.endswith(":")
+                   else pname.partition(":")[0]] = iri
+    k, v = p.peek()
+    if v == "SELECT":
+        q = _parse_select(p)
+    elif v == "ASK":
+        p.next()
+        q = {"form": "ask", "where": p.group()}
+    elif v == "CONSTRUCT":
+        p.next()
+        tpl_group = p.group()
+        _require_simple(tpl_group, "CONSTRUCT templates",
+                        filters_ok=False)
+        p.eat("KW", "WHERE")
+        q = {"form": "construct", "template": tpl_group["patterns"],
+             "where": p.group()}
+    elif v == "DESCRIBE":
+        p.next()
+        nodes = []
+        while p.at("IRI") or p.at("PNAME"):
+            nodes.append(p.term(allow_var=False, allow_literal=False))
+        if not nodes:
+            raise SparqlUnsupported("DESCRIBE needs explicit IRIs "
+                                    "(variable DESCRIBE unsupported)")
+        q = {"form": "describe", "nodes": nodes}
+    else:
+        raise SparqlError(f"expected a query form, got {v!r}")
+    if not p.at("EOF"):
+        raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
+    return q
+
+
+def _parse_select(p: _Parser) -> dict:
+    p.eat("KW", "SELECT")
+    distinct = p.take("KW", "DISTINCT")
+    if p.take("KW", "REDUCED"):
+        pass  # REDUCED permits (does not require) dedup; plain is valid
+    items, star = [], False
+    if p.take("OP", "*"):
+        star = True
+    else:
+        while p.at("VAR") or p.at("OP", "("):
+            items.append(p.select_item())
+        if not items:
+            raise SparqlError("empty SELECT clause")
+    p.take("KW", "WHERE")
+    where = p.group()
+    group_by: list[str] = []
+    having = None
+    order_by: list[str] = []
+    limit = offset = None
+    if p.take("KW", "GROUP"):
+        p.eat("KW", "BY")
+        while p.at("VAR"):
+            group_by.append(p.var())
+    if p.take("KW", "HAVING"):
+        p.eat("OP", "(")
+        having = p.expr()
+        p.eat("OP", ")")
+    if p.take("KW", "ORDER"):
+        p.eat("KW", "BY")
+        while True:
+            if p.take("KW", "DESC"):
+                p.eat("OP", "(")
+                order_by.append("-" + p.var())
+                p.eat("OP", ")")
+            elif p.take("KW", "ASC"):
+                p.eat("OP", "(")
+                order_by.append(p.var())
+                p.eat("OP", ")")
+            elif p.at("VAR"):
+                order_by.append(p.var())
+            else:
+                break
+    if p.take("KW", "LIMIT"):
+        limit = int(p.eat("NUM"))
+    if p.take("KW", "OFFSET"):
+        offset = int(p.eat("NUM"))
+    return {"form": "select", "star": star, "items": items,
+            "distinct": distinct, "where": where, "group_by": group_by,
+            "having": having, "order_by": order_by, "limit": limit,
+            "offset": offset}
+
+
+# ------------------------------------------------------------------ #
+# execution
+# ------------------------------------------------------------------ #
+
+def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
+    """Rewrite non-plain path predicates to virtual predicates and
+    union their materialized edges into the working frame (the same
+    composition the path operators document)."""
+    counter = [0]
+    extra = []
+
+    def virt(path) -> str:
+        kind = path[0]
+        counter[0] += 1
+        name = f"__path{counter[0]}"
+        if kind == "plus":
+            extra.append(G.path_closure(triples, path[1], out_pred=name))
+        elif kind == "star":
+            extra.append(G.path_zero_or_more(triples, path[1],
+                                             out_pred=name))
+        elif kind == "opt":
+            extra.append(G.path_zero_or_one(triples, path[1], name))
+        elif kind == "inv":
+            extra.append(G.path_inverse(triples, path[1], name))
+        elif kind == "seq":
+            extra.append(G.path_seq(triples, path[1], name))
+        elif kind == "alt":
+            extra.append(G.path_alt(triples, path[1], name))
+        elif kind == "neg":
+            extra.append(G.path_negated(triples, path[1], name))
+        else:  # pragma: no cover
+            raise SparqlUnsupported(f"path kind {kind}")
+        return name
+
+    def rewrite(patterns):
+        out = []
+        for s, path, o in patterns:
+            if isinstance(path, tuple):
+                pred = path[1] if path[0] == "pred" else virt(path)
+            else:  # already a plain string (template positions)
+                pred = path
+            out.append((s, pred, o))
+        return out
+
+    for g in groups:
+        g["patterns"] = rewrite(g["patterns"])
+        g["optionals"] = rewrite(g["optionals"])
+        g["minus"] = [rewrite(m) for m in g["minus"]]
+        g["exists"] = [(n, rewrite(e)) for n, e in g["exists"]]
+    base = triples.select("subj", "pred", "obj")
+    for e in extra:
+        base = base.unionByName(e)
+    return base
+
+
+def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if g["union"] is not None:
+        t = _expand_paths(triples, [g] + g["union"])
+        sols = G.bgp_union(t, [
+            {"patterns": b["patterns"],
+             "optional": b["optionals"] or None,
+             "filters": b["filters"] or None}
+            for b in g["union"]])
+        for var, e in g["binds"]:
+            sols = G.bind(sols, var, e)
+        for e in g["filters"]:
+            sols = sols.filter(F.expr(e))
+        return sols
+
+    t = _expand_paths(triples, [g])
+    if not g["patterns"]:
+        raise SparqlUnsupported("empty WHERE group")
+    if g["values"] is not None:
+        names, rows = g["values"]
+        sols = G.bgp_values(t, g["patterns"], names, rows,
+                            optional=g["optionals"] or None,
+                            filters=g["filters"] or None)
+    else:
+        sols = G.bgp_match(t, g["patterns"],
+                           optional=g["optionals"] or None,
+                           filters=g["filters"] or None)
+    for negate, patterns in g["exists"]:
+        grp = G.bgp_match(t, patterns)
+        shared = sorted(set(sols.columns) & set(grp.columns))
+        if shared:  # same join bgp_exists plans
+            sols = sols.join(grp.select(*shared).dropDuplicates(),
+                             shared, "left_anti" if negate
+                             else "left_semi")
+        else:
+            flag = grp.limit(1).select(F.lit(1).alias("_k"))
+            sols = (sols.withColumn("_k", F.lit(1))
+                    .join(F.broadcast(flag), "_k",
+                          "left_anti" if negate else "left_semi")
+                    .drop("_k"))
+    for patterns in g["minus"]:
+        neg = G.bgp_match(t, patterns)
+        shared = sorted(set(sols.columns) & set(neg.columns))
+        if not shared:
+            continue  # SPARQL: disjoint MINUS removes nothing
+        sols = sols.join(neg.select(*shared).dropDuplicates(), shared,
+                         "left_anti")
+    for var, e in g["binds"]:
+        sols = G.bind(sols, var, e)
+    return sols
+
+
+_AGG_KIND = {"COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min",
+             "MAX": "max", "SAMPLE": "sample",
+             "GROUP_CONCAT": "group_concat"}
+
+
+def sparql(triples: DataFrame, text: str) -> DataFrame:
+    """Execute SPARQL text over a ``(subj, pred, obj)`` frame.
+
+    SELECT returns one column per projected variable; ASK returns a
+    1-row boolean ``result`` frame; CONSTRUCT/DESCRIBE return triple
+    frames.  All laziness and plan shapes are the underlying
+    operators'.
+    """
+    from pyspark.sql import functions as F
+
+    q = parse(text)
+    if q["form"] == "ask":
+        sols = _solve_group(triples, q["where"])
+        return sols.limit(1).agg(
+            (F.count(F.lit(1)) > 0).alias("result"))
+    if q["form"] == "describe":
+        return G.describe(triples, q["nodes"])
+    if q["form"] == "construct":
+        g = q["where"]
+        if (g["union"] or g["minus"] or g["exists"] or g["values"]
+                or g["binds"]):
+            raise SparqlUnsupported(
+                "CONSTRUCT WHERE supports patterns, OPTIONAL and "
+                "FILTER only")
+        t = _expand_paths(triples, [g])
+        template = []
+        for s, p, o in q["template"]:
+            if isinstance(p, tuple):
+                if p[0] != "pred":
+                    raise SparqlUnsupported(
+                        "paths in CONSTRUCT templates")
+                p = p[1]
+            template.append((s, p, o))
+        return G.construct(t, g["patterns"], template,
+                           optional=g["optionals"] or None,
+                           filters=g["filters"] or None)
+
+    sols = _solve_group(triples, q["where"])
+    aggs = [it for it in q["items"] if it[0] == "agg"]
+    plain = [it[1] for it in q["items"] if it[0] == "var"]
+    if aggs or q["group_by"]:
+        if q["star"]:
+            raise SparqlUnsupported("SELECT * with GROUP BY")
+        stray = [v for v in plain if v not in q["group_by"]]
+        if stray:
+            raise SparqlError(
+                f"SELECT variables {stray} not in GROUP BY")
+        spec = {}
+        for _, fn, distinct, arg, alias, sep in aggs:
+            kind = _AGG_KIND[fn]
+            if fn == "COUNT" and distinct:
+                kind = "count_distinct"
+            elif distinct:
+                raise SparqlUnsupported(f"DISTINCT inside {fn}")
+            spec[alias] = ((kind, arg, sep) if kind == "group_concat"
+                           else (kind, arg))
+        sols = G.solution_agg(sols, q["group_by"], spec,
+                              having=q["having"])
+        project = [v for v in (plain + [a[4] for a in aggs])]
+    else:
+        if q["having"]:
+            raise SparqlError("HAVING without aggregation")
+        project = None if q["star"] else plain
+    return G.select_solutions(
+        sols, order_by=q["order_by"] or None, limit=q["limit"],
+        offset=q["offset"] or 0, distinct=q["distinct"],
+        project=project)

@@ -1309,6 +1309,41 @@ def _geo_triples(spark, sf_dir):
             .unionByName(t5))
 
 
+def q_sparql_select(spark, sf_dir):
+    """The SPARQL *text* surface end-to-end — parser -> BGP planner ->
+    FILTER NOT EXISTS -> aggregation -> modifiers — over the geo KG
+    (rdflib consumers run exactly this string form via Graph.query;
+    the reference returns rdflib Graphs precisely so they can,
+    pyRdfa/__init__.py)."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?name (COUNT(?s) AS ?n_sup) WHERE {{
+          ?s ex:locatedIn ?n .
+          ?n ex:memberOf ?r ; ex:name ?name .
+          ?r a ex:Region .
+          FILTER NOT EXISTS {{ ?r ex:comment ?c }}
+        }}
+        GROUP BY ?name
+        ORDER BY DESC(?n_sup) ?name
+        LIMIT 10
+    """)
+
+
+# regions carry ex:comment only for even regionkeys (_geo_triples), so
+# FILTER NOT EXISTS keeps exactly the odd-key regions' nations
+SQL_SPARQL_SELECT = """
+WITH odd AS (SELECT r_regionkey FROM region WHERE r_regionkey % 2 <> 0),
+nat AS (SELECT n_nationkey, n_name FROM nation
+        JOIN odd ON nation.n_regionkey = odd.r_regionkey)
+SELECT nat.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
+FROM supplier s JOIN nat ON s.s_nationkey = nat.n_nationkey
+GROUP BY nat.n_name
+ORDER BY n_sup DESC, name LIMIT 10
+"""
+
+
 def q_bgp_match(spark, sf_dir):
     """4-pattern star-path BGP over the geo KG: which supplier sits in
     which named nation of which typed region."""
@@ -3247,6 +3282,7 @@ QUERIES = {
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
+    "sparql_select": q_sparql_select,
     "bgp_match": q_bgp_match,
     "bgp_optional": q_bgp_optional,
     "graph_diff": q_graph_diff,
@@ -3347,6 +3383,7 @@ def oracles() -> dict[str, str]:
         "transitive_closure": SQL_TRANSITIVE_CLOSURE,
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
+        "sparql_select": SQL_SPARQL_SELECT,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,
