@@ -2252,6 +2252,37 @@ def q_nt_serialize(spark, sf_dir):
     return to_ntriples(_nation_graph(spark, sf_dir))
 
 
+def q_nt_roundtrip(spark, sf_dir):
+    """Sink -> source identity: serialize the every-term-shape fixture
+    graph to N-Triples lines and parse it back with the distributed
+    scan-side reader (sources/ntriples.py) — the full interchange loop
+    a lake runs when re-ingesting dumps.  The oracle is the fixture's
+    closed form: a correct round-trip is the identity."""
+    from pyrdfa3_spark.plans.serialize import to_ntriples
+    from pyrdfa3_spark.sources.ntriples import parse_ntriples
+
+    return parse_ntriples(to_ntriples(_nation_graph(spark, sf_dir)))
+
+
+SQL_NT_ROUNDTRIP = """
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'urn:p:name' AS pred,
+       n_name || ' says "hi"' || chr(10) AS obj,
+       FALSE AS obj_is_iri, 'en' AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM nation
+UNION ALL
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:key',
+       CAST(n_nationkey AS VARCHAR), FALSE, NULL,
+       'http://www.w3.org/2001/XMLSchema#integer'
+FROM nation
+UNION ALL
+SELECT '_:bn' || CAST(n_nationkey AS VARCHAR), 'urn:p:in',
+       'urn:region:R' || CAST(n_regionkey AS VARCHAR), TRUE, NULL, NULL
+FROM nation
+"""
+
+
 def q_jsonld_serialize(spark, sf_dir):
     """JSON-LD lines sink (S6): one flat node object per subject.
     Round-trip-tested in tests/test_serialize.py; byte-exact string-
@@ -3311,6 +3342,7 @@ QUERIES = {
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
+    "nt_roundtrip": q_nt_roundtrip,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "jsonld_compact": q_jsonld_compact,
@@ -3412,6 +3444,7 @@ def oracles() -> dict[str, str]:
         "bm25": SQL_BM25,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
+        "nt_roundtrip": SQL_NT_ROUNDTRIP,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "jsonld_compact": SQL_JSONLD_COMPACT,

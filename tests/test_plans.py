@@ -184,6 +184,28 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
     assert "Window" not in simple, simple
 
 
+def test_ntriples_reader_plan_scan_side(spark, tmp_path):
+    """The N-Triples parse must be pure scan-side column algebra: no
+    shuffle, no Python boundary, no join — a 100 TB dump parses at
+    scan speed or the reader is wrong."""
+    from pyrdfa3_spark.plans.serialize import write_ntriples
+    from pyrdfa3_spark.sources.ntriples import read_ntriples
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    triples = df.selectExpr(
+        "concat('urn:n:', n_nationkey) AS subj",
+        "'urn:p:name' AS pred", "n_name AS obj",
+        "false AS obj_is_iri",
+        "CAST(NULL AS string) AS obj_lang",
+        "CAST(NULL AS string) AS obj_datatype")
+    path = str(tmp_path / "dump.nt")
+    write_ntriples(triples, path)
+    simple = _plan(read_ntriples(spark, path), mode="simple")
+    assert "Exchange" not in simple, simple
+    assert "MapInArrow" not in simple and "MapInPandas" not in simple
+    assert "Join" not in simple, simple
+
+
 def test_kg_query_plans(spark, tmp_path):
     """BGP joins must be hash joins (never cartesian) and, over a
     parquet-backed triple store, the constant pattern positions must
