@@ -251,6 +251,73 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
                  .alias("log_weight")))
 
 
+def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
+                  alpha: float = 0.1,
+                  vocab_buckets: int = 4096) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — documents are ranked by LM perplexity and the worst tail is
+    dropped): a hashed-bigram model with add-``alpha`` smoothing is
+    fitted on ``lm_docs`` (default: the corpus itself) and every
+    document scored by its per-token negative log-likelihood.  Output:
+    ``(doc_id, nll)`` — higher = less language-like = drop candidate
+    (monotone in perplexity; the exp is left to callers so the oracle
+    compares one fewer float op).
+
+    Model: P(w_i | w_{i-1}) = (c(b(w_{i-1}, w_i)) + alpha) /
+    (c(b(w_{i-1})) + alpha * vocab_buckets), over hash buckets (the
+    hashing trick keeps both model tables at ``vocab_buckets``-bounded
+    dimension size, exactly like :func:`dsir_weights`).
+
+    Scale shape: two map-side-partial count aggregations build the
+    model dims; scoring joins them back broadcast and sums per
+    document.  Same cross-engine float discipline as
+    :func:`dsir_weights`: log terms round to 9 places, the per-doc sum
+    runs in DECIMAL, the mean divides at the end.
+    """
+    def ln9(col):
+        return F.round(F.log(col.cast("double")), 9)
+
+    model_src = docs if lm_docs is None else lm_docs
+
+    def bigram_rows(frame: DataFrame) -> DataFrame:
+        toks = _word_tokens(F.col("text"))
+        bi = F.filter(
+            F.zip_with(toks, F.slice(toks, 2, F.size(toks)),
+                       lambda a, b: F.concat_ws("\x1f", a, b)),
+            lambda x: x.contains("\x1f"))
+        return (frame
+                .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        bi.alias("bs"))
+                .filter(F.size("bs") > 0)
+                .select("doc_id", F.explode("bs").alias("bg"))
+                .select("doc_id",
+                        (_hash32(F.substring_index("bg", "\x1f", 1))
+                         % vocab_buckets).alias("h1"),
+                        (_hash32(F.col("bg")) % vocab_buckets)
+                        .alias("h2")))
+
+    model = bigram_rows(model_src)
+    ctx_cnt = (model.groupBy("h1").agg(F.count("*").alias("c1")))
+    big_cnt = (model.groupBy("h1", "h2")
+               .agg(F.count("*").alias("c2")))
+
+    scored = bigram_rows(docs).groupBy("doc_id", "h1", "h2") \
+        .agg(F.count("*").cast("bigint").alias("c"))
+    # smoothing covers bigrams (and contexts) the LM never saw, so the
+    # two model dims join LEFT and coalesce to zero counts
+    lp = (ln9(F.coalesce(F.col("c2"), F.lit(0)) + alpha)
+          - ln9(F.coalesce(F.col("c1"), F.lit(0))
+                + alpha * vocab_buckets))
+    return (scored
+            .join(F.broadcast(big_cnt), ["h1", "h2"], "left")
+            .join(F.broadcast(ctx_cnt), ["h1"], "left")
+            .groupBy("doc_id")
+            .agg(F.round(
+                -F.sum((F.col("c") * lp).cast("decimal(38,12)"))
+                .cast("double") / F.sum("c"), 4).alias("nll")))
+
+
 def _length_stratum(bounds: tuple[int, int]) -> F.Column:
     return (F.when(F.length("text") < bounds[0], "short")
             .when(F.length("text") < bounds[1], "medium")

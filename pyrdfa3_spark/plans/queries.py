@@ -730,6 +730,48 @@ FROM rb JOIN lrs l ON rb.b = l.b GROUP BY rb.doc_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-document negative
+    log-likelihood under a hashed-bigram model fitted on the corpus
+    itself (the in-domain form; a curation run drops the worst tail)."""
+    from pyrdfa3_spark.operators.curation import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"),
+                         alpha=0.1, vocab_buckets=4096)
+
+
+def _sql_lm_perplexity(alpha: float = 0.1, vb: int = 4096) -> str:
+    # CAST(.. AS DOUBLE) on the smoothing constants so DuckDB computes
+    # the same IEEE sums Spark does (decimal literals would round once
+    # more); ln rounds to 9 places, the doc sum runs in DECIMAL —
+    # the module's standard float discipline
+    a = f"CAST({alpha} AS DOUBLE)"
+    return f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     regexp_split_to_array({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+bg AS (SELECT doc_id, t[CAST(i AS INT)] AS w1,
+              t[CAST(i AS INT)] || chr(31) || t[CAST(i + 1 AS INT)] AS w12
+       FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       WHERE len(t) >= 2),
+h AS (SELECT doc_id, {_sql_h32('w1')} % {vb} AS h1,
+             {_sql_h32('w12')} % {vb} AS h2 FROM bg),
+ctx AS (SELECT h1, count(*) AS c1 FROM h GROUP BY h1),
+big AS (SELECT h1, h2, count(*) AS c2 FROM h GROUP BY h1, h2),
+sc AS (SELECT doc_id, h1, h2, CAST(count(*) AS BIGINT) AS c
+       FROM h GROUP BY 1, 2, 3),
+lps AS (SELECT sc.doc_id, sc.c,
+               round(ln(coalesce(big.c2, 0) + {a}), 9)
+             - round(ln(coalesce(ctx.c1, 0) + {a} * {vb}), 9) AS lp
+        FROM sc LEFT JOIN big ON sc.h1 = big.h1 AND sc.h2 = big.h2
+                LEFT JOIN ctx ON sc.h1 = ctx.h1)
+SELECT doc_id,
+       round(CAST(-sum(CAST(c * lp AS DECIMAL(38,12))) AS DOUBLE)
+             / sum(c), 4) AS nll
+FROM lps GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # similarity (embeddings)
 # --------------------------------------------------------------------- #
@@ -3297,6 +3339,7 @@ QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "duplicate_spans": q_duplicate_spans,
     "dsir_weights": q_dsir_weights,
+    "lm_perplexity": q_lm_perplexity,
     "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3399,6 +3442,7 @@ def oracles() -> dict[str, str]:
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "dsir_weights": _sql_dsir_weights(),
+        "lm_perplexity": _sql_lm_perplexity(),
         "semantic_dedup": _sql_semantic_dedup(),
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,

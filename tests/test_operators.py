@@ -977,6 +977,48 @@ def test_dsir_weights_matches_python(spark):
     assert min(got[1], got[3]) > max(got[2], got[4])
 
 
+def test_lm_perplexity_matches_python(spark):
+    """Independent model: hashed-bigram LM with add-alpha smoothing;
+    a repeated in-domain sentence must score lower NLL than a one-off
+    word-salad document under the self-trained LM."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from pyrdfa3_spark.operators.curation import lm_perplexity
+
+    def h32(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
+
+    texts = {1: "the cat sat on the mat", 2: "the cat sat on the rug",
+             3: "zq vx blorp nnng kwep", 4: "the cat sat on the mat"}
+    B, A = 256, 0.5
+
+    def bigrams(text):
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        return [(h32(a, B), h32(f"{a}\x1f{b}", B))
+                for a, b in zip(toks, toks[1:])]
+
+    ctx = Counter(h for t in texts.values() for h, _ in bigrams(t))
+    big = Counter(hb for t in texts.values() for hb in bigrams(t))
+
+    def nll(text):
+        bs = bigrams(text)
+        s = sum(round(math.log(big[hb] + A), 9)
+                - round(math.log(ctx[hb[0]] + A * B), 9) for hb in bs)
+        return round(-s / len(bs), 4)
+
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll"]
+           for r in lm_perplexity(docs, alpha=A,
+                                  vocab_buckets=B).collect()}
+    for d, t in texts.items():
+        assert got[d] == pytest.approx(nll(t), abs=2e-4), (d, got)
+    assert got[3] > max(got[1], got[2], got[4])  # word salad ranks worst
+
+
 def test_repetition_metrics_matches_python(spark):
     import re
     from collections import Counter

@@ -183,6 +183,12 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
     assert "CartesianProduct" not in simple, simple
     assert "Window" not in simple, simple
 
+    from pyrdfa3_spark.operators.curation import lm_perplexity
+
+    plan = _plan(lm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan, plan  # model dims broadcast
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
 
 def test_ntriples_reader_plan_scan_side(spark, tmp_path):
     """The N-Triples parse must be pure scan-side column algebra: no
