@@ -986,6 +986,51 @@ def describe(triples: DataFrame, nodes: list[str],
         "raise max_hops")
 
 
+def bfs_distances(edges: DataFrame, sources: list[str],
+                  max_hops: int = 20) -> DataFrame:
+    """Multi-source BFS over directed ``(src, dst)`` edges: for every
+    reachable node, the fewest hops from ANY source — the "within k
+    hops of these entities" neighborhood query KG curation runs to
+    scope subgraphs around seed entities.  Output: ``(node, dist)``
+    with sources at distance 0.
+
+    Scale shape: one equi-join shuffle per BFS layer; the frontier is
+    anti-joined against the visited set so a node is expanded exactly
+    once (first reach IS the minimum distance, by layer order), and
+    both frontier and accumulator are lineage-truncated per hop.  Seed
+    neighborhoods are usually small, so Catalyst/AQE broadcast the
+    frontier side.  Raises when the frontier is still non-empty after
+    ``max_hops`` — a silently truncated neighborhood would drop
+    exactly the boundary the query asked for.
+    """
+    if not sources:
+        raise ValueError("bfs_distances needs at least one source")
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").dropDuplicates()
+    frontier = spark.createDataFrame(
+        [(n,) for n in sources], ["node"]).dropDuplicates()
+    out = frontier.select("node", F.lit(0).cast("bigint").alias("dist"))
+    for hop in range(1, max_hops + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"))
+               .dropDuplicates()
+               .join(out.select("node"), "node", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            return out
+        out = out.unionByName(
+            nxt.select("node", F.lit(hop).cast("bigint").alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    if not (e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .join(out.select("node"), "node", "left_anti").isEmpty()):
+        raise RuntimeError(
+            f"bfs_distances frontier still expanding after {max_hops} "
+            f"hops; raise max_hops")
+    return out
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Enumerate each triangle of the undirected graph ``(src, dst)``
     exactly once; returns ``(u, v, w)`` with the endpoints in

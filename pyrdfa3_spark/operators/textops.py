@@ -214,3 +214,40 @@ def bm25_score(docs: DataFrame, query_terms: list[str],
         score = score + idf * (tf * (k1 + 1)) / norm
     return scored.select(
         "doc_id", F.round(score, 6).alias("score"))
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Overlapping fixed-window chunking — the context-window prep
+    step every training/RAG pipeline runs before embedding or packing
+    long documents.  Windows of ``chunk_chars`` characters advance by
+    ``chunk_chars - overlap``; the final window is the remainder (never
+    a duplicate full window).  Output: ``(doc_id, chunk_idx, start,
+    chunk_text)`` with 1-based index and character offset, so a chunk
+    maps back to its source span exactly.
+
+    Scale shape: chunk starts are an in-row ``sequence`` and the text
+    slices are ``substring`` over the same row — posexplode is the
+    only fan-out, there is no shuffle and no Python; deterministic
+    under any partitioning.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length("text")
+    n_chunks = F.when(n <= chunk_chars, F.lit(1)).otherwise(
+        F.floor((n - chunk_chars + stride - 1) / stride) + 1)
+    starts = F.sequence(F.lit(1).cast("long"),
+                        ((n_chunks - 1) * stride + 1).cast("long"),
+                        F.lit(stride).cast("long"))
+    return (docs
+            .filter(n > 0)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.col("text"), starts.alias("starts"))
+            .select("doc_id", "text",
+                    F.posexplode("starts").alias("p", "start"))
+            .select("doc_id",
+                    (F.col("p") + 1).cast("bigint").alias("chunk_idx"),
+                    F.col("start").cast("bigint").alias("start"),
+                    F.expr(f"substring(text, start, {chunk_chars})")
+                    .alias("chunk_text")))

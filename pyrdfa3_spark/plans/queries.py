@@ -730,6 +730,61 @@ FROM rb JOIN lrs l ON rb.b = l.b GROUP BY rb.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (200-char windows, 40 overlap) — the
+    pre-embedding / pre-packing split for long documents."""
+    return T.chunk_documents(_t(spark, sf_dir, "documents"),
+                             chunk_chars=200, overlap=40)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  length(text) AS n
+           FROM documents WHERE length(text) > 0),
+s AS (SELECT doc_id, text,
+             CASE WHEN n <= 200 THEN 1
+                  ELSE (n - 200 + 159) // 160 + 1 END AS nc
+      FROM d)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST((i - 1) * 160 + 1 AS BIGINT) AS start,
+       substr(text, CAST((i - 1) * 160 + 1 AS INT), 200) AS chunk_text
+FROM s, unnest(generate_series(1, nc)) AS u(i)
+"""
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS neighborhood: hop distance from every nation
+    node over the nation->region->world edge set (seeds at 0, regions
+    at 1, the world sink at 2)."""
+    from pyrdfa3_spark.operators.graphops import bfs_distances
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    e1 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+        .alias("dst"))
+    e2 = region.select(
+        F.concat(F.lit("R"), F.col("r_regionkey").cast("string"))
+        .alias("src"),
+        F.lit("world").alias("dst"))
+    return bfs_distances(e1.unionByName(e2),
+                         [f"N{k}" for k in range(25)], max_hops=5)
+
+
+SQL_BFS_DISTANCES = """
+SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node,
+       CAST(0 AS BIGINT) AS dist
+FROM nation
+UNION ALL
+SELECT DISTINCT 'R' || CAST(n_regionkey AS VARCHAR), CAST(1 AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'world', CAST(2 AS BIGINT)
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: per-document negative
     log-likelihood under a hashed-bigram model fitted on the corpus
@@ -3340,6 +3395,8 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "dsir_weights": q_dsir_weights,
     "lm_perplexity": q_lm_perplexity,
+    "chunk_documents": q_chunk_documents,
+    "bfs_distances": q_bfs_distances,
     "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3443,6 +3500,8 @@ def oracles() -> dict[str, str]:
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "dsir_weights": _sql_dsir_weights(),
         "lm_perplexity": _sql_lm_perplexity(),
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "bfs_distances": SQL_BFS_DISTANCES,
         "semantic_dedup": _sql_semantic_dedup(),
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,

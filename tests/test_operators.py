@@ -977,6 +977,57 @@ def test_dsir_weights_matches_python(spark):
     assert min(got[1], got[3]) > max(got[2], got[4])
 
 
+def test_chunk_documents_reconstructs(spark):
+    """Every chunk maps back to its exact source span, and stripping
+    the overlap reconstructs the original text; boundary cases: text
+    shorter than a chunk, exact multiple, 1-char remainder."""
+    from pyrdfa3_spark.operators.textops import chunk_documents
+
+    texts = {1: "x" * 5, 2: "".join(chr(97 + i % 26) for i in range(100)),
+             3: "".join(chr(97 + i % 26) for i in range(41)), 4: ""}
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_chars=20, overlap=5)
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["start"],
+                   r["chunk_text"]) for r in out.collect())
+    by_doc: dict = {}
+    for d, idx, start, chunk in rows:
+        assert texts[d][start - 1:start - 1 + 20] == chunk  # exact span
+        by_doc.setdefault(d, []).append((idx, start, chunk))
+    assert 4 not in by_doc                      # empty doc: no chunks
+    assert [i for i, _, _ in by_doc[1]] == [1]  # short doc: one chunk
+    for d, chunks in by_doc.items():
+        rebuilt = chunks[0][2] + "".join(c[5:] for _, _, c in chunks[1:])
+        assert rebuilt == texts[d], d
+    # 100 chars, stride 15: ceil((100-20)/15)+1 = 7 chunks
+    assert len(by_doc[2]) == 7
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=10, overlap=10)
+
+
+def test_bfs_distances_deep_chain_and_convergence(spark):
+    from pyrdfa3_spark.operators.graphops import bfs_distances
+
+    chain = [(f"a{i}", f"a{i + 1}") for i in range(30)]
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    out = {r["node"]: r["dist"]
+           for r in bfs_distances(e, ["a0"], max_hops=35).collect()}
+    assert out == {f"a{i}": i for i in range(31)}
+
+    with pytest.raises(RuntimeError, match="max_hops"):
+        bfs_distances(e, ["a0"], max_hops=5)
+
+    # multi-source: first reach wins = minimum distance over sources
+    out = {r["node"]: r["dist"]
+           for r in bfs_distances(e, ["a0", "a28"], max_hops=35).collect()}
+    assert out["a29"] == 1 and out["a30"] == 2 and out["a10"] == 10
+
+    # max_hops exactly reaching the last node must NOT raise
+    out = {r["node"]: r["dist"]
+           for r in bfs_distances(e, ["a27"], max_hops=3).collect()}
+    assert out == {"a27": 0, "a28": 1, "a29": 2, "a30": 3}
+
+
 def test_lm_perplexity_matches_python(spark):
     """Independent model: hashed-bigram LM with add-alpha smoothing;
     a repeated in-domain sentence must score lower NLL than a one-off
