@@ -156,6 +156,77 @@ def test_parse_errors(kg):
         parse('SELECT ?s WHERE { ?s p:a "x"^^<http://t> }')
 
 
+def test_sparql_text_matches_algebra_differential(spark):
+    """Property test for the parser: random chain-shaped queries are
+    rendered to SPARQL text and executed BOTH through the text
+    front-end and directly through bgp_match/select_solutions — any
+    tokenizer/parser misparse shows up as a solution-set diff."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyrdfa3_spark.operators.graphops import (
+        bgp_match, select_solutions,
+    )
+
+    nodes = [f"n{i}" for i in range(6)]
+    preds = [f"p:{i}" for i in range(3)]
+    rows = [(nodes[(i * 7 + j) % 6], preds[(i + j) % 3],
+             nodes[(i * 3 + 2 * j + 1) % 6])
+            for i in range(6) for j in range(4)]
+    g = spark.createDataFrame(sorted(set(rows)),
+                              ["subj", "pred", "obj"])
+
+    def quote(term: str) -> str:
+        return term if term.startswith("?") else f'"{term}"'
+
+    @settings(max_examples=int(os.environ.get("SPARQL_EXAMPLES", "25")),
+              derandomize=os.environ.get("PARITY_RANDOM") is None,
+              deadline=None)
+    @given(data=st.data())
+    def run(data):
+        # chain of 1-3 patterns: ?v0 p ?v1 . ?v1 p ?v2 ... with random
+        # constant substitutions at the endpoints
+        n = data.draw(st.integers(1, 3))
+        patterns = []
+        for i in range(n):
+            s = f"?v{i}"
+            if i == 0 and data.draw(st.booleans()):
+                s = data.draw(st.sampled_from(nodes))
+            o = f"?v{i + 1}"
+            if i == n - 1 and data.draw(st.booleans()):
+                o = data.draw(st.sampled_from(nodes))
+            patterns.append((s, data.draw(st.sampled_from(preds)), o))
+        variables = sorted({t for p in patterns for t in p
+                            if t.startswith("?")})
+        if not variables:
+            return
+        filters = filter_text = None
+        if data.draw(st.booleans()):
+            v = data.draw(st.sampled_from(variables))
+            c = data.draw(st.sampled_from(nodes))
+            op = data.draw(st.sampled_from(["!=", ">", "<="]))
+            filters = [f"{v[1:]} {'<>' if op == '!=' else op} '{c}'"]
+            filter_text = f'FILTER ({v} {op} "{c}")'
+        distinct = data.draw(st.booleans())
+
+        text = "SELECT " + ("DISTINCT " if distinct else "") \
+            + " ".join(variables) + " WHERE {\n" \
+            + " .\n".join(f"{quote(s)} {p} {quote(o)}"
+                          for s, p, o in patterns) \
+            + (f" .\n{filter_text}" if filter_text else "") + "\n}"
+        got = sorted(tuple(r) for r in sparql(g, text)
+                     .select(*[v[1:] for v in variables]).collect())
+        expect_df = bgp_match(g, patterns, filters=filters)
+        expect_df = select_solutions(expect_df, distinct=distinct,
+                                     project=[v[1:] for v in variables])
+        expect = sorted(tuple(r) for r in expect_df.collect())
+        assert got == expect, text
+
+    run()
+
+
 def test_graph_facade_text_query(spark, kg):
     from pyrdfa3_spark.graph import SparkGraph
 
