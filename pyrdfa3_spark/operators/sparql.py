@@ -243,6 +243,9 @@ class _Parser:
         self.eat("OP", "(")
         distinct = self.take("KW", "DISTINCT")
         if self.take("OP", "*"):
+            if fn != "COUNT":
+                raise SparqlError(f"{fn}(*) is not SPARQL; only COUNT "
+                                  "takes *")
             arg = "*"
         else:
             arg = self.var()
