@@ -730,6 +730,66 @@ FROM rb JOIN lrs l ON rb.b = l.b GROUP BY rb.doc_id
 """
 
 
+def q_training_mix_pipeline(spark, sf_dir):
+    """Flagship training-mix composition, end-to-end in ONE plan:
+    quality filter (length + alpha ratio) -> deterministic stratified
+    downsample -> GPT-style sequence packing, with the stratum carried
+    through to the packed output — the LLM-data twin of
+    kg_pipeline_fixture.  Every stage is the already-oracle-green
+    operator; this query proves they compose."""
+    from pyrdfa3_spark.operators.curation import (
+        pack_sequences, stratified_sample,
+    )
+    from pyrdfa3_spark.operators.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+    kept_ids = (quality_score(docs)
+                .filter(F.col("len_ok") & (F.col("alpha_ratio") >= 0.45))
+                .select("doc_id"))
+    kept = docs.join(kept_ids, "doc_id")
+    sampled = stratified_sample(
+        kept, {"short": 1.0, "medium": 0.5, "long": 0.1},
+        bounds=(200, 400))
+    chosen = kept.join(sampled.select("doc_id", "stratum"), "doc_id")
+    return (pack_sequences(chosen, seq_len=512, n_shards=8)
+            .join(sampled.select("doc_id", "stratum"), "doc_id"))
+
+
+SQL_TRAINING_MIX_PIPELINE = f"""
+WITH q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        / greatest(length(text), 1), 4) AS alpha_ratio,
+                  length(text) >= 100 AS len_ok
+           FROM documents),
+kept AS (SELECT doc_id, text FROM q WHERE len_ok AND alpha_ratio >= 0.45),
+samp AS (SELECT doc_id, text,
+                CASE WHEN length(text) < 200 THEN 'short'
+                     WHEN length(text) < 400 THEN 'medium'
+                     ELSE 'long' END AS stratum,
+                {_sql_h32("'samp|' || CAST(doc_id AS VARCHAR)")} % 1000
+                    AS pm
+         FROM kept),
+chosen AS (SELECT doc_id, text, stratum FROM samp
+           WHERE (stratum = 'short' AND pm < 1000)
+              OR (stratum = 'medium' AND pm < 500)
+              OR (stratum = 'long' AND pm < 100)),
+d AS (SELECT doc_id, stratum,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                  END AS BIGINT) AS n_tokens,
+             CAST({_sql_h32('CAST(doc_id AS VARCHAR)')} % 8 AS BIGINT)
+                 AS shard
+      FROM chosen),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                - n_tokens AS start_offset FROM d)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id, stratum
+FROM c
+"""
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (200-char windows, 40 overlap) — the
     pre-embedding / pre-packing split for long documents."""
@@ -3397,6 +3457,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "chunk_documents": q_chunk_documents,
     "bfs_distances": q_bfs_distances,
+    "training_mix_pipeline": q_training_mix_pipeline,
     "semantic_dedup": q_semantic_dedup,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3502,6 +3563,7 @@ def oracles() -> dict[str, str]:
         "lm_perplexity": _sql_lm_perplexity(),
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "bfs_distances": SQL_BFS_DISTANCES,
+        "training_mix_pipeline": SQL_TRAINING_MIX_PIPELINE,
         "semantic_dedup": _sql_semantic_dedup(),
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
