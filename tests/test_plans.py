@@ -189,6 +189,20 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
     assert "BroadcastHashJoin" in plan, plan  # model dims broadcast
     assert "CartesianProduct" not in plan and "Window" not in plan
 
+    from pyrdfa3_spark.operators.textops import chunk_documents
+
+    simple = _plan(chunk_documents(docs), mode="simple")
+    assert "Exchange" not in simple, simple   # chunking never shuffles
+    assert simple.count("Generate") == 1, simple
+
+    from pyrdfa3_spark.operators.graphops import bfs_distances
+
+    e = docs.selectExpr("CAST(doc_id AS string) AS src",
+                        "CAST(doc_id % 7 AS string) AS dst")
+    simple = _plan(bfs_distances(e, ["1", "2"], max_hops=4),
+                   mode="simple")
+    assert "CartesianProduct" not in simple and "Window" not in simple
+
 
 def test_ntriples_reader_plan_scan_side(spark, tmp_path):
     """The N-Triples parse must be pure scan-side column algebra: no
