@@ -105,7 +105,8 @@ def _word_tokens(text_col) -> F.Column:
 
 
 def pack_sequences(docs: DataFrame, seq_len: int = 2048,
-                   n_shards: int = 32) -> DataFrame:
+                   n_shards: int = 32,
+                   prefix_partitions: int | None = None) -> DataFrame:
     """Concatenation-style sequence packing (the GPT pre-training
     layout): documents are deterministically sharded by a portable hash
     of ``doc_id``, concatenated in doc_id order within each shard, and
@@ -113,10 +114,19 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     Output maps every document to its shard, start offset in the
     stream, and the pack (training sequence) its first token lands in.
 
-    Scale shape: ONE window, partitioned by shard (never global) — at
-    10^9 documents each shard's running sum is an independent
-    partition-local scan; n_shards is the write parallelism of the
-    downstream packed-sequence materialization.
+    Scale shape: the per-shard running sum is a TWO-PHASE distributed
+    prefix sum, not a per-shard window — a window partitioned only by
+    shard sorts each shard through a single task (10^9 docs / 32
+    shards = a 31M-row single-task sort).  Instead the frame is
+    range-partitioned by (shard, doc_id) into ``prefix_partitions``
+    slices (default: spark.sql.shuffle.partitions), per-slice token
+    totals form a dim of at most that many rows, the cumulative
+    base offset per slice is a window over that tiny dim, and each
+    slice then needs only a partition-local running sum.  Parallelism
+    scales with the partition count, not n_shards.  Output is
+    independent of where the range boundaries land: base offset +
+    slice-local prefix is the global (shard, doc_id)-order prefix by
+    construction.
     """
     toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
         .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
@@ -125,12 +135,27 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         toks.cast("bigint").alias("n_tokens"),
         (_hash32(F.col("doc_id").cast("string")) % n_shards)
         .cast("bigint").alias("shard"))
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    return base.select(
-        "doc_id", "shard", "n_tokens",
-        start.cast("bigint").alias("start_offset"),
-        F.floor(start / seq_len).cast("bigint").alias("pack_id"))
+    if prefix_partitions is None:
+        prefix_partitions = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    sliced = (base
+              .repartitionByRange(prefix_partitions, "shard", "doc_id")
+              .withColumn("slice", F.spark_partition_id()))
+    slice_tot = (sliced.groupBy("shard", "slice")
+                 .agg(F.sum("n_tokens").alias("tot")))
+    w_dim = Window.partitionBy("shard").orderBy("slice")
+    offsets = slice_tot.select(
+        "shard", "slice",
+        (F.sum("tot").over(w_dim) - F.col("tot")).alias("base_off"))
+    w_local = Window.partitionBy("shard", "slice").orderBy("doc_id")
+    start = (F.col("base_off")
+             + F.sum("n_tokens").over(w_local) - F.col("n_tokens"))
+    return (sliced
+            .join(F.broadcast(offsets), ["shard", "slice"])
+            .select("doc_id", "shard", "n_tokens",
+                    start.cast("bigint").alias("start_offset"),
+                    F.floor(start / seq_len).cast("bigint")
+                    .alias("pack_id")))
 
 
 def decontaminate(docs: DataFrame, eval_docs: DataFrame,
@@ -253,7 +278,8 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
 
 def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
                   alpha: float = 0.1,
-                  vocab_buckets: int = 4096) -> DataFrame:
+                  vocab_buckets: int = 4096,
+                  broadcast_model: bool = True) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     Data" — documents are ranked by LM perplexity and the worst tail is
@@ -271,7 +297,12 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
 
     Scale shape: two map-side-partial count aggregations build the
     model dims; scoring joins them back broadcast and sums per
-    document.  Same cross-engine float discipline as
+    document.  The bigram dim is bounded by ``vocab_buckets``² rows
+    (a 100 TB corpus saturates most buckets), so for large
+    ``vocab_buckets`` pass ``broadcast_model=False`` to shuffle-join
+    the bigram dim instead of building a multi-GB broadcast on every
+    executor; the context dim stays broadcast (``vocab_buckets``
+    rows).  Same cross-engine float discipline as
     :func:`dsir_weights`: log terms round to 9 places, the per-doc sum
     runs in DECIMAL, the mean divides at the end.
     """
@@ -309,8 +340,10 @@ def lm_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     lp = (ln9(F.coalesce(F.col("c2"), F.lit(0)) + alpha)
           - ln9(F.coalesce(F.col("c1"), F.lit(0))
                 + alpha * vocab_buckets))
+    if broadcast_model:
+        big_cnt = F.broadcast(big_cnt)
     return (scored
-            .join(F.broadcast(big_cnt), ["h1", "h2"], "left")
+            .join(big_cnt, ["h1", "h2"], "left")
             .join(F.broadcast(ctx_cnt), ["h1"], "left")
             .groupBy("doc_id")
             .agg(F.round(
