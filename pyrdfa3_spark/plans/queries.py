@@ -2440,6 +2440,18 @@ FROM nation
 """
 
 
+def q_jsonld_roundtrip(spark, sf_dir):
+    """Sink -> source identity for JSON-LD lines: serialize the
+    every-term-shape fixture graph to expanded node lines and parse
+    it back with the distributed scan-side reader (sources/jsonld.py)
+    — the JSON-LD twin of q_nt_roundtrip.  The oracle is the
+    fixture's closed form: a correct round-trip is the identity."""
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld
+
+    return parse_jsonld(to_jsonld(_nation_graph(spark, sf_dir)))
+
+
 def q_jsonld_serialize(spark, sf_dir):
     """JSON-LD lines sink (S6): one flat node object per subject.
     Round-trip-tested in tests/test_serialize.py; byte-exact string-
@@ -3504,6 +3516,7 @@ QUERIES = {
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
     "nt_roundtrip": q_nt_roundtrip,
+    "jsonld_roundtrip": q_jsonld_roundtrip,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "jsonld_compact": q_jsonld_compact,
@@ -3610,6 +3623,7 @@ def oracles() -> dict[str, str]:
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
         "nt_roundtrip": SQL_NT_ROUNDTRIP,
+        "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "jsonld_compact": SQL_JSONLD_COMPACT,

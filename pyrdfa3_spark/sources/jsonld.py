@@ -1,0 +1,94 @@
+"""Distributed JSON-LD-lines reader — the source twin of the
+``to_jsonld`` sink in ``plans/serialize.py``.
+
+The reference loads JSON-LD through rdflib's json-ld plugin (the
+serializer registrations in pyRdfaExtras); at lake scale the
+interchange form is the *expanded node-per-line* layout our sink
+emits: one flat ``{"@id": subj, pred: [term, ...], ...}`` object per
+line.  That makes the parse perfectly distributable — each line is an
+independent JSON document, so the whole reader is scan-side column
+algebra: one ``from_json`` per line plus map/array explodes.  No
+Python, no shuffle; a 100 TB dump parses at scan speed with
+filter/column pushdown intact.
+
+Contract:
+  * expanded node lines only (what :func:`to_jsonld` without a context
+    emits); @context-compacted lines need the context to expand keys
+    and are out of scope here — re-expand them at write time or keep
+    the expanded sidecar;
+  * blank lines are skipped; anything ``from_json`` cannot parse into
+    the node shape, or that lacks ``"@id"``, is EXCLUDED from the
+    parse and reported by :func:`parse_errors` (the reader's
+    diagnostics-row discipline, same as ``sources/ntriples.py``);
+  * term objects follow the sink's shape: ``{"@id": iri}`` for IRI
+    objects, ``{"@value": lex}`` with optional ``"@language"`` /
+    ``"@type"`` for literals.
+
+Output schema matches the sink's input: ``subj, pred, obj,
+obj_is_iri, obj_lang, obj_datatype``, so
+``parse_jsonld(to_jsonld(g))`` is the identity on the triple set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, MapType, StringType, StructField,
+                               StructType)
+
+_TERM_TYPE = StructType([
+    StructField("@id", StringType()),
+    StructField("@value", StringType()),
+    StructField("@language", StringType()),
+    StructField("@type", StringType()),
+])
+
+_NODE_TYPE = MapType(StringType(), ArrayType(_TERM_TYPE))
+
+# the sink renders '{"@id":<json-string>,' first; stripping it leaves a
+# homogeneous {pred: [term...]} object that from_json can type as a map
+_ID_PREFIX_RE = r'^\{"@id":"(?:[^"\\]|\\.)*",'
+
+
+def parse_jsonld(lines: DataFrame, col: str = "jsonld") -> DataFrame:
+    """``(jsonld)`` frame of expanded node lines -> triples.  See the
+    module contract."""
+    c = F.col(col)
+    body = F.from_json(
+        F.regexp_replace(c, _ID_PREFIX_RE, "{"), _NODE_TYPE)
+    parsed = (lines
+              .filter(F.trim(c) != "")
+              .select(F.get_json_object(c, "$['@id']").alias("subj"),
+                      body.alias("body"))
+              .filter(F.col("subj").isNotNull()
+                      & F.col("body").isNotNull())
+              .select("subj", F.explode("body").alias("pred", "terms"))
+              .select("subj", "pred", F.explode("terms").alias("t")))
+    is_iri = F.col("t.@id").isNotNull()
+    return parsed.select(
+        "subj", "pred",
+        F.coalesce(F.col("t.@id"), F.col("t.@value")).alias("obj"),
+        is_iri.alias("obj_is_iri"),
+        F.col("t.@language").alias("obj_lang"),
+        F.when(~is_iri, F.col("t.@type")).alias("obj_datatype"))
+
+
+def read_jsonld(spark, path: str) -> DataFrame:
+    """Parse a JSON-LD-lines dump from disk — ``spark.read.text`` feeds
+    the scan-side parser, so partitioning follows the file splits."""
+    return parse_jsonld(spark.read.text(path).withColumnRenamed(
+        "value", "jsonld"))
+
+
+def parse_errors(lines: DataFrame, col: str = "jsonld") -> DataFrame:
+    """Non-blank lines that fail the node shape (unparseable JSON, or
+    no ``"@id"`` key) — the count a loader gates on before trusting
+    the parse."""
+    c = F.col(col)
+    body = F.from_json(
+        F.regexp_replace(c, _ID_PREFIX_RE, "{"), _NODE_TYPE)
+    return (lines
+            .filter(F.trim(c) != "")
+            .filter(F.get_json_object(c, "$['@id']").isNull()
+                    | body.isNull())
+            .select(c.alias("line")))

@@ -226,6 +226,27 @@ def test_ntriples_reader_plan_scan_side(spark, tmp_path):
     assert "Join" not in simple, simple
 
 
+def test_jsonld_reader_plan_scan_side(spark, tmp_path):
+    """The JSON-LD-lines parse must be pure scan-side column algebra
+    (from_json + explodes): no shuffle, no Python boundary, no join."""
+    from pyrdfa3_spark.plans.serialize import write_jsonld
+    from pyrdfa3_spark.sources.jsonld import read_jsonld
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    triples = df.selectExpr(
+        "concat('urn:n:', n_nationkey) AS subj",
+        "'urn:p:name' AS pred", "n_name AS obj",
+        "false AS obj_is_iri",
+        "CAST(NULL AS string) AS obj_lang",
+        "CAST(NULL AS string) AS obj_datatype")
+    path = str(tmp_path / "dump.jsonl")
+    write_jsonld(triples, path)
+    simple = _plan(read_jsonld(spark, path), mode="simple")
+    assert "Exchange" not in simple, simple
+    assert "MapInArrow" not in simple and "MapInPandas" not in simple
+    assert "Join" not in simple, simple
+
+
 def test_kg_query_plans(spark, tmp_path):
     """BGP joins must be hash joins (never cartesian) and, over a
     parquet-backed triple store, the constant pattern positions must

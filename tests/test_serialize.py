@@ -232,3 +232,37 @@ def test_ntriples_reader_from_files(spark, tmp_path):
     write_ntriples(df, path)
     back = read_ntriples(spark, path)
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_jsonld_reader_roundtrip(spark):
+    """parse_jsonld(to_jsonld(g)) is the identity on the triple set,
+    across every term shape (IRI/bnode subjects and objects,
+    plain/lang/typed literals, JSON escapes)."""
+    from pyrdfa3_spark.plans.serialize import to_jsonld
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld
+
+    df = spark.createDataFrame(ROWS, COLS)
+    back = parse_jsonld(to_jsonld(df))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_jsonld_reader_errors_and_files(spark, tmp_path):
+    from pyrdfa3_spark.plans.serialize import write_jsonld
+    from pyrdfa3_spark.sources.jsonld import (
+        parse_errors, parse_jsonld, read_jsonld,
+    )
+
+    junk = spark.createDataFrame(
+        [("",), ("   ",), ("{broken",), ('{"no":"id"}',),
+         ('{"@id":"urn:s","urn:p":[{"@value":"ok"}]}',)], ["jsonld"])
+    good = parse_jsonld(junk).collect()
+    assert [tuple(r) for r in good] == [
+        ("urn:s", "urn:p", "ok", False, None, None)]
+    errs = {r["line"] for r in parse_errors(junk).collect()}
+    assert errs == {"{broken", '{"no":"id"}'}
+
+    df = spark.createDataFrame(ROWS, COLS)
+    path = str(tmp_path / "dump.jsonl")
+    write_jsonld(df, path)
+    back = read_jsonld(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
