@@ -2440,6 +2440,65 @@ FROM nation
 """
 
 
+SQL_BLOCK_ROUNDTRIP = """
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'urn:p:name' AS pred,
+       n_name || ' says "hi"' || chr(10) AS obj,
+       FALSE AS obj_is_iri, 'en' AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM nation
+UNION ALL
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:key',
+       CAST(n_nationkey AS VARCHAR), FALSE, NULL,
+       'http://www.w3.org/2001/XMLSchema#integer'
+FROM nation
+"""
+
+
+def _block_docs(blocks, header: str, footer: str = ""):
+    """One parse document per serializer block row; the doc_id is a
+    content hash so it is deterministic under any partitioning (it
+    only scopes bnode labels, absent from the gate fixture)."""
+    return blocks.select(
+        F.conv(F.substring(F.md5("block"), 1, 8), 16, 10).cast("bigint")
+        .alias("doc_id"),
+        F.concat(F.lit(header), F.col("block"), F.lit(footer))
+        .alias("text"))
+
+
+def q_turtle_roundtrip(spark, sf_dir):
+    """Sink -> source identity for the Turtle block format: serialize
+    the (bnode-free; labels don't survive any parser's bnode scoping)
+    fixture subset to prefix-compressed Turtle blocks and parse each
+    block as a document with the distributed per-document reader
+    (sources/rdfdocs.py, Arrow-batched mapInPandas).  The oracle is
+    the fixture's closed form: a correct round-trip is the identity."""
+    from pyrdfa3_spark.plans.serialize import to_turtle, turtle_header
+    from pyrdfa3_spark.sources.rdfdocs import (parse_rdf_documents,
+                                               triples_only)
+
+    g = _nation_graph(spark, sf_dir).filter(~F.col("subj").startswith("_:"))
+    docs = _block_docs(to_turtle(g), turtle_header())
+    return triples_only(parse_rdf_documents(docs, fmt="turtle")) \
+        .drop("doc_id")
+
+
+def q_rdfxml_roundtrip(spark, sf_dir):
+    """Sink -> source identity for RDF/XML: to_rdfxml blocks wrapped in
+    the rdf:RDF envelope, parsed back per-document (minidom DOM ->
+    parse_rdfxml_node).  Same closed-form oracle as turtle_roundtrip."""
+    from pyrdfa3_spark.plans.serialize import (RDFXML_FOOTER, RDFXML_HEADER,
+                                               to_rdfxml)
+    from pyrdfa3_spark.sources.rdfdocs import (parse_rdf_documents,
+                                               triples_only)
+
+    g = _nation_graph(spark, sf_dir).filter(~F.col("subj").startswith("_:"))
+    docs = _block_docs(to_rdfxml(g), RDFXML_HEADER + "\n",
+                       "\n" + RDFXML_FOOTER)
+    return triples_only(parse_rdf_documents(docs, fmt="rdfxml")) \
+        .drop("doc_id")
+
+
 def q_jsonld_roundtrip(spark, sf_dir):
     """Sink -> source identity for JSON-LD lines: serialize the
     every-term-shape fixture graph to expanded node lines and parse
@@ -3517,6 +3576,8 @@ QUERIES = {
     "nt_serialize": q_nt_serialize,
     "nt_roundtrip": q_nt_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
+    "turtle_roundtrip": q_turtle_roundtrip,
+    "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "jsonld_compact": q_jsonld_compact,
@@ -3624,6 +3685,8 @@ def oracles() -> dict[str, str]:
         "nt_serialize": SQL_NT_SERIALIZE,
         "nt_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
+        "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
+        "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "jsonld_compact": SQL_JSONLD_COMPACT,

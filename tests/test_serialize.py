@@ -266,3 +266,63 @@ def test_jsonld_reader_errors_and_files(spark, tmp_path):
     write_jsonld(df, path)
     back = read_jsonld(spark, path)
     assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_rdfdocs_reader_roundtrips(spark):
+    """Per-document reader closes the Turtle and RDF/XML loops.  Bnode
+    labels are parser-scoped (rewritten to _:d<doc>b<n>), so the
+    bnode-bearing fixture is compared by graph isomorphism, the
+    bnode-free subset by exact identity."""
+    from pyrdfa3_spark.plans.serialize import (
+        RDFXML_FOOTER, RDFXML_HEADER, to_rdfxml, to_turtle, turtle_header,
+    )
+    from pyrdfa3_spark.sources.rdfdocs import (
+        parse_rdf_documents, triples_only,
+    )
+
+    df = spark.createDataFrame(ROWS, COLS)
+
+    def one_doc(blocks, header, footer=""):
+        from pyspark.sql import functions as F
+        return blocks.select(
+            F.lit(1).alias("doc_id"),
+            F.concat(F.lit(header), F.col("block"),
+                     F.lit(footer)).alias("text"))
+
+    for fmt, docs in (
+            ("turtle", one_doc(to_turtle(df), turtle_header())),
+            ("rdfxml", one_doc(to_rdfxml(df), RDFXML_HEADER + "\n",
+                               "\n" + RDFXML_FOOTER))):
+        back = triples_only(parse_rdf_documents(docs, fmt=fmt))
+        got = [(r.subj, r.pred,
+                r.obj if r.obj_is_iri
+                else Literal(r.obj, r.obj_lang, r.obj_datatype))
+               for r in back.collect()]
+        assert isomorphic(got, _expected_triples()), \
+            f"{fmt}: " + diff(got, _expected_triples())
+
+
+def test_rdfdocs_reader_error_rows(spark):
+    """A document that fails to parse becomes ONE diagnostics row,
+    never a task failure; cross-document bnode labels cannot collide."""
+    from pyrdfa3_spark.sources.rdfdocs import (
+        parse_errors, parse_rdf_documents, triples_only,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "[] <urn:p> [] ."), (2, "[] <urn:p> [] ."),
+         (3, "@prefix broken"), (4, "<u <v")], ["doc_id", "text"])
+    parsed = parse_rdf_documents(docs, fmt="turtle")
+    errs = parse_errors(parsed).collect()
+    assert sorted(r.doc_id for r in errs) == [3, 4]
+    good = triples_only(parsed).collect()
+    labels = {r.subj for r in good} | {r.obj for r in good}
+    assert len(good) == 2 and len(labels) == 4  # all four bnodes distinct
+
+    xml_bad = spark.createDataFrame(
+        [(1, "<notrdf/>"), (2, "<rdf:RDF xmlns:rdf="
+          "\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"/>")],
+        ["doc_id", "text"])
+    px = parse_rdf_documents(xml_bad, fmt="rdfxml")
+    assert [r.doc_id for r in parse_errors(px).collect()] == [1]
+    assert triples_only(px).count() == 0
