@@ -1,0 +1,100 @@
+"""Conversation-level operators over the transcript input shape
+``(conv_id, turn_idx, role, text, tool, ts)`` — the per-conversation
+integrity, stitching, and timing surface a transcript lake runs before
+extraction and training-mix assembly.
+
+All three operators share one scale shape: a single ``groupBy
+(conv_id)`` with map-side partial aggregation (collect_list partials
+included — ObjectHashAggregate), so each is one shuffle keyed on the
+table's natural partitioning column.  In-row arrays are bounded by
+conversation length (thousands of turns), never corpus size; the
+100×-skewed conv-000000 fixture (FIXTURES.md §1) stays a single
+bounded group.  Ordering inside a conversation NEVER relies on row
+order: turns are sorted in-row by ``(turn_idx, ...)`` structs, so
+results are identical under any partitioning/parallelism — the north
+rule's stable-turn-ordering requirement as algebra instead of a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def conversation_stats(tr: DataFrame) -> DataFrame:
+    """Per-conversation integrity + shape metrics: turn counts, role
+    mix, tool-turn share, wall-clock span, and turn-index health
+    (duplicate turn_idx rows / index gaps — the two ways "stable turn
+    ordering" breaks upstream).  Output: conv_id, n_turns,
+    n_tool_turns, n_roles, first_ms, last_ms, duration_ms,
+    n_dup_turns, has_gaps."""
+    ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+    return (tr
+            .select("conv_id", "turn_idx", "role", "tool", ms.alias("ms"))
+            .groupBy("conv_id")
+            .agg(F.count("*").cast("bigint").alias("n_turns"),
+                 F.sum((F.col("tool") != "").cast("int")).cast("bigint")
+                 .alias("n_tool_turns"),
+                 F.countDistinct("role").cast("bigint").alias("n_roles"),
+                 F.min("ms").alias("first_ms"),
+                 F.max("ms").alias("last_ms"),
+                 (F.max("ms") - F.min("ms")).alias("duration_ms"),
+                 (F.count("*") - F.countDistinct("turn_idx"))
+                 .cast("bigint").alias("n_dup_turns"),
+                 (F.max("turn_idx") + 1 != F.countDistinct("turn_idx"))
+                 .alias("has_gaps")))
+
+
+def stitch_conversations(tr: DataFrame, sep: str = "\n",
+                         with_roles: bool = True) -> DataFrame:
+    """Concatenate each conversation's turns into one document in
+    stable ``turn_idx`` order (ties broken by ts, then text, so the
+    output is deterministic even on corrupted duplicate-index input) —
+    the conversation->document bridge that lets every document-level
+    operator (dedup, quality, packing) run on transcripts.  Output:
+    conv_id, n_turns, doc_text."""
+    item = F.struct(F.col("turn_idx"), F.col("ts"),
+                    (F.concat(F.col("role"), F.lit(": "), F.col("text"))
+                     if with_roles else F.col("text")).alias("line"))
+    return (tr
+            .groupBy("conv_id")
+            .agg(F.count("*").cast("bigint").alias("n_turns"),
+                 F.array_sort(F.collect_list(item)).alias("items"))
+            .select("conv_id", "n_turns",
+                    F.concat_ws(sep, F.transform("items",
+                                                 lambda s: s.line))
+                    .alias("doc_text")))
+
+
+def turn_latency(tr: DataFrame) -> DataFrame:
+    """Per-conversation inter-turn timing: mean / max gap between
+    consecutive turns in stable turn order — the responsiveness signal
+    agent-transcript curation filters on (a conversation whose gaps
+    span hours is usually several sessions glued together).  Output:
+    conv_id, n_gaps, mean_gap_ms (4 dp), max_gap_ms; single-turn
+    conversations report zero gaps with NULL means.
+
+    The consecutive-turn deltas are computed in-row over the sorted
+    struct array (zip_with against its own shift — the
+    repetition_metrics bigram shape), not with a lag window: same one
+    aggregation shuffle as the other operators, no window exchange."""
+    item = F.struct(F.col("turn_idx"), F.col("ts"))
+    grouped = (tr
+               .groupBy("conv_id")
+               .agg(F.array_sort(F.collect_list(item)).alias("items")))
+    ts_ms = F.transform(
+        "items", lambda s: F.unix_millis(s.ts.cast("timestamp_ltz")))
+    gaps = F.zip_with(F.slice(ts_ms, 2, F.size(ts_ms)),
+                      ts_ms, lambda later, earlier: later - earlier)
+    gaps = F.filter(gaps, lambda g: g.isNotNull())
+    n_gaps = F.size(gaps)
+    return grouped.select(
+        "conv_id",
+        n_gaps.cast("bigint").alias("n_gaps"),
+        F.when(n_gaps > 0, F.round(
+            F.aggregate(gaps, F.lit(0).cast("bigint"),
+                        lambda a, g: a + g).cast("double") / n_gaps, 4))
+        .alias("mean_gap_ms"),
+        F.when(n_gaps > 0, F.array_max(gaps)).cast("bigint")
+        .alias("max_gap_ms"))

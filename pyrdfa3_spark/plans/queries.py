@@ -3498,6 +3498,104 @@ FROM hh
 
 
 # --------------------------------------------------------------------- #
+# Conversation-level transcript operators (operators/transcripts.py)
+# over the deterministic documents-derived transcript table
+# (sources/transcripts.py::transcripts_from_documents: conv = doc_id %
+# 50, turn = doc_id // 50, role cycles user/assistant/tool, carrier =
+# doc_id % 3 == 0, ts = 2026-01-01 + doc_id * 7 s) — the derivation
+# the oracle reproduces in SQL.
+# --------------------------------------------------------------------- #
+
+
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation integrity/shape metrics over the transcript
+    input shape (north-rule table)."""
+    from pyrdfa3_spark.operators.transcripts import conversation_stats
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    return conversation_stats(transcripts_from_documents(spark, sf_dir))
+
+
+SQL_CONVERSATION_STATS = """
+WITH tr AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS conv_n,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN doc_id % 3 = 0 THEN 'browser' ELSE '' END AS tool,
+         (1767225600 + doc_id * 7) * 1000 AS ms
+  FROM documents)
+SELECT printf('conv-%06d', conv_n) AS conv_id,
+       COUNT(*) AS n_turns,
+       SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS n_tool_turns,
+       COUNT(DISTINCT role) AS n_roles,
+       MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+       MAX(ms) - MIN(ms) AS duration_ms,
+       COUNT(*) - COUNT(DISTINCT turn_idx) AS n_dup_turns,
+       (MAX(turn_idx) + 1 <> COUNT(DISTINCT turn_idx)) AS has_gaps
+FROM tr GROUP BY conv_n
+"""
+
+
+def q_stitch_conversations(spark, sf_dir):
+    """Conversation -> document stitching in stable turn order; the
+    transcript table is built in-query (prose-only) so the oracle is a
+    plain ordered string_agg."""
+    from pyrdfa3_spark.operators.transcripts import stitch_conversations
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    tr = docs.select(
+        F.format_string("conv-%06d", d % 20).alias("conv_id"),
+        (d / 20).cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant")),
+                     (d % 2).cast("int") + 1).alias("role"),
+        F.substring("text", 1, 80).alias("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_seconds(d).alias("ts"))
+    return stitch_conversations(tr)
+
+
+SQL_STITCH_CONVERSATIONS = """
+SELECT printf('conv-%06d', CAST(doc_id % 20 AS BIGINT)) AS conv_id,
+       COUNT(*) AS n_turns,
+       string_agg(CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END
+                  || ': ' || substring(text, 1, 80),
+                  chr(10) ORDER BY doc_id // 20) AS doc_text
+FROM documents GROUP BY 1
+"""
+
+
+def q_turn_latency(spark, sf_dir):
+    """Per-conversation inter-turn gap stats (in-row deltas, no lag
+    window) over the documents-derived transcript table."""
+    from pyrdfa3_spark.operators.transcripts import turn_latency
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    return turn_latency(transcripts_from_documents(spark, sf_dir))
+
+
+SQL_TURN_LATENCY = """
+WITH tr AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS conv_n,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         (1767225600 + doc_id * 7) * 1000 AS ms
+  FROM documents),
+g AS (
+  SELECT conv_n,
+         ms - lag(ms) OVER (PARTITION BY conv_n ORDER BY turn_idx) AS gap
+  FROM tr)
+SELECT printf('conv-%06d', conv_n) AS conv_id,
+       COUNT(gap) AS n_gaps,
+       CASE WHEN COUNT(gap) > 0
+            THEN round(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 4) END
+         AS mean_gap_ms,
+       MAX(gap) AS max_gap_ms
+FROM g GROUP BY conv_n
+"""
+
+
+# --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
 
@@ -3578,6 +3676,9 @@ QUERIES = {
     "jsonld_roundtrip": q_jsonld_roundtrip,
     "turtle_roundtrip": q_turtle_roundtrip,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "conversation_stats": q_conversation_stats,
+    "stitch_conversations": q_stitch_conversations,
+    "turn_latency": q_turn_latency,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "jsonld_compact": q_jsonld_compact,
@@ -3687,6 +3788,9 @@ def oracles() -> dict[str, str]:
         "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
         "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
+        "conversation_stats": SQL_CONVERSATION_STATS,
+        "stitch_conversations": SQL_STITCH_CONVERSATIONS,
+        "turn_latency": SQL_TURN_LATENCY,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "jsonld_compact": SQL_JSONLD_COMPACT,

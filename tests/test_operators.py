@@ -1689,3 +1689,74 @@ def test_triangle_count_vs_bruteforce(spark):
         for v in t:
             brute[v] = brute.get(v, 0) + 1
     assert per_v == brute
+
+
+def test_conversation_stats_integrity_flags(spark):
+    """Duplicate turn_idx rows and index gaps are flagged exactly;
+    single-turn conversations report zero duration."""
+    from datetime import datetime, timezone
+
+    from pyrdfa3_spark.operators.transcripts import conversation_stats
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [
+        # healthy 3-turn conversation
+        ("a", 0, "user", "hi", "", t(0)),
+        ("a", 1, "assistant", "yo", "browser", t(10)),
+        ("a", 2, "user", "bye", "", t(25)),
+        # duplicate turn 1 + gap (no turn 2)
+        ("b", 0, "user", "x", "", t(100)),
+        ("b", 1, "assistant", "y", "", t(110)),
+        ("b", 1, "assistant", "y2", "", t(111)),
+        ("b", 3, "user", "z", "", t(120)),
+        # single turn
+        ("c", 0, "user", "solo", "", t(7)),
+    ]
+    tr = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    out = {r.conv_id: r for r in conversation_stats(tr).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.n_turns, a.n_tool_turns, a.n_roles) == (3, 1, 2)
+    assert (a.n_dup_turns, a.has_gaps, a.duration_ms) == (0, False, 25000)
+    assert (b.n_turns, b.n_dup_turns, b.has_gaps) == (4, 1, True)
+    assert (c.n_turns, c.duration_ms, c.has_gaps) == (1, 0, False)
+
+
+def test_stitch_and_latency_stable_order(spark):
+    """Stitching follows turn_idx regardless of row order; latency
+    deltas are computed over the sorted sequence (never row order);
+    single-turn conversations yield NULL mean."""
+    from datetime import datetime, timezone
+
+    from pyrdfa3_spark.operators.transcripts import (
+        stitch_conversations, turn_latency,
+    )
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [  # deliberately shuffled row order
+        ("a", 2, "user", "third", "", t(60)),
+        ("a", 0, "user", "first", "", t(0)),
+        ("a", 1, "assistant", "second", "", t(10)),
+        ("c", 0, "user", "solo", "", t(7)),
+    ]
+    tr = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).repartition(4)
+    st = {r.conv_id: r for r in stitch_conversations(tr).collect()}
+    assert st["a"].doc_text == \
+        "user: first\nassistant: second\nuser: third"
+    assert st["a"].n_turns == 3 and st["c"].doc_text == "user: solo"
+    plain = {r.conv_id: r.doc_text
+             for r in stitch_conversations(tr, sep=" | ",
+                                           with_roles=False).collect()}
+    assert plain["a"] == "first | second | third"
+
+    lat = {r.conv_id: r for r in turn_latency(tr).collect()}
+    assert (lat["a"].n_gaps, lat["a"].mean_gap_ms,
+            lat["a"].max_gap_ms) == (2, 30000.0, 50000)
+    assert (lat["c"].n_gaps, lat["c"].mean_gap_ms,
+            lat["c"].max_gap_ms) == (0, None, None)

@@ -386,3 +386,22 @@ def test_pagerank_describe_plan_shape(spark):
     plan = _plan(describe(g, ["e1"]))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_transcript_operator_plans(spark):
+    """Conversation-level operators must be one partially-aggregated
+    shuffle on conv_id: no window exchange (ordering is in-row array
+    sort), no join, no cartesian."""
+    from pyrdfa3_spark.operators.transcripts import (
+        conversation_stats, stitch_conversations, turn_latency,
+    )
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, n_conv=20, turns_per_conv=5)
+    for op in (conversation_stats, stitch_conversations, turn_latency):
+        simple = _plan(op(tr), mode="simple")
+        assert "Window" not in simple, (op.__name__, simple)
+        assert "Join" not in simple, (op.__name__, simple)
+        assert simple.count("Exchange") <= 2, (op.__name__, simple)
+        assert ("partial" in simple or "ObjectHashAggregate" in simple
+                or "HashAggregate" in simple), (op.__name__, simple)
