@@ -20,8 +20,11 @@ misparses — outside it):
   ``ORDER BY [ASC|DESC]`` / ``LIMIT`` / ``OFFSET``.
 * WHERE groups: triple blocks with ``;`` / ``,`` lists, ``OPTIONAL``,
   ``FILTER (expr)``, ``FILTER [NOT] EXISTS {..}``, ``MINUS {..}``,
-  ``VALUES`` (incl. UNDEF), ``BIND (expr AS ?v)``, and a top-level
-  ``{..} UNION {..}`` chain.
+  ``VALUES`` (incl. UNDEF), ``BIND (expr AS ?v)``, a top-level
+  ``{..} UNION {..}`` chain, and ``{ SELECT ... }`` subqueries
+  (evaluated independently, joined to the group on shared variables —
+  a subquery sharing no variable raises rather than cartesian-join;
+  outer FILTERs may reference subquery-bound variables).
 * Property paths in predicate position: ``p+  p*  p?  ^p  p1/p2/..
   p1|p2|..  !(p1|p2)`` (each compiles to the matching ``path_*``
   virtual-predicate operator; nested combinations raise).
@@ -381,9 +384,13 @@ class _Parser:
         self.eat("OP", "{")
         g = {"patterns": [], "optionals": [], "filters": [],
              "exists": [], "minus": [], "values": None, "binds": [],
-             "union": None}
+             "union": None, "subqueries": []}
         while not self.at("OP", "}"):
-            if self.take("KW", "OPTIONAL"):
+            if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
+                self.eat("OP", "{")
+                g["subqueries"].append(_parse_select(self))
+                self.eat("OP", "}")
+            elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
                 _require_simple(sub, "OPTIONAL", filters_ok=False)
                 g["optionals"].extend(sub["patterns"])
@@ -432,7 +439,7 @@ class _Parser:
             branches.append(self.group())
         for b in branches:
             if (b["union"] or b["minus"] or b["exists"] or b["values"]
-                    or b["binds"]):
+                    or b["binds"] or b["subqueries"]):
                 raise SparqlUnsupported(
                     "UNION branches support patterns, OPTIONAL and "
                     "FILTER only")
@@ -487,6 +494,7 @@ class _Parser:
 def _require_simple(group: dict, where: str, filters_ok: bool = True):
     bad = (group["union"] or group["optionals"] or group["minus"]
            or group["exists"] or group["values"] or group["binds"]
+           or group["subqueries"]
            or (group["filters"] and not filters_ok))
     if bad:
         raise SparqlUnsupported(f"only plain triple patterns inside "
@@ -657,6 +665,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     if g["union"] is not None:
+        if g["subqueries"]:
+            raise SparqlUnsupported("subquery beside UNION in one group")
         t = _expand_paths(triples, [g] + g["union"])
         sols = G.bgp_union(t, [
             {"patterns": b["patterns"],
@@ -670,17 +680,36 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         return sols
 
     t = _expand_paths(triples, [g])
-    if not g["patterns"]:
+    if not g["patterns"] and not g["subqueries"]:
         raise SparqlUnsupported("empty WHERE group")
-    if g["values"] is not None:
-        names, rows = g["values"]
-        sols = G.bgp_values(t, g["patterns"], names, rows,
-                            optional=g["optionals"] or None,
-                            filters=g["filters"] or None)
+    # filters may reference subquery-bound variables, so with
+    # subqueries present they apply after the joins, not inside
+    # bgp_match (conjunction — same solutions either way)
+    inline_filters = None if g["subqueries"] else (g["filters"] or None)
+    subs = [_solve_select(triples, sq) for sq in g["subqueries"]]
+    if g["patterns"]:
+        if g["values"] is not None:
+            names, rows = g["values"]
+            sols = G.bgp_values(t, g["patterns"], names, rows,
+                                optional=g["optionals"] or None,
+                                filters=inline_filters)
+        else:
+            sols = G.bgp_match(t, g["patterns"],
+                               optional=g["optionals"] or None,
+                               filters=inline_filters)
     else:
-        sols = G.bgp_match(t, g["patterns"],
-                           optional=g["optionals"] or None,
-                           filters=g["filters"] or None)
+        sols, subs = subs[0], subs[1:]
+    for sub in subs:
+        shared = sorted(set(sols.columns) & set(sub.columns))
+        if not shared:
+            # SPARQL says disjoint-domain join = cartesian product;
+            # refuse rather than misplan it at lake scale
+            raise SparqlUnsupported(
+                "subquery shares no variables with its group")
+        sols = sols.join(sub, shared, "inner")
+    if g["subqueries"]:
+        for e in g["filters"]:
+            sols = sols.filter(F.expr(e))
     for negate, patterns in g["exists"]:
         grp = G.bgp_match(t, patterns)
         shared = sorted(set(sols.columns) & set(grp.columns))
@@ -748,6 +777,14 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                            optional=g["optionals"] or None,
                            filters=g["filters"] or None)
 
+    return _solve_select(triples, q)
+
+
+def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
+    """Execute a parsed SELECT description (top-level query or
+    ``{ SELECT ... }`` subquery — per the SPARQL algebra a subquery is
+    evaluated independently and its projected solutions joined with
+    the enclosing group on the shared variables)."""
     sols = _solve_group(triples, q["where"])
     aggs = [it for it in q["items"] if it[0] == "agg"]
     plain = [it[1] for it in q["items"] if it[0] == "var"]

@@ -1488,6 +1488,33 @@ def q_sparql_select(spark, sf_dir):
     """)
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery: the inner ``{ SELECT ... GROUP BY }`` is
+    evaluated independently and joined to the enclosing group on the
+    shared ?n, with the outer FILTER referencing the subquery-bound
+    aggregate — the per-entity-aggregate-then-enrich idiom."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?name ?n_sup WHERE {{
+          ?n ex:name ?name .
+          {{ SELECT ?n (COUNT(?s) AS ?n_sup)
+             WHERE {{ ?s ex:locatedIn ?n }} GROUP BY ?n }}
+          FILTER(?n_sup >= 2)
+        }}
+        ORDER BY DESC(?n_sup) ?name
+    """)
+
+
+SQL_SPARQL_SUBQUERY = """
+SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_nationkey, n.n_name
+HAVING count(*) >= 2
+"""
+
+
 # regions carry ex:comment only for even regionkeys (_geo_triples), so
 # FILTER NOT EXISTS keeps exactly the odd-key regions' nations
 SQL_SPARQL_SELECT = """
@@ -3644,6 +3671,7 @@ QUERIES = {
     "miniowl_expand": q_miniowl_expand,
     "list_chain": q_list_chain,
     "sparql_select": q_sparql_select,
+    "sparql_subquery": q_sparql_subquery,
     "bgp_match": q_bgp_match,
     "bgp_optional": q_bgp_optional,
     "graph_diff": q_graph_diff,
@@ -3756,6 +3784,7 @@ def oracles() -> dict[str, str]:
         "miniowl_expand": SQL_MINIOWL_EXPAND,
         "list_chain": SQL_LIST_CHAIN,
         "sparql_select": SQL_SPARQL_SELECT,
+        "sparql_subquery": SQL_SPARQL_SUBQUERY,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,

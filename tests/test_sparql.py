@@ -236,3 +236,58 @@ def test_graph_facade_text_query(spark, kg):
     assert out == [("Ada",)]
     with pytest.raises(ValueError, match="inline"):
         g.query("SELECT ?n WHERE { ?s p:name ?n }", filters=["1=1"])
+
+
+def test_subquery_scalar_and_grouped(spark):
+    """{ SELECT ... } evaluates independently and joins the enclosing
+    group on shared variables; outer FILTERs may reference
+    subquery-bound variables."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    rows = [("urn:a", "urn:p:age", "3"), ("urn:b", "urn:p:age", "5"),
+            ("urn:c", "urn:p:age", "5"), ("urn:a", "urn:p:knows", "urn:b"),
+            ("urn:b", "urn:p:knows", "urn:c")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    got = sparql(t, """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?n WHERE {
+          ?s p:age ?n .
+          { SELECT (MAX(?a) AS ?n) WHERE { ?x p:age ?a } }
+        }""")
+    assert sorted(map(tuple, got.collect())) == [
+        ("urn:b", "5"), ("urn:c", "5")]
+
+    got = sparql(t, """
+        PREFIX p: <urn:p:>
+        SELECT ?s ?who WHERE {
+          ?s p:knows ?who .
+          { SELECT ?who (COUNT(?y) AS ?c)
+            WHERE { ?who p:knows ?y } GROUP BY ?who }
+          FILTER(?c >= 1)
+        }""")
+    assert sorted(map(tuple, got.collect())) == [("urn:a", "urn:b")]
+
+    # a group that IS a subquery (with inner modifiers)
+    got = sparql(t, """
+        SELECT ?s WHERE {
+          { SELECT ?s WHERE { ?s <urn:p:age> ?a } ORDER BY ?s LIMIT 2 }
+        }""")
+    assert sorted(map(tuple, got.collect())) == [("urn:a",), ("urn:b",)]
+
+
+def test_subquery_unsupported_shapes_raise(spark):
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported, sparql
+
+    t = spark.createDataFrame(
+        [("urn:a", "urn:p:age", "3")], ["subj", "pred", "obj"])
+    with pytest.raises(SparqlUnsupported):  # disjoint = cartesian
+        sparql(t, """SELECT ?s WHERE {
+            ?s <urn:p:age> ?a .
+            { SELECT ?z WHERE { ?z <urn:p:knows> ?w } } }""")
+    with pytest.raises(SparqlUnsupported):  # subquery inside OPTIONAL
+        sparql(t, """SELECT ?s WHERE {
+            ?s <urn:p:age> ?a .
+            OPTIONAL { { SELECT ?s WHERE { ?s <urn:p:x> ?y } } } }""")
