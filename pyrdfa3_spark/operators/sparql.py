@@ -24,7 +24,11 @@ misparses — outside it):
   ``{..} UNION {..}`` chain, and ``{ SELECT ... }`` subqueries
   (evaluated independently, joined to the group on shared variables —
   a subquery sharing no variable raises rather than cartesian-join;
-  outer FILTERs may reference subquery-bound variables).
+  outer FILTERs may reference subquery-bound variables), and
+  ``GRAPH <iri>|?g { patterns }`` over a quad frame (compiles to
+  ``bgp_match_quads``; GRAPH ranges over named graphs only, a
+  variable graph term binds provenance into the solution; raises on
+  a frame with no ``graph`` column).
 * Property paths in predicate position: ``p+  p*  p?  ^p  p1/p2/..
   p1|p2|..  !(p1|p2)`` (each compiles to the matching ``path_*``
   virtual-predicate operator; nested combinations raise).
@@ -80,7 +84,7 @@ _KEYWORDS = {
     "OPTIONAL", "FILTER", "UNION", "MINUS", "VALUES", "BIND", "UNDEF",
     "EXISTS", "NOT", "IN", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
-    "FALSE", "A",
+    "FALSE", "A", "GRAPH",
 }
 
 
@@ -384,12 +388,23 @@ class _Parser:
         self.eat("OP", "{")
         g = {"patterns": [], "optionals": [], "filters": [],
              "exists": [], "minus": [], "values": None, "binds": [],
-             "union": None, "subqueries": []}
+             "union": None, "subqueries": [], "graphs": []}
         while not self.at("OP", "}"):
             if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
                 self.eat("OP", "{")
                 g["subqueries"].append(_parse_select(self))
                 self.eat("OP", "}")
+            elif self.take("KW", "GRAPH"):
+                gterm = self.term(allow_literal=False)
+                sub = self.group()
+                _require_simple(sub, "GRAPH", filters_ok=False)
+                for s, path, o in sub["patterns"]:
+                    if isinstance(path, tuple):
+                        if path[0] != "pred":
+                            raise SparqlUnsupported(
+                                "property paths inside GRAPH")
+                        path = path[1]
+                    g["graphs"].append((s, path, o, gterm))
             elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
                 _require_simple(sub, "OPTIONAL", filters_ok=False)
@@ -439,7 +454,7 @@ class _Parser:
             branches.append(self.group())
         for b in branches:
             if (b["union"] or b["minus"] or b["exists"] or b["values"]
-                    or b["binds"] or b["subqueries"]):
+                    or b["binds"] or b["subqueries"] or b["graphs"]):
                 raise SparqlUnsupported(
                     "UNION branches support patterns, OPTIONAL and "
                     "FILTER only")
@@ -494,7 +509,7 @@ class _Parser:
 def _require_simple(group: dict, where: str, filters_ok: bool = True):
     bad = (group["union"] or group["optionals"] or group["minus"]
            or group["exists"] or group["values"] or group["binds"]
-           or group["subqueries"]
+           or group["subqueries"] or group["graphs"]
            or (group["filters"] and not filters_ok))
     if bad:
         raise SparqlUnsupported(f"only plain triple patterns inside "
@@ -665,8 +680,9 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     if g["union"] is not None:
-        if g["subqueries"]:
-            raise SparqlUnsupported("subquery beside UNION in one group")
+        if g["subqueries"] or g["graphs"]:
+            raise SparqlUnsupported(
+                "subquery/GRAPH beside UNION in one group")
         t = _expand_paths(triples, [g] + g["union"])
         sols = G.bgp_union(t, [
             {"patterns": b["patterns"],
@@ -680,13 +696,26 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         return sols
 
     t = _expand_paths(triples, [g])
-    if not g["patterns"] and not g["subqueries"]:
+    if not g["patterns"] and not g["subqueries"] and not g["graphs"]:
         raise SparqlUnsupported("empty WHERE group")
-    # filters may reference subquery-bound variables, so with
-    # subqueries present they apply after the joins, not inside
-    # bgp_match (conjunction — same solutions either way)
-    inline_filters = None if g["subqueries"] else (g["filters"] or None)
-    subs = [_solve_select(triples, sq) for sq in g["subqueries"]]
+    late = bool(g["subqueries"] or g["graphs"])
+    # filters may reference subquery/GRAPH-bound variables, so with
+    # those present they apply after the joins, not inside bgp_match
+    # (conjunction — same solutions either way)
+    inline_filters = None if late else (g["filters"] or None)
+
+    def conjoin(sols, other, what):
+        if sols is None:
+            return other
+        shared = sorted(set(sols.columns) & set(other.columns))
+        if not shared:
+            # SPARQL says disjoint-domain join = cartesian product;
+            # refuse rather than misplan it at lake scale
+            raise SparqlUnsupported(
+                f"{what} shares no variables with its group")
+        return sols.join(other, shared, "inner")
+
+    sols = None
     if g["patterns"]:
         if g["values"] is not None:
             names, rows = g["values"]
@@ -697,17 +726,20 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             sols = G.bgp_match(t, g["patterns"],
                                optional=g["optionals"] or None,
                                filters=inline_filters)
-    else:
-        sols, subs = subs[0], subs[1:]
-    for sub in subs:
-        shared = sorted(set(sols.columns) & set(sub.columns))
-        if not shared:
-            # SPARQL says disjoint-domain join = cartesian product;
-            # refuse rather than misplan it at lake scale
+    if g["graphs"]:
+        if "graph" not in triples.columns:
             raise SparqlUnsupported(
-                "subquery shares no variables with its group")
-        sols = sols.join(sub, shared, "inner")
-    if g["subqueries"]:
+                "GRAPH clause needs a quad frame (no 'graph' column)")
+        # GRAPH ranges over NAMED graphs: default-graph rows (NULL
+        # graph term) are invisible inside it, per SPARQL dataset
+        # semantics
+        named = (triples.select("subj", "pred", "obj", "graph")
+                 .filter(F.col("graph").isNotNull()))
+        sols = conjoin(sols, G.bgp_match_quads(named, g["graphs"]),
+                       "GRAPH group")
+    for sub in (_solve_select(triples, sq) for sq in g["subqueries"]):
+        sols = conjoin(sols, sub, "subquery")
+    if late:
         for e in g["filters"]:
             sols = sols.filter(F.expr(e))
     for negate, patterns in g["exists"]:

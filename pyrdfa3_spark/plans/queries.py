@@ -2017,6 +2017,43 @@ FROM nation
 """
 
 
+def q_sparql_graph(spark, sf_dir):
+    """GRAPH clause through the TEXT front-end over the same quad
+    fixture as q_bgp_graph: a plain pattern (matched across the whole
+    store) conjoined with a GRAPH ?g block, the provenance variable
+    filtered after the join."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit("nation:"), k)
+    g = F.concat(F.lit("urn:conv:r"), F.col("n_regionkey").cast("string"))
+    quads = nation.select(
+        subj.alias("subj"), F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"), g.alias("graph")
+    ).unionByName(nation.select(
+        subj.alias("subj"), F.lit(_EX + "memberOf").alias("pred"),
+        F.concat(F.lit("region:"),
+                 F.col("n_regionkey").cast("string")).alias("obj"),
+        g.alias("graph")))
+    return sparql(quads, f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?g WHERE {{
+          ?n ex:name ?name .
+          GRAPH ?g {{ ?n ex:memberOf ?r }}
+          FILTER(?g != "urn:conv:r1")
+        }}
+    """)
+
+
+SQL_SPARQL_GRAPH = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name,
+       'urn:conv:r' || CAST(n_regionkey AS VARCHAR) AS g
+FROM nation WHERE n_regionkey <> 1
+"""
+
+
 def q_bgp_values(spark, sf_dir):
     """SPARQL VALUES: an inline binding table constrains the solutions
     to three regions and extends them with a zone label; the
@@ -3672,6 +3709,7 @@ QUERIES = {
     "list_chain": q_list_chain,
     "sparql_select": q_sparql_select,
     "sparql_subquery": q_sparql_subquery,
+    "sparql_graph": q_sparql_graph,
     "bgp_match": q_bgp_match,
     "bgp_optional": q_bgp_optional,
     "graph_diff": q_graph_diff,
@@ -3785,6 +3823,7 @@ def oracles() -> dict[str, str]:
         "list_chain": SQL_LIST_CHAIN,
         "sparql_select": SQL_SPARQL_SELECT,
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
+        "sparql_graph": SQL_SPARQL_GRAPH,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,

@@ -291,3 +291,41 @@ def test_subquery_unsupported_shapes_raise(spark):
         sparql(t, """SELECT ?s WHERE {
             ?s <urn:p:age> ?a .
             OPTIONAL { { SELECT ?s WHERE { ?s <urn:p:x> ?y } } } }""")
+
+
+def test_graph_clause(spark):
+    """GRAPH <iri> scopes patterns to one named graph; GRAPH ?g binds
+    provenance and ranges over NAMED graphs only (default-graph rows
+    with NULL graph term are invisible inside GRAPH); a triple frame
+    without a graph column raises."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported, sparql
+
+    quads = [("urn:a", "urn:p:name", "Ann", None),
+             ("urn:a", "urn:p:age", "3", "urn:g:conv1"),
+             ("urn:b", "urn:p:age", "5", "urn:g:conv2"),
+             ("urn:a", "urn:p:age", "9", "urn:g:conv2")]
+    t = spark.createDataFrame(quads, ["subj", "pred", "obj", "graph"])
+
+    got = sparql(t, """PREFIX p: <urn:p:>
+        SELECT ?s ?v ?g WHERE { GRAPH ?g { ?s p:age ?v } }""")
+    assert sorted(map(tuple, got.collect())) == [
+        ("urn:a", "3", "urn:g:conv1"), ("urn:a", "9", "urn:g:conv2"),
+        ("urn:b", "5", "urn:g:conv2")]
+
+    # default-graph name row is NOT inside any named graph
+    got = sparql(t, """PREFIX p: <urn:p:>
+        SELECT ?s ?n WHERE { GRAPH ?g { ?s p:name ?n } }""")
+    assert got.count() == 0
+
+    # plain pattern (whole store) + constant-graph scope conjoin on ?s
+    got = sparql(t, """PREFIX p: <urn:p:>
+        SELECT ?s ?n ?v WHERE {
+          ?s p:name ?n . GRAPH <urn:g:conv2> { ?s p:age ?v } }""")
+    assert sorted(map(tuple, got.collect())) == [("urn:a", "Ann", "9")]
+
+    tri = spark.createDataFrame(
+        [(s, p, o) for s, p, o, _ in quads], ["subj", "pred", "obj"])
+    with pytest.raises(SparqlUnsupported):
+        sparql(tri, "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:age> ?v } }")
