@@ -2750,6 +2750,49 @@ FROM nation
 """
 
 
+def q_trig_serialize(spark, sf_dir):
+    """TriG sink (S6 + provenance): the N-Quads fixture regrouped as
+    per-graph blocks — the named-graph block format consumers read
+    when they want one conversation's statements together."""
+    from pyrdfa3_spark.plans.serialize import to_trig
+
+    g = _nation_graph(spark, sf_dir).withColumn(
+        "graph",
+        F.when(F.col("subj").startswith("_:"),
+               F.concat(F.lit("urn:conv:r"),
+                        F.regexp_extract("obj", r"R(\d+)$", 1)))
+        .otherwise(F.concat(F.lit("urn:conv:"),
+                            F.regexp_extract("subj", r"N(\d+)$", 1))))
+    return to_trig(g)
+
+
+SQL_TRIG_SERIALIZE = """
+WITH s AS (
+  SELECT 'urn:conv:' || CAST(n_nationkey AS VARCHAR) AS g,
+         '<urn:nation:N' || CAST(n_nationkey AS VARCHAR)
+         || '> <urn:p:name> "'
+         || replace(replace(n_name || ' says "hi"' || chr(10),
+                    '"', '\\"'), chr(10), '\\n') || '"@en .' AS stmt
+  FROM nation
+  UNION ALL
+  SELECT 'urn:conv:' || CAST(n_nationkey AS VARCHAR),
+         '<urn:nation:N' || CAST(n_nationkey AS VARCHAR)
+         || '> <urn:p:key> "' || CAST(n_nationkey AS VARCHAR)
+         || '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+  FROM nation
+  UNION ALL
+  SELECT 'urn:conv:r' || CAST(n_regionkey AS VARCHAR),
+         '_:bn' || CAST(n_nationkey AS VARCHAR)
+         || ' <urn:p:in> <urn:region:R'
+         || CAST(n_regionkey AS VARCHAR) || '> .'
+  FROM nation)
+SELECT '<' || g || '> {' || chr(10) || '  '
+       || string_agg(stmt, chr(10) || '  ' ORDER BY stmt)
+       || chr(10) || '}' AS block
+FROM s GROUP BY g
+"""
+
+
 def q_skolemize(spark, sf_dir):
     """RDF 1.1 skolemization over the serializer fixture graph: the
     bnode subjects become /.well-known/genid/ IRIs, every other term
@@ -3734,6 +3777,7 @@ QUERIES = {
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
     "nquads_serialize": q_nquads_serialize,
+    "trig_serialize": q_trig_serialize,
     "skolemize": q_skolemize,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
@@ -3848,6 +3892,7 @@ def oracles() -> dict[str, str]:
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
+        "trig_serialize": SQL_TRIG_SERIALIZE,
         "skolemize": SQL_SKOLEMIZE,
         "bm25": SQL_BM25,
         "kg_construct": SQL_KG_CONSTRUCT,

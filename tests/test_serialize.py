@@ -326,3 +326,27 @@ def test_rdfdocs_reader_error_rows(spark):
     px = parse_rdf_documents(xml_bad, fmt="rdfxml")
     assert [r.doc_id for r in parse_errors(px).collect()] == [1]
     assert triples_only(px).count() == 0
+
+
+def test_trig_blocks_and_default_graph(spark):
+    """Named graphs become sorted { } blocks; NULL-graph rows are bare
+    top-level statements (TriG default graph)."""
+    from pyrdfa3_spark.plans.serialize import to_trig
+
+    quads = [
+        ("urn:s1", "urn:p", "v1", False, None, None, "urn:g1"),
+        ("urn:s2", "urn:p", "urn:s1", True, None, None, "urn:g1"),
+        ("_:b", "urn:p", "line1\nline2", False, "en", None, "_:gb"),
+        ("urn:s3", "urn:p", "default", False, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        quads, "subj string, pred string, obj string, obj_is_iri boolean,"
+        " obj_lang string, obj_datatype string, graph string")
+    blocks = [r["block"] for r in to_trig(df).collect()]
+    assert '<urn:s3> <urn:p> "default" .' in blocks
+    g1 = next(b for b in blocks if b.startswith("<urn:g1>"))
+    assert g1 == ('<urn:g1> {\n  <urn:s1> <urn:p> "v1" .\n'
+                  '  <urn:s2> <urn:p> <urn:s1> .\n}')
+    gb = next(b for b in blocks if b.startswith("_:gb"))
+    assert gb == ('_:gb {\n  _:b <urn:p> "line1\\nline2"@en .\n}')
+    assert len(blocks) == 3
