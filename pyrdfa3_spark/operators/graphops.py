@@ -968,10 +968,30 @@ def describe(triples: DataFrame, nodes: list[str],
     spark = triples.sparkSession
     frontier = spark.createDataFrame([(n,) for n in nodes], ["subj"]) \
         .dropDuplicates()
+    return _describe_loop(triples, frontier, max_hops, hint=True)
+
+
+def describe_frame(triples: DataFrame, nodes: DataFrame,
+                   node_col: str = "node",
+                   max_hops: int = 10) -> DataFrame:
+    """:func:`describe` driven by a node FRAME instead of a literal
+    list — the ``DESCRIBE ?x WHERE {...}`` form, where the solution
+    set picks the resources.  Unlike the list form the frontier is not
+    broadcast-hinted: a solution-driven node set can be large, so the
+    join strategy is left to Catalyst/AQE (which still broadcasts
+    small frontiers from runtime stats)."""
+    frontier = nodes.select(F.col(node_col).alias("subj")) \
+        .filter(F.col("subj").isNotNull()).dropDuplicates()
+    return _describe_loop(triples, frontier, max_hops, hint=False)
+
+
+def _describe_loop(triples: DataFrame, frontier: DataFrame,
+                   max_hops: int, hint: bool) -> DataFrame:
     seen = frontier
     out = None
     for _ in range(max_hops):
-        hop = triples.join(F.broadcast(frontier), "subj", "inner")
+        f = F.broadcast(frontier) if hint else frontier
+        hop = triples.join(f, "subj", "inner")
         out = hop if out is None else out.unionByName(hop)
         frontier = (hop.filter(F.col("obj").startswith("_:"))
                     .select(F.col("obj").alias("subj"))

@@ -555,13 +555,23 @@ def parse(text: str) -> dict:
              "where": p.group()}
     elif v == "DESCRIBE":
         p.next()
-        nodes = []
-        while p.at("IRI") or p.at("PNAME"):
-            nodes.append(p.term(allow_var=False, allow_literal=False))
-        if not nodes:
-            raise SparqlUnsupported("DESCRIBE needs explicit IRIs "
-                                    "(variable DESCRIBE unsupported)")
-        q = {"form": "describe", "nodes": nodes}
+        if p.at("VAR"):
+            var = p.var()
+            if p.at("VAR"):
+                raise SparqlUnsupported(
+                    "DESCRIBE supports one variable")
+            p.take("KW", "WHERE")
+            q = {"form": "describe_var", "var": var,
+                 "where": p.group()}
+        else:
+            nodes = []
+            while p.at("IRI") or p.at("PNAME"):
+                nodes.append(p.term(allow_var=False,
+                                    allow_literal=False))
+            if not nodes:
+                raise SparqlUnsupported(
+                    "DESCRIBE needs IRIs or a ?variable with WHERE")
+            q = {"form": "describe", "nodes": nodes}
     else:
         raise SparqlError(f"expected a query form, got {v!r}")
     if not p.at("EOF"):
@@ -789,6 +799,12 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
             (F.count(F.lit(1)) > 0).alias("result"))
     if q["form"] == "describe":
         return G.describe(triples, q["nodes"])
+    if q["form"] == "describe_var":
+        sols = _solve_group(triples, q["where"])
+        if q["var"] not in sols.columns:
+            raise SparqlError(
+                f"DESCRIBE variable ?{q['var']} is not bound in WHERE")
+        return G.describe_frame(triples, sols, node_col=q["var"])
     if q["form"] == "construct":
         g = q["where"]
         if (g["union"] or g["minus"] or g["exists"] or g["values"]

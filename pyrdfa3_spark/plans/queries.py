@@ -2054,6 +2054,30 @@ FROM nation WHERE n_regionkey <> 1
 """
 
 
+def q_sparql_describe(spark, sf_dir):
+    """Variable DESCRIBE: the WHERE solutions pick the resources, the
+    describe frontier comes from the solution frame (no driver-side
+    node list) — region-0 nations' concise bounded descriptions."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        DESCRIBE ?n WHERE {{ ?n ex:memberOf <region:0> }}
+    """)
+
+
+SQL_SPARQL_DESCRIBE = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'http://example.org/memberOf' AS pred,
+       'region:0' AS obj
+FROM nation WHERE n_regionkey = 0
+UNION ALL
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+       'http://example.org/name', n_name
+FROM nation WHERE n_regionkey = 0
+"""
+
+
 def q_bgp_values(spark, sf_dir):
     """SPARQL VALUES: an inline binding table constrains the solutions
     to three regions and extends them with a zone label; the
@@ -3753,6 +3777,7 @@ QUERIES = {
     "sparql_select": q_sparql_select,
     "sparql_subquery": q_sparql_subquery,
     "sparql_graph": q_sparql_graph,
+    "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
     "bgp_optional": q_bgp_optional,
     "graph_diff": q_graph_diff,
@@ -3868,6 +3893,7 @@ def oracles() -> dict[str, str]:
         "sparql_select": SQL_SPARQL_SELECT,
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
         "sparql_graph": SQL_SPARQL_GRAPH,
+        "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,

@@ -329,3 +329,27 @@ def test_graph_clause(spark):
         [(s, p, o) for s, p, o, _ in quads], ["subj", "pred", "obj"])
     with pytest.raises(SparqlUnsupported):
         sparql(tri, "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:age> ?v } }")
+
+
+def test_describe_variable_form(spark):
+    """DESCRIBE ?x WHERE {...}: the solution set picks the resources,
+    bnode objects recurse into the description; unbound variables
+    raise."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlError, sparql
+
+    rows = [("urn:a", "urn:p:type", "urn:T"),
+            ("urn:b", "urn:p:type", "urn:U"),
+            ("urn:a", "urn:p:val", "_:x1"),
+            ("_:x1", "urn:p:inner", "42"),
+            ("urn:b", "urn:p:val", "7")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = sparql(t, """PREFIX p: <urn:p:>
+        DESCRIBE ?s WHERE { ?s p:type <urn:T> }""")
+    assert sorted(map(tuple, got.collect())) == [
+        ("_:x1", "urn:p:inner", "42"),
+        ("urn:a", "urn:p:type", "urn:T"),
+        ("urn:a", "urn:p:val", "_:x1")]
+    with pytest.raises(SparqlError):
+        sparql(t, """DESCRIBE ?z WHERE { ?s <urn:p:type> ?o }""")
