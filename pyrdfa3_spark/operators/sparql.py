@@ -11,7 +11,8 @@ rdflib call site ports as ``SparkGraph.query("SELECT ...")`` verbatim.
 Supported subset (raises ``SparqlUnsupported`` — never silently
 misparses — outside it):
 
-* ``PREFIX`` declarations; ``a`` for rdf:type; prefixed names expand
+* ``PREFIX`` / ``BASE`` declarations (relative IRIs resolve
+  against BASE per RFC 3986); ``a`` for rdf:type; prefixed names expand
   against declared prefixes and pass through UNCHANGED when the prefix
   is undeclared (lake triple stores routinely hold CURIE-shaped terms).
 * ``SELECT [DISTINCT] * | ?v ... | (AGG(?v) AS ?a) ...`` with COUNT /
@@ -116,6 +117,7 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str = ""
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -155,7 +157,13 @@ class _Parser:
         if k == "VAR" and allow_var:
             return "?" + v[1:]
         if k == "IRI":
-            return v[1:-1]
+            iri = v[1:-1]
+            # relative IRIs (no scheme) resolve against BASE, RFC 3986
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:",
+                                          iri):
+                from urllib.parse import urljoin
+                return urljoin(self.base, iri)
+            return iri
         if k == "PNAME":
             return self._expand_pname(v)
         if k == "KW" and v == "A":
@@ -534,7 +542,11 @@ def _sql_str(s: str) -> str:
 def parse(text: str) -> dict:
     """Parse SPARQL text into the executable query description."""
     p = _Parser(text)
-    while p.take("KW", "PREFIX"):
+    while p.at("KW", "PREFIX") or p.at("KW", "BASE"):
+        if p.take("KW", "BASE"):
+            p.base = p.eat("IRI")[1:-1]
+            continue
+        p.next()
         pname = p.eat("PNAME")
         iri = p.eat("IRI")[1:-1]
         p.prefixes[pname[:-1] if pname.endswith(":")

@@ -353,3 +353,19 @@ def test_describe_variable_form(spark):
         ("urn:a", "urn:p:val", "_:x1")]
     with pytest.raises(SparqlError):
         sparql(t, """DESCRIBE ?z WHERE { ?s <urn:p:type> ?o }""")
+
+
+def test_base_declaration(spark):
+    """BASE resolves relative IRIs in query terms; absolute IRIs and
+    PNAMEs are untouched."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    rows = [("http://ex.org/a", "http://ex.org/p", "1"),
+            ("urn:b", "http://ex.org/p", "2")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = sparql(t, """BASE <http://ex.org/>
+        SELECT ?v WHERE { <a> <p> ?v }""")
+    assert [tuple(r) for r in got.collect()] == [("1",)]
+    got = sparql(t, """BASE <http://ex.org/>
+        SELECT ?v WHERE { <urn:b> <p> ?v }""")
+    assert [tuple(r) for r in got.collect()] == [("2",)]
