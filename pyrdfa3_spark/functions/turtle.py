@@ -34,11 +34,11 @@ _TOKEN = re.compile(r"""
     | (?P<iri><[^<>"{}|^`\\\s]*>)
     | (?P<longstr>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
     | (?P<str>"(?:[^"\\\n]|\\.)*")
-    | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b)
+    | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|GRAPH\b)
     | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<dt>\^\^)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<punct>[;,.\[\](){}])
     | (?P<a>\ba\b)
     | (?P<bnode>_:[\w.-]+)
     | (?P<pname>[A-Za-z0-9][\w.-]*?:[\w./#%+-]*|:[\w./#%+-]*)
@@ -150,6 +150,10 @@ class TurtleParser:
                 self.base = urljoin(self.base, iri[1:-1])
                 if val == "@base":
                     self._expect_punct(".")
+            else:
+                # GRAPH is a TriG-only keyword (TrigParser handles it
+                # before delegating here)
+                raise TurtleError(f"unexpected keyword {val!r}")
             return
         subj = self._term(subject=True)
         self._predicate_object_list(subj)
@@ -246,6 +250,79 @@ class TurtleParser:
 def parse_turtle(text: str, base: str = "",
                  bnode_factory: Optional[Callable] = None):
     return TurtleParser(base=base, bnode_factory=bnode_factory).parse(text)
+
+
+class TrigParser(TurtleParser):
+    """TriG reader: Turtle plus named-graph blocks —
+    ``[GRAPH] <label> { triples }`` with IRI / pname / bnode labels —
+    and bare default-graph statements.  Returns ``(s, p, o, g)``
+    quads; default-graph statements carry ``g = None``.  The final
+    ``.`` inside a block is optional, per the TriG grammar."""
+
+    def parse(self, text: str):
+        from pyrdfa3_spark.operators.rdfa_engine import Literal
+
+        self._Literal = Literal
+        self.triples = []
+        self.quads: list = []
+        self._toks = list(self._tokens(text))
+        self._i = 0
+        while self._peek()[0] != "eof":
+            self._trig_statement()
+        return self.quads
+
+    def _trig_statement(self):
+        kind, val = self._peek()
+        if kind == "kw" and val != "GRAPH":
+            self._statement()  # @prefix / @base directives
+            return
+        if kind == "kw":  # GRAPH <label> { ... }
+            self._next()
+            self._block(self._graph_label())
+            return
+        if (kind in ("iri", "pname", "bnode")
+                and self._toks[self._i + 1][1] == "{"):
+            self._block(self._graph_label())
+            return
+        before = len(self.triples)
+        subj = self._term(subject=True)
+        self._predicate_object_list(subj)
+        self._expect_punct(".")
+        self._flush(before, None)
+
+    def _graph_label(self):
+        kind, val = self._next()
+        if kind == "iri":
+            return urljoin(self.base, _unescape(val[1:-1]))
+        if kind == "pname":
+            return self._resolve_pname(val)
+        if kind == "bnode":
+            label = val[2:]
+            if label not in self._named:
+                self._named[label] = self._bnode_factory()
+            return self._named[label]
+        raise TurtleError(f"bad graph label {val!r}")
+
+    def _block(self, graph):
+        self._expect_punct("{")
+        while self._peek()[1] != "}":
+            before = len(self.triples)
+            subj = self._term(subject=True)
+            self._predicate_object_list(subj)
+            if self._peek()[1] == ".":
+                self._next()
+            self._flush(before, graph)
+        self._next()
+
+    def _flush(self, before, graph):
+        self.quads.extend((s, p, o, graph)
+                          for s, p, o in self.triples[before:])
+        del self.triples[before:]
+
+
+def parse_trig(text: str, base: str = "",
+               bnode_factory: Optional[Callable] = None):
+    return TrigParser(base=base, bnode_factory=bnode_factory).parse(text)
 
 
 # --------------------------------------------------------------------------

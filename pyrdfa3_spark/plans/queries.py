@@ -2817,6 +2817,41 @@ FROM s GROUP BY g
 """
 
 
+def q_trig_roundtrip(spark, sf_dir):
+    """Sink -> source identity for TriG: the named-graph block export
+    parsed back per-document with the TrigParser (quads out, graph
+    column carried).  Bnode-free fixture subset; closed-form oracle."""
+    from pyrdfa3_spark.plans.serialize import to_trig
+    from pyrdfa3_spark.sources.rdfdocs import (parse_rdf_documents,
+                                               triples_only)
+
+    g = (_nation_graph(spark, sf_dir)
+         .filter(~F.col("subj").startswith("_:"))
+         .withColumn("graph",
+                     F.concat(F.lit("urn:conv:"),
+                              F.regexp_extract("subj", r"N(\d+)$", 1))))
+    docs = _block_docs(to_trig(g), "")
+    return triples_only(parse_rdf_documents(docs, fmt="trig")) \
+        .drop("doc_id")
+
+
+SQL_TRIG_ROUNDTRIP = """
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'urn:p:name' AS pred,
+       n_name || ' says "hi"' || chr(10) AS obj,
+       FALSE AS obj_is_iri, 'en' AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       'urn:conv:' || CAST(n_nationkey AS VARCHAR) AS graph
+FROM nation
+UNION ALL
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:key',
+       CAST(n_nationkey AS VARCHAR), FALSE, NULL,
+       'http://www.w3.org/2001/XMLSchema#integer',
+       'urn:conv:' || CAST(n_nationkey AS VARCHAR)
+FROM nation
+"""
+
+
 def q_skolemize(spark, sf_dir):
     """RDF 1.1 skolemization over the serializer fixture graph: the
     bnode subjects become /.well-known/genid/ IRIs, every other term
@@ -3803,6 +3838,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "nquads_serialize": q_nquads_serialize,
     "trig_serialize": q_trig_serialize,
+    "trig_roundtrip": q_trig_roundtrip,
     "skolemize": q_skolemize,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
@@ -3919,6 +3955,7 @@ def oracles() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "trig_serialize": SQL_TRIG_SERIALIZE,
+        "trig_roundtrip": SQL_TRIG_ROUNDTRIP,
         "skolemize": SQL_SKOLEMIZE,
         "bm25": SQL_BM25,
         "kg_construct": SQL_KG_CONSTRUCT,

@@ -1,5 +1,6 @@
 """Distributed per-document RDF reader for the block formats (Turtle,
-RDF/XML) — the source twins of ``to_turtle`` / ``to_rdfxml``.
+RDF/XML, TriG) — the source twins of ``to_turtle`` / ``to_rdfxml`` /
+``to_trig``.
 
 Unlike N-Triples / JSON-LD lines, these formats are NOT
 line-splittable: prefix declarations and element nesting scope over
@@ -33,17 +34,22 @@ from pyspark.sql import functions as F
 _OUT_SCHEMA = ("doc_id bigint, subj string, pred string, obj string, "
                "obj_is_iri boolean, obj_lang string, obj_datatype string, "
                "error string")
+_OUT_SCHEMA_QUADS = _OUT_SCHEMA.replace(
+    "error string", "graph string, error string")
 
-_FORMATS = ("turtle", "rdfxml")
+_FORMATS = ("turtle", "rdfxml", "trig")
 
 
 def parse_rdf_documents(docs: DataFrame, fmt: str = "turtle",
                         id_col: str = "doc_id", text_col: str = "text",
                         base: str = "") -> DataFrame:
     """``(doc_id, text)`` frame of serialized RDF documents -> triples
-    (+ per-document error rows).  See the module contract."""
+    (+ per-document error rows); ``fmt="trig"`` adds a ``graph``
+    column (None for default-graph statements).  See the module
+    contract."""
     if fmt not in _FORMATS:
         raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    quads = fmt == "trig"
 
     def run(batches):
         import pandas as pd
@@ -51,7 +57,8 @@ def parse_rdf_documents(docs: DataFrame, fmt: str = "turtle",
         from pyrdfa3_spark.operators.rdfa_engine import Literal
 
         cols = ("doc_id", "subj", "pred", "obj", "obj_is_iri",
-                "obj_lang", "obj_datatype", "error")
+                "obj_lang", "obj_datatype",
+                *(("graph",) if quads else ()), "error")
 
         def parse_one(doc_id, text):
             counter = [0]
@@ -63,6 +70,9 @@ def parse_rdf_documents(docs: DataFrame, fmt: str = "turtle",
             if fmt == "turtle":
                 from pyrdfa3_spark.functions.turtle import parse_turtle
                 return parse_turtle(text, base=base, bnode_factory=bnode)
+            if fmt == "trig":
+                from pyrdfa3_spark.functions.turtle import parse_trig
+                return parse_trig(text, base=base, bnode_factory=bnode)
             from pyrdfa3_spark.functions.turtle import parse_rdfxml_node
             from pyrdfa3_spark.sources.dom import parse_xml
             root = parse_xml(text)
@@ -75,14 +85,15 @@ def parse_rdf_documents(docs: DataFrame, fmt: str = "turtle",
             rows = {k: [] for k in cols}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 try:
-                    triples = parse_one(doc_id, text or "")
+                    stmts = parse_one(doc_id, text or "")
                 except Exception as exc:  # noqa: BLE001 — diagnostics row
                     rows["doc_id"].append(doc_id)
                     for k in cols[1:-1]:
                         rows[k].append(None)
                     rows["error"].append(f"{type(exc).__name__}: {exc}")
                     continue
-                for s, p, o in triples:
+                for stmt in stmts:
+                    s, p, o = stmt[:3]
                     rows["doc_id"].append(doc_id)
                     rows["subj"].append(s)
                     rows["pred"].append(p)
@@ -96,12 +107,15 @@ def parse_rdf_documents(docs: DataFrame, fmt: str = "turtle",
                         rows["obj_is_iri"].append(True)
                         rows["obj_lang"].append(None)
                         rows["obj_datatype"].append(None)
+                    if quads:
+                        rows["graph"].append(stmt[3])
                     rows["error"].append(None)
             yield pd.DataFrame(rows, columns=list(cols))
 
     src = docs.select(F.col(id_col).cast("bigint").alias(id_col),
                       F.col(text_col).cast("string").alias(text_col))
-    return src.mapInPandas(run, schema=_OUT_SCHEMA)
+    return src.mapInPandas(
+        run, schema=_OUT_SCHEMA_QUADS if quads else _OUT_SCHEMA)
 
 
 def parse_errors(parsed: DataFrame) -> DataFrame:

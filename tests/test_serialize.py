@@ -350,3 +350,44 @@ def test_trig_blocks_and_default_graph(spark):
     gb = next(b for b in blocks if b.startswith("_:gb"))
     assert gb == ('_:gb {\n  _:b <urn:p> "line1\\nline2"@en .\n}')
     assert len(blocks) == 3
+
+
+def test_trig_reader_roundtrip_and_quads(spark):
+    """parse_rdf_documents(fmt='trig') closes the TriG loop: named
+    blocks come back with their graph term, bare statements with
+    graph=None; bnode graphs/subjects rewrite doc-scoped."""
+    from pyrdfa3_spark.functions.turtle import parse_trig
+    from pyrdfa3_spark.plans.serialize import to_trig
+    from pyrdfa3_spark.sources.rdfdocs import (
+        parse_rdf_documents, triples_only,
+    )
+    from pyspark.sql import functions as F
+
+    quads = [r + ("urn:graph:g1" if i % 2 else None,)
+             for i, r in enumerate(ROWS)]
+    df = spark.createDataFrame(
+        quads, "subj string, pred string, obj string, obj_is_iri boolean,"
+        " obj_lang string, obj_datatype string, graph string")
+    docs = to_trig(df).agg(
+        F.concat_ws("\n", F.collect_list("block")).alias("text")
+    ).select(F.lit(1).alias("doc_id"), "text")
+    back = triples_only(parse_rdf_documents(docs, fmt="trig"))
+    got = [(r.subj, r.pred,
+            r.obj if r.obj_is_iri
+            else Literal(r.obj, r.obj_lang, r.obj_datatype), r.graph)
+           for r in back.collect()]
+    want = [(s, p, o if is_iri else Literal(o, lang, dt), g)
+            for s, p, o, is_iri, lang, dt, g in quads]
+    # bnode labels are reader-scoped; compare per-graph isomorphism of
+    # the triple parts plus exact graph terms
+    assert sorted(g or "" for *_, g in got) == \
+        sorted(g or "" for *_, g in want)
+    assert isomorphic([t[:3] for t in got], [t[:3] for t in want]), \
+        diff([t[:3] for t in got], [t[:3] for t in want])
+    # direct parser check: GRAPH keyword + pname labels + default graph
+    qs = parse_trig("""@prefix ex: <http://ex.org/> .
+        <urn:s0> ex:p "d" .
+        GRAPH ex:g { <urn:s1> ex:p <urn:s2> }""")
+    assert ("urn:s0", "http://ex.org/p") == qs[0][:2] and qs[0][3] is None
+    assert qs[1] == ("urn:s1", "http://ex.org/p", "urn:s2",
+                     "http://ex.org/g")
