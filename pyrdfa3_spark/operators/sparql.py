@@ -559,12 +559,22 @@ def parse(text: str) -> dict:
         q = {"form": "ask", "where": p.group()}
     elif v == "CONSTRUCT":
         p.next()
-        tpl_group = p.group()
-        _require_simple(tpl_group, "CONSTRUCT templates",
-                        filters_ok=False)
-        p.eat("KW", "WHERE")
-        q = {"form": "construct", "template": tpl_group["patterns"],
-             "where": p.group()}
+        if p.at("KW", "WHERE"):
+            # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.2):
+            # the pattern group doubles as the template
+            p.next()
+            w = p.group()
+            _require_simple(w, "CONSTRUCT WHERE shorthand",
+                            filters_ok=True)
+            q = {"form": "construct", "template": w["patterns"],
+                 "where": w}
+        else:
+            tpl_group = p.group()
+            _require_simple(tpl_group, "CONSTRUCT templates",
+                            filters_ok=False)
+            p.eat("KW", "WHERE")
+            q = {"form": "construct", "template": tpl_group["patterns"],
+                 "where": p.group()}
     elif v == "DESCRIBE":
         p.next()
         if p.at("VAR"):

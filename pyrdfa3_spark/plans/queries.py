@@ -3761,6 +3761,35 @@ FROM g GROUP BY conv_n
 """
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning (plans/maintenance.py) over a
+    deterministic file listing derived from documents: path-ordered
+    byte prefix sums cut into 1 MB rewrite bins via the two-phase
+    distributed prefix sum (no global window)."""
+    from pyrdfa3_spark.plans.maintenance import compaction_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.format_string("part-%05d", F.col("doc_id").cast("long"))
+        .alias("path"),
+        (F.length("text") * 50).cast("bigint").alias("bytes"))
+    return compaction_plan(files, target_bytes=1_000_000)
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT printf('part-%05d', doc_id) AS path,
+         CAST(length(text) * 50 AS BIGINT) AS bytes
+  FROM documents),
+w AS (
+  SELECT path, bytes,
+         SUM(bytes) OVER (ORDER BY path
+                          ROWS UNBOUNDED PRECEDING) - bytes AS start_byte
+  FROM f)
+SELECT path, bytes, start_byte, start_byte // 1000000 AS bin FROM w
+"""
+
+
 # --------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------- #
@@ -3850,6 +3879,7 @@ QUERIES = {
     "conversation_stats": q_conversation_stats,
     "stitch_conversations": q_stitch_conversations,
     "turn_latency": q_turn_latency,
+    "compaction_plan": q_compaction_plan,
     "turtle_serialize": q_turtle_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "jsonld_compact": q_jsonld_compact,
@@ -3967,6 +3997,7 @@ def oracles() -> dict[str, str]:
         "conversation_stats": SQL_CONVERSATION_STATS,
         "stitch_conversations": SQL_STITCH_CONVERSATIONS,
         "turn_latency": SQL_TURN_LATENCY,
+        "compaction_plan": SQL_COMPACTION_PLAN,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,
         "jsonld_compact": SQL_JSONLD_COMPACT,

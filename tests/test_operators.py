@@ -1760,3 +1760,29 @@ def test_stitch_and_latency_stable_order(spark):
             lat["a"].max_gap_ms) == (2, 30000.0, 50000)
     assert (lat["c"].n_gaps, lat["c"].mean_gap_ms,
             lat["c"].max_gap_ms) == (0, None, None)
+
+
+def test_compaction_plan_matches_python(spark):
+    """Bins follow the path-ordered byte prefix sum exactly; the
+    summary rolls up per-bin counts; results are invariant to input
+    partitioning."""
+    from pyrdfa3_spark.plans.maintenance import (
+        compaction_plan, compaction_summary,
+    )
+
+    sizes = [300, 300, 300, 250, 900, 100, 100, 2500, 50]
+    rows = [(f"f{i:03d}", s) for i, s in enumerate(sizes)]
+    files = spark.createDataFrame(rows, ["path", "bytes"]).repartition(5)
+    got = {r.path: (r.start_byte, r.bin)
+           for r in compaction_plan(files, target_bytes=1000).collect()}
+    start = 0
+    for p, s in rows:
+        assert got[p] == (start, start // 1000), (p, got[p])
+        start += s
+    summ = {r.bin: (r.n_files, r.total_bytes, r.n_small)
+            for r in compaction_summary(
+                compaction_plan(files, target_bytes=1000),
+                small_threshold=200).collect()}
+    assert sum(n for n, _, _ in summ.values()) == len(sizes)
+    assert sum(b for _, b, _ in summ.values()) == sum(sizes)
+    assert summ[0] == (4, 1150, 0)  # f000..f003 start under 1000

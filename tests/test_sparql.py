@@ -369,3 +369,21 @@ def test_base_declaration(spark):
     got = sparql(t, """BASE <http://ex.org/>
         SELECT ?v WHERE { <urn:b> <p> ?v }""")
     assert [tuple(r) for r in got.collect()] == [("2",)]
+
+
+def test_construct_where_shorthand(spark):
+    """CONSTRUCT WHERE { ... } uses the pattern group as the template
+    (filters permitted as an extension; OPTIONAL etc. raise)."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported, sparql
+
+    rows = [("urn:a", "urn:p:age", "3"), ("urn:b", "urn:p:age", "5")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    got = sparql(
+        t, 'CONSTRUCT WHERE { ?s <urn:p:age> ?v . FILTER(?v > "3") }')
+    assert [tuple(r)[:3] for r in got.collect()] == [
+        ("urn:b", "urn:p:age", "5")]
+    with pytest.raises(SparqlUnsupported):
+        sparql(t, """CONSTRUCT WHERE {
+            ?s <urn:p:age> ?v . OPTIONAL { ?s <urn:p:x> ?y } }""")
