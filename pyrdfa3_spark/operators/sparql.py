@@ -38,7 +38,11 @@ misparses — outside it):
 FILTER/BIND/HAVING expressions translate to Spark SQL (the operators
 compile them via ``F.expr``): ``&& || !``, comparisons, arithmetic,
 ``IN``, and the function set REGEX / STRSTARTS / STRENDS / CONTAINS /
-STRLEN / LCASE / UCASE / STR / BOUND / ABS / CEIL / FLOOR / ROUND.
+STRLEN / LCASE / UCASE / STR / BOUND / ABS / CEIL / FLOOR / ROUND /
+STRBEFORE / STRAFTER / SUBSTR / REPLACE / CONCAT / COALESCE / IF /
+YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS / MD5 / SHA1 / SHA256 /
+ENCODE_FOR_URI (variadics arity-checked; STRBEFORE/STRAFTER return ''
+on a missing needle per spec).
 
 Scale note: parsing is driver-side string work on a query of bytes;
 every execution decision (join order, broadcast, path closure) is the
@@ -286,6 +290,25 @@ class _Parser:
         "STRSTARTS": "startswith({0}, {1})",
         "STRENDS": "endswith({0}, {1})",
         "CONTAINS": "contains({0}, {1})",
+        # STRBEFORE/STRAFTER: '' when the needle is absent (instr=0
+        # makes left's length negative -> ''), per spec
+        "STRBEFORE": "left({0}, instr({0}, {1}) - 1)",
+        "STRAFTER": ("(CASE WHEN instr({0}, {1}) > 0 THEN "
+                     "substring({0}, instr({0}, {1}) + length({1})) "
+                     "ELSE '' END)"),
+        "YEAR": "year({0})", "MONTH": "month({0})", "DAY": "day({0})",
+        "HOURS": "hour({0})", "MINUTES": "minute({0})",
+        "SECONDS": "second({0})",
+        "MD5": "md5({0})", "SHA1": "sha1({0})",
+        "SHA256": "sha2({0}, 256)",
+        "ENCODE_FOR_URI": "url_encode({0})",
+    }
+
+    # fn -> (sql name, min args, max args)
+    _VARIADIC = {
+        "CONCAT": ("concat", 1, 99), "COALESCE": ("coalesce", 1, 99),
+        "SUBSTR": ("substring", 2, 3), "REPLACE": ("regexp_replace", 3, 3),
+        "IF": ("if", 3, 3),
     }
 
     def expr(self) -> str:
@@ -388,6 +411,19 @@ class _Parser:
                 args.append(self.expr())
             self.eat("OP", ")")
             return tmpl.format(*args)
+        if k == "NAME" and v.upper() in self._VARIADIC:
+            self.next()
+            fn, lo, hi = self._VARIADIC[v.upper()]
+            self.eat("OP", "(")
+            args = [self.expr()]
+            while self.take("OP", ","):
+                args.append(self.expr())
+            self.eat("OP", ")")
+            if not lo <= len(args) <= hi:
+                raise SparqlError(
+                    f"{v.upper()} takes {lo}..{hi} arguments, "
+                    f"got {len(args)}")
+            return f"{fn}({', '.join(args)})"
         raise SparqlUnsupported(f"expression token {v!r}")
 
     # -- group graph pattern ----------------------------------------------

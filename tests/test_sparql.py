@@ -387,3 +387,42 @@ def test_construct_where_shorthand(spark):
     with pytest.raises(SparqlUnsupported):
         sparql(t, """CONSTRUCT WHERE {
             ?s <urn:p:age> ?v . OPTIONAL { ?s <urn:p:x> ?y } }""")
+
+
+def test_expression_function_set(spark):
+    """The widened FILTER/BIND builtin set: STRBEFORE/STRAFTER ('' on
+    missing needle per spec), CONCAT/COALESCE/SUBSTR/REPLACE/IF
+    variadics with arity checks, date accessors, hashes."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlError, sparql
+
+    rows = [("urn:a", "urn:p:v", "hello-world"),
+            ("urn:b", "urn:p:v", "solo"),
+            ("urn:c", "urn:p:ts", "2026-03-15T10:30:45")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    def run(text):
+        return sorted(map(tuple, sparql(t, text).collect()))
+
+    assert run('SELECT ?s ?b WHERE { ?s <urn:p:v> ?v . '
+               'BIND(STRBEFORE(?v, "-") AS ?b) }') == [
+        ("urn:a", "hello"), ("urn:b", "")]
+    assert run('SELECT ?s ?a WHERE { ?s <urn:p:v> ?v . '
+               'BIND(STRAFTER(?v, "-") AS ?a) }') == [
+        ("urn:a", "world"), ("urn:b", "")]
+    assert run('SELECT ?s ?c WHERE { ?s <urn:p:v> ?v . '
+               'BIND(CONCAT(?v, "!") AS ?c) }') == [
+        ("urn:a", "hello-world!"), ("urn:b", "solo!")]
+    assert run('SELECT ?y ?mi WHERE { ?s <urn:p:ts> ?v . '
+               'BIND(YEAR(?v) AS ?y) BIND(MINUTES(?v) AS ?mi) }') == [
+        (2026, 30)]
+    assert run('SELECT ?s ?r WHERE { ?s <urn:p:v> ?v . '
+               'BIND(REPLACE(?v, "l+", "L") AS ?r) }') == [
+        ("urn:a", "heLo-worLd"), ("urn:b", "soLo")]
+    assert run('SELECT ?s WHERE { ?s <urn:p:v> ?v . '
+               'FILTER(SUBSTR(?v, 1, 4) = IF(true, "hell", "x")) }') == [
+        ("urn:a",)]
+    with pytest.raises(SparqlError):
+        sparql(t, 'SELECT ?s WHERE { ?s <urn:p:v> ?v . '
+                  'FILTER(SUBSTR(?v) = "x") }')
