@@ -31,8 +31,11 @@ misparses — outside it):
   variable graph term binds provenance into the solution; raises on
   a frame with no ``graph`` column).
 * Property paths in predicate position: ``p+  p*  p?  ^p  p1/p2/..
-  p1|p2|..  !(p1|p2)`` (each compiles to the matching ``path_*``
-  virtual-predicate operator; nested combinations raise).
+  p1|p2|..  !(p1|p2)`` and NESTED combinations (``(p1/p2)+``,
+  ``^(p*)``, closure over alternatives, ...) — each operator compiles
+  to the matching ``path_*`` virtual-predicate operator, nested
+  operands materializing bottom-up into the working frame; path
+  operators on a variable predicate raise.
 * ``ASK``, ``CONSTRUCT {template} WHERE {..}``, ``DESCRIBE <iri>...``.
 
 FILTER/BIND/HAVING expressions translate to Spark SQL (the operators
@@ -200,47 +203,46 @@ class _Parser:
             return p
         return ("pred", self.term(allow_var=False, allow_literal=False))
 
+    @staticmethod
+    def _operand(p):
+        """A path tuple's operand: the bare IRI for a plain step, the
+        nested tuple otherwise (the executor materializes nested
+        operands bottom-up).  Variable predicates cannot take path
+        operators (no fixed edge set to close over)."""
+        if p[0] == "pred":
+            if p[1].startswith("?"):
+                raise SparqlUnsupported(
+                    "path operators on a variable predicate")
+            return p[1]
+        return p
+
     def _path_elt(self):
         inv = self.take("OP", "^")
         p = self._path_primary()
-        mod = None
         for op, name in (("+", "plus"), ("*", "star"), ("?", "opt")):
             if self.at("OP", op):
                 self.next()
-                mod = name
+                p = (name, self._operand(p))
                 break
-        if (inv or mod) and p[0] != "pred":
-            raise SparqlUnsupported(
-                "path modifiers on grouped/negated paths")
-        if inv and mod:
-            raise SparqlUnsupported("combined ^ and +/*/? on one step")
-        if inv:
-            return ("inv", p[1])
-        if mod:
-            return (mod, p[1])
+        if inv:  # grammar: '^' applies to the whole modified step
+            p = ("inv", self._operand(p))
         return p
 
-    def path(self):
+    def _path_seq(self):
         seq = [self._path_elt()]
-        while self.at("OP", "/"):
-            self.next()
+        while self.take("OP", "/"):
             seq.append(self._path_elt())
-        if len(seq) > 1:
-            if any(e[0] != "pred" for e in seq):
-                raise SparqlUnsupported("modifiers inside sequence paths")
-            seq = [("seq", [e[1] for e in seq])]
-        alt = seq[0]
-        alts = [alt]
-        while self.at("OP", "|"):
-            self.next()
-            nxt = self._path_elt()
-            alts.append(nxt)
-        if len(alts) > 1:
-            if any(e[0] != "pred" for e in alts):
-                raise SparqlUnsupported(
-                    "modifiers inside alternative paths")
-            return ("alt", [e[1] for e in alts])
-        return alt
+        if len(seq) == 1:
+            return seq[0]
+        return ("seq", [self._operand(e) for e in seq])
+
+    def path(self):
+        alts = [self._path_seq()]
+        while self.take("OP", "|"):
+            alts.append(self._path_seq())
+        if len(alts) == 1:
+            return alts[0]
+        return ("alt", [self._operand(e) for e in alts])
 
     # -- variables / select clause ---------------------------------------
     def var(self) -> str:
@@ -696,38 +698,47 @@ def _parse_select(p: _Parser) -> dict:
 def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
     """Rewrite non-plain path predicates to virtual predicates and
     union their materialized edges into the working frame (the same
-    composition the path operators document)."""
+    composition the path operators document).  Nested paths (e.g.
+    ``(p1/p2)+`` or ``^(p*)``) materialize bottom-up: each inner
+    operand becomes a virtual edge set in the working frame before
+    the outer operator closes over it."""
     counter = [0]
-    extra = []
+    work = [triples.select("subj", "pred", "obj")]
 
-    def virt(path) -> str:
+    def materialize(path) -> str:
         kind = path[0]
+        if kind == "pred":
+            return path[1]
         counter[0] += 1
         name = f"__path{counter[0]}"
-        if kind == "plus":
-            extra.append(G.path_closure(triples, path[1], out_pred=name))
-        elif kind == "star":
-            extra.append(G.path_zero_or_more(triples, path[1],
-                                             out_pred=name))
-        elif kind == "opt":
-            extra.append(G.path_zero_or_one(triples, path[1], name))
-        elif kind == "inv":
-            extra.append(G.path_inverse(triples, path[1], name))
-        elif kind == "seq":
-            extra.append(G.path_seq(triples, path[1], name))
-        elif kind == "alt":
-            extra.append(G.path_alt(triples, path[1], name))
-        elif kind == "neg":
-            extra.append(G.path_negated(triples, path[1], name))
-        else:  # pragma: no cover
-            raise SparqlUnsupported(f"path kind {kind}")
+        if kind in ("seq", "alt", "neg"):
+            ops = [p if isinstance(p, str) else materialize(p)
+                   for p in path[1]]
+            fn = G.path_seq if kind == "seq" else (
+                G.path_alt if kind == "alt" else G.path_negated)
+            edges = fn(work[0], ops, name)
+        else:
+            inner = path[1] if isinstance(path[1], str) \
+                else materialize(path[1])
+            if kind == "plus":
+                edges = G.path_closure(work[0], inner, out_pred=name)
+            elif kind == "star":
+                edges = G.path_zero_or_more(work[0], inner,
+                                            out_pred=name)
+            elif kind == "opt":
+                edges = G.path_zero_or_one(work[0], inner, name)
+            elif kind == "inv":
+                edges = G.path_inverse(work[0], inner, name)
+            else:  # pragma: no cover
+                raise SparqlUnsupported(f"path kind {kind}")
+        work[0] = work[0].unionByName(edges)
         return name
 
     def rewrite(patterns):
         out = []
         for s, path, o in patterns:
             if isinstance(path, tuple):
-                pred = path[1] if path[0] == "pred" else virt(path)
+                pred = materialize(path)
             else:  # already a plain string (template positions)
                 pred = path
             out.append((s, pred, o))
@@ -738,10 +749,7 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
         g["optionals"] = rewrite(g["optionals"])
         g["minus"] = [rewrite(m) for m in g["minus"]]
         g["exists"] = [(n, rewrite(e)) for n, e in g["exists"]]
-    base = triples.select("subj", "pred", "obj")
-    for e in extra:
-        base = base.unionByName(e)
-    return base
+    return work[0]
 
 
 def _solve_group(triples: DataFrame, g: dict) -> DataFrame:

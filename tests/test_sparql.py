@@ -142,8 +142,9 @@ def test_parse_errors(kg):
         parse("SELECT WHERE { ?s ?p ?o }")         # empty projection
     with pytest.raises(SparqlError):
         parse("SELECT ?s WHERE { ?s ?p ?o } nonsense")
+    # nested path modifiers parse now; a variable path still raises
     with pytest.raises(SparqlUnsupported):
-        parse("SELECT ?s WHERE { ?s (p:a/p:b)+ ?o }")  # nested path mod
+        parse("SELECT ?s WHERE { ?s (?v/p:b)+ ?o }")
     with pytest.raises(SparqlUnsupported):
         parse("""SELECT ?s WHERE {
             ?s p:a ?o . { ?s p:b ?x } UNION { ?s p:c ?x } }""")
@@ -426,3 +427,29 @@ def test_expression_function_set(spark):
     with pytest.raises(SparqlError):
         sparql(t, 'SELECT ?s WHERE { ?s <urn:p:v> ?v . '
                   'FILTER(SUBSTR(?v) = "x") }')
+
+
+def test_nested_property_paths(spark):
+    """Nested paths materialize bottom-up: (p1/p2)+, ^(p1/p2),
+    (p1/p2)*, closure over an alternative; variable-path raises."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported, sparql
+
+    rows = [("a", "p1", "b"), ("b", "p2", "c"), ("c", "p1", "d"),
+            ("d", "p2", "e"), ("x", "p3", "y")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    def run(text):
+        return sorted(map(tuple, sparql(t, text).collect()))
+
+    assert run("SELECT ?s ?o WHERE { ?s (<p1>/<p2>)+ ?o }") == [
+        ("a", "c"), ("a", "e"), ("c", "e")]
+    assert run("SELECT ?s ?o WHERE { ?s ^(<p1>/<p2>) ?o }") == [
+        ("c", "a"), ("e", "c")]
+    assert run("SELECT ?o WHERE { <a> (<p1>/<p2>)* ?o }") == [
+        ("a",), ("c",), ("e",)]
+    assert run("SELECT ?s ?o WHERE { ?s (<p1>|<p3>)+ ?o }") == [
+        ("a", "b"), ("c", "d"), ("x", "y")]
+    with pytest.raises(SparqlUnsupported):
+        sparql(t, "SELECT ?s WHERE { ?s (?v)+ ?o }")
