@@ -405,3 +405,17 @@ def test_transcript_operator_plans(spark):
         assert simple.count("Exchange") <= 2, (op.__name__, simple)
         assert ("partial" in simple or "ObjectHashAggregate" in simple
                 or "HashAggregate" in simple), (op.__name__, simple)
+
+
+def test_rdfdocs_reader_plan_single_python_boundary(spark):
+    """The per-document block-format reader is exactly one Arrow
+    mapInPandas over the scan: no shuffle, no join, one Python
+    boundary."""
+    from pyrdfa3_spark.sources.rdfdocs import parse_rdf_documents
+
+    docs = spark.createDataFrame(
+        [(1, "<urn:s> <urn:p> <urn:o> .")], ["doc_id", "text"])
+    for fmt in ("turtle", "trig"):
+        simple = _plan(parse_rdf_documents(docs, fmt=fmt), mode="simple")
+        assert simple.count("MapInPandas") == 1, (fmt, simple)
+        assert "Exchange" not in simple and "Join" not in simple, simple

@@ -391,3 +391,23 @@ def test_trig_reader_roundtrip_and_quads(spark):
     assert ("urn:s0", "http://ex.org/p") == qs[0][:2] and qs[0][3] is None
     assert qs[1] == ("urn:s1", "http://ex.org/p", "urn:s2",
                      "http://ex.org/g")
+
+
+def test_rdfdocs_reader_never_fails_tasks_on_junk(spark):
+    """Garbage documents of every shape become diagnostics rows, never
+    task failures — the extraction UDF's fault-isolation rule applied
+    to the readers."""
+    from pyrdfa3_spark.sources.rdfdocs import parse_errors, parse_rdf_documents
+
+    junk = [
+        "", "   ", "\x00\x01\x02", "<", "<>" * 500, "@prefix", '"' * 99,
+        "<urn:s> <urn:p>", "( ( ( (", "[ [ [", "}", "{", "a a a .",
+        "<urn:s> <urn:p> <urn:o> .",  # one good doc
+        "\\u0000 not turtle", "#" * 1000, "<urn:s> . <urn:p>",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(junk)], ["doc_id", "text"])
+    for fmt in ("turtle", "rdfxml", "trig"):
+        parsed = parse_rdf_documents(docs, fmt=fmt)
+        n_err = parse_errors(parsed).count()  # must not raise
+        assert n_err >= len(junk) - 4, (fmt, n_err)
