@@ -177,6 +177,16 @@ class SparkGraph:
         return G.bgp_match(self.df, patterns, optional=optional,
                            filters=filters)
 
+    def update(self, text: str) -> "SparkGraph":
+        """``rdflib Graph.update`` twin: SPARQL 1.1 UPDATE text
+        (INSERT/DELETE DATA, DELETE WHERE, DELETE..INSERT..WHERE,
+        CLEAR, ``;``-sequences).  Functional — rdflib mutates the graph
+        in place; here the updated graph comes back as a new
+        SparkGraph, the lake's copy-on-write table version."""
+        from pyrdfa3_spark.operators.sparql import update as _update
+
+        return SparkGraph(_update(self.df, text))
+
     def ask(self, patterns, filters=None) -> bool:
         return G.ask(self.df, patterns,
                      filters=filters).collect()[0]["result"]

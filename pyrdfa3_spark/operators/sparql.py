@@ -37,6 +37,14 @@ misparses — outside it):
   operands materializing bottom-up into the working frame; path
   operators on a variable predicate raise.
 * ``ASK``, ``CONSTRUCT {template} WHERE {..}``, ``DESCRIBE <iri>...``.
+* SPARQL 1.1 **UPDATE** via :func:`update` (rdflib ``Graph.update``
+  call sites): ``INSERT DATA`` / ``DELETE DATA`` (ground triples),
+  ``DELETE WHERE {..}``, ``DELETE {tmpl} INSERT {tmpl} WHERE {..}``
+  (either clause optional), ``CLEAR ALL|DEFAULT``, and
+  ``;``-separated operation sequences (each may carry a fresh
+  prologue).  Functional semantics: the updated graph comes back as a
+  new DataFrame — at lake scale the caller writes it to the next
+  table version (the lake's copy-on-write), nothing mutates in place.
 
 FILTER/BIND/HAVING expressions translate to Spark SQL (the operators
 compile them via ``F.expr``): ``&& || !``, comparisons, arithmetic,
@@ -92,7 +100,8 @@ _KEYWORDS = {
     "OPTIONAL", "FILTER", "UNION", "MINUS", "VALUES", "BIND", "UNDEF",
     "EXISTS", "NOT", "IN", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
-    "FALSE", "A", "GRAPH",
+    "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
+    "DEFAULT",
 }
 
 
@@ -577,9 +586,9 @@ def _sql_str(s: str) -> str:
 # query forms
 # ------------------------------------------------------------------ #
 
-def parse(text: str) -> dict:
-    """Parse SPARQL text into the executable query description."""
-    p = _Parser(text)
+def _prologue(p: _Parser) -> None:
+    """``PREFIX`` / ``BASE`` declarations (shared by the query and
+    update grammars; UPDATE allows a fresh prologue per operation)."""
     while p.at("KW", "PREFIX") or p.at("KW", "BASE"):
         if p.take("KW", "BASE"):
             p.base = p.eat("IRI")[1:-1]
@@ -589,6 +598,12 @@ def parse(text: str) -> dict:
         iri = p.eat("IRI")[1:-1]
         p.prefixes[pname[:-1] if pname.endswith(":")
                    else pname.partition(":")[0]] = iri
+
+
+def parse(text: str) -> dict:
+    """Parse SPARQL text into the executable query description."""
+    p = _Parser(text)
+    _prologue(p)
     k, v = p.peek()
     if v == "SELECT":
         q = _parse_select(p)
@@ -929,3 +944,154 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],
         project=project)
+
+
+# ------------------------------------------------------------------ #
+# SPARQL 1.1 UPDATE
+# ------------------------------------------------------------------ #
+
+_TRIPLE_KEY = ["subj", "pred", "obj"]
+
+
+def _plain_patterns(g: dict, what: str,
+                    ground: bool = False) -> list[tuple[str, str, str]]:
+    """A group's patterns as plain (s, p, o) strings — the shape
+    templates and ground data blocks need.  Property paths never make
+    sense there (a template names concrete predicates); ``ground``
+    additionally rejects variables (DATA blocks)."""
+    _require_simple(g, what, filters_ok=False)
+    out = []
+    for s, path, o in g["patterns"]:
+        if isinstance(path, tuple):
+            if path[0] != "pred":
+                raise SparqlUnsupported(f"property paths in {what}")
+            path = path[1]
+        if ground and any(t.startswith("?") for t in (s, path, o)):
+            raise SparqlError(f"{what} requires ground triples "
+                              "(no variables)")
+        out.append((s, path, o))
+    return out
+
+
+def parse_update(text: str) -> list[dict]:
+    """Parse SPARQL UPDATE text into the operation sequence."""
+    p = _Parser(text)
+    ops: list[dict] = []
+    while True:
+        _prologue(p)
+        if p.take("KW", "CLEAR"):
+            if not (p.take("KW", "ALL") or p.take("KW", "DEFAULT")):
+                raise SparqlUnsupported(
+                    "CLEAR supports ALL / DEFAULT — the triple frame "
+                    "is a single graph")
+            ops.append({"op": "clear"})
+        elif p.take("KW", "INSERT"):
+            if p.take("KW", "DATA"):
+                ops.append({"op": "insert_data",
+                            "triples": _plain_patterns(
+                                p.group(), "INSERT DATA", ground=True)})
+            else:
+                tpl = _plain_patterns(p.group(), "INSERT templates")
+                p.eat("KW", "WHERE")
+                ops.append({"op": "modify", "delete": None,
+                            "insert": tpl, "where": p.group()})
+        elif p.take("KW", "DELETE"):
+            if p.take("KW", "DATA"):
+                ops.append({"op": "delete_data",
+                            "triples": _plain_patterns(
+                                p.group(), "DELETE DATA", ground=True)})
+            elif p.take("KW", "WHERE"):
+                # DELETE WHERE {..}: the pattern group doubles as the
+                # delete template (SPARQL 1.1 §3.1.3.2)
+                g = p.group()
+                tpl = _plain_patterns(g, "DELETE WHERE")
+                ops.append({"op": "modify", "delete": tpl,
+                            "insert": None,
+                            "where": {**g, "patterns": tpl}})
+            else:
+                tpl_del = _plain_patterns(p.group(), "DELETE templates")
+                tpl_ins = None
+                if p.take("KW", "INSERT"):
+                    tpl_ins = _plain_patterns(p.group(),
+                                              "INSERT templates")
+                p.eat("KW", "WHERE")
+                ops.append({"op": "modify", "delete": tpl_del,
+                            "insert": tpl_ins, "where": p.group()})
+        else:
+            raise SparqlError(
+                f"expected an update operation, got {p.peek()[1]!r}")
+        if not p.take("OP", ";"):
+            break
+        if p.at("EOF"):
+            break  # trailing ';' is valid
+    if not p.at("EOF"):
+        raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
+    return ops
+
+
+def update(triples: DataFrame, text: str) -> DataFrame:
+    """Execute SPARQL UPDATE text over a ``(subj, pred, obj)`` frame
+    and return the updated graph (functional — rdflib's
+    ``Graph.update`` mutates in place; a lake's copy-on-write table
+    version is the distributed equivalent, so the caller writes the
+    returned frame as the next version).
+
+    Scale shapes, per operation kind:
+
+    * ``INSERT DATA`` / ``DELETE DATA``: the ground delta is a literal
+      driver-side frame, so the set semantics cost is ONE broadcast
+      anti-join over the big side — no shuffle of the graph at all
+      (plan-guarded in tests/test_plans.py).
+    * ``DELETE .. WHERE``: derived deletions apply as a left_anti join
+      on the triple key (AQE picks broadcast when the delta is small).
+    * ``INSERT .. WHERE``: derived insertions union in, then one
+      distinct on the triple key restores the set invariant — the only
+      full-graph shuffle in the grammar, and exactly the compaction
+      shuffle an append+merge-on-read lake pays instead.
+    """
+    for col in _TRIPLE_KEY:
+        if col not in triples.columns:
+            raise SparqlError(f"update needs a triple frame with "
+                              f"'{col}' (got {triples.columns})")
+    df = triples.select(*_TRIPLE_KEY)
+    for op in parse_update(text):
+        df = _apply_update(df, op)
+    return df
+
+
+def _apply_update(df: DataFrame, op: dict) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if op["op"] == "clear":
+        return df.limit(0)
+    if op["op"] in ("insert_data", "delete_data"):
+        delta = df.sparkSession.createDataFrame(
+            sorted(set(op["triples"])),
+            schema="subj string, pred string, obj string")
+        kept = df.join(F.broadcast(delta), _TRIPLE_KEY, "left_anti")
+        return (kept.unionByName(delta) if op["op"] == "insert_data"
+                else kept)
+
+    g = op["where"]
+    if (g["union"] or g["minus"] or g["exists"] or g["values"]
+            or g["binds"] or g["subqueries"] or g["graphs"]):
+        raise SparqlUnsupported(
+            "DELETE/INSERT WHERE supports patterns, OPTIONAL and "
+            "FILTER only")
+    t = _expand_paths(df, [g])
+
+    def derived(template):
+        # both templates instantiate against the ORIGINAL graph's
+        # solutions (SPARQL 1.1 §3.1.3: delete first, insert second,
+        # but WHERE matches the pre-update state) — guaranteed here
+        # because `t` derives from `df`, not from the partial result
+        return G.construct(t, g["patterns"], template,
+                           optional=g["optionals"] or None,
+                           filters=g["filters"] or None)
+
+    out = df
+    if op["delete"]:
+        out = out.join(derived(op["delete"]), _TRIPLE_KEY, "left_anti")
+    if op["insert"]:
+        out = out.unionByName(derived(op["insert"])).dropDuplicates()
+    return out

@@ -1507,6 +1507,55 @@ def q_sparql_subquery(spark, sf_dir):
     """)
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 UPDATE over the geo KG (rdflib ``Graph.update``
+    surface): a DELETE/INSERT WHERE with OPTIONAL (drop every region
+    comment, stamp every region reviewed), a DELETE WHERE (drop the
+    supplier->nation edges), and an INSERT DATA (a new ground region)
+    run as one ``;``-sequence; returns the updated graph.  The ground
+    forms apply via broadcast anti-join — no shuffle of the graph."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    g = update(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        DELETE {{ ?r ex:comment ?c }}
+        INSERT {{ ?r ex:reviewed "pending" }}
+        WHERE  {{ ?r a ex:Region . OPTIONAL {{ ?r ex:comment ?c }} }} ;
+        DELETE WHERE {{ ?s ex:locatedIn ?n }} ;
+        INSERT DATA {{ region:999 a ex:Region ; ex:name "ATLANTIS" }}
+    """)
+    return g.orderBy("subj", "pred", "obj")
+
+
+# the update's closed form over the fixture: memberOf + nation-name
+# triples survive, comment (even regions) and locatedIn are deleted,
+# every region gains ex:reviewed, region:999 arrives ground
+SQL_SPARQL_UPDATE = """
+WITH g AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://example.org/memberOf' AS pred,
+         'region:' || CAST(n_regionkey AS VARCHAR) AS obj FROM nation
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/name', n_name FROM nation
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.org/Region' FROM region
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://example.org/reviewed', 'pending' FROM region
+  UNION ALL
+  SELECT 'region:999',
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.org/Region'
+  UNION ALL
+  SELECT 'region:999', 'http://example.org/name', 'ATLANTIS'
+)
+SELECT subj, pred, obj FROM g ORDER BY subj, pred, obj
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -3840,6 +3889,7 @@ QUERIES = {
     "list_chain": q_list_chain,
     "sparql_select": q_sparql_select,
     "sparql_subquery": q_sparql_subquery,
+    "sparql_update": q_sparql_update,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -3958,6 +4008,7 @@ def oracles() -> dict[str, str]:
         "list_chain": SQL_LIST_CHAIN,
         "sparql_select": SQL_SPARQL_SELECT,
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
+        "sparql_update": SQL_SPARQL_UPDATE,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

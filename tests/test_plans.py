@@ -419,3 +419,22 @@ def test_rdfdocs_reader_plan_single_python_boundary(spark):
         simple = _plan(parse_rdf_documents(docs, fmt=fmt), mode="simple")
         assert simple.count("MapInPandas") == 1, (fmt, simple)
         assert "Exchange" not in simple and "Join" not in simple, simple
+
+
+def test_update_data_forms_no_shuffle(spark):
+    """INSERT DATA / DELETE DATA apply the ground delta via a broadcast
+    anti-join: the graph side must show NO Exchange in the plan — at
+    100 TB a ground update must not reshuffle the lake."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    base = spark.createDataFrame(
+        [("s%d" % i, "p", "o%d" % i) for i in range(100)],
+        ["subj", "pred", "obj"])
+    for text in ('INSERT DATA { <n1> <p> "v" . <n2> <p> "v" }',
+                 'DELETE DATA { <s1> <p> "o1" }'):
+        simple = _plan(update(base, text), mode="simple")
+        for shuffle in ("Exchange hashpartitioning",
+                        "Exchange rangepartitioning",
+                        "Exchange SinglePartition"):
+            assert shuffle not in simple, (text, simple)
+        assert "BroadcastHashJoin" in simple, (text, simple)

@@ -453,3 +453,96 @@ def test_nested_property_paths(spark):
         ("a", "b"), ("c", "d"), ("x", "y")]
     with pytest.raises(SparqlUnsupported):
         sparql(t, "SELECT ?s WHERE { ?s (?v)+ ?o }")
+
+
+# ------------------------------------------------------------------ #
+# SPARQL 1.1 UPDATE
+# ------------------------------------------------------------------ #
+
+def test_update_data_forms(kg):
+    """INSERT DATA / DELETE DATA: ground deltas with set semantics
+    (re-inserting an existing triple is a no-op, deleting an absent
+    one too), ';'-sequences, CLEAR."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    out = update(kg, """
+        INSERT DATA { <d> p:name "Dee" . <d> p:type "Person" } ;
+        DELETE DATA { <b> p:name "Bobby" . <zz> p:absent "x" }
+    """)
+    rows = set(map(tuple, out.collect()))
+    assert ("d", "p:name", "Dee") in rows
+    assert ("d", "p:type", "Person") in rows
+    assert ("b", "p:name", "Bobby") not in rows
+    assert len(rows) == 8 + 2 - 1
+
+    # set semantics: inserting a triple already present adds nothing
+    again = update(kg, 'INSERT DATA { <a> p:name "Ada" }')
+    assert again.count() == kg.count()
+
+    assert update(kg, "CLEAR ALL").count() == 0
+    assert update(kg, "CLEAR DEFAULT ; INSERT DATA { <x> <p:p> <y> }"
+                  ).collect() == [("x", "p:p", "y")]
+
+
+def test_update_modify_where(kg):
+    """DELETE { } INSERT { } WHERE { }: both templates instantiate
+    against the PRE-update solutions; OPTIONAL nulls skip template
+    rows (the incomplete-triple rule); DELETE WHERE shorthand."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    out = update(kg, """
+        DELETE { ?x p:name ?n }
+        INSERT { ?x p:renamed ?n . ?x p:flag "seen" }
+        WHERE  { ?x p:type "Person" . OPTIONAL { ?x p:name ?n } }
+    """)
+    rows = set(map(tuple, out.collect()))
+    # a and b renamed (b twice); c keeps p:knows; both flagged
+    assert ("a", "p:renamed", "Ada") in rows
+    assert ("b", "p:renamed", "Bobby") in rows
+    assert ("a", "p:flag", "seen") in rows and ("b", "p:flag", "seen") in rows
+    assert not any(p == "p:name" for _, p, _ in rows)
+    assert ("c", "p:knows", "c") in rows
+
+    # DELETE WHERE: the pattern group doubles as the template
+    out = update(kg, "DELETE WHERE { ?x p:knows ?y . ?x p:name ?n }")
+    rows = set(map(tuple, out.collect()))
+    assert not any(s in ("a", "b") and p in ("p:knows", "p:name")
+                   for s, p, _ in rows)
+    assert ("c", "p:knows", "c") in rows  # c has no p:name: unmatched
+
+    # INSERT-only WHERE with a property path
+    out = update(kg, """
+        INSERT { ?x p:reach ?y } WHERE { ?x <p:knows>+ ?y }
+    """)
+    assert ("a", "p:reach", "c") in set(map(tuple, out.collect()))
+
+
+def test_update_parse_errors(kg):
+    from pyrdfa3_spark.operators.sparql import (
+        parse_update, update)
+
+    for bad, exc in [
+        ('INSERT DATA { ?v <p:p> "x" }', SparqlError),     # var in DATA
+        ("CLEAR NAMED", SparqlUnsupported),
+        ("DELETE { ?s <p>+ ?o } WHERE { ?s <p> ?o }", SparqlUnsupported),
+        ("INSERT DATA { <a> <p:p> <b> } extra", SparqlError),
+        ("FROB ALL", SparqlError),
+    ]:
+        with pytest.raises(exc):
+            parse_update(bad)
+    # unsupported WHERE shapes raise at execution
+    with pytest.raises(SparqlUnsupported):
+        update(kg, 'DELETE { ?s ?p ?o } WHERE '
+                   '{ { ?s ?p ?o } UNION { ?o ?p ?s } }')
+    # quadless frame
+    with pytest.raises(SparqlError):
+        update(kg.select("subj", "pred"), "CLEAR ALL")
+
+
+def test_update_graph_facade(spark):
+    from pyrdfa3_spark.graph import SparkGraph
+
+    g = SparkGraph.empty(spark).update(
+        'INSERT DATA { <s> <p> "o1", "o2" }')
+    assert len(g) == 2
+    assert ("s", "p", "o1") in g
