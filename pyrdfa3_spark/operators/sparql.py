@@ -38,13 +38,21 @@ misparses — outside it):
   operators on a variable predicate raise.
 * ``ASK``, ``CONSTRUCT {template} WHERE {..}``, ``DESCRIBE <iri>...``.
 * SPARQL 1.1 **UPDATE** via :func:`update` (rdflib ``Graph.update``
-  call sites): ``INSERT DATA`` / ``DELETE DATA`` (ground triples),
-  ``DELETE WHERE {..}``, ``DELETE {tmpl} INSERT {tmpl} WHERE {..}``
-  (either clause optional), ``CLEAR ALL|DEFAULT``, and
-  ``;``-separated operation sequences (each may carry a fresh
-  prologue).  Functional semantics: the updated graph comes back as a
-  new DataFrame — at lake scale the caller writes it to the next
-  table version (the lake's copy-on-write), nothing mutates in place.
+  call sites): ``INSERT DATA`` / ``DELETE DATA`` (ground triples,
+  optionally in ``GRAPH <g> {..}`` blocks on a quad frame),
+  ``DELETE WHERE {..}``, ``[WITH <g>] DELETE {tmpl} INSERT {tmpl}
+  WHERE {..}`` (either clause optional), the graph-management verbs
+  ``CLEAR|DROP [SILENT] ALL|DEFAULT|NAMED|GRAPH <g>``,
+  ``ADD|COPY|MOVE [SILENT] src TO dst`` (pure column ops on the quad
+  frame — filter / relabel / pruned-slice anti-join, never a
+  full-store shuffle), ``CREATE GRAPH`` (a no-op: graphs exist
+  exactly while they hold quads), and ``;``-separated operation
+  sequences (each may carry a fresh prologue).  On a quad frame the
+  default graph is the NULL graph rows; all set operations join
+  null-safely via a sentinel key.  Functional semantics: the updated
+  graph comes back as a new DataFrame — at lake scale the caller
+  writes it to the next table version (the lake's copy-on-write),
+  nothing mutates in place.
 
 FILTER/BIND/HAVING expressions translate to Spark SQL (the operators
 compile them via ``F.expr``): ``&& || !``, comparisons, arithmetic,
@@ -101,7 +109,8 @@ _KEYWORDS = {
     "EXISTS", "NOT", "IN", "GROUP", "BY", "HAVING", "ORDER", "ASC",
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
     "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
-    "DEFAULT",
+    "DEFAULT", "NAMED", "DROP", "CREATE", "ADD", "COPY", "MOVE", "TO",
+    "WITH", "SILENT",
 }
 
 
@@ -953,12 +962,10 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
 _TRIPLE_KEY = ["subj", "pred", "obj"]
 
 
-def _plain_patterns(g: dict, what: str,
-                    ground: bool = False) -> list[tuple[str, str, str]]:
-    """A group's patterns as plain (s, p, o) strings — the shape
-    templates and ground data blocks need.  Property paths never make
-    sense there (a template names concrete predicates); ``ground``
-    additionally rejects variables (DATA blocks)."""
+def _plain_patterns(g: dict, what: str) -> list[tuple[str, str, str]]:
+    """A group's patterns as plain (s, p, o) strings — the template
+    shape.  Property paths never make sense there (a template names
+    concrete predicates)."""
     _require_simple(g, what, filters_ok=False)
     out = []
     for s, path, o in g["patterns"]:
@@ -966,11 +973,58 @@ def _plain_patterns(g: dict, what: str,
             if path[0] != "pred":
                 raise SparqlUnsupported(f"property paths in {what}")
             path = path[1]
-        if ground and any(t.startswith("?") for t in (s, path, o)):
-            raise SparqlError(f"{what} requires ground triples "
-                              "(no variables)")
         out.append((s, path, o))
     return out
+
+
+def _data_quads(g: dict, what: str) -> list[tuple]:
+    """A DATA block as ground ``(s, p, o, graph-or-None)`` rows.  The
+    group parser already routes ``GRAPH <g> {..}`` wrappers into
+    ``g["graphs"]``; bare statements are default-graph (None)."""
+    bad = (g["union"] or g["optionals"] or g["minus"] or g["exists"]
+           or g["values"] or g["binds"] or g["subqueries"]
+           or g["filters"])
+    if bad:
+        raise SparqlUnsupported(f"only ground triples (optionally in "
+                                f"GRAPH blocks) inside {what}")
+    out = []
+    for s, path, o in g["patterns"]:
+        if isinstance(path, tuple):
+            if path[0] != "pred":
+                raise SparqlUnsupported(f"property paths in {what}")
+            path = path[1]
+        out.append((s, path, o, None))
+    for s, path, o, gterm in g["graphs"]:
+        out.append((s, path, o, gterm))
+    for row in out:
+        if any(t is not None and t.startswith("?") for t in row):
+            raise SparqlError(f"{what} requires ground terms "
+                              "(no variables)")
+    return out
+
+
+def _graph_ref(p: _Parser, verb: str):
+    """``DEFAULT | [GRAPH] <iri>`` — None encodes the default graph."""
+    if p.take("KW", "DEFAULT"):
+        return None
+    p.take("KW", "GRAPH")  # optional per the grammar
+    if p.at("IRI") or p.at("PNAME"):
+        return p.term(allow_var=False, allow_literal=False)
+    raise SparqlError(f"{verb} expects DEFAULT or a graph IRI, "
+                      f"got {p.peek()[1]!r}")
+
+
+def _clear_target(p: _Parser, verb: str):
+    if p.take("KW", "ALL"):
+        return ("all", None)
+    if p.take("KW", "DEFAULT"):
+        return ("default", None)
+    if p.take("KW", "NAMED"):
+        return ("named", None)
+    if p.take("KW", "GRAPH"):
+        return ("graph", p.term(allow_var=False, allow_literal=False))
+    raise SparqlError(f"{verb} expects ALL / DEFAULT / NAMED / "
+                      f"GRAPH <iri>, got {p.peek()[1]!r}")
 
 
 def parse_update(text: str) -> list[dict]:
@@ -979,27 +1033,62 @@ def parse_update(text: str) -> list[dict]:
     ops: list[dict] = []
     while True:
         _prologue(p)
-        if p.take("KW", "CLEAR"):
-            if not (p.take("KW", "ALL") or p.take("KW", "DEFAULT")):
-                raise SparqlUnsupported(
-                    "CLEAR supports ALL / DEFAULT — the triple frame "
-                    "is a single graph")
-            ops.append({"op": "clear"})
+        if p.at("KW", "CLEAR") or p.at("KW", "DROP"):
+            # DROP == CLEAR here: a frame-backed store has no catalog
+            # of empty graphs to drop separately
+            p.next()
+            p.take("KW", "SILENT")
+            ops.append({"op": "clear",
+                        "target": _clear_target(p, "CLEAR/DROP")})
+        elif p.take("KW", "CREATE"):
+            # no-op: graphs exist exactly while they hold quads
+            p.take("KW", "SILENT")
+            p.eat("KW", "GRAPH")
+            p.term(allow_var=False, allow_literal=False)
+            ops.append({"op": "create"})
+        elif (p.at("KW", "ADD") or p.at("KW", "COPY")
+              or p.at("KW", "MOVE")):
+            kind = p.next()[1].lower()
+            p.take("KW", "SILENT")
+            src = _graph_ref(p, kind.upper())
+            p.eat("KW", "TO")
+            dst = _graph_ref(p, kind.upper())
+            ops.append({"op": "gmove", "kind": kind,
+                        "src": src, "dst": dst})
+        elif p.take("KW", "WITH"):
+            scope = p.term(allow_var=False, allow_literal=False)
+            if p.take("KW", "DELETE"):
+                tpl_del = _plain_patterns(p.group(), "DELETE templates")
+                tpl_ins = None
+                if p.take("KW", "INSERT"):
+                    tpl_ins = _plain_patterns(p.group(),
+                                              "INSERT templates")
+            elif p.take("KW", "INSERT"):
+                tpl_del = None
+                tpl_ins = _plain_patterns(p.group(), "INSERT templates")
+            else:
+                raise SparqlError(
+                    "WITH must precede a DELETE/INSERT .. WHERE form")
+            p.eat("KW", "WHERE")
+            ops.append({"op": "modify", "delete": tpl_del,
+                        "insert": tpl_ins, "where": p.group(),
+                        "with": scope})
         elif p.take("KW", "INSERT"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "insert_data",
-                            "triples": _plain_patterns(
-                                p.group(), "INSERT DATA", ground=True)})
+                            "quads": _data_quads(p.group(),
+                                                 "INSERT DATA")})
             else:
                 tpl = _plain_patterns(p.group(), "INSERT templates")
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": None,
-                            "insert": tpl, "where": p.group()})
+                            "insert": tpl, "where": p.group(),
+                            "with": None})
         elif p.take("KW", "DELETE"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "delete_data",
-                            "triples": _plain_patterns(
-                                p.group(), "DELETE DATA", ground=True)})
+                            "quads": _data_quads(p.group(),
+                                                 "DELETE DATA")})
             elif p.take("KW", "WHERE"):
                 # DELETE WHERE {..}: the pattern group doubles as the
                 # delete template (SPARQL 1.1 §3.1.3.2)
@@ -1007,7 +1096,8 @@ def parse_update(text: str) -> list[dict]:
                 tpl = _plain_patterns(g, "DELETE WHERE")
                 ops.append({"op": "modify", "delete": tpl,
                             "insert": None,
-                            "where": {**g, "patterns": tpl}})
+                            "where": {**g, "patterns": tpl},
+                            "with": None})
             else:
                 tpl_del = _plain_patterns(p.group(), "DELETE templates")
                 tpl_ins = None
@@ -1016,7 +1106,8 @@ def parse_update(text: str) -> list[dict]:
                                               "INSERT templates")
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": tpl_del,
-                            "insert": tpl_ins, "where": p.group()})
+                            "insert": tpl_ins, "where": p.group(),
+                            "with": None})
         else:
             raise SparqlError(
                 f"expected an update operation, got {p.peek()[1]!r}")
@@ -1030,11 +1121,13 @@ def parse_update(text: str) -> list[dict]:
 
 
 def update(triples: DataFrame, text: str) -> DataFrame:
-    """Execute SPARQL UPDATE text over a ``(subj, pred, obj)`` frame
-    and return the updated graph (functional — rdflib's
+    """Execute SPARQL UPDATE text over a ``(subj, pred, obj[, graph])``
+    frame and return the updated graph (functional — rdflib's
     ``Graph.update`` mutates in place; a lake's copy-on-write table
     version is the distributed equivalent, so the caller writes the
-    returned frame as the next version).
+    returned frame as the next version).  A ``graph`` column makes the
+    frame a quad store: NULL is the default graph, GRAPH blocks in
+    DATA, ``WITH``, and the management verbs address named graphs.
 
     Scale shapes, per operation kind:
 
@@ -1042,8 +1135,13 @@ def update(triples: DataFrame, text: str) -> DataFrame:
       driver-side frame, so the set semantics cost is ONE broadcast
       anti-join over the big side — no shuffle of the graph at all
       (plan-guarded in tests/test_plans.py).
+    * ``CLEAR`` / ``DROP``: a filter — no join, no shuffle.
+    * ``ADD/COPY/MOVE``: filter + graph-relabel; only ADD joins, and
+      both join inputs are single-graph slices (the graph predicate
+      prunes the scan), never the whole store.
     * ``DELETE .. WHERE``: derived deletions apply as a left_anti join
-      on the triple key (AQE picks broadcast when the delta is small).
+      on the triple key (AQE picks broadcast when the delta is small);
+      ``WITH`` scopes the match to one graph's slice scan-side.
     * ``INSERT .. WHERE``: derived insertions union in, then one
       distinct on the triple key restores the set invariant — the only
       full-graph shuffle in the grammar, and exactly the compaction
@@ -1053,45 +1151,148 @@ def update(triples: DataFrame, text: str) -> DataFrame:
         if col not in triples.columns:
             raise SparqlError(f"update needs a triple frame with "
                               f"'{col}' (got {triples.columns})")
-    df = triples.select(*_TRIPLE_KEY)
+    quads = "graph" in triples.columns
+    df = triples.select(*_TRIPLE_KEY,
+                        *(("graph",) if quads else ()))
     for op in parse_update(text):
-        df = _apply_update(df, op)
+        df = _apply_update(df, op, quads)
     return df
 
 
-def _apply_update(df: DataFrame, op: dict) -> DataFrame:
+# join-key sentinel for the default graph (NULL never equi-joins —
+# the null-key hazard; no IRI can contain a NUL byte, so the coalesce
+# is collision-free)
+_DEFAULT_G = "\x00default"
+
+
+def _in_graph(gcol, target):
+    """Row-membership predicate for graph ``target`` (None=default)."""
+    return gcol.isNull() if target is None else (gcol == target)
+
+
+def _not_in_graph(gcol, target):
+    # NOT of the above with three-valued logic handled: a NULL graph
+    # cell must KEEP rows when target is a named graph
+    if target is None:
+        return gcol.isNotNull()
+    return gcol.isNull() | (gcol != target)
+
+
+def _quad_minus(df: DataFrame, delta: DataFrame,
+                broadcast_delta: bool = False) -> DataFrame:
+    """``df`` minus ``delta`` on the (subj, pred, obj, graph) key with
+    the default graph (NULL) matching itself — equi-join on a coalesced
+    sentinel so the plan stays a (broadcastable) hash join."""
     from pyspark.sql import functions as F
 
-    if op["op"] == "clear":
-        return df.limit(0)
-    if op["op"] in ("insert_data", "delete_data"):
-        delta = df.sparkSession.createDataFrame(
-            sorted(set(op["triples"])),
-            schema="subj string, pred string, obj string")
-        kept = df.join(F.broadcast(delta), _TRIPLE_KEY, "left_anti")
-        return (kept.unionByName(delta) if op["op"] == "insert_data"
-                else kept)
+    key = [*_TRIPLE_KEY, "_gk"]
+    gk = F.coalesce(F.col("graph"), F.lit(_DEFAULT_G)).alias("_gk")
+    right = delta.select(*_TRIPLE_KEY, gk)
+    if broadcast_delta:
+        right = F.broadcast(right)
+    return (df.select("*", gk)
+            .join(right, key, "left_anti")
+            .drop("_gk"))
 
+
+def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    def need_quads(what):
+        if not quads:
+            raise SparqlError(f"{what} needs a quad frame "
+                              "(no 'graph' column on the input)")
+
+    if op["op"] == "create":
+        return df
+    if op["op"] == "clear":
+        kind, target = op["target"]
+        if kind == "all" or (kind == "default" and not quads):
+            return df.limit(0)
+        need_quads(f"CLEAR/DROP {kind.upper()}")
+        if kind == "default":
+            return df.filter(F.col("graph").isNotNull())
+        if kind == "named":
+            return df.filter(F.col("graph").isNull())
+        return df.filter(_not_in_graph(F.col("graph"), target))
+
+    if op["op"] == "gmove":
+        need_quads(f"{op['kind'].upper()} .. TO ..")
+        src, dst, kind = op["src"], op["dst"], op["kind"]
+        if src == dst:
+            return df  # spec: same-graph ADD/COPY/MOVE is a no-op
+        gcol = F.col("graph")
+        moved = (df.filter(_in_graph(gcol, src))
+                 .withColumn("graph",
+                             F.lit(dst).cast("string")))
+        if kind == "add":
+            # dst ∪= src: both sides of the anti-join are single
+            # graphs, so the join input is two pruned slices, not the
+            # whole store
+            fresh = moved.join(
+                df.filter(_in_graph(gcol, dst)).select(*_TRIPLE_KEY),
+                _TRIPLE_KEY, "left_anti")
+            return df.unionByName(fresh)
+        base = df.filter(_not_in_graph(gcol, dst))
+        if kind == "move":
+            base = base.filter(_not_in_graph(gcol, src))
+        return base.unionByName(moved)
+
+    if op["op"] in ("insert_data", "delete_data"):
+        rows = sorted(set(op["quads"]),
+                      key=lambda r: tuple(x or "" for x in r))
+        if not quads:
+            if any(r[3] is not None for r in rows):
+                raise SparqlError("GRAPH blocks in DATA need a quad "
+                                  "frame (no 'graph' column)")
+            delta = df.sparkSession.createDataFrame(
+                [r[:3] for r in rows],
+                schema="subj string, pred string, obj string")
+            kept = df.join(F.broadcast(delta), _TRIPLE_KEY,
+                           "left_anti")
+            return (kept.unionByName(delta)
+                    if op["op"] == "insert_data" else kept)
+        delta = df.sparkSession.createDataFrame(
+            rows, schema="subj string, pred string, obj string, "
+                         "graph string")
+        kept = _quad_minus(df, delta, broadcast_delta=True)
+        return (kept.unionByName(delta)
+                if op["op"] == "insert_data" else kept)
+
+    # modify
     g = op["where"]
+    scope_graph = op.get("with")
+    if scope_graph is not None:
+        need_quads("WITH <graph>")
     if (g["union"] or g["minus"] or g["exists"] or g["values"]
             or g["binds"] or g["subqueries"] or g["graphs"]):
         raise SparqlUnsupported(
             "DELETE/INSERT WHERE supports patterns, OPTIONAL and "
             "FILTER only")
-    t = _expand_paths(df, [g])
+    # WHERE matches the WITH graph (default graph when no WITH) —
+    # the scope filter prunes the scan before any join
+    scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
+             .select(*_TRIPLE_KEY) if quads else df)
+    t = _expand_paths(scope, [g])
 
     def derived(template):
         # both templates instantiate against the ORIGINAL graph's
         # solutions (SPARQL 1.1 §3.1.3: delete first, insert second,
         # but WHERE matches the pre-update state) — guaranteed here
         # because `t` derives from `df`, not from the partial result
-        return G.construct(t, g["patterns"], template,
-                           optional=g["optionals"] or None,
-                           filters=g["filters"] or None)
+        out = G.construct(t, g["patterns"], template,
+                          optional=g["optionals"] or None,
+                          filters=g["filters"] or None)
+        if quads:
+            out = out.withColumn("graph",
+                                 F.lit(scope_graph).cast("string"))
+        return out
 
     out = df
     if op["delete"]:
-        out = out.join(derived(op["delete"]), _TRIPLE_KEY, "left_anti")
+        dels = derived(op["delete"])
+        out = (_quad_minus(out, dels) if quads
+               else out.join(dels, _TRIPLE_KEY, "left_anti"))
     if op["insert"]:
         out = out.unionByName(derived(op["insert"])).dropDuplicates()
     return out

@@ -1556,6 +1556,65 @@ SELECT subj, pred, obj FROM g ORDER BY subj, pred, obj
 """
 
 
+def q_sparql_update_graphs(spark, sf_dir):
+    """Quad-store UPDATE: graph-management verbs (MOVE, COPY DEFAULT),
+    a WITH-scoped template rewrite, a GRAPH-block INSERT DATA, and a
+    default-graph DELETE WHERE over a nation/region quad fixture
+    (nation names sharded into urn:g:{key%3}, region names in the
+    default graph).  MOVE/COPY/CLEAR are filter+relabel column ops —
+    no full-store shuffle."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    quads = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.concat(F.lit("urn:g:"),
+                 (F.col("n_nationkey") % 3).cast("string"))
+        .alias("graph"),
+    ).unionByName(region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("r_name").alias("obj"),
+        F.lit(None).cast("string").alias("graph")))
+    g = update(quads, f"""
+        PREFIX ex: <{_EX}>
+        MOVE <urn:g:1> TO <urn:g:0> ;
+        CLEAR GRAPH <urn:g:2> ;
+        COPY DEFAULT TO <urn:g:2> ;
+        WITH <urn:g:0>
+          DELETE {{ ?s ex:name ?n }}
+          INSERT {{ ?s ex:label ?n }}
+          WHERE  {{ ?s ex:name ?n }} ;
+        INSERT DATA {{ GRAPH <urn:g:9> {{ region:X ex:name "NEWLAND" }} }} ;
+        DELETE WHERE {{ ?s ex:name ?n }}
+    """)
+    return g.orderBy("subj", "pred", "obj", "graph")
+
+
+# closed form: MOVE leaves only the key%3==1 nations (relabeled by the
+# WITH modify), COPY snapshots the default-graph regions into g:2, the
+# ground row lands in g:9, and the final default-graph DELETE WHERE
+# empties the default graph
+SQL_SPARQL_UPDATE_GRAPHS = """
+WITH g AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://example.org/label' AS pred, n_name AS obj,
+         'urn:g:0' AS graph FROM nation WHERE n_nationkey % 3 = 1
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://example.org/name', r_name, 'urn:g:2' FROM region
+  UNION ALL
+  SELECT 'region:X', 'http://example.org/name', 'NEWLAND', 'urn:g:9'
+)
+SELECT subj, pred, obj, graph FROM g ORDER BY subj, pred, obj, graph
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -3890,6 +3949,7 @@ QUERIES = {
     "sparql_select": q_sparql_select,
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
+    "sparql_update_graphs": q_sparql_update_graphs,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -4009,6 +4069,7 @@ def oracles() -> dict[str, str]:
         "sparql_select": SQL_SPARQL_SELECT,
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
         "sparql_update": SQL_SPARQL_UPDATE,
+        "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

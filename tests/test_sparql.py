@@ -523,7 +523,8 @@ def test_update_parse_errors(kg):
 
     for bad, exc in [
         ('INSERT DATA { ?v <p:p> "x" }', SparqlError),     # var in DATA
-        ("CLEAR NAMED", SparqlUnsupported),
+        ("CLEAR GRAPH ?g", SparqlError),  # graph refs must be ground
+        ("ADD <g1> <g2>", SparqlError),   # missing TO
         ("DELETE { ?s <p>+ ?o } WHERE { ?s <p> ?o }", SparqlUnsupported),
         ("INSERT DATA { <a> <p:p> <b> } extra", SparqlError),
         ("FROB ALL", SparqlError),
@@ -546,3 +547,69 @@ def test_update_graph_facade(spark):
         'INSERT DATA { <s> <p> "o1", "o2" }')
     assert len(g) == 2
     assert ("s", "p", "o1") in g
+
+
+def test_update_quad_store(spark):
+    """Quad-frame UPDATE: graph-management verbs as column ops, GRAPH
+    blocks in DATA with null-safe default-graph joins, WITH-scoped
+    modify touching exactly one graph's slice."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    q = spark.createDataFrame(
+        [("s1", "p", "o1", None), ("s2", "p", "o2", "urn:g1"),
+         ("s3", "p", "o3", "urn:g1"), ("s2", "p", "o2", "urn:g2"),
+         ("s4", "p", "o4", "urn:g2")],
+        "subj string, pred string, obj string, graph string")
+
+    def rows(df):
+        return sorted((r["subj"], r["graph"] or "") for r in df.collect())
+
+    # CLEAR GRAPH keeps the NULL-graph rows (three-valued logic)
+    assert rows(update(q, "CLEAR GRAPH <urn:g1>")) == [
+        ("s1", ""), ("s2", "urn:g2"), ("s4", "urn:g2")]
+    assert rows(update(q, "CLEAR NAMED")) == [("s1", "")]
+    assert ("s1", "") not in rows(update(q, "DROP SILENT DEFAULT"))
+
+    # ADD unions with set semantics (s2/o2 already in g2)
+    added = rows(update(q, "ADD <urn:g1> TO <urn:g2>"))
+    assert added.count(("s2", "urn:g2")) == 1
+    assert ("s3", "urn:g2") in added and ("s3", "urn:g1") in added
+
+    # COPY replaces dst wholesale; MOVE also drops src; self-op no-op
+    assert rows(update(q, "COPY DEFAULT TO <urn:g2>")) == [
+        ("s1", ""), ("s1", "urn:g2"), ("s2", "urn:g1"), ("s3", "urn:g1")]
+    assert rows(update(q, "MOVE <urn:g1> TO DEFAULT")) == [
+        ("s2", ""), ("s2", "urn:g2"), ("s3", ""), ("s4", "urn:g2")]
+    assert update(q, "ADD <urn:g1> TO <urn:g1>").count() == q.count()
+    assert update(q, "CREATE GRAPH <urn:gX>").count() == q.count()
+
+    # DATA with GRAPH blocks: deletes hit the named graph AND the
+    # default graph (null-safe anti-join)
+    out = update(q, '''
+      DELETE DATA { <s1> <p> "o1" . GRAPH <urn:g1> { <s2> <p> "o2" } } ;
+      INSERT DATA { GRAPH <urn:g3> { <s9> <p> "o9" } . <s0> <p> "o0" }
+    ''')
+    assert rows(out) == [("s0", ""), ("s2", "urn:g2"), ("s3", "urn:g1"),
+                         ("s4", "urn:g2"), ("s9", "urn:g3")]
+
+    # WITH scopes both the match and the templates to one graph
+    out = update(q, 'WITH <urn:g1> DELETE { ?s <p> ?o } '
+                    'INSERT { ?s <q> "new" } WHERE { ?s <p> ?o }')
+    got = sorted((r["subj"], r["pred"], r["graph"] or "")
+                 for r in out.collect())
+    assert got == [("s1", "p", ""), ("s2", "p", "urn:g2"),
+                   ("s2", "q", "urn:g1"), ("s3", "q", "urn:g1"),
+                   ("s4", "p", "urn:g2")]
+
+    # an un-WITH'd modify touches only the default graph
+    assert rows(update(q, "DELETE WHERE { ?s <p> ?o }")) == [
+        ("s2", "urn:g1"), ("s2", "urn:g2"), ("s3", "urn:g1"),
+        ("s4", "urn:g2")]
+
+    # quad-only verbs raise on a plain triple frame
+    t = q.select("subj", "pred", "obj")
+    for bad in ["CLEAR NAMED", "ADD <a> TO <b>",
+                'INSERT DATA { GRAPH <g> { <s> <p> "o" } }',
+                'WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }']:
+        with pytest.raises(SparqlError):
+            update(t, bad)
