@@ -37,6 +37,13 @@ misparses — outside it):
   operands materializing bottom-up into the working frame; path
   operators on a variable predicate raise.
 * ``ASK``, ``CONSTRUCT {template} WHERE {..}``, ``DESCRIBE <iri>...``.
+* Dataset clauses ``FROM <g>`` / ``FROM NAMED <g>`` on every query
+  form (quad frames only): FROM graphs merge into the default graph,
+  GRAPH ranges over exactly the FROM NAMED set — strict SPARQL §13.3
+  semantics, compiled to scan-side ``graph IN (...)`` filters (a
+  graph-partitioned lake table prunes partitions; no join added).
+  Without dataset clauses a quad frame keeps the union posture: plain
+  patterns match the whole store (rdflib ConjunctiveGraph).
 * SPARQL 1.1 **UPDATE** via :func:`update` (rdflib ``Graph.update``
   call sites): ``INSERT DATA`` / ``DELETE DATA`` (ground triples,
   optionally in ``GRAPH <g> {..}`` blocks on a quad frame),
@@ -110,7 +117,7 @@ _KEYWORDS = {
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
     "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
     "DEFAULT", "NAMED", "DROP", "CREATE", "ADD", "COPY", "MOVE", "TO",
-    "WITH", "SILENT",
+    "WITH", "SILENT", "FROM",
 }
 
 
@@ -456,7 +463,8 @@ class _Parser:
         while not self.at("OP", "}"):
             if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
                 self.eat("OP", "{")
-                g["subqueries"].append(_parse_select(self))
+                g["subqueries"].append(_parse_select(self,
+                                                     subquery=True))
                 self.eat("OP", "}")
             elif self.take("KW", "GRAPH"):
                 gterm = self.term(allow_literal=False)
@@ -618,9 +626,11 @@ def parse(text: str) -> dict:
         q = _parse_select(p)
     elif v == "ASK":
         p.next()
-        q = {"form": "ask", "where": p.group()}
+        ds = _dataset_clause(p)
+        q = {"form": "ask", "where": p.group(), **ds}
     elif v == "CONSTRUCT":
         p.next()
+        ds = _dataset_clause(p)
         if p.at("KW", "WHERE"):
             # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.2):
             # the pattern group doubles as the template
@@ -629,14 +639,15 @@ def parse(text: str) -> dict:
             _require_simple(w, "CONSTRUCT WHERE shorthand",
                             filters_ok=True)
             q = {"form": "construct", "template": w["patterns"],
-                 "where": w}
+                 "where": w, **ds}
         else:
             tpl_group = p.group()
             _require_simple(tpl_group, "CONSTRUCT templates",
                             filters_ok=False)
+            ds = _dataset_clause(p) if not any(ds.values()) else ds
             p.eat("KW", "WHERE")
             q = {"form": "construct", "template": tpl_group["patterns"],
-                 "where": p.group()}
+                 "where": p.group(), **ds}
     elif v == "DESCRIBE":
         p.next()
         if p.at("VAR"):
@@ -644,9 +655,10 @@ def parse(text: str) -> dict:
             if p.at("VAR"):
                 raise SparqlUnsupported(
                     "DESCRIBE supports one variable")
+            ds = _dataset_clause(p)
             p.take("KW", "WHERE")
             q = {"form": "describe_var", "var": var,
-                 "where": p.group()}
+                 "where": p.group(), **ds}
         else:
             nodes = []
             while p.at("IRI") or p.at("PNAME"):
@@ -655,7 +667,8 @@ def parse(text: str) -> dict:
             if not nodes:
                 raise SparqlUnsupported(
                     "DESCRIBE needs IRIs or a ?variable with WHERE")
-            q = {"form": "describe", "nodes": nodes}
+            q = {"form": "describe", "nodes": nodes,
+                 **_dataset_clause(p)}
     else:
         raise SparqlError(f"expected a query form, got {v!r}")
     if not p.at("EOF"):
@@ -663,7 +676,18 @@ def parse(text: str) -> dict:
     return q
 
 
-def _parse_select(p: _Parser) -> dict:
+def _dataset_clause(p: _Parser) -> dict:
+    """``FROM <g>`` / ``FROM NAMED <g>`` clauses -> the active dataset
+    (SPARQL 1.1 §13.2): FROM graphs merge into the default graph, FROM
+    NAMED graphs are the ones GRAPH may range over."""
+    ds = {"from": [], "from_named": []}
+    while p.take("KW", "FROM"):
+        key = "from_named" if p.take("KW", "NAMED") else "from"
+        ds[key].append(p.term(allow_var=False, allow_literal=False))
+    return ds
+
+
+def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     p.eat("KW", "SELECT")
     distinct = p.take("KW", "DISTINCT")
     if p.take("KW", "REDUCED"):
@@ -676,6 +700,11 @@ def _parse_select(p: _Parser) -> dict:
             items.append(p.select_item())
         if not items:
             raise SparqlError("empty SELECT clause")
+    ds = _dataset_clause(p)
+    if subquery and any(ds.values()):
+        raise SparqlUnsupported("FROM inside a subquery (the grammar "
+                                "scopes dataset clauses to the top "
+                                "level)")
     p.take("KW", "WHERE")
     where = p.group()
     group_by: list[str] = []
@@ -712,7 +741,7 @@ def _parse_select(p: _Parser) -> dict:
     return {"form": "select", "star": star, "items": items,
             "distinct": distinct, "where": where, "group_by": group_by,
             "having": having, "order_by": order_by, "limit": limit,
-            "offset": offset}
+            "offset": offset, **ds}
 
 
 # ------------------------------------------------------------------ #
@@ -827,13 +856,15 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                                optional=g["optionals"] or None,
                                filters=inline_filters)
     if g["graphs"]:
-        if "graph" not in triples.columns:
+        qsrc = g.get("_quads", triples)
+        if "graph" not in qsrc.columns:
             raise SparqlUnsupported(
                 "GRAPH clause needs a quad frame (no 'graph' column)")
         # GRAPH ranges over NAMED graphs: default-graph rows (NULL
         # graph term) are invisible inside it, per SPARQL dataset
-        # semantics
-        named = (triples.select("subj", "pred", "obj", "graph")
+        # semantics; with FROM/FROM NAMED clauses qsrc is the full
+        # restricted dataset (triples is the FROM merge only)
+        named = (qsrc.select("subj", "pred", "obj", "graph")
                  .filter(F.col("graph").isNotNull()))
         sols = conjoin(sols, G.bgp_match_quads(named, g["graphs"]),
                        "GRAPH group")
@@ -872,6 +903,46 @@ _AGG_KIND = {"COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min",
              "GROUP_CONCAT": "group_concat"}
 
 
+def _apply_dataset(triples: DataFrame, q: dict) -> DataFrame:
+    """Materialize a query's FROM / FROM NAMED dataset over the quad
+    frame: FROM graphs relabel to the default graph (NULL) and merge;
+    only FROM NAMED graphs stay visible to GRAPH.  Without dataset
+    clauses the frame passes through untouched (the store's own
+    default/named split — plain patterns match the WHOLE frame, the
+    union-default-graph posture rdflib's ConjunctiveGraph uses).
+
+    Scale shape: one `graph IN (...)` filter per branch (pushed to the
+    scan; a graph-partitioned lake table prunes partitions) + a union —
+    no join, no shuffle."""
+    from pyspark.sql import functions as F
+
+    frm = q.get("from") or []
+    named = q.get("from_named") or []
+    if not frm and not named:
+        return triples
+    if "graph" not in triples.columns:
+        raise SparqlUnsupported(
+            "FROM/FROM NAMED need a quad frame (no 'graph' column)")
+    gcol = F.col("graph")
+    default = (triples.filter(gcol.isin(frm))
+               .withColumn("graph", F.lit(None).cast("string")))
+    return default.unionByName(triples.filter(gcol.isin(named)))
+
+
+def _attach_quads(g: dict | None, full: DataFrame) -> None:
+    """With explicit dataset clauses the split is strict (§13.3): plain
+    patterns match ONLY the FROM merge, GRAPH ranges ONLY over FROM
+    NAMED.  The solver receives the default-graph frame as its working
+    frame; the full dataset rides on the group dicts for GRAPH."""
+    if g is None:
+        return
+    g["_quads"] = full
+    for branch in g["union"] or []:
+        _attach_quads(branch, full)
+    for sq in g["subqueries"]:
+        _attach_quads(sq["where"], full)
+
+
 def sparql(triples: DataFrame, text: str) -> DataFrame:
     """Execute SPARQL text over a ``(subj, pred, obj)`` frame.
 
@@ -883,6 +954,12 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     q = parse(text)
+    if q.get("from") or q.get("from_named"):
+        full = _apply_dataset(triples, q)
+        # strict dataset semantics: the solver's working frame is the
+        # FROM merge; GRAPH sees the full dataset via the group dicts
+        triples = full.filter(F.col("graph").isNull())
+        _attach_quads(q.get("where"), full)
     if q["form"] == "ask":
         sols = _solve_group(triples, q["where"])
         return sols.limit(1).agg(
@@ -898,7 +975,7 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     if q["form"] == "construct":
         g = q["where"]
         if (g["union"] or g["minus"] or g["exists"] or g["values"]
-                or g["binds"]):
+                or g["binds"] or g["graphs"] or g["subqueries"]):
             raise SparqlUnsupported(
                 "CONSTRUCT WHERE supports patterns, OPTIONAL and "
                 "FILTER only")

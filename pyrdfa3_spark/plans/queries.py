@@ -1615,6 +1615,45 @@ SELECT subj, pred, obj, graph FROM g ORDER BY subj, pred, obj, graph
 """
 
 
+def q_sparql_dataset(spark, sf_dir):
+    """FROM dataset clauses (SPARQL §13.2): the active default graph is
+    the merge of the two FROM graphs, and STRICTLY nothing else — the
+    default-graph region rows and the urn:g:0 nations are invisible to
+    the plain pattern.  Compiles to a scan-side graph IN (...) filter,
+    no join added."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    quads = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.concat(F.lit("urn:g:"),
+                 (F.col("n_nationkey") % 3).cast("string"))
+        .alias("graph"),
+    ).unionByName(region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("r_name").alias("obj"),
+        F.lit(None).cast("string").alias("graph")))
+    return sparql(quads, f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?s ?name FROM <urn:g:1> FROM <urn:g:2>
+        WHERE {{ ?s ex:name ?name }}
+        ORDER BY ?s
+    """)
+
+
+SQL_SPARQL_DATASET = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS name
+FROM nation WHERE n_nationkey % 3 IN (1, 2)
+ORDER BY s
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -3950,6 +3989,7 @@ QUERIES = {
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
     "sparql_update_graphs": q_sparql_update_graphs,
+    "sparql_dataset": q_sparql_dataset,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -4070,6 +4110,7 @@ def oracles() -> dict[str, str]:
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
         "sparql_update": SQL_SPARQL_UPDATE,
         "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
+        "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

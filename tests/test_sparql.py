@@ -613,3 +613,51 @@ def test_update_quad_store(spark):
                 'WITH <g> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }']:
         with pytest.raises(SparqlError):
             update(t, bad)
+
+
+def test_dataset_clauses(spark):
+    """FROM / FROM NAMED (§13.2-13.3): FROM graphs merge into the
+    default graph, GRAPH ranges over exactly the FROM NAMED set, and
+    with any dataset clause present the split is strict — plain
+    patterns stop seeing the rest of the store."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    q = spark.createDataFrame(
+        [("s1", "p", "o1", None), ("s2", "p", "o2", "urn:g1"),
+         ("s3", "p", "o3", "urn:g1"), ("s4", "p", "o4", "urn:g2"),
+         ("s5", "p", "o5", "urn:g3")],
+        "subj string, pred string, obj string, graph string")
+
+    def run(text, t=q):
+        return sorted(map(tuple, sparql(t, text).collect()))
+
+    assert run("SELECT ?s FROM <urn:g1> FROM <urn:g2> "
+               "WHERE { ?s <p> ?o }") == [("s2",), ("s3",), ("s4",)]
+    # strict: the default-graph row s1 and graphs outside FROM vanish
+    assert run("SELECT ?s FROM <urn:g3> WHERE { ?s <p> ?o }") == [
+        ("s5",)]
+    # FROM NAMED alone: plain patterns see an EMPTY default graph
+    assert run("SELECT ?g ?s FROM NAMED <urn:g1> "
+               "WHERE { GRAPH ?g { ?s <p> ?o } }") == [
+        ("urn:g1", "s2"), ("urn:g1", "s3")]
+    assert run("SELECT ?s FROM NAMED <urn:g1> "
+               "WHERE { ?s <p> ?o }") == []
+    # GRAPH cannot reach graphs outside FROM NAMED
+    assert run("SELECT ?s FROM <urn:g1> FROM NAMED <urn:g2> "
+               "WHERE { GRAPH <urn:g3> { ?s <p> ?o } }") == []
+    # every form takes a dataset clause
+    assert run("ASK FROM <urn:g3> { <s5> <p> ?o }") == [(True,)]
+    assert run("CONSTRUCT { ?s <q> ?o } FROM <urn:g2> "
+               "WHERE { ?s <p> ?o }") == [("s4", "q", "o4")]
+    # no dataset clause: the union posture is unchanged
+    assert len(run("SELECT ?s WHERE { ?s <p> ?o }")) == 5
+
+    t3 = q.select("subj", "pred", "obj")
+    with pytest.raises(SparqlUnsupported):
+        sparql(t3, "SELECT ?s FROM <g> WHERE { ?s ?p ?o }")
+    with pytest.raises(SparqlUnsupported):
+        sparql(q, "SELECT ?s WHERE { { SELECT ?s FROM <g> WHERE "
+                  "{ ?s ?p ?o } } . ?s <p> ?o }")
+    with pytest.raises(SparqlUnsupported):
+        sparql(q, "CONSTRUCT { ?s <q> ?o } WHERE "
+                  "{ GRAPH ?g { ?s <p> ?o } }")
