@@ -606,7 +606,19 @@ def construct(triples: DataFrame,
     """
     sols = bgp_match(triples, patterns, optional=optional,
                      filters=filters)
+    return construct_solutions(sols, template)
 
+
+def construct_solutions(sols: DataFrame,
+                        template: list[tuple[str, str, str]]
+                        ) -> DataFrame:
+    """The instantiation half of :func:`construct`: explode every
+    ``template`` (s, p, o) per solution row (``?var`` positions
+    substitute bindings, NULL-binding rows are skipped per the
+    incomplete-triple rule), with set semantics.  Exposed separately so
+    callers holding an already-solved frame (e.g. SPARQL UPDATE
+    instantiating both a DELETE and an INSERT template from ONE WHERE
+    match) don't re-run the pattern join per template."""
     def term(t):
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
 

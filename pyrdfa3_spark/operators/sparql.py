@@ -471,12 +471,9 @@ class _Parser:
                 sub = self.group()
                 _require_simple(sub, "GRAPH", filters_ok=False)
                 for s, path, o in sub["patterns"]:
-                    if isinstance(path, tuple):
-                        if path[0] != "pred":
-                            raise SparqlUnsupported(
-                                "property paths inside GRAPH")
-                        path = path[1]
-                    g["graphs"].append((s, path, o, gterm))
+                    g["graphs"].append(
+                        (s, _unwrap_pred(path, "GRAPH groups"), o,
+                         gterm))
             elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
                 _require_simple(sub, "OPTIONAL", filters_ok=False)
@@ -627,27 +624,29 @@ def parse(text: str) -> dict:
     elif v == "ASK":
         p.next()
         ds = _dataset_clause(p)
+        p.take("KW", "WHERE")  # WhereClause ::= 'WHERE'? GGP
         q = {"form": "ask", "where": p.group(), **ds}
     elif v == "CONSTRUCT":
         p.next()
-        ds = _dataset_clause(p)
-        if p.at("KW", "WHERE"):
-            # CONSTRUCT WHERE { ... } shorthand (SPARQL 1.1 §10.2.2):
-            # the pattern group doubles as the template
-            p.next()
+        if p.at("OP", "{"):
+            # full form: CONSTRUCT {tpl} DatasetClause* 'WHERE'? {..}
+            tpl_group = p.group()
+            _require_simple(tpl_group, "CONSTRUCT templates",
+                            filters_ok=False)
+            ds = _dataset_clause(p)
+            p.take("KW", "WHERE")
+            q = {"form": "construct", "template": tpl_group["patterns"],
+                 "where": p.group(), **ds}
+        else:
+            # CONSTRUCT DatasetClause* WHERE { ... } shorthand (SPARQL
+            # 1.1 §10.2.2): the pattern group doubles as the template
+            ds = _dataset_clause(p)
+            p.eat("KW", "WHERE")
             w = p.group()
             _require_simple(w, "CONSTRUCT WHERE shorthand",
                             filters_ok=True)
             q = {"form": "construct", "template": w["patterns"],
                  "where": w, **ds}
-        else:
-            tpl_group = p.group()
-            _require_simple(tpl_group, "CONSTRUCT templates",
-                            filters_ok=False)
-            ds = _dataset_clause(p) if not any(ds.values()) else ds
-            p.eat("KW", "WHERE")
-            q = {"form": "construct", "template": tpl_group["patterns"],
-                 "where": p.group(), **ds}
     elif v == "DESCRIBE":
         p.next()
         if p.at("VAR"):
@@ -926,6 +925,16 @@ def _apply_dataset(triples: DataFrame, q: dict) -> DataFrame:
     gcol = F.col("graph")
     default = (triples.filter(gcol.isin(frm))
                .withColumn("graph", F.lit(None).cast("string")))
+    if len(frm) > 1:
+        # RDF merge is a SET union: a triple present in several FROM
+        # graphs must appear once, or non-DISTINCT solutions and
+        # aggregates over the merge inflate.  The distinct (one
+        # shuffle) is paid only on the pruned multi-graph slice.
+        # Simplification vs the spec: shared bnode labels co-identify
+        # instead of being standardized apart — lake stores carry
+        # skolemized or doc-scoped labels (see skolemize/rdfdocs), so
+        # cross-graph label collisions are already impossible upstream.
+        default = default.dropDuplicates(["subj", "pred", "obj"])
     return default.unionByName(triples.filter(gcol.isin(named)))
 
 
@@ -957,8 +966,11 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     if q.get("from") or q.get("from_named"):
         full = _apply_dataset(triples, q)
         # strict dataset semantics: the solver's working frame is the
-        # FROM merge; GRAPH sees the full dataset via the group dicts
-        triples = full.filter(F.col("graph").isNull())
+        # FROM merge (a plain TRIPLE frame, so DESCRIBE/CONSTRUCT keep
+        # their 3-column contract); GRAPH sees the full dataset via
+        # the group dicts
+        triples = (full.filter(F.col("graph").isNull())
+                   .select("subj", "pred", "obj"))
         _attach_quads(q.get("where"), full)
     if q["form"] == "ask":
         sols = _solve_group(triples, q["where"])
@@ -1039,19 +1051,23 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
 _TRIPLE_KEY = ["subj", "pred", "obj"]
 
 
+def _unwrap_pred(path, what: str) -> str:
+    """A pattern's predicate as a plain string — rejects property-path
+    operators, which never make sense in templates / data blocks /
+    GRAPH groups (they name concrete predicates)."""
+    if isinstance(path, tuple):
+        if path[0] != "pred":
+            raise SparqlUnsupported(f"property paths in {what}")
+        return path[1]
+    return path
+
+
 def _plain_patterns(g: dict, what: str) -> list[tuple[str, str, str]]:
     """A group's patterns as plain (s, p, o) strings — the template
-    shape.  Property paths never make sense there (a template names
-    concrete predicates)."""
+    shape."""
     _require_simple(g, what, filters_ok=False)
-    out = []
-    for s, path, o in g["patterns"]:
-        if isinstance(path, tuple):
-            if path[0] != "pred":
-                raise SparqlUnsupported(f"property paths in {what}")
-            path = path[1]
-        out.append((s, path, o))
-    return out
+    return [(s, _unwrap_pred(path, what), o)
+            for s, path, o in g["patterns"]]
 
 
 def _data_quads(g: dict, what: str) -> list[tuple]:
@@ -1064,13 +1080,8 @@ def _data_quads(g: dict, what: str) -> list[tuple]:
     if bad:
         raise SparqlUnsupported(f"only ground triples (optionally in "
                                 f"GRAPH blocks) inside {what}")
-    out = []
-    for s, path, o in g["patterns"]:
-        if isinstance(path, tuple):
-            if path[0] != "pred":
-                raise SparqlUnsupported(f"property paths in {what}")
-            path = path[1]
-        out.append((s, path, o, None))
+    out = [(s, _unwrap_pred(path, what), o, None)
+           for s, path, o in g["patterns"]]
     for s, path, o, gterm in g["graphs"]:
         out.append((s, path, o, gterm))
     for row in out:
@@ -1351,15 +1362,21 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
              .select(*_TRIPLE_KEY) if quads else df)
     t = _expand_paths(scope, [g])
+    # both templates instantiate against the ORIGINAL graph's
+    # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
+    # WHERE matches the pre-update state) — guaranteed here because
+    # `sols` derives from `df`, not from the partial result.  The
+    # match runs ONCE; with both templates present the solutions are
+    # locally checkpointed so the two instantiations don't re-execute
+    # the pattern join (lazy: materializes at first use).
+    sols = G.bgp_match(t, g["patterns"],
+                       optional=g["optionals"] or None,
+                       filters=g["filters"] or None)
+    if op["delete"] and op["insert"]:
+        sols = sols.localCheckpoint(eager=False)
 
     def derived(template):
-        # both templates instantiate against the ORIGINAL graph's
-        # solutions (SPARQL 1.1 §3.1.3: delete first, insert second,
-        # but WHERE matches the pre-update state) — guaranteed here
-        # because `t` derives from `df`, not from the partial result
-        out = G.construct(t, g["patterns"], template,
-                          optional=g["optionals"] or None,
-                          filters=g["filters"] or None)
+        out = G.construct_solutions(sols, template)
         if quads:
             out = out.withColumn("graph",
                                  F.lit(scope_graph).cast("string"))

@@ -661,3 +661,36 @@ def test_dataset_clauses(spark):
     with pytest.raises(SparqlUnsupported):
         sparql(q, "CONSTRUCT { ?s <q> ?o } WHERE "
                   "{ GRAPH ?g { ?s <p> ?o } }")
+
+
+def test_dataset_review_regressions(spark):
+    """Round-2 review fixes: FROM-merge set semantics, optional WHERE
+    keyword on ASK/CONSTRUCT, DESCRIBE's 3-column contract under FROM,
+    and the pre-template CONSTRUCT FROM misparse."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    q = spark.createDataFrame(
+        [("s", "p", "o", "urn:g1"), ("s", "p", "o", "urn:g2"),
+         ("s", "p", "o2", "urn:g2"), ("n", "p:a", "leaf", "urn:g1")],
+        "subj string, pred string, obj string, graph string")
+
+    # a triple in BOTH FROM graphs appears once (RDF merge = set union)
+    out = sparql(q, "SELECT (COUNT(*) AS ?n) FROM <urn:g1> "
+                    "FROM <urn:g2> WHERE { <s> <p> ?o }")
+    assert out.collect()[0]["n"] == 2
+
+    # WhereClause 'WHERE' keyword is optional everywhere
+    assert sparql(q, "ASK WHERE { GRAPH ?g { ?s <p> ?o } }"
+                  ).collect()[0]["result"]
+    t = q.select("subj", "pred", "obj")
+    assert sparql(t, "CONSTRUCT { ?s <q> ?o } { ?s <p> ?o }"
+                  ).count() == 2
+
+    # DESCRIBE under FROM keeps the triple-frame contract
+    out = sparql(q, "DESCRIBE <n> FROM <urn:g1>")
+    assert out.columns == ["subj", "pred", "obj"]
+    assert out.count() == 1
+
+    # dataset clauses cannot precede the template (grammar position)
+    with pytest.raises(SparqlError):
+        parse("CONSTRUCT FROM <g> { ?s <p> ?o } WHERE { ?s <p> ?o }")
