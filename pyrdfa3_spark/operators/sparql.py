@@ -117,7 +117,7 @@ _KEYWORDS = {
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
     "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
     "DEFAULT", "NAMED", "DROP", "CREATE", "ADD", "COPY", "MOVE", "TO",
-    "WITH", "SILENT", "FROM",
+    "WITH", "SILENT", "FROM", "USING",
 }
 
 
@@ -1115,6 +1115,23 @@ def _clear_target(p: _Parser, verb: str):
                       f"GRAPH <iri>, got {p.peek()[1]!r}")
 
 
+def _using_clause(p: _Parser) -> list[str]:
+    """``USING <g>`` clauses: the WHERE-side dataset of a modify (the
+    UPDATE twin of FROM) — the match runs over the merge of the USING
+    graphs instead of the WITH/default graph.  ``USING NAMED`` would
+    only matter with GRAPH inside the modify WHERE, which the subset
+    rejects, so it raises rather than silently binding nothing."""
+    using = []
+    while p.take("KW", "USING"):
+        if p.take("KW", "NAMED"):
+            raise SparqlUnsupported(
+                "USING NAMED (GRAPH inside a modify WHERE is outside "
+                "the subset — match named graphs with a query, then "
+                "INSERT DATA the result)")
+        using.append(p.term(allow_var=False, allow_literal=False))
+    return using
+
+
 def parse_update(text: str) -> list[dict]:
     """Parse SPARQL UPDATE text into the operation sequence."""
     p = _Parser(text)
@@ -1157,10 +1174,11 @@ def parse_update(text: str) -> list[dict]:
             else:
                 raise SparqlError(
                     "WITH must precede a DELETE/INSERT .. WHERE form")
+            using = _using_clause(p)
             p.eat("KW", "WHERE")
             ops.append({"op": "modify", "delete": tpl_del,
                         "insert": tpl_ins, "where": p.group(),
-                        "with": scope})
+                        "with": scope, "using": using})
         elif p.take("KW", "INSERT"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "insert_data",
@@ -1168,10 +1186,11 @@ def parse_update(text: str) -> list[dict]:
                                                  "INSERT DATA")})
             else:
                 tpl = _plain_patterns(p.group(), "INSERT templates")
+                using = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": None,
                             "insert": tpl, "where": p.group(),
-                            "with": None})
+                            "with": None, "using": using})
         elif p.take("KW", "DELETE"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "delete_data",
@@ -1192,10 +1211,11 @@ def parse_update(text: str) -> list[dict]:
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
                                               "INSERT templates")
+                using = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": tpl_del,
                             "insert": tpl_ins, "where": p.group(),
-                            "with": None})
+                            "with": None, "using": using})
         else:
             raise SparqlError(
                 f"expected an update operation, got {p.peek()[1]!r}")
@@ -1357,10 +1377,19 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         raise SparqlUnsupported(
             "DELETE/INSERT WHERE supports patterns, OPTIONAL and "
             "FILTER only")
-    # WHERE matches the WITH graph (default graph when no WITH) —
-    # the scope filter prunes the scan before any join
-    scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
-             .select(*_TRIPLE_KEY) if quads else df)
+    # WHERE matches the USING merge when given, else the WITH graph
+    # (default graph when neither) — the scope filter prunes the scan
+    # before any join; templates always target the WITH/default graph
+    using = op.get("using") or []
+    if using:
+        need_quads("USING")
+        scope = (df.filter(F.col("graph").isin(using))
+                 .select(*_TRIPLE_KEY))
+        if len(using) > 1:
+            scope = scope.dropDuplicates()  # RDF merge = set union
+    else:
+        scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
+                 .select(*_TRIPLE_KEY) if quads else df)
     t = _expand_paths(scope, [g])
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but

@@ -694,3 +694,45 @@ def test_dataset_review_regressions(spark):
     # dataset clauses cannot precede the template (grammar position)
     with pytest.raises(SparqlError):
         parse("CONSTRUCT FROM <g> { ?s <p> ?o } WHERE { ?s <p> ?o }")
+
+
+def test_update_using_clause(spark):
+    """USING <g>: the modify's WHERE matches the USING merge while the
+    templates still target the WITH/default graph — the
+    derive-into-another-graph idiom."""
+    from pyrdfa3_spark.operators.sparql import parse_update, update
+
+    q = spark.createDataFrame(
+        [("s1", "p", "o1", "urn:src1"), ("s2", "p", "o2", "urn:src2"),
+         ("s3", "p", "o3", None)],
+        "subj string, pred string, obj string, graph string")
+
+    # match src graphs, insert into the default graph
+    out = update(q, "INSERT { ?s <derived> ?o } "
+                    "USING <urn:src1> USING <urn:src2> "
+                    "WHERE { ?s <p> ?o }")
+    got = sorted((r["subj"], r["pred"], r["graph"] or "")
+                 for r in out.collect() if r["pred"] == "derived")
+    assert got == [("s1", "derived", ""), ("s2", "derived", "")]
+
+    # WITH sets the template target, USING the match source
+    out = update(q, "WITH <urn:dst> INSERT { ?s <derived> ?o } "
+                    "USING <urn:src1> WHERE { ?s <p> ?o }")
+    got = [(r["subj"], r["graph"]) for r in out.collect()
+           if r["pred"] == "derived"]
+    assert got == [("s1", "urn:dst")]
+
+    # duplicate triples across USING graphs merge as a set
+    q2 = spark.createDataFrame(
+        [("s", "p", "o", "urn:a"), ("s", "p", "o", "urn:b")],
+        "subj string, pred string, obj string, graph string")
+    out = update(q2, "INSERT { ?s <d> ?o } USING <urn:a> "
+                     "USING <urn:b> WHERE { ?s <p> ?o }")
+    assert out.filter("pred = 'd'").count() == 1
+
+    with pytest.raises(SparqlUnsupported):
+        parse_update("INSERT { ?s <d> ?o } USING NAMED <urn:a> "
+                     "WHERE { ?s <p> ?o }")
+    with pytest.raises(SparqlError):
+        update(q.select("subj", "pred", "obj"),
+               "INSERT { ?s <d> ?o } USING <urn:a> WHERE { ?s <p> ?o }")
