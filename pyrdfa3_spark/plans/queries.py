@@ -2746,6 +2746,44 @@ def q_jsonld_roundtrip(spark, sf_dir):
     return parse_jsonld(to_jsonld(_nation_graph(spark, sf_dir)))
 
 
+def q_jsonld_compact_roundtrip(spark, sf_dir):
+    """Sink -> source identity for @context-COMPACTED JSON-LD lines:
+    serialize the every-term-shape fixture (plus a plain-literal shape,
+    the one term the fixture lacks and the compact form renders as a
+    bare JSON string) against a pinned context — sidecar line included
+    — and parse it back with the variant-typed scan-side reader
+    (sources/jsonld.py::parse_jsonld_compact).  Oracle is the closed
+    form: a correct round-trip is the identity."""
+    from pyrdfa3_spark.plans.serialize import (jsonld_context_line,
+                                               to_jsonld)
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld_compact
+
+    ctx = {"p": "urn:p:", "n": "urn:nation:", "reg": "urn:region:",
+           "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    nation = _t(spark, sf_dir, "nation")
+    plain = nation.select(
+        F.concat(F.lit("urn:nation:N"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:comment").alias("pred"),
+        F.concat(F.lit("plain "), F.col("n_name")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    g = _nation_graph(spark, sf_dir).unionByName(plain)
+    side = spark.createDataFrame([(jsonld_context_line(ctx),)],
+                                 ["jsonld"])
+    lines = side.unionByName(to_jsonld(g, context=ctx))
+    return parse_jsonld_compact(lines, ctx)
+
+
+SQL_JSONLD_COMPACT_ROUNDTRIP = SQL_NT_ROUNDTRIP + """
+UNION ALL
+SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:comment',
+       'plain ' || n_name, FALSE, NULL, NULL
+FROM nation
+"""
+
+
 def q_jsonld_serialize(spark, sf_dir):
     """JSON-LD lines sink (S6): one flat node object per subject.
     Round-trip-tested in tests/test_serialize.py; byte-exact string-
@@ -4024,6 +4062,7 @@ QUERIES = {
     "nt_serialize": q_nt_serialize,
     "nt_roundtrip": q_nt_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
+    "jsonld_compact_roundtrip": q_jsonld_compact_roundtrip,
     "turtle_roundtrip": q_turtle_roundtrip,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "conversation_stats": q_conversation_stats,
@@ -4145,6 +4184,7 @@ def oracles() -> dict[str, str]:
         "nt_serialize": SQL_NT_SERIALIZE,
         "nt_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
+        "jsonld_compact_roundtrip": SQL_JSONLD_COMPACT_ROUNDTRIP,
         "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "conversation_stats": SQL_CONVERSATION_STATS,

@@ -92,3 +92,113 @@ def parse_errors(lines: DataFrame, col: str = "jsonld") -> DataFrame:
             .filter(F.get_json_object(c, "$['@id']").isNull()
                     | body.isNull())
             .select(c.alias("line")))
+
+
+# ------------------------------------------------------------------ #
+# @context-compacted lines (source twin of to_jsonld(context=...))
+# ------------------------------------------------------------------ #
+
+def _expand_iri(col, context: dict[str, str]):
+    """CURIE -> IRI under ``context`` (the inverse of the sink's
+    ``_compact_iri``): ``pr:local`` expands when ``pr`` is a declared
+    prefix and the local part is term-safe, anything else passes
+    through.  Prefix names cannot contain ':', so at most one prefix
+    matches — no ordering subtlety."""
+    out = col
+    for pr, ns in context.items():
+        local = F.substring(col, len(pr) + 2, 10_000)
+        ok = (col.startswith(pr + ":")
+              & local.rlike(r"^[A-Za-z0-9_.\-]*$"))
+        out = F.when(ok, F.concat(F.lit(ns), local)).otherwise(out)
+    return out
+
+
+def parse_jsonld_compact(lines: DataFrame, context: dict[str, str],
+                         col: str = "jsonld") -> DataFrame:
+    """``(jsonld)`` frame of @context-compacted node lines (what
+    ``to_jsonld(context=...)`` emits) -> triples, expanding CURIE keys
+    and values against the same caller-pinned ``context``.
+
+    The term arrays are heterogeneous (bare JSON strings for plain
+    literals, objects for IRI/lang/typed terms), so elements parse as
+    VARIANT: the variant preserves the JSON token type, which makes a
+    literal whose TEXT looks like a term object (``'{"@value":"x"}'``
+    as a plain string) still classify correctly — ``$.@id``/``$.@value``
+    extraction on a string-token variant is NULL by type.  Everything
+    stays scan-side column algebra: one from_json + two explodes, no
+    Python, no shuffle.
+
+    Contract caveats:
+      * the ``{"@context": ...}`` sidecar line is skipped;
+      * graph terms that are ALREADY CURIE-shaped under a context
+        prefix (lake stores allow them) expand like every other CURIE
+        and so do not round-trip — compaction itself erases that
+        distinction; serialize such stores expanded, or skolemize
+        first;
+      * malformed / @id-less lines are excluded and reported by
+        :func:`parse_errors_compact`.
+    """
+    from pyspark.sql.types import VariantType
+
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+
+    c = F.col(col)
+    body = F.from_json(
+        F.regexp_replace(c, _ID_PREFIX_RE, "{"),
+        MapType(StringType(), ArrayType(VariantType())))
+    rows = (lines
+            .filter(F.trim(c) != "")
+            .filter(F.get_json_object(c, "$['@context']").isNull())
+            .select(F.get_json_object(c, "$['@id']").alias("s"),
+                    body.alias("body"))
+            .filter(F.col("s").isNotNull() & F.col("body").isNotNull())
+            .select("s", F.explode("body").alias("key", "terms"))
+            .select("s", "key", F.explode("terms").alias("t")))
+    tid = F.try_variant_get("t", "$.@id", "string")
+    tval = F.try_variant_get("t", "$.@value", "string")
+    tlang = F.try_variant_get("t", "$.@language", "string")
+    tdt = F.try_variant_get("t", "$.@type", "string")
+    tstr = F.try_variant_get("t", "$", "string")
+    is_type = F.col("key") == "@type"
+    subj = F.when(F.col("s").startswith("_:"), F.col("s")) \
+        .otherwise(_expand_iri(F.col("s"), context))
+    obj = (F.when(is_type | tid.isNotNull(),
+                  _expand_iri(F.coalesce(tid, tstr), context))
+           .when(tval.isNotNull(), tval)
+           .otherwise(tstr))
+    return rows.select(
+        subj.alias("subj"),
+        F.when(is_type, F.lit(RDF_TYPE))
+        .otherwise(_expand_iri(F.col("key"), context)).alias("pred"),
+        obj.alias("obj"),
+        (is_type | tid.isNotNull()).alias("obj_is_iri"),
+        F.when(~is_type & tid.isNull(), tlang).alias("obj_lang"),
+        F.when(~is_type & tid.isNull() & tval.isNotNull(),
+               _expand_iri(tdt, context)).alias("obj_datatype"))
+
+
+def read_jsonld_compact(spark, path: str,
+                        context: dict[str, str]) -> DataFrame:
+    """Parse a compacted JSON-LD-lines dump from disk (the context is
+    the caller's — the sidecar line is skipped, not interpreted)."""
+    return parse_jsonld_compact(
+        spark.read.text(path).withColumnRenamed("value", "jsonld"),
+        context)
+
+
+def parse_errors_compact(lines: DataFrame,
+                         col: str = "jsonld") -> DataFrame:
+    """Non-blank, non-sidecar lines that fail the compacted node shape
+    (unparseable JSON, or no ``"@id"`` key)."""
+    from pyspark.sql.types import VariantType
+
+    c = F.col(col)
+    body = F.from_json(
+        F.regexp_replace(c, _ID_PREFIX_RE, "{"),
+        MapType(StringType(), ArrayType(VariantType())))
+    return (lines
+            .filter(F.trim(c) != "")
+            .filter(F.get_json_object(c, "$['@context']").isNull())
+            .filter(F.get_json_object(c, "$['@id']").isNull()
+                    | body.isNull())
+            .select(c.alias("line")))

@@ -438,3 +438,18 @@ def test_update_data_forms_no_shuffle(spark):
                         "Exchange SinglePartition"):
             assert shuffle not in simple, (text, simple)
         assert "BroadcastHashJoin" in simple, (text, simple)
+
+
+def test_jsonld_compact_reader_plan_scan_side(spark):
+    """The compacted-lines parse (variant-typed elements) must stay
+    pure scan-side column algebra like the expanded reader: no
+    shuffle, no Python boundary, no join."""
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld_compact
+
+    lines = spark.createDataFrame(
+        [('{"@id":"p:n1","p:name":["x"]}',)], ["jsonld"])
+    simple = _plan(parse_jsonld_compact(lines, {"p": "urn:p:"}),
+                   mode="simple")
+    assert "Exchange" not in simple, simple
+    assert "MapInArrow" not in simple and "MapInPandas" not in simple
+    assert "Join" not in simple, simple

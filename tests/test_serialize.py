@@ -411,3 +411,49 @@ def test_rdfdocs_reader_never_fails_tasks_on_junk(spark):
         parsed = parse_rdf_documents(docs, fmt=fmt)
         n_err = parse_errors(parsed).count()  # must not raise
         assert n_err >= len(junk) - 4, (fmt, n_err)
+
+
+def test_jsonld_compact_roundtrip_and_errors(spark):
+    """parse_jsonld_compact inverts to_jsonld(context=...) exactly —
+    including the trap where a PLAIN literal's text looks like a term
+    object (the variant token type disambiguates) — and routes junk to
+    parse_errors_compact instead of misparsing."""
+    from pyrdfa3_spark.plans.serialize import (jsonld_context_line,
+                                               to_jsonld)
+    from pyrdfa3_spark.sources.jsonld import (parse_errors_compact,
+                                              parse_jsonld_compact)
+
+    ctx = {"p": "urn:p:", "n": "urn:nation:",
+           "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    rows = [
+        ("urn:nation:N1", "urn:p:name", 'x says "hi"\n', False, "en",
+         None),
+        ("urn:nation:N1", "urn:p:key", "1", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("_:b1", "urn:p:in", "urn:nation:N2", True, None, None),
+        ("urn:nation:N2",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "urn:p:T", True, None, None),
+        ("urn:nation:N2", "urn:p:plain", '{"@value":"fake"}', False,
+         None, None),
+        ("urn:other:o", "urn:p:plain", "hello", False, None, None),
+    ]
+    g = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    side = spark.createDataFrame([(jsonld_context_line(ctx),)],
+                                 ["jsonld"])
+    lines = side.unionByName(to_jsonld(g, context=ctx))
+    back = parse_jsonld_compact(lines, ctx)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    assert parse_errors_compact(lines).count() == 0
+
+    junk = spark.createDataFrame(
+        [("",), ("   ",), ("not json",), ('{"no":"id"}',),
+         ('{"@context":{"p":"urn:p:"}}',),  # sidecar: skipped, not err
+         ('{"@id":"ok","p:x":["v"]}',)],
+        ["jsonld"])
+    errs = parse_errors_compact(junk)
+    assert sorted(r["line"] for r in errs.collect()) == [
+        "not json", '{"no":"id"}']
+    assert parse_jsonld_compact(junk, {"p": "urn:p:"}).count() == 1
