@@ -282,9 +282,17 @@ class _Parser:
         if self.at("VAR"):
             return ("var", self.var())
         self.eat("OP", "(")
-        k, fn = self.next()
-        if k != "NAME" or fn.upper() not in self._AGG:
-            raise SparqlUnsupported(f"projection expression {fn!r}")
+        k, fn = self.peek()
+        if not (k == "NAME" and fn.upper() in self._AGG
+                and self.peek(1) == ("OP", "(")):
+            # (expr AS ?v) projection expression — same translation
+            # the FILTER/BIND grammar uses
+            e = self.expr()
+            self.eat("KW", "AS")
+            alias = self.var()
+            self.eat("OP", ")")
+            return ("expr", e, alias)
+        self.next()
         fn = fn.upper()
         self.eat("OP", "(")
         distinct = self.take("KW", "DISTINCT")
@@ -1015,9 +1023,14 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     sols = _solve_group(triples, q["where"])
     aggs = [it for it in q["items"] if it[0] == "agg"]
     plain = [it[1] for it in q["items"] if it[0] == "var"]
+    exprs = [it for it in q["items"] if it[0] == "expr"]
     if aggs or q["group_by"]:
         if q["star"]:
             raise SparqlUnsupported("SELECT * with GROUP BY")
+        if exprs:
+            raise SparqlUnsupported(
+                "projection expressions beside GROUP BY — BIND the "
+                "expression in the WHERE group instead")
         stray = [v for v in plain if v not in q["group_by"]]
         if stray:
             raise SparqlError(
@@ -1037,7 +1050,12 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     else:
         if q["having"]:
             raise SparqlError("HAVING without aggregation")
-        project = None if q["star"] else plain
+        for _, e, alias in exprs:
+            sols = G.bind(sols, alias, e)
+        # projection in SELECT-clause order (vars and expression
+        # aliases interleave)
+        project = None if q["star"] else [
+            it[1] if it[0] == "var" else it[2] for it in q["items"]]
     return G.select_solutions(
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],

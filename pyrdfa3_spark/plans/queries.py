@@ -1654,6 +1654,27 @@ ORDER BY s
 """
 
 
+def q_sparql_project_expr(spark, sf_dir):
+    """(expr AS ?v) projection expressions in the SELECT clause —
+    computed columns without a BIND, translated like FILTER/BIND
+    expressions and projected in clause order."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?name (STRLEN(?name) AS ?len) (UCASE(?name) AS ?up)
+        WHERE {{ ?n ex:memberOf ?r . ?n ex:name ?name }}
+        ORDER BY ?name
+    """)
+
+
+SQL_SPARQL_PROJECT_EXPR = """
+SELECT n_name AS name, CAST(length(n_name) AS INTEGER) AS len,
+       upper(n_name) AS up
+FROM nation ORDER BY name
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -4028,6 +4049,7 @@ QUERIES = {
     "sparql_update": q_sparql_update,
     "sparql_update_graphs": q_sparql_update_graphs,
     "sparql_dataset": q_sparql_dataset,
+    "sparql_project_expr": q_sparql_project_expr,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -4150,6 +4172,7 @@ def oracles() -> dict[str, str]:
         "sparql_update": SQL_SPARQL_UPDATE,
         "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
         "sparql_dataset": SQL_SPARQL_DATASET,
+        "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

@@ -736,3 +736,29 @@ def test_update_using_clause(spark):
     with pytest.raises(SparqlError):
         update(q.select("subj", "pred", "obj"),
                "INSERT { ?s <d> ?o } USING <urn:a> WHERE { ?s <p> ?o }")
+
+
+def test_projection_expressions(kg):
+    """(expr AS ?v) in the SELECT clause — the non-aggregate
+    counterpart of (AGG(?x) AS ?a), translated exactly like
+    FILTER/BIND expressions and projected in clause order."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    out = _rows(sparql(kg, """
+        SELECT ?x (STRLEN(?n) AS ?len) (UCASE(?n) AS ?up)
+        WHERE { ?x p:name ?n } ORDER BY ?x ?len"""))
+    assert out == [("a", 3, "ADA"), ("b", 3, "BOB"), ("b", 5, "BOBBY")]
+
+    out = _rows(sparql(kg, """
+        SELECT (CONCAT(?n, "!") AS ?bang) WHERE { "a" p:name ?n }"""))
+    assert out == [("Ada!",)]
+
+    # arithmetic without a leading function name
+    out = _rows(sparql(kg, """
+        SELECT ?x (STRLEN(?n) * 2 + 1 AS ?odd)
+        WHERE { ?x p:name ?n . FILTER(?n = "Ada") }"""))
+    assert out == [("a", 7)]
+
+    with pytest.raises(SparqlUnsupported):
+        sparql(kg, """SELECT (STRLEN(?n) AS ?l) (COUNT(?n) AS ?c)
+                      WHERE { ?x p:name ?n } GROUP BY ?x""")
