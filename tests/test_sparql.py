@@ -762,3 +762,103 @@ def test_projection_expressions(kg):
     with pytest.raises(SparqlUnsupported):
         sparql(kg, """SELECT (STRLEN(?n) AS ?l) (COUNT(?n) AS ?c)
                       WHERE { ?x p:name ?n } GROUP BY ?x""")
+
+
+def test_update_matches_model_differential(spark):
+    """Property test for UPDATE: random ';'-sequences of ground and
+    template operations run BOTH through update() and through a pure
+    python set-of-quads model — any parser or executor divergence
+    (null-graph joins, set semantics, pre-state template evaluation)
+    shows up as a quad-set diff."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyrdfa3_spark.operators.sparql import update
+
+    subjects = [f"s{i}" for i in range(4)]
+    objects = ["o1", "o2"]
+    graphs = [None, "urn:g1", "urn:g2"]
+    base = sorted({(subjects[(i * 5 + j) % 4], "p",
+                    objects[(i + j) % 2], graphs[(i * 3 + j) % 3])
+                   for i in range(4) for j in range(3)},
+                  key=lambda q: tuple(x or "" for x in q))
+
+    def term(x):
+        return f"<{x}>" if not x.startswith("o") else f'"{x}"'
+
+    def model_apply(quads, op):
+        kind = op[0]
+        if kind == "insert_data":
+            return quads | {op[1]}
+        if kind == "delete_data":
+            return quads - {op[1]}
+        if kind == "clear_graph":
+            return {q for q in quads if q[3] != op[1]}
+        if kind == "move":
+            src, dst = op[1], op[2]
+            if src == dst:
+                return quads
+            moved = {(s, p, o, dst) for s, p, o, g in quads if g == src}
+            return {q for q in quads
+                    if q[3] not in (src, dst)} | moved
+        if kind == "modify":  # delete+insert on the default graph
+            obj = op[1]
+            sols = [(s, o) for s, p, o, g in quads
+                    if g is None and o == obj]
+            dels = {(s, "p", o, None) for s, o in sols}
+            ins = {(s, "q", o, None) for s, o in sols}
+            return (quads - dels) | ins
+        raise AssertionError(kind)
+
+    def render(op):
+        kind = op[0]
+        if kind == "insert_data":
+            s, p, o, g = op[1]
+            stmt = f"{term(s)} <p> {term(o)}"
+            body = f"GRAPH <{g}> {{ {stmt} }}" if g else stmt
+            return f"INSERT DATA {{ {body} }}"
+        if kind == "delete_data":
+            s, p, o, g = op[1]
+            stmt = f"{term(s)} <p> {term(o)}"
+            body = f"GRAPH <{g}> {{ {stmt} }}" if g else stmt
+            return f"DELETE DATA {{ {body} }}"
+        if kind == "clear_graph":
+            return f"CLEAR GRAPH <{op[1]}>"
+        if kind == "move":
+            return f"MOVE <{op[1]}> TO <{op[2]}>"
+        return (f'DELETE {{ ?s <p> "{op[1]}" }} '
+                f'INSERT {{ ?s <q> "{op[1]}" }} '
+                f'WHERE {{ ?s <p> "{op[1]}" }}')
+
+    quad_st = st.tuples(st.sampled_from(subjects), st.just("p"),
+                        st.sampled_from(objects),
+                        st.sampled_from(graphs))
+    op_st = st.one_of(
+        st.tuples(st.just("insert_data"), quad_st),
+        st.tuples(st.just("delete_data"), quad_st),
+        st.tuples(st.just("clear_graph"),
+                  st.sampled_from(["urn:g1", "urn:g2"])),
+        st.tuples(st.just("move"), st.sampled_from(["urn:g1", "urn:g2"]),
+                  st.sampled_from(["urn:g1", "urn:g2"])),
+        st.tuples(st.just("modify"), st.sampled_from(objects)),
+    )
+
+    df = spark.createDataFrame(
+        base, "subj string, pred string, obj string, graph string")
+
+    @settings(max_examples=int(os.environ.get("SPARQL_EXAMPLES", "15")),
+              derandomize=os.environ.get("PARITY_RANDOM") is None,
+              deadline=None)
+    @given(ops=st.lists(op_st, min_size=1, max_size=4))
+    def run(ops):
+        text = " ;\n".join(render(op) for op in ops)
+        got = {(r["subj"], r["pred"], r["obj"], r["graph"])
+               for r in update(df, text).collect()}
+        want = set(base)
+        for op in ops:
+            want = model_apply(want, op)
+        assert got == want, (text, got ^ want)
+
+    run()
