@@ -155,9 +155,17 @@ class TurtleParser:
                 # before delegating here)
                 raise TurtleError(f"unexpected keyword {val!r}")
             return
-        subj = self._term(subject=True)
-        self._predicate_object_list(subj)
+        self._subject_statement()
         self._expect_punct(".")
+
+    def _subject_statement(self, terminators=(".",)):
+        """subject predicateObjectList? — the trailing list is optional
+        exactly when the subject is a ``[..]`` blankNodePropertyList
+        (its triples were already emitted inside the brackets)."""
+        bnode_list = self._peek()[1] == "["
+        subj = self._term(subject=True)
+        if not (bnode_list and self._peek()[1] in terminators):
+            self._predicate_object_list(subj)
 
     def _predicate_object_list(self, subj):
         while True:
@@ -285,8 +293,7 @@ class TrigParser(TurtleParser):
             self._block(self._graph_label())
             return
         before = len(self.triples)
-        subj = self._term(subject=True)
-        self._predicate_object_list(subj)
+        self._subject_statement()
         self._expect_punct(".")
         self._flush(before, None)
 
@@ -307,8 +314,7 @@ class TrigParser(TurtleParser):
         self._expect_punct("{")
         while self._peek()[1] != "}":
             before = len(self.triples)
-            subj = self._term(subject=True)
-            self._predicate_object_list(subj)
+            self._subject_statement((".", "}"))
             if self._peek()[1] == ".":
                 self._next()
             self._flush(before, graph)

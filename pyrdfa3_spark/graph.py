@@ -96,6 +96,20 @@ class SparkGraph:
                 .select("obj").orderBy("obj").limit(2).collect())
         return rows[0]["obj"] if rows else None
 
+    def subject_objects(self, predicate=None) -> DataFrame:
+        """rdflib ``subject_objects``: the (subj, obj) pairs of a
+        predicate (lazy frame, like the other accessors)."""
+        return (self.triples((None, predicate, None))
+                .select("subj", "obj").dropDuplicates())
+
+    def predicate_objects(self, subject=None) -> DataFrame:
+        return (self.triples((subject, None, None))
+                .select("pred", "obj").dropDuplicates())
+
+    def subject_predicates(self, obj=None) -> DataFrame:
+        return (self.triples((None, None, obj))
+                .select("subj", "pred").dropDuplicates())
+
     def __contains__(self, triple) -> bool:
         s, p, o = triple
         return not self.triples((s, p, o)).isEmpty()
@@ -134,6 +148,84 @@ class SparkGraph:
         if keep is None:      # remove((None,None,None)) clears all
             return SparkGraph(self.df.filter(F.lit(False)))
         return SparkGraph(self.df.filter(keep))
+
+    def parse(self, source=None, format: str = "nt", data: str = None,
+              context: dict | None = None) -> "SparkGraph":
+        """``rdflib Graph.parse`` twin: read serialized RDF and merge
+        it in (functional — returns the merged graph).  ``source`` is
+        a file/directory path or a DataFrame (a ``(value|jsonld)``
+        lines frame for the line formats, a ``(doc_id, text)`` frame
+        for the block formats); ``data`` is an inline document string,
+        rdflib-style.  Formats: nt/ntriples, json-ld (expanded;
+        pass ``context`` for compacted lines), turtle/ttl, xml/rdfxml,
+        trig.  Malformed input follows each reader's diagnostics-row
+        discipline — check the reader's ``parse_errors`` before
+        trusting a bulk load."""
+        spark = self.df.sparkSession
+        fmt = format.lower().replace("-", "").replace("/", "")
+        if (source is None) == (data is None):
+            raise ValueError("parse needs exactly one of source/data")
+        if data is not None:
+            if fmt in ("nt", "ntriples"):
+                source = spark.createDataFrame([(ln,) for ln in
+                                                data.splitlines()],
+                                               ["line"])
+            elif fmt == "jsonld":
+                source = spark.createDataFrame([(ln,) for ln in
+                                                data.splitlines()],
+                                               ["jsonld"])
+            else:
+                source = spark.createDataFrame([(0, data)],
+                                               ["doc_id", "text"])
+        if fmt in ("nt", "ntriples"):
+            from pyrdfa3_spark.sources.ntriples import (parse_ntriples,
+                                                        read_ntriples)
+            parsed = (parse_ntriples(source)
+                      if isinstance(source, DataFrame)
+                      else read_ntriples(spark, source))
+        elif fmt == "jsonld" and context is not None:
+            from pyrdfa3_spark.sources.jsonld import (
+                parse_jsonld_compact, read_jsonld_compact)
+            parsed = (parse_jsonld_compact(source, context)
+                      if isinstance(source, DataFrame)
+                      else read_jsonld_compact(spark, source, context))
+        elif fmt == "jsonld":
+            from pyrdfa3_spark.sources.jsonld import (parse_jsonld,
+                                                      read_jsonld)
+            parsed = (parse_jsonld(source)
+                      if isinstance(source, DataFrame)
+                      else read_jsonld(spark, source))
+        elif fmt in ("turtle", "ttl", "xml", "rdfxml", "trig"):
+            from pyrdfa3_spark.sources.rdfdocs import (parse_rdf_documents,
+                                                       triples_only)
+            doc_fmt = {"ttl": "turtle", "xml": "rdfxml"}.get(fmt, fmt)
+            if not isinstance(source, DataFrame):
+                # block formats scope over the whole document: one row
+                # per FILE (wholetext), keyed by the file name hash —
+                # never a line-collect, which would scramble order
+                source = (spark.read.text(source, wholetext=True)
+                          .select(F.xxhash64(F.input_file_name())
+                                  .alias("doc_id"),
+                                  F.col("value").alias("text")))
+            parsed = triples_only(
+                parse_rdf_documents(source, fmt=doc_fmt)).drop("doc_id")
+        else:
+            raise ValueError(f"unknown parse format {format!r}")
+        return SparkGraph(self.df.unionByName(
+            parsed, allowMissingColumns=True))
+
+    # -- namespace management -----------------------------------------
+
+    def bind(self, prefix: str, namespace: str) -> "SparkGraph":
+        """rdflib ``bind``: register a prefix for the turtle/compacted
+        serializers (driver-side metadata only — no plan change)."""
+        self._ns = {**getattr(self, "_ns", {}), prefix: namespace}
+        return self
+
+    def namespaces(self):
+        """rdflib ``namespaces()``: the bound (prefix, namespace)
+        pairs."""
+        return list(getattr(self, "_ns", {}).items())
 
     # -- set arithmetic (rdflib operator overloads) ------------------
 

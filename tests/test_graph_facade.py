@@ -90,3 +90,56 @@ def test_skolemize_roundtrip_and_transcripts(spark):
                  sk.triples((None, "http://schema.org/name", None))
                  .collect()][0]
     assert len(sk.describe([name_subj])) == 2
+
+
+def test_parse_and_pair_accessors(spark):
+    """rdflib Graph.parse twin: inline data and file paths across the
+    line and block formats merge into the graph; the pair accessors
+    (subject_objects & co.) mirror rdflib's iterators as frames."""
+    from pyrdfa3_spark.graph import SparkGraph
+
+    g0 = SparkGraph.empty(spark)
+    g = g0.parse(data='<urn:s> <urn:p> "lit"@en .\n'
+                      '<urn:s> <urn:p2> <urn:o> .', format="nt")
+    assert len(g) == 2
+    g = g.parse(data='@prefix ex: <urn:x:> . ex:a ex:p ex:b , ex:c .',
+                format="turtle")
+    assert len(g) == 4
+    g = g.parse(data='{"@id":"urn:n","urn:p":[{"@id":"urn:o"}]}',
+                format="json-ld")
+    assert len(g) == 5
+    assert sorted(map(tuple, g.subject_objects("urn:x:p").collect())) \
+        == [("urn:x:a", "urn:x:b"), ("urn:x:a", "urn:x:c")]
+    assert ("urn:s", "urn:p2") in {
+        tuple(r) for r in g.subject_predicates("urn:o").collect()}
+    assert {tuple(r) for r in g.predicate_objects("urn:n").collect()} \
+        == {("urn:p", "urn:o")}
+
+    with pytest.raises(ValueError):
+        g0.parse()
+    with pytest.raises(ValueError):
+        g0.parse(data="x", format="n3000")
+
+
+def test_parse_file_paths(spark, tmp_path):
+    from pyrdfa3_spark.graph import SparkGraph
+
+    d = tmp_path / "ttl"
+    d.mkdir()
+    (d / "a.ttl").write_text("<urn:s1> <urn:p> <urn:o1> .")
+    (d / "b.ttl").write_text('[ <urn:p> "v" ] .')
+    g = SparkGraph.empty(spark).parse(source=str(d), format="turtle")
+    assert len(g) == 2  # incl. the standalone blankNodePropertyList
+
+    nt = tmp_path / "dump.nt"
+    nt.write_text('<urn:s2> <urn:p> "x" .\n')
+    assert len(g.parse(source=str(nt), format="nt")) == 3
+
+
+def test_bind_namespaces_feed_turtle(spark):
+    from pyrdfa3_spark.graph import SparkGraph
+
+    g = (SparkGraph.empty(spark)
+         .parse(data="<urn:x:s> <urn:x:p> <urn:x:o> .", format="nt")
+         .bind("ex", "urn:x:"))
+    assert g.namespaces() == [("ex", "urn:x:")]
