@@ -240,6 +240,16 @@ class SparkGraph:
         (broadcastable, like subtraction)."""
         return SparkGraph(G.intersect_graphs(self.df, other.df))
 
+    def isomorphic(self, other: "SparkGraph", rounds: int = 3) -> bool:
+        """rdflib ``Graph.isomorphic`` twin: bnode-insensitive graph
+        equality via the distributed WL canonical fingerprint
+        (``graphops.wl_fingerprint``).  Like rdflib's, a WL
+        approximation: False is definite, True is near-certain (an
+        adversarial highly-regular bnode structure can collide)."""
+        a = G.wl_fingerprint(self.df, rounds=rounds).collect()[0]
+        b = G.wl_fingerprint(other.df, rounds=rounds).collect()[0]
+        return tuple(a) == tuple(b)
+
     # -- skolemization ----------------------------------------------
 
     def skolemize(self, base: str = "http://transcript.local",

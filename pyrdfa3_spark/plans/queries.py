@@ -2658,6 +2658,70 @@ def _nation_graph(spark, sf_dir):
     return t1.unionByName(t2).unionByName(t3)
 
 
+def q_wl_fingerprint(spark, sf_dir):
+    """Distributed WL canonical fingerprint (the engine behind
+    ``SparkGraph.isomorphic``, rdflib ``compare``'s approach): 2 rounds
+    of color refinement over the every-term-shape fixture (bnode
+    subjects included), reduced to the one-row (n_triples, fp)
+    order-independent hash.  Oracle unrolls both rounds in SQL."""
+    from pyrdfa3_spark.operators.graphops import wl_fingerprint
+
+    return wl_fingerprint(
+        _nation_graph(spark, sf_dir).select("subj", "pred", "obj"),
+        rounds=2)
+
+
+def _sql_wl_round(prev: str, n: int) -> str:
+    """One unrolled WL round: messages from both directions, sorted
+    per-node aggregation, sha256 recolor — byte-identical to the Spark
+    operator's round."""
+    return f"""
+m{n} AS (
+  SELECT g.subj AS node, 'o|' || g.pred || '|' || c.color AS m
+  FROM g JOIN {prev} c ON g.obj = c.node
+  UNION ALL
+  SELECT g.obj, 'i|' || g.pred || '|' || c.color
+  FROM g JOIN {prev} c ON g.subj = c.node
+),
+a{n} AS (SELECT node, string_agg(m, ',' ORDER BY m) AS ms
+         FROM m{n} GROUP BY node),
+c{n} AS (SELECT p.node,
+                sha256(p.color || '|' || COALESCE(a.ms, '')) AS color
+         FROM {prev} p LEFT JOIN a{n} a ON p.node = a.node)"""
+
+
+SQL_WL_FINGERPRINT = f"""
+WITH g AS (
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'urn:p:name' AS pred,
+         n_name || ' says "hi"' || chr(10) AS obj FROM nation
+  UNION ALL
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR), 'urn:p:key',
+         CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT '_:bn' || CAST(n_nationkey AS VARCHAR), 'urn:p:in',
+         'urn:region:R' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+n0 AS (SELECT DISTINCT node FROM
+       (SELECT subj AS node FROM g UNION SELECT obj FROM g)),
+c0 AS (SELECT node, CASE WHEN substr(node, 1, 2) = '_:' THEN 'b'
+                         ELSE node END AS color FROM n0),
+{_sql_wl_round('c0', 1)},
+{_sql_wl_round('c1', 2)},
+b AS (SELECT node, color FROM c2 WHERE substr(node, 1, 2) = '_:'),
+canon AS (
+  SELECT COALESCE(bs.color, g.subj) AS s, g.pred AS p,
+         COALESCE(bo.color, g.obj) AS o
+  FROM g LEFT JOIN b bs ON g.subj = bs.node
+         LEFT JOIN b bo ON g.obj = bo.node
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(sum(CAST({_sql_h32("(s || chr(1) || p || chr(1) || o)")}
+                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp
+FROM canon
+"""
+
+
 def q_nt_serialize(spark, sf_dir):
     """N-Triples text sink (S6)."""
     from pyrdfa3_spark.plans.serialize import to_ntriples
@@ -4082,6 +4146,7 @@ QUERIES = {
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
     "nt_serialize": q_nt_serialize,
+    "wl_fingerprint": q_wl_fingerprint,
     "nt_roundtrip": q_nt_roundtrip,
     "jsonld_roundtrip": q_jsonld_roundtrip,
     "jsonld_compact_roundtrip": q_jsonld_compact_roundtrip,
@@ -4205,6 +4270,7 @@ def oracles() -> dict[str, str]:
         "bm25": SQL_BM25,
         "kg_construct": SQL_KG_CONSTRUCT,
         "nt_serialize": SQL_NT_SERIALIZE,
+        "wl_fingerprint": SQL_WL_FINGERPRINT,
         "nt_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_compact_roundtrip": SQL_JSONLD_COMPACT_ROUNDTRIP,

@@ -143,3 +143,40 @@ def test_bind_namespaces_feed_turtle(spark):
          .parse(data="<urn:x:s> <urn:x:p> <urn:x:o> .", format="nt")
          .bind("ex", "urn:x:"))
     assert g.namespaces() == [("ex", "urn:x:")]
+
+
+def test_wl_fingerprint_and_isomorphic(spark):
+    """Distributed WL fingerprint agrees with the exact per-document
+    isomorphism checker (tests/graph_compare.py) on renamed-bnode
+    twins and on structural edits; the facade's isomorphic() mirrors
+    rdflib's contract (False definite, True WL-near-certain)."""
+    from tests.graph_compare import isomorphic as exact_iso
+
+    from pyrdfa3_spark.operators.graphops import wl_fingerprint
+
+    base = [("_:a", "p", "_:b"), ("_:b", "p", "_:c"),
+            ("_:c", "q", "leaf"), ("urn:x", "r", "_:a"),
+            ("urn:x", "n", "lit")]
+    renamed = [(s.replace("_:", "_:z"), p, o.replace("_:", "_:z"))
+               for s, p, o in base]
+    flipped = [("_:a", "p", "_:b"), ("_:c", "p", "_:b"),
+               ("_:c", "q", "leaf"), ("urn:x", "r", "_:a"),
+               ("urn:x", "n", "lit")]
+
+    def fp(rows):
+        df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        return tuple(wl_fingerprint(df).collect()[0])
+
+    assert fp(base) == fp(renamed)
+    assert fp(base) != fp(flipped)
+    # consistency with the exact checker the parity harness trusts
+    assert exact_iso(base, renamed)
+    assert not exact_iso(base, flipped)
+
+    g1 = SparkGraph(spark.createDataFrame(base, ["subj", "pred", "obj"]))
+    g2 = SparkGraph(spark.createDataFrame(renamed,
+                                          ["subj", "pred", "obj"]))
+    g3 = SparkGraph(spark.createDataFrame(flipped,
+                                          ["subj", "pred", "obj"]))
+    assert g1.isomorphic(g2)
+    assert not g1.isomorphic(g3)
