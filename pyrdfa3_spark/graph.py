@@ -240,6 +240,42 @@ class SparkGraph:
         (broadcastable, like subtraction)."""
         return SparkGraph(G.intersect_graphs(self.df, other.df))
 
+    def items(self, head: str, max_length: int = 100) -> DataFrame:
+        """rdflib ``Graph.items`` twin: the members of the rdf:List
+        rooted at ``head`` as an ordered ``(pos, item)`` frame.  The
+        rest-chain walks one BFS layer per element (cons cells chain
+        linearly), so ``max_length`` bounds the rounds — RDF
+        collections are in-document structures, typically tens of
+        elements; the row-oriented sink direction at scale is
+        ``graphops.rdf_list_chain``."""
+        from pyrdfa3_spark.functions.constants import RDF
+
+        rest = (self.df.filter(F.col("pred") == RDF + "rest")
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+        cells = G.bfs_distances(rest, [head], max_hops=max_length)
+        firsts = (self.df.filter(F.col("pred") == RDF + "first")
+                  .select(F.col("subj").alias("node"),
+                          F.col("obj").alias("item")))
+        return (cells.join(firsts, "node")
+                .select(F.col("dist").alias("pos"), "item")
+                .orderBy("pos"))
+
+    def connected(self) -> bool:
+        """rdflib ``Graph.connected`` twin: one undirected component
+        over all subject/object nodes (literals count as nodes, like
+        rdflib's).  Uses the pointer-jumping min-label components —
+        O(log diameter) shuffled rounds.  A Spark action."""
+        from pyrdfa3_spark.operators.entity_link import (
+            sameas_canonical_map)
+
+        edges = self.df.select(F.col("subj").alias("src"),
+                               F.col("obj").alias("dst"))
+        if edges.isEmpty():
+            return True
+        return (sameas_canonical_map(edges)
+                .select("canon").dropDuplicates().count()) == 1
+
     def isomorphic(self, other: "SparkGraph", rounds: int = 3) -> bool:
         """rdflib ``Graph.isomorphic`` twin: bnode-insensitive graph
         equality via the distributed WL canonical fingerprint

@@ -180,3 +180,20 @@ def test_wl_fingerprint_and_isomorphic(spark):
                                           ["subj", "pred", "obj"]))
     assert g1.isomorphic(g2)
     assert not g1.isomorphic(g3)
+
+
+def test_items_and_connected(spark):
+    """rdflib Graph.items (ordered rdf:List members from a head) and
+    Graph.connected (one undirected component)."""
+    g = SparkGraph.empty(spark).parse(data="""
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        <urn:s> <urn:p> ( "a" "b" "c" ) .
+    """, format="turtle")
+    head = g.value("urn:s", "urn:p")
+    got = [(r["pos"], r["item"]) for r in g.items(head).collect()]
+    assert got == [(0, "a"), (1, "b"), (2, "c")]
+
+    assert g.connected()
+    g2 = g.add(("urn:island", "urn:p", "urn:island2"))
+    assert not g2.connected()
+    assert SparkGraph.empty(spark).connected()
