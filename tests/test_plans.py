@@ -453,3 +453,19 @@ def test_jsonld_compact_reader_plan_scan_side(spark):
     assert "Exchange" not in simple, simple
     assert "MapInArrow" not in simple and "MapInPandas" not in simple
     assert "Join" not in simple, simple
+
+
+def test_wl_fingerprint_plan_shape(spark):
+    """WL refinement must stay join+partial-agg per round: no window,
+    no cartesian, and the message aggregation keeps map-side partials
+    (ObjectHashAggregate for the collect_list)."""
+    from pyrdfa3_spark.operators.graphops import wl_fingerprint
+
+    t = spark.createDataFrame(
+        [("_:a", "p", "_:b"), ("_:b", "p", "c")],
+        ["subj", "pred", "obj"])
+    simple = _plan(wl_fingerprint(t, rounds=2), mode="simple")
+    assert "Window" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+    assert ("ObjectHashAggregate" in simple
+            or "partial" in _plan(wl_fingerprint(t, rounds=2)).lower())
