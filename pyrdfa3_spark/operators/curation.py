@@ -226,6 +226,43 @@ def _gram_buckets(frame: DataFrame, n_buckets: int) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("c")))
 
 
+def classifier_score(docs: DataFrame, weights: DataFrame,
+                     bias: float = 0.0,
+                     n_buckets: int = 1024) -> DataFrame:
+    """fastText-style linear quality-classifier INFERENCE (the
+    model-based filter stage of CCNet/FineWeb-style pipelines, e.g.
+    Joulin et al. 2017 "Bag of Tricks for Efficient Text
+    Classification"): hashed word uni+bigram counts (the
+    :func:`dsir_weights` featurization) dot a ``(b, weight)`` model
+    dim plus ``bias``, squashed to a probability.  Training happens
+    offline (the model is tiny); this is the corpus-wide scoring pass.
+    Output: ``(doc_id, score)`` for EVERY document — docs with no
+    features score ``sigmoid(bias)``.
+
+    Scale shape: the model is a dimension table (≤ ``n_buckets`` rows)
+    joined broadcast; featurization and the dot product are the same
+    explode + map-side-partial-sum shape as DSIR — no window, no
+    all-pairs anything, inference cost is one corpus scan.
+
+    Determinism: the logit sums in DECIMAL (order-independent) and is
+    rounded to 9 places before the sigmoid, the final probability to 4
+    — the module's cross-engine float discipline.
+    """
+    feats = _gram_buckets(docs, n_buckets)
+    dots = (feats.join(F.broadcast(weights), "b")
+            .groupBy("doc_id")
+            .agg(F.sum((F.col("c") * F.col("weight"))
+                       .cast("decimal(38,12)")).alias("dot")))
+    logit = F.round(
+        (F.lit(bias) + F.coalesce(F.col("dot"), F.lit(0))
+         .cast("double")), 9)
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .join(dots, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)),
+                            4).alias("score")))
+
+
 def dsir_weights(docs: DataFrame, target: DataFrame,
                  n_buckets: int = 1024) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection

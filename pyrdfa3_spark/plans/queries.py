@@ -730,6 +730,52 @@ FROM rb JOIN lrs l ON rb.b = l.b GROUP BY rb.doc_id
 """
 
 
+def q_classifier_score(spark, sf_dir):
+    """Model-based quality filtering: fastText-style linear classifier
+    inference over hashed uni+bigram counts with a deterministic
+    weight dim (both engines derive the same ``(b*131) % 97`` model),
+    broadcast-joined — the CCNet/FineWeb 'quality classifier' stage as
+    one corpus scan."""
+    from pyrdfa3_spark.operators.curation import classifier_score
+
+    w = spark.range(1024).select(
+        F.col("id").cast("bigint").alias("b"),
+        (((F.col("id") * 131) % 97 - 48) / 100.0).alias("weight"))
+    return classifier_score(_t(spark, sf_dir, "documents"), w,
+                            bias=-0.5)
+
+
+def _sql_classifier_score(n_buckets: int = 1024) -> str:
+    h = _sql_h32("g")
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  regexp_split_to_array({_NORM_SQL}, ' ') AS t
+           FROM documents WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS g
+  FROM d, unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
+  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+fb AS (SELECT doc_id, {h} % {n_buckets} AS b,
+              CAST(count(*) AS BIGINT) AS c
+       FROM g GROUP BY 1, 2),
+w AS (SELECT CAST(b AS BIGINT) AS b,
+             ((b * 131) % 97 - 48) / 100.0 AS weight
+      FROM range({n_buckets}) t(b)),
+dots AS (SELECT fb.doc_id,
+                sum(CAST(fb.c * w.weight AS DECIMAL(38,12))) AS dot
+         FROM fb JOIN w USING(b) GROUP BY 1)
+SELECT a.doc_id,
+       round(1.0 / (1.0 + exp(-round(
+           CAST(-0.5 + coalesce(dots.dot, 0) AS DOUBLE), 9))), 4)
+           AS score
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) a
+LEFT JOIN dots ON a.doc_id = dots.doc_id
+"""
+
+
 def q_training_mix_pipeline(spark, sf_dir):
     """Flagship training-mix composition, end-to-end in ONE plan:
     quality filter (length + alpha ratio) -> deterministic stratified
@@ -4088,6 +4134,7 @@ QUERIES = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "duplicate_spans": q_duplicate_spans,
     "dsir_weights": q_dsir_weights,
+    "classifier_score": q_classifier_score,
     "lm_perplexity": q_lm_perplexity,
     "chunk_documents": q_chunk_documents,
     "bfs_distances": q_bfs_distances,
@@ -4212,6 +4259,7 @@ def oracles() -> dict[str, str]:
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
         "dsir_weights": _sql_dsir_weights(),
+        "classifier_score": _sql_classifier_score(),
         "lm_perplexity": _sql_lm_perplexity(),
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "bfs_distances": SQL_BFS_DISTANCES,

@@ -1786,3 +1786,45 @@ def test_compaction_plan_matches_python(spark):
     assert sum(n for n, _, _ in summ.values()) == len(sizes)
     assert sum(b for _, b, _ in summ.values()) == sum(sizes)
     assert summ[0] == (4, 1150, 0)  # f000..f003 start under 1000
+
+
+def test_classifier_score_matches_python(spark):
+    """Independent model: hashed uni+bigram bag dotted with the weight
+    table + bias through a sigmoid — including the empty-document path
+    (score = sigmoid(bias))."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from pyrdfa3_spark.operators.curation import classifier_score
+
+    B, BIAS = 64, -0.25
+
+    def grams(text):
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip()
+                .split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % B
+
+    def w(b):
+        return ((b * 7) % 13 - 6) / 10.0
+
+    def score(text):
+        c = Counter(h32(g) for g in grams(text))
+        logit = round(BIAS + sum(n * w(b) for b, n in c.items()), 9)
+        return round(1.0 / (1.0 + math.exp(-logit)), 4)
+
+    docs = {1: "spark runs big jobs", 2: "cats purr softly",
+            3: "spark spark spark", 4: "   "}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [(b, w(b)) for b in range(B)], "b bigint, weight double")
+    got = {r["doc_id"]: r["score"]
+           for r in classifier_score(df, weights, bias=BIAS,
+                                     n_buckets=B).collect()}
+    want = {i: score(t) for i, t in docs.items()}
+    want[4] = round(1.0 / (1.0 + math.exp(-BIAS)), 4)  # featureless
+    assert got == want

@@ -469,3 +469,21 @@ def test_wl_fingerprint_plan_shape(spark):
     assert "CartesianProduct" not in simple, simple
     assert ("ObjectHashAggregate" in simple
             or "partial" in _plan(wl_fingerprint(t, rounds=2)).lower())
+
+
+def test_classifier_score_plan_shape(spark):
+    """Classifier inference must broadcast the model dim and keep the
+    dot product map-side partial — no window, no cartesian, no
+    sort-merge of the corpus against a 1024-row model."""
+    from pyrdfa3_spark.operators.curation import classifier_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+    w = spark.range(64).select(
+        F.col("id").alias("b"), (F.col("id") % 3 / 10.0).alias("weight"))
+    plan = _plan(classifier_score(docs, w, n_buckets=64))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    simple = _plan(classifier_score(docs, w, n_buckets=64), "simple")
+    assert "Window" not in simple and "CartesianProduct" not in simple
+    assert "partial" in plan.lower()
