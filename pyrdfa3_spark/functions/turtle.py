@@ -160,9 +160,12 @@ class TurtleParser:
 
     def _subject_statement(self, terminators=(".",)):
         """subject predicateObjectList? — the trailing list is optional
-        exactly when the subject is a ``[..]`` blankNodePropertyList
-        (its triples were already emitted inside the brackets)."""
-        bnode_list = self._peek()[1] == "["
+        exactly when the subject is a NON-EMPTY ``[..]``
+        blankNodePropertyList (its triples were already emitted inside
+        the brackets); empty ``[]`` is ANON, a plain bnode subject that
+        must still carry predicates."""
+        bnode_list = (self._peek()[1] == "["
+                      and self._toks[self._i + 1][1] != "]")
         subj = self._term(subject=True)
         if not (bnode_list and self._peek()[1] in terminators):
             self._predicate_object_list(subj)

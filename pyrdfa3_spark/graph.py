@@ -40,11 +40,12 @@ class SparkGraph:
     empty (:meth:`empty`) and build up with :meth:`add`.
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, namespaces: dict | None = None):
         missing = [c for c in _PATTERN_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"triples frame lacks columns {missing}")
         self.df = df
+        self._ns = dict(namespaces or {})
 
     # -- construction ------------------------------------------------
 
@@ -167,13 +168,13 @@ class SparkGraph:
             raise ValueError("parse needs exactly one of source/data")
         if data is not None:
             if fmt in ("nt", "ntriples"):
-                source = spark.createDataFrame([(ln,) for ln in
-                                                data.splitlines()],
-                                               ["line"])
+                source = spark.createDataFrame(
+                    [(ln,) for ln in data.splitlines()],
+                    schema="line string")  # explicit: data may be ''
             elif fmt == "jsonld":
-                source = spark.createDataFrame([(ln,) for ln in
-                                                data.splitlines()],
-                                               ["jsonld"])
+                source = spark.createDataFrame(
+                    [(ln,) for ln in data.splitlines()],
+                    schema="jsonld string")
             else:
                 source = spark.createDataFrame([(0, data)],
                                                ["doc_id", "text"])
@@ -217,15 +218,18 @@ class SparkGraph:
     # -- namespace management -----------------------------------------
 
     def bind(self, prefix: str, namespace: str) -> "SparkGraph":
-        """rdflib ``bind``: register a prefix for the turtle/compacted
-        serializers (driver-side metadata only — no plan change)."""
-        self._ns = {**getattr(self, "_ns", {}), prefix: namespace}
-        return self
+        """rdflib ``bind``: register a prefix that :meth:`serialize`
+        feeds to the turtle (prefixes) and json-ld (compaction
+        context) sinks.  Functional like every other method — returns
+        a NEW graph carrying the binding; graphs derived through other
+        operations start unbound (deviation from rdflib's mutable
+        per-graph NamespaceManager: rebind on the derived graph)."""
+        return SparkGraph(self.df, {**self._ns, prefix: namespace})
 
     def namespaces(self):
         """rdflib ``namespaces()``: the bound (prefix, namespace)
         pairs."""
-        return list(getattr(self, "_ns", {}).items())
+        return list(self._ns.items())
 
     # -- set arithmetic (rdflib operator overloads) ------------------
 
@@ -272,7 +276,7 @@ class SparkGraph:
         edges = self.df.select(F.col("subj").alias("src"),
                                F.col("obj").alias("dst"))
         if edges.isEmpty():
-            return True
+            return False  # rdflib: an empty graph is NOT connected
         return (sameas_canonical_map(edges)
                 .select("canon").dropDuplicates().count()) == 1
 
@@ -281,10 +285,16 @@ class SparkGraph:
         equality via the distributed WL canonical fingerprint
         (``graphops.wl_fingerprint``).  Like rdflib's, a WL
         approximation: False is definite, True is near-certain (an
-        adversarial highly-regular bnode structure can collide)."""
-        a = G.wl_fingerprint(self.df, rounds=rounds).collect()[0]
-        b = G.wl_fingerprint(other.df, rounds=rounds).collect()[0]
-        return tuple(a) == tuple(b)
+        adversarial highly-regular bnode structure can collide).
+        Compares the RDF SET: per-document duplicate rows (which the
+        frame may carry, see the class contract) are collapsed before
+        fingerprinting so row multiplicity never breaks equality."""
+        def fp(df):
+            dedup = df.select(*_PATTERN_COLS).dropDuplicates()
+            return tuple(G.wl_fingerprint(dedup,
+                                          rounds=rounds).collect()[0])
+
+        return fp(self.df) == fp(other.df)
 
     # -- skolemization ----------------------------------------------
 
@@ -351,9 +361,9 @@ class SparkGraph:
         if fmt == "nquads":
             return S.to_nquads(df)
         if fmt in ("turtle", "ttl"):
-            return S.to_turtle(df)
+            return S.to_turtle(df, prefixes=self._ns or None)
         if fmt == "jsonld":
-            return S.to_jsonld(df)
+            return S.to_jsonld(df, context=self._ns or None)
         if fmt in ("xml", "rdfxml", "prettyxml"):
             return S.to_rdfxml(df)
         raise ValueError(f"unknown serialization format {format!r}")

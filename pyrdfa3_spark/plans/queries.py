@@ -687,17 +687,23 @@ def q_dsir_weights(spark, sf_dir):
                         n_buckets=1024)
 
 
-def _sql_dsir_weights(n_buckets: int = 1024) -> str:
-    h = _sql_h32("g")
-
-    def grams(src: str) -> str:
-        return f"""(
+def _sql_grams(src: str) -> str:
+    """The shared uni+bigram featurization CTE body (`_gram_buckets`'
+    SQL twin) over a ``(doc_id, t)`` tokenized source — used by every
+    hashed-feature oracle (DSIR, classifier) so the gram shape has one
+    SQL definition."""
+    return f"""(
   SELECT doc_id, t[CAST(i AS INT)] AS g
   FROM {src}, unnest(generate_series(1, len(t))) AS u(i)
   UNION ALL
   SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
   FROM {src}, unnest(generate_series(1, len(t) - 1)) AS u(i)
   WHERE len(t) >= 2)"""
+
+
+def _sql_dsir_weights(n_buckets: int = 1024) -> str:
+    h = _sql_h32("g")
+    grams = _sql_grams
 
     return f"""
 WITH rt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -751,13 +757,7 @@ def _sql_classifier_score(n_buckets: int = 1024) -> str:
 WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                   regexp_split_to_array({_NORM_SQL}, ' ') AS t
            FROM documents WHERE length(trim(text)) > 0),
-g AS (
-  SELECT doc_id, t[CAST(i AS INT)] AS g
-  FROM d, unnest(generate_series(1, len(t))) AS u(i)
-  UNION ALL
-  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)]
-  FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2),
+g AS {_sql_grams("d")},
 fb AS (SELECT doc_id, {h} % {n_buckets} AS b,
               CAST(count(*) AS BIGINT) AS c
        FROM g GROUP BY 1, 2),

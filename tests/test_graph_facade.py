@@ -139,10 +139,20 @@ def test_parse_file_paths(spark, tmp_path):
 def test_bind_namespaces_feed_turtle(spark):
     from pyrdfa3_spark.graph import SparkGraph
 
-    g = (SparkGraph.empty(spark)
-         .parse(data="<urn:x:s> <urn:x:p> <urn:x:o> .", format="nt")
-         .bind("ex", "urn:x:"))
+    g0 = SparkGraph.empty(spark).parse(
+        data="<urn:x:s> <urn:x:p> <urn:x:o> .", format="nt")
+    g = g0.bind("ex", "urn:x:")
     assert g.namespaces() == [("ex", "urn:x:")]
+    assert g0.namespaces() == []  # bind is functional
+    # the binding actually reaches the serializers
+    block = g.serialize("turtle").collect()[0]["block"]
+    assert "ex:s" in block and "ex:p" in block
+    line = g.serialize("json-ld").collect()[0]["jsonld"]
+    assert '"ex:p"' in line
+    # empty inline data parses to zero triples, rdflib-style
+    assert len(g0.parse(data="", format="nt")) == 1
+    assert len(SparkGraph.empty(spark).parse(
+        data="", format="json-ld")) == 0
 
 
 def test_wl_fingerprint_and_isomorphic(spark):
@@ -196,4 +206,5 @@ def test_items_and_connected(spark):
     assert g.connected()
     g2 = g.add(("urn:island", "urn:p", "urn:island2"))
     assert not g2.connected()
-    assert SparkGraph.empty(spark).connected()
+    # rdflib: the empty graph is NOT connected
+    assert not SparkGraph.empty(spark).connected()

@@ -404,6 +404,7 @@ def test_rdfdocs_reader_never_fails_tasks_on_junk(spark):
         "<urn:s> <urn:p>", "( ( ( (", "[ [ [", "}", "{", "a a a .",
         "<urn:s> <urn:p> <urn:o> .",  # one good doc
         "\\u0000 not turtle", "#" * 1000, "<urn:s> . <urn:p>",
+        "[] .",  # ANON subject needs predicates (not a bnode list)
     ]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(junk)], ["doc_id", "text"])
