@@ -475,13 +475,23 @@ def _match(frame, positions, patterns, optional, filters):
         vs, df = rest.pop(idx)
         out = out.join(df, sorted(vs & bound), "inner")
         bound |= vs
-    for pat in optional or []:
-        vs, df = compile_one(pat)
+    for grp in optional or []:
+        if isinstance(grp, tuple):
+            # back-compat shorthand: a bare pattern is a 1-pattern group
+            grp = {"patterns": [grp], "filters": None}
+        # a multi-pattern OPTIONAL matches as a UNIT (SPARQL left-join
+        # of the whole group), so the group solves internally first —
+        # inner joins + its own FILTERs (filters over group-visible
+        # variables applied pre-join are equivalent to the left-join
+        # condition) — and left-joins onto the solutions as one frame
+        sub = _match(frame, positions, grp["patterns"], None,
+                     grp.get("filters"))
+        vs = set(sub.columns)
         if not vs & bound:
             raise ValueError(
-                f"optional pattern {pat} shares no variable with "
-                f"{sorted(bound)}")
-        out = out.join(df, sorted(vs & bound), "left")
+                f"optional group {grp['patterns']} shares no variable "
+                f"with {sorted(bound)}")
+        out = out.join(sub, sorted(vs & bound), "left")
         bound |= vs
     for expr in filters or []:
         out = out.filter(F.expr(expr))

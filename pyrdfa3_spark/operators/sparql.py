@@ -484,8 +484,12 @@ class _Parser:
                          gterm))
             elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
-                _require_simple(sub, "OPTIONAL", filters_ok=False)
-                g["optionals"].extend(sub["patterns"])
+                _require_simple(sub, "OPTIONAL", filters_ok=True)
+                # the group is a UNIT: its patterns must all match (and
+                # its FILTERs hold) for any of its bindings to survive
+                g["optionals"].append({"patterns": sub["patterns"],
+                                       "filters": sub["filters"]
+                                       or None})
             elif self.take("KW", "FILTER"):
                 if self.at("KW", "EXISTS") or (
                         self.at("KW", "NOT")
@@ -806,7 +810,8 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
 
     for g in groups:
         g["patterns"] = rewrite(g["patterns"])
-        g["optionals"] = rewrite(g["optionals"])
+        g["optionals"] = [{**o, "patterns": rewrite(o["patterns"])}
+                          for o in g["optionals"]]
         g["minus"] = [rewrite(m) for m in g["minus"]]
         g["exists"] = [(n, rewrite(e)) for n, e in g["exists"]]
     return work[0]

@@ -1721,6 +1721,38 @@ FROM nation ORDER BY name
 """
 
 
+def q_sparql_optional_group(spark, sf_dir):
+    """Multi-pattern OPTIONAL with a FILTER inside, matching as a UNIT
+    (SPARQL left-join of the whole group): every nation with its
+    region's comment — but only where the comment exists (even
+    regions), the region is typed, AND the filter holds, else all
+    group bindings stay NULL together."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?com WHERE {{
+          ?n ex:memberOf ?r . ?n ex:name ?name .
+          OPTIONAL {{ ?r ex:comment ?com . ?r a ex:Region .
+                      FILTER(STRSTARTS(?com, "A")) }}
+        }}
+        ORDER BY ?n
+    """)
+
+
+# comments exist on even regions only (_geo_triples t5, value =
+# r_name); the in-group filter keeps the A-named ones
+SQL_SPARQL_OPTIONAL_GROUP = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name, c.r_name AS com
+FROM nation LEFT JOIN (
+  SELECT r_regionkey, r_name FROM region
+  WHERE r_regionkey % 2 = 0 AND r_name LIKE 'A%'
+) c ON n_regionkey = c.r_regionkey
+ORDER BY n
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -4161,6 +4193,7 @@ QUERIES = {
     "sparql_update_graphs": q_sparql_update_graphs,
     "sparql_dataset": q_sparql_dataset,
     "sparql_project_expr": q_sparql_project_expr,
+    "sparql_optional_group": q_sparql_optional_group,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -4286,6 +4319,7 @@ def oracles() -> dict[str, str]:
         "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
         "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
+        "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

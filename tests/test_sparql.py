@@ -862,3 +862,28 @@ def test_update_matches_model_differential(spark):
         assert got == want, (text, got ^ want)
 
     run()
+
+
+def test_optional_group_semantics(kg):
+    """A multi-pattern OPTIONAL (with FILTER) matches as a UNIT: if
+    any pattern or the filter fails, ALL its bindings stay NULL —
+    previously each pattern left-joined independently."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    out = _rows(sparql(kg, """
+        SELECT ?x ?y ?n WHERE {
+          ?x p:type "Person" .
+          OPTIONAL { ?x p:knows ?y . ?y p:name ?n }
+        } ORDER BY ?x ?n"""))
+    # a knows b (named twice); b knows c but c has NO name -> the
+    # whole group fails for b: both ?y and ?n null
+    assert out == [("a", "b", "Bob"), ("a", "b", "Bobby"),
+                   ("b", None, None)]
+
+    out = _rows(sparql(kg, """
+        SELECT ?x ?n WHERE {
+          ?x p:type "Person" .
+          OPTIONAL { ?x p:name ?n . FILTER(STRLEN(?n) > 3) }
+        } ORDER BY ?x ?n"""))
+    # Ada/Bob fail the filter -> null; only Bobby survives for b
+    assert out == [("a", None), ("b", "Bobby")]
