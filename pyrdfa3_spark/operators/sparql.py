@@ -107,7 +107,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:
               (?:[A-Za-z0-9_%\-]+(?:\.[A-Za-z0-9_%\-]+)*)?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!^/|+*?])
+  | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!^/|+*?\[\]])
 """, re.X)
 
 _KEYWORDS = {
@@ -150,6 +150,7 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base: str = ""
+        self._anon = 0  # fresh-variable counter for [..] bnode syntax
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -572,19 +573,42 @@ class _Parser:
             return None
         return self.term(allow_var=False)
 
-    def _triples_block(self, patterns: list):
-        subj = self.term()
+    def _pattern_term(self, patterns: list) -> str:
+        """A subject/object term in a triples block: a plain term, or
+        ``[ p o ; ... ]`` blank-node syntax — per SPARQL semantics a
+        bnode in a query is an existential, i.e. a fresh variable
+        scoped to the query, with the bracketed property list emitted
+        as extra patterns on it."""
+        if not self.at("OP", "["):
+            return self.term()
+        self.next()
+        self._anon += 1
+        var = f"?_anon{self._anon}"
+        if not self.at("OP", "]"):
+            self._predicate_list(var, patterns)
+        self.eat("OP", "]")
+        return var
+
+    def _predicate_list(self, subj: str, patterns: list):
         while True:
             path = self.path()
             while True:
-                obj = self.term()
+                obj = self._pattern_term(patterns)
                 patterns.append((subj, path, obj))
                 if not self.take("OP", ","):
                     break
             if not self.take("OP", ";"):
                 break
-            if self.at("OP", ".") or self.at("OP", "}"):
+            if (self.at("OP", ".") or self.at("OP", "}")
+                    or self.at("OP", "]")):
                 break  # trailing ';'
+
+    def _triples_block(self, patterns: list):
+        subj = self._pattern_term(patterns)
+        if (subj.startswith("?_anon")
+                and (self.at("OP", ".") or self.at("OP", "}"))):
+            return  # standalone [ .. ] subject: patterns already added
+        self._predicate_list(subj, patterns)
 
 
 def _require_simple(group: dict, where: str, filters_ok: bool = True):
@@ -1103,10 +1127,17 @@ def _data_quads(g: dict, what: str) -> list[tuple]:
     if bad:
         raise SparqlUnsupported(f"only ground triples (optionally in "
                                 f"GRAPH blocks) inside {what}")
-    out = [(s, _unwrap_pred(path, what), o, None)
+    def fix(t):
+        # [..] syntax in a DATA block denotes a FRESH blank node
+        # (SPARQL 1.1 §3.1.1), not a variable
+        if t is not None and t.startswith("?_anon"):
+            return "_:" + t[1:]
+        return t
+
+    out = [(fix(s), _unwrap_pred(path, what), fix(o), None)
            for s, path, o in g["patterns"]]
     for s, path, o, gterm in g["graphs"]:
-        out.append((s, path, o, gterm))
+        out.append((fix(s), path, fix(o), gterm))
     for row in out:
         if any(t is not None and t.startswith("?") for t in row):
             raise SparqlError(f"{what} requires ground terms "

@@ -887,3 +887,36 @@ def test_optional_group_semantics(kg):
         } ORDER BY ?x ?n"""))
     # Ada/Bob fail the filter -> null; only Bobby survives for b
     assert out == [("a", None), ("b", "Bobby")]
+
+
+def test_bnode_pattern_syntax(kg):
+    """[ p o ; ... ] blank-node syntax in triples blocks: a query
+    bnode is an existential — a fresh scoped variable — with the
+    bracketed property list emitted as extra patterns; in DATA blocks
+    it denotes a fresh blank node instead."""
+    from pyrdfa3_spark.operators.sparql import sparql, update
+
+    def run(t):
+        return sorted(map(tuple, sparql(kg, t).collect()))
+
+    assert run('SELECT ?x WHERE '
+               '{ ?x p:knows [ p:name "Bob" ; p:type "Person" ] }') \
+        == [("a",)]
+    assert run('SELECT ?n WHERE '
+               '{ [ p:knows ?y ] p:name ?n . ?y p:name "Bobby" }') \
+        == [("Ada",)]
+    # standalone bnode-subject statement
+    assert run('SELECT ?n WHERE '
+               '{ [ p:name ?n ; p:type "Person" ] . }') \
+        == [("Ada",), ("Bob",), ("Bobby",)]
+    # nested bnodes and bare [] (fresh variable each time); bag
+    # semantics: b carries two names, so the existential matches twice
+    assert run('SELECT ?x WHERE { ?x p:knows [ p:name [ ] ] }') \
+        == [("a",), ("a",)]
+    assert len(run("SELECT ?s WHERE { ?s p:type [] }")) == 2
+
+    # INSERT DATA: [..] makes a fresh blank node, not a variable
+    out = update(kg, 'INSERT DATA { [ <p:new> "v" ] }')
+    rows = [(r["subj"], r["obj"]) for r in out.collect()
+            if r["pred"] == "p:new"]
+    assert rows == [("_:_anon1", "v")]
