@@ -32,12 +32,14 @@ class TurtleError(ValueError):
 _TOKEN = re.compile(r"""
       (?P<ws>\s+|\#[^\n]*)
     | (?P<iri><[^<>"{}|^`\\\s]*>)
-    | (?P<longstr>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
-    | (?P<str>"(?:[^"\\\n]|\\.)*")
+    | (?P<longstr>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"
+                 |'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
     | (?P<kw>@prefix\b|@base\b|PREFIX\b|BASE\b|GRAPH\b)
     | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<dt>\^\^)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<bool>\b(?:true|false)\b(?!:))
     | (?P<punct>[;,.\[\](){}])
     | (?P<a>\ba\b)
     | (?P<bnode>_:[\w.-]+)
@@ -255,6 +257,8 @@ class TurtleParser:
             else:
                 dt = XSD + "integer"
             return self._Literal(val, None, dt)
+        if kind == "bool":
+            return self._Literal(val, None, XSD + "boolean")
         raise TurtleError(f"bad term {val!r}")
 
 

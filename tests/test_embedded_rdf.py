@@ -90,3 +90,26 @@ def test_rdfxml_in_svg():
          Literal("image/svg+xml", None, None)),
     ]
     assert isomorphic(actual, expected), diff(actual, expected)
+
+
+def test_turtle_boolean_and_single_quote_literals():
+    """Turtle grammar completeness: true/false boolean literals and
+    single-quoted (short + long) strings — previously tokenizer
+    errors; 'true:' stays usable as a prefix name."""
+    from pyrdfa3_spark.functions.turtle import parse_turtle
+
+    [(s, p, o)] = parse_turtle("<urn:s> <urn:p> true .")
+    assert (o.value, o.datatype) == (
+        "true", "http://www.w3.org/2001/XMLSchema#boolean")
+    [(_, _, o)] = parse_turtle("<urn:s> <urn:p> 'sq\\'x' .")
+    assert (o.value, o.lang, o.datatype) == ("sq'x", None, None)
+    [(_, _, o)] = parse_turtle("<urn:s> <urn:p> '''a\nb''' .")
+    assert o.value == "a\nb"
+    [(_, _, o)] = parse_turtle("<urn:s> <urn:p> 'x'@fr .")
+    assert o.lang == "fr"
+    # plain "true" strings stay strings; true: works as a prefix
+    [(_, _, o)] = parse_turtle('<urn:s> <urn:p> "true" .')
+    assert o.datatype is None
+    assert parse_turtle(
+        "@prefix true: <urn:t:> . true:a <urn:p> true:b .") == [
+        ("urn:t:a", "urn:p", "urn:t:b")]
