@@ -303,7 +303,9 @@ class _Parser:
                                   "takes *")
             arg = "*"
         else:
-            arg = self.var()
+            # full expression argument (SUM(?a * ?b), COUNT(STRLEN(?n))
+            # ...) — a lone ?v translates to its bare column name
+            arg = self.expr()
         sep = " "
         if fn == "GROUP_CONCAT" and self.take("OP", ";"):
             k, v = self.next()  # SEPARATOR
@@ -1065,12 +1067,21 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             raise SparqlError(
                 f"SELECT variables {stray} not in GROUP BY")
         spec = {}
+        synth = 0
         for _, fn, distinct, arg, alias, sep in aggs:
             kind = _AGG_KIND[fn]
             if fn == "COUNT" and distinct:
                 kind = "count_distinct"
             elif distinct:
                 raise SparqlUnsupported(f"DISTINCT inside {fn}")
+            if arg != "*" and not re.fullmatch(
+                    r"[A-Za-z_][A-Za-z0-9_]*", arg):
+                # expression argument: bind it as a synthetic column so
+                # solution_agg aggregates a plain column either way
+                synth += 1
+                col = f"_aggexpr{synth}"
+                sols = G.bind(sols, col, arg)
+                arg = col
             spec[alias] = ((kind, arg, sep) if kind == "group_concat"
                            else (kind, arg))
         sols = G.solution_agg(sols, q["group_by"], spec,

@@ -920,3 +920,29 @@ def test_bnode_pattern_syntax(kg):
     rows = [(r["subj"], r["obj"]) for r in out.collect()
             if r["pred"] == "p:new"]
     assert rows == [("_:_anon1", "v")]
+
+
+def test_aggregate_expressions(kg):
+    """Expression arguments inside aggregates: SUM/AVG/COUNT/
+    GROUP_CONCAT over computed values, bound as synthetic columns
+    before the one-shuffle aggregation."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    out = _rows(sparql(kg, """
+        SELECT ?x (SUM(STRLEN(?n)) AS ?chars)
+        WHERE { ?x p:name ?n } GROUP BY ?x ORDER BY ?x"""))
+    assert out == [("a", 3), ("b", 8)]
+
+    out = _rows(sparql(kg, """
+        SELECT (COUNT(STRLEN(?n)) AS ?c) WHERE { ?x p:name ?n }"""))
+    assert out == [(3,)]
+
+    out = _rows(sparql(kg, """
+        SELECT ?x (GROUP_CONCAT(UCASE(?n); SEPARATOR="|") AS ?ns)
+        WHERE { ?x p:name ?n } GROUP BY ?x ORDER BY ?x"""))
+    assert out == [("a", "ADA"), ("b", "BOB|BOBBY")]
+
+    # plain-variable arguments still work unchanged
+    out = _rows(sparql(kg, """
+        SELECT (MIN(?n) AS ?first) WHERE { ?x p:name ?n }"""))
+    assert out == [("Ada",)]
