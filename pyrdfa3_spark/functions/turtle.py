@@ -39,7 +39,7 @@ _TOKEN = re.compile(r"""
     | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
     | (?P<dt>\^\^)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<bool>\b(?:true|false)\b(?!:))
+    | (?P<bool>\b(?:true|false)\b(?![\w.-]*:))
     | (?P<punct>[;,.\[\](){}])
     | (?P<a>\ba\b)
     | (?P<bnode>_:[\w.-]+)

@@ -9,6 +9,7 @@ noted).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -479,13 +480,26 @@ def _match(frame, positions, patterns, optional, filters):
         if isinstance(grp, tuple):
             # back-compat shorthand: a bare pattern is a 1-pattern group
             grp = {"patterns": [grp], "filters": None}
+        if not grp["patterns"]:
+            raise ValueError(
+                "OPTIONAL group without triple patterns (an empty or "
+                "FILTER-only OPTIONAL binds nothing)")
         # a multi-pattern OPTIONAL matches as a UNIT (SPARQL left-join
         # of the whole group), so the group solves internally first —
         # inner joins + its own FILTERs (filters over group-visible
         # variables applied pre-join are equivalent to the left-join
         # condition) — and left-joins onto the solutions as one frame
-        sub = _match(frame, positions, grp["patterns"], None,
-                     grp.get("filters"))
+        try:
+            sub = _match(frame, positions, grp["patterns"], None,
+                         grp.get("filters"))
+        except AnalysisException as exc:
+            # an unresolved column means the filter references a
+            # variable bound only OUTSIDE the group — the left-join-
+            # condition-over-the-merged-domain form, outside the subset
+            raise ValueError(
+                "OPTIONAL FILTER may reference only the group's own "
+                "variables (outer-domain join conditions are outside "
+                f"the subset): {exc}") from exc
         vs = set(sub.columns)
         if not vs & bound:
             raise ValueError(

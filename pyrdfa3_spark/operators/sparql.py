@@ -188,6 +188,10 @@ class _Parser:
              allow_literal: bool = True) -> str:
         k, v = self.next()
         if k == "VAR" and allow_var:
+            if v[1:].startswith("_anon"):
+                raise SparqlError(
+                    "?_anon* variable names are reserved for [..] "
+                    "blank-node existentials")
             return "?" + v[1:]
         if k == "IRI":
             iri = v[1:-1]
@@ -214,7 +218,12 @@ class _Parser:
     # -- property paths --------------------------------------------------
     def _path_primary(self):
         if self.at("VAR"):  # variable predicate: a plain pattern term
-            return ("pred", "?" + self.next()[1][1:])
+            name = self.next()[1][1:]
+            if name.startswith("_anon"):
+                raise SparqlError(
+                    "?_anon* variable names are reserved for [..] "
+                    "blank-node existentials")
+            return ("pred", "?" + name)
         if self.take("OP", "!"):
             self.eat("OP", "(")
             preds = [self.term(allow_var=False, allow_literal=False)]
@@ -275,6 +284,10 @@ class _Parser:
         k, v = self.next()
         if k != "VAR":
             raise SparqlError(f"expected variable, got {v!r}")
+        if v[1:].startswith("_anon"):
+            raise SparqlError(
+                "?_anon* variable names are reserved for [..] "
+                "blank-node existentials")
         return v[1:]
 
     _AGG = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -413,6 +426,10 @@ class _Parser:
             name = v[1:]
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
                 raise SparqlError(f"unmappable variable name {name!r}")
+            if name.startswith("_anon"):
+                raise SparqlError(
+                    "?_anon* variable names are reserved for [..] "
+                    "blank-node existentials")
             return name
         if k == "NUM":
             self.next()
@@ -490,9 +507,14 @@ class _Parser:
                 _require_simple(sub, "OPTIONAL", filters_ok=True)
                 # the group is a UNIT: its patterns must all match (and
                 # its FILTERs hold) for any of its bindings to survive
-                g["optionals"].append({"patterns": sub["patterns"],
-                                       "filters": sub["filters"]
-                                       or None})
+                if sub["patterns"]:
+                    g["optionals"].append({"patterns": sub["patterns"],
+                                           "filters": sub["filters"]
+                                           or None})
+                elif sub["filters"]:
+                    raise SparqlUnsupported(
+                        "FILTER-only OPTIONAL groups")
+                # else OPTIONAL {} joins the unit — a no-op
             elif self.take("KW", "FILTER"):
                 if self.at("KW", "EXISTS") or (
                         self.at("KW", "NOT")
@@ -1038,6 +1060,11 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                     raise SparqlUnsupported(
                         "paths in CONSTRUCT templates")
                 p = p[1]
+            if any(t.startswith("?_anon") for t in (s, p, o)):
+                raise SparqlUnsupported(
+                    "[..] blank nodes in CONSTRUCT templates "
+                    "(fresh-per-solution minting is outside the "
+                    "subset — use a named variable)")
             template.append((s, p, o))
         return G.construct(t, g["patterns"], template,
                            optional=g["optionals"] or None,
@@ -1092,10 +1119,20 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             raise SparqlError("HAVING without aggregation")
         for _, e, alias in exprs:
             sols = G.bind(sols, alias, e)
-        # projection in SELECT-clause order (vars and expression
-        # aliases interleave)
-        project = None if q["star"] else [
-            it[1] if it[0] == "var" else it[2] for it in q["items"]]
+        if q["star"]:
+            # SPARQL: bnodes are not named variables — the [..]
+            # existential columns never project
+            project = [c for c in sols.columns
+                       if not c.startswith("_anon")]
+            if not project:
+                raise SparqlError(
+                    "SELECT * with no projectable variables (only "
+                    "[..] existentials bound)")
+        else:
+            # projection in SELECT-clause order (vars and expression
+            # aliases interleave)
+            project = [it[1] if it[0] == "var" else it[2]
+                       for it in q["items"]]
     return G.select_solutions(
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],
@@ -1120,15 +1157,30 @@ def _unwrap_pred(path, what: str) -> str:
     return path
 
 
-def _plain_patterns(g: dict, what: str) -> list[tuple[str, str, str]]:
+def _plain_patterns(g: dict, what: str,
+                    allow_anon: bool = False
+                    ) -> list[tuple[str, str, str]]:
     """A group's patterns as plain (s, p, o) strings — the template
-    shape."""
+    shape.  ``[..]`` existentials are rejected unless ``allow_anon``
+    (DELETE WHERE, where the pattern doubles as the template and the
+    bnode is a pure wildcard): a template blank node would need
+    fresh-per-solution minting, which is outside the subset — name the
+    variable instead."""
     _require_simple(g, what, filters_ok=False)
-    return [(s, _unwrap_pred(path, what), o)
-            for s, path, o in g["patterns"]]
+    out = [(s, _unwrap_pred(path, what), o)
+           for s, path, o in g["patterns"]]
+    if not allow_anon:
+        for row in out:
+            if any(t.startswith("?_anon") for t in row):
+                raise SparqlUnsupported(
+                    f"[..] blank nodes in {what} (fresh-per-solution "
+                    "template bnodes are outside the subset — use a "
+                    "named variable)")
+    return out
 
 
-def _data_quads(g: dict, what: str) -> list[tuple]:
+def _data_quads(g: dict, what: str,
+                allow_bnodes: bool = True) -> list[tuple]:
     """A DATA block as ground ``(s, p, o, graph-or-None)`` rows.  The
     group parser already routes ``GRAPH <g> {..}`` wrappers into
     ``g["graphs"]``; bare statements are default-graph (None)."""
@@ -1138,11 +1190,19 @@ def _data_quads(g: dict, what: str) -> list[tuple]:
     if bad:
         raise SparqlUnsupported(f"only ground triples (optionally in "
                                 f"GRAPH blocks) inside {what}")
+    # [..] in INSERT DATA denotes a FRESH blank node (SPARQL 1.1
+    # §3.1.1) — fresh across update() CALLS too, so the label carries
+    # a per-parse uuid salt; DELETE DATA forbids blank nodes outright
+    # (the QuadData grammar has none to delete by label)
+    import uuid
+    salt = uuid.uuid4().hex[:10]
+
     def fix(t):
-        # [..] syntax in a DATA block denotes a FRESH blank node
-        # (SPARQL 1.1 §3.1.1), not a variable
         if t is not None and t.startswith("?_anon"):
-            return "_:" + t[1:]
+            if not allow_bnodes:
+                raise SparqlError(
+                    f"blank nodes are not allowed in {what}")
+            return f"_:b{salt}n{t[6:]}"
         return t
 
     out = [(fix(s), _unwrap_pred(path, what), fix(o), None)
@@ -1260,12 +1320,14 @@ def parse_update(text: str) -> list[dict]:
             if p.take("KW", "DATA"):
                 ops.append({"op": "delete_data",
                             "quads": _data_quads(p.group(),
-                                                 "DELETE DATA")})
+                                                 "DELETE DATA",
+                                                 allow_bnodes=False)})
             elif p.take("KW", "WHERE"):
                 # DELETE WHERE {..}: the pattern group doubles as the
                 # delete template (SPARQL 1.1 §3.1.3.2)
                 g = p.group()
-                tpl = _plain_patterns(g, "DELETE WHERE")
+                tpl = _plain_patterns(g, "DELETE WHERE",
+                                      allow_anon=True)
                 ops.append({"op": "modify", "delete": tpl,
                             "insert": None,
                             "where": {**g, "patterns": tpl},

@@ -915,11 +915,12 @@ def test_bnode_pattern_syntax(kg):
         == [("a",), ("a",)]
     assert len(run("SELECT ?s WHERE { ?s p:type [] }")) == 2
 
-    # INSERT DATA: [..] makes a fresh blank node, not a variable
+    # INSERT DATA: [..] makes a fresh (uuid-salted) blank node
     out = update(kg, 'INSERT DATA { [ <p:new> "v" ] }')
     rows = [(r["subj"], r["obj"]) for r in out.collect()
             if r["pred"] == "p:new"]
-    assert rows == [("_:_anon1", "v")]
+    assert len(rows) == 1 and rows[0][1] == "v"
+    assert rows[0][0].startswith("_:b")
 
 
 def test_aggregate_expressions(kg):
@@ -946,3 +947,67 @@ def test_aggregate_expressions(kg):
     out = _rows(sparql(kg, """
         SELECT (MIN(?n) AS ?first) WHERE { ?x p:name ?n }"""))
     assert out == [("Ada",)]
+
+
+def test_bnode_syntax_review_regressions(kg, spark):
+    """Round-2 review fixes for the [..] feature's leaks: fresh
+    cross-call DATA bnodes, no existentials in SELECT * or templates,
+    DELETE DATA rejects bnodes, ?_anon* names are reserved, and
+    OPTIONAL edge groups degrade cleanly."""
+    from pyrdfa3_spark.operators.sparql import sparql, update
+
+    # INSERT DATA bnodes are fresh across calls — labels never collide
+    g2 = update(kg, 'INSERT DATA { [ <p:new> "v1" ] }')
+    g3 = update(g2, 'INSERT DATA { [ <p:new> "v2" ] }')
+    subs = [r["subj"] for r in g3.collect() if r["pred"] == "p:new"]
+    assert len(subs) == 2 and len(set(subs)) == 2
+    assert all(s.startswith("_:b") for s in subs)
+
+    # SELECT * never projects the [..] existential columns
+    out = sparql(kg, 'SELECT * WHERE { ?x p:knows [ p:name "Bob" ] }')
+    assert out.columns == ["x"]
+    # a query binding ONLY existentials has nothing to project
+    with pytest.raises(SparqlError):
+        sparql(kg, 'SELECT * WHERE { [ p:knows "b" ] . }')
+
+    # DELETE DATA forbids blank nodes (QuadData grammar)
+    with pytest.raises(SparqlError):
+        update(kg, 'DELETE DATA { [ <p:new> "v1" ] }')
+
+    # templates reject [..] — fresh-per-solution minting is out
+    with pytest.raises(SparqlUnsupported):
+        sparql(kg, 'CONSTRUCT { ?x <p:q> [ ] } '
+                   'WHERE { ?x p:type "Person" }')
+    with pytest.raises(SparqlUnsupported):
+        update(kg, 'INSERT { ?x <p:q> [ ] } '
+                   'WHERE { ?x p:type "Person" }')
+    # ... but DELETE WHERE keeps them (pure wildcard patterns)
+    out = update(kg, "DELETE WHERE { [ p:name ?n ] . }")
+    assert not any(r["pred"] == "p:name" for r in out.collect())
+
+    # the generated namespace is reserved
+    with pytest.raises(SparqlError):
+        sparql(kg, "SELECT ?x ?_anon1 WHERE "
+                   "{ ?x p:knows [ p:name ?_anon1 ] }")
+
+    # OPTIONAL {} is a no-op; FILTER-only OPTIONAL raises cleanly;
+    # an OPTIONAL FILTER over outer-only variables raises cleanly
+    assert sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
+                      'OPTIONAL { } }').count() == 2
+    with pytest.raises(SparqlUnsupported):
+        sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
+                   'OPTIONAL { FILTER(1 > 0) } }')
+    with pytest.raises(ValueError, match="group's own variables"):
+        sparql(kg, "SELECT ?x ?y WHERE { ?x p:name ?n . "
+                   "OPTIONAL { ?x p:knows ?y . "
+                   "FILTER(STRLEN(?n) > 2) } }").collect()
+
+
+def test_turtle_bool_prefix_with_dot():
+    from pyrdfa3_spark.functions.turtle import parse_turtle
+
+    assert parse_turtle(
+        "@prefix true.x: <urn:t:> . true.x:a <urn:p> true.x:b .") == [
+        ("urn:t:a", "urn:p", "urn:t:b")]
+    [(_, _, o)] = parse_turtle("<urn:s> <urn:p> true .")
+    assert o.datatype.endswith("boolean")
