@@ -353,6 +353,12 @@ class _Parser:
         "MD5": "md5({0})", "SHA1": "sha1({0})",
         "SHA256": "sha2({0}, 256)",
         "ENCODE_FOR_URI": "url_encode({0})",
+        # term-model builtins: terms are strings, so ISBLANK is the
+        # label convention and SAMETERM is null-safe string equality;
+        # ISIRI/ISLITERAL need the literal-shape columns the solution
+        # frame doesn't carry — they stay unsupported rather than wrong
+        "ISBLANK": "(substring({0}, 1, 2) = '_:')",
+        "SAMETERM": "({0} <=> {1})",
     }
 
     # fn -> (sql name, min args, max args)

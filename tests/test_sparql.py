@@ -1011,3 +1011,19 @@ def test_turtle_bool_prefix_with_dot():
         ("urn:t:a", "urn:p", "urn:t:b")]
     [(_, _, o)] = parse_turtle("<urn:s> <urn:p> true .")
     assert o.datatype.endswith("boolean")
+
+
+def test_isblank_sameterm_builtins(spark):
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("_:b1", "p", "x"), ("urn:s", "p", "x"), ("urn:s", "q", "_:b1")],
+        ["subj", "pred", "obj"])
+    out = sorted(map(tuple, sparql(
+        t, "SELECT ?s WHERE { ?s <p> ?o . FILTER(ISBLANK(?s)) }"
+    ).collect()))
+    assert out == [("_:b1",)]
+    out = sorted(map(tuple, sparql(
+        t, "SELECT ?s ?o WHERE { ?s ?p ?o . "
+           "FILTER(SAMETERM(?o, \"x\")) }").collect()))
+    assert out == [("_:b1", "x"), ("urn:s", "x")]
