@@ -265,6 +265,32 @@ class SparkGraph:
                 .select(F.col("dist").alias("pos"), "item")
                 .orderBy("pos"))
 
+    def transitive_objects(self, subject: str, predicate: str,
+                           max_iterations: int = 20) -> DataFrame:
+        """rdflib ``transitive_objects`` twin: the subject plus every
+        node reachable over ``predicate``+ — the predicate-pruned
+        semi-naive closure, so only that predicate's edge set ever
+        shuffles."""
+        reached = (G.path_closure(self.df, predicate,
+                                  max_iterations=max_iterations)
+                   .filter(F.col("subj") == subject)
+                   .select(F.col("obj").alias("node")))
+        seed = self.df.sparkSession.createDataFrame(
+            [(subject,)], "node string")
+        return seed.unionByName(reached).dropDuplicates()
+
+    def transitive_subjects(self, predicate: str, obj: str,
+                            max_iterations: int = 20) -> DataFrame:
+        """rdflib ``transitive_subjects`` twin: the object plus every
+        node that reaches it over ``predicate``+."""
+        reached = (G.path_closure(self.df, predicate,
+                                  max_iterations=max_iterations)
+                   .filter(F.col("obj") == obj)
+                   .select(F.col("subj").alias("node")))
+        seed = self.df.sparkSession.createDataFrame(
+            [(obj,)], "node string")
+        return seed.unionByName(reached).dropDuplicates()
+
     def connected(self) -> bool:
         """rdflib ``Graph.connected`` twin: one undirected component
         over all subject/object nodes (literals count as nodes, like

@@ -208,3 +208,15 @@ def test_items_and_connected(spark):
     assert not g2.connected()
     # rdflib: the empty graph is NOT connected
     assert not SparkGraph.empty(spark).connected()
+
+
+def test_transitive_objects_subjects(spark):
+    g = SparkGraph(spark.createDataFrame(
+        [("a", "up", "b"), ("b", "up", "c"), ("c", "up", "d"),
+         ("x", "other", "a")], ["subj", "pred", "obj"]))
+    assert sorted(r["node"] for r in
+                  g.transitive_objects("b", "up").collect()) \
+        == ["b", "c", "d"]
+    assert sorted(r["node"] for r in
+                  g.transitive_subjects("up", "c").collect()) \
+        == ["a", "b", "c"]
