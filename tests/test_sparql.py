@@ -1027,3 +1027,18 @@ def test_isblank_sameterm_builtins(spark):
         t, "SELECT ?s ?o WHERE { ?s ?p ?o . "
            "FILTER(SAMETERM(?o, \"x\")) }").collect()))
     assert out == [("_:b1", "x"), ("urn:s", "x")]
+
+
+def test_optional_group_with_path(spark):
+    """Property paths compose inside OPTIONAL groups (the dict
+    rewrite in _expand_paths covers group patterns)."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    kg = spark.createDataFrame(
+        [("a", "up", "b"), ("b", "up", "c"), ("a", "name", "A"),
+         ("d", "name", "D")], ["subj", "pred", "obj"])
+    out = sorted(map(tuple, sparql(kg, """
+      SELECT ?x ?top WHERE { ?x <name> ?n .
+        OPTIONAL { ?x <up>+ ?top . FILTER(?top = "c") } }
+    """).collect()))
+    assert out == [("a", "c"), ("d", None)]
