@@ -265,31 +265,31 @@ class SparkGraph:
                 .select(F.col("dist").alias("pos"), "item")
                 .orderBy("pos"))
 
+    def _pred_edges(self, predicate: str, reverse: bool = False):
+        src, dst = ("obj", "subj") if reverse else ("subj", "obj")
+        return (self.df.filter(F.col("pred") == predicate)
+                .select(F.col(src).alias("src"),
+                        F.col(dst).alias("dst")))
+
     def transitive_objects(self, subject: str, predicate: str,
-                           max_iterations: int = 20) -> DataFrame:
+                           max_hops: int = 100) -> DataFrame:
         """rdflib ``transitive_objects`` twin: the subject plus every
-        node reachable over ``predicate``+ — the predicate-pruned
-        semi-naive closure, so only that predicate's edge set ever
-        shuffles."""
-        reached = (G.path_closure(self.df, predicate,
-                                  max_iterations=max_iterations)
-                   .filter(F.col("subj") == subject)
-                   .select(F.col("obj").alias("node")))
-        seed = self.df.sparkSession.createDataFrame(
-            [(subject,)], "node string")
-        return seed.unionByName(reached).dropDuplicates()
+        node reachable over ``predicate``+, as a ``(node)`` frame
+        (seed included at depth 0, like rdflib yielding the subject
+        first).  A SEEDED BFS over the predicate-pruned edge set —
+        only the queried reachable set is walked and depth-checked,
+        never the whole predicate's all-pairs closure."""
+        return G.bfs_distances(self._pred_edges(predicate),
+                               [subject],
+                               max_hops=max_hops).select("node")
 
     def transitive_subjects(self, predicate: str, obj: str,
-                            max_iterations: int = 20) -> DataFrame:
+                            max_hops: int = 100) -> DataFrame:
         """rdflib ``transitive_subjects`` twin: the object plus every
-        node that reaches it over ``predicate``+."""
-        reached = (G.path_closure(self.df, predicate,
-                                  max_iterations=max_iterations)
-                   .filter(F.col("obj") == obj)
-                   .select(F.col("subj").alias("node")))
-        seed = self.df.sparkSession.createDataFrame(
-            [(obj,)], "node string")
-        return seed.unionByName(reached).dropDuplicates()
+        node that reaches it over ``predicate``+ (the reverse BFS)."""
+        return G.bfs_distances(self._pred_edges(predicate,
+                                                reverse=True),
+                               [obj], max_hops=max_hops).select("node")
 
     def connected(self) -> bool:
         """rdflib ``Graph.connected`` twin: one undirected component

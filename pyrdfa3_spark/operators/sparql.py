@@ -354,11 +354,13 @@ class _Parser:
         "SHA256": "sha2({0}, 256)",
         "ENCODE_FOR_URI": "url_encode({0})",
         # term-model builtins: terms are strings, so ISBLANK is the
-        # label convention and SAMETERM is null-safe string equality;
-        # ISIRI/ISLITERAL need the literal-shape columns the solution
-        # frame doesn't carry — they stay unsupported rather than wrong
+        # label convention (a LITERAL whose lexical form starts '_:'
+        # misclassifies — the solution frame has no shape column) and
+        # SAMETERM is plain string equality — NULL-propagating, which
+        # reproduces SPARQL's type-error-on-unbound FILTER behavior;
+        # ISIRI/ISLITERAL stay unsupported rather than wrong
         "ISBLANK": "(substring({0}, 1, 2) = '_:')",
-        "SAMETERM": "({0} <=> {1})",
+        "SAMETERM": "({0} = {1})",
     }
 
     # fn -> (sql name, min args, max args)
@@ -471,6 +473,11 @@ class _Parser:
             while self.take("OP", ","):
                 args.append(self.expr())
             self.eat("OP", ")")
+            arity = 2 if "{1}" in tmpl else 1
+            if len(args) != arity:
+                raise SparqlError(
+                    f"{v.upper()} takes {arity} argument(s), "
+                    f"got {len(args)}")
             return tmpl.format(*args)
         if k == "NAME" and v.upper() in self._VARIADIC:
             self.next()

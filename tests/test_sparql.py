@@ -1042,3 +1042,24 @@ def test_optional_group_with_path(spark):
         OPTIONAL { ?x <up>+ ?top . FILTER(?top = "c") } }
     """).collect()))
     assert out == [("a", "c"), ("d", None)]
+
+
+def test_builtin_review_regressions(spark):
+    """SAMETERM propagates NULL (unbound => FILTER drops, per spec's
+    type-error rule) and fixed-arity builtins reject wrong arity."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("s1", "p", "x"), ("s1", "q", "x"), ("s2", "p", "y")],
+        ["subj", "pred", "obj"])
+    out = sorted(map(tuple, sparql(t, """
+        SELECT ?s WHERE { ?s <p> ?a . OPTIONAL { ?s <q> ?b }
+                          FILTER(SAMETERM(?a, ?b)) }""").collect()))
+    assert out == [("s1",)]  # s2's ?b is unbound: dropped, not kept
+
+    with pytest.raises(SparqlError):
+        sparql(t, "SELECT ?s WHERE { ?s <p> ?o . "
+                  "FILTER(SAMETERM(?o)) }")
+    with pytest.raises(SparqlError):
+        sparql(t, "SELECT ?s WHERE { ?s <p> ?o . "
+                  "FILTER(ISBLANK(?s, ?o)) }")
