@@ -722,25 +722,24 @@ def parse(text: str) -> dict:
                  "where": w, **ds}
     elif v == "DESCRIBE":
         p.next()
-        if p.at("VAR"):
-            var = p.var()
+        variables, nodes = [], []
+        while p.at("VAR") or p.at("IRI") or p.at("PNAME"):
             if p.at("VAR"):
-                raise SparqlUnsupported(
-                    "DESCRIBE supports one variable")
-            ds = _dataset_clause(p)
-            p.take("KW", "WHERE")
-            q = {"form": "describe_var", "var": var,
-                 "where": p.group(), **ds}
-        else:
-            nodes = []
-            while p.at("IRI") or p.at("PNAME"):
+                variables.append(p.var())
+            else:
                 nodes.append(p.term(allow_var=False,
                                     allow_literal=False))
-            if not nodes:
-                raise SparqlUnsupported(
-                    "DESCRIBE needs IRIs or a ?variable with WHERE")
+        if variables:
+            ds = _dataset_clause(p)
+            p.take("KW", "WHERE")
+            q = {"form": "describe_var", "vars": variables,
+                 "nodes": nodes, "where": p.group(), **ds}
+        elif nodes:
             q = {"form": "describe", "nodes": nodes,
                  **_dataset_clause(p)}
+        else:
+            raise SparqlUnsupported(
+                "DESCRIBE needs IRIs or ?variables with WHERE")
     else:
         raise SparqlError(f"expected a query form, got {v!r}")
     if not p.at("EOF"):
@@ -1054,10 +1053,19 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         return G.describe(triples, q["nodes"])
     if q["form"] == "describe_var":
         sols = _solve_group(triples, q["where"])
-        if q["var"] not in sols.columns:
+        missing = [v for v in q["vars"] if v not in sols.columns]
+        if missing:
             raise SparqlError(
-                f"DESCRIBE variable ?{q['var']} is not bound in WHERE")
-        return G.describe_frame(triples, sols, node_col=q["var"])
+                f"DESCRIBE variables {missing} not bound in WHERE")
+        nodes = None
+        for v in q["vars"]:
+            part = sols.select(F.col(v).alias("node"))
+            nodes = part if nodes is None else nodes.unionByName(part)
+        for iri in q["nodes"]:  # mixed DESCRIBE <iri> ?x form
+            nodes = nodes.unionByName(
+                triples.sparkSession.createDataFrame(
+                    [(iri,)], "node string"))
+        return G.describe_frame(triples, nodes)
     if q["form"] == "construct":
         g = q["where"]
         if (g["union"] or g["minus"] or g["exists"] or g["values"]

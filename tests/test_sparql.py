@@ -1063,3 +1063,20 @@ def test_builtin_review_regressions(spark):
     with pytest.raises(SparqlError):
         sparql(t, "SELECT ?s WHERE { ?s <p> ?o . "
                   "FILTER(ISBLANK(?s, ?o)) }")
+
+
+def test_describe_multiple_variables(spark):
+    """DESCRIBE ?x ?y ... (and mixed DESCRIBE <iri> ?x) unions the
+    solution bindings into one frontier frame."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("a", "name", "A"), ("b", "name", "B"),
+         ("z", "name", "Z")], ["subj", "pred", "obj"])
+    out = sorted(map(tuple, sparql(t, """
+        DESCRIBE ?x ?y WHERE { ?x <knows> ?y }""").collect()))
+    assert out == [("a", "knows", "b"), ("a", "name", "A"),
+                   ("b", "name", "B")]
+    out = sorted(map(tuple, sparql(t, """
+        DESCRIBE <z> ?y WHERE { ?x <knows> ?y }""").collect()))
+    assert out == [("b", "name", "B"), ("z", "name", "Z")]
