@@ -810,6 +810,13 @@ def test_update_matches_model_differential(spark):
             dels = {(s, "p", o, None) for s, o in sols}
             ins = {(s, "q", o, None) for s, o in sols}
             return (quads - dels) | ins
+        if kind == "with_modify":  # scoped to one named graph
+            gname, obj = op[1], op[2]
+            sols = [(s, o) for s, p, o, g in quads
+                    if g == gname and o == obj]
+            dels = {(s, "p", o, gname) for s, o in sols}
+            ins = {(s, "q", o, gname) for s, o in sols}
+            return (quads - dels) | ins
         raise AssertionError(kind)
 
     def render(op):
@@ -828,6 +835,10 @@ def test_update_matches_model_differential(spark):
             return f"CLEAR GRAPH <{op[1]}>"
         if kind == "move":
             return f"MOVE <{op[1]}> TO <{op[2]}>"
+        if kind == "with_modify":
+            return (f'WITH <{op[1]}> DELETE {{ ?s <p> "{op[2]}" }} '
+                    f'INSERT {{ ?s <q> "{op[2]}" }} '
+                    f'WHERE {{ ?s <p> "{op[2]}" }}')
         return (f'DELETE {{ ?s <p> "{op[1]}" }} '
                 f'INSERT {{ ?s <q> "{op[1]}" }} '
                 f'WHERE {{ ?s <p> "{op[1]}" }}')
@@ -843,6 +854,9 @@ def test_update_matches_model_differential(spark):
         st.tuples(st.just("move"), st.sampled_from(["urn:g1", "urn:g2"]),
                   st.sampled_from(["urn:g1", "urn:g2"])),
         st.tuples(st.just("modify"), st.sampled_from(objects)),
+        st.tuples(st.just("with_modify"),
+                  st.sampled_from(["urn:g1", "urn:g2"]),
+                  st.sampled_from(objects)),
     )
 
     df = spark.createDataFrame(
