@@ -4030,6 +4030,69 @@ def q_conversation_stats(spark, sf_dir):
     return conversation_stats(transcripts_from_documents(spark, sf_dir))
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup, composed end-to-end in ONE
+    plan: stitch each conversation into a document (stable in-row
+    turn order) -> md5 fingerprint of the normalized text -> keeper
+    decision per fingerprint group (minimum conv_id survives) — the
+    conversation->document bridge feeding the dedup stage, proving
+    the transcript and dedup surfaces compose."""
+    from pyrdfa3_spark.operators.transcripts import stitch_conversations
+
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("long")
+    tr = d.select(
+        F.format_string("conv-%06d", doc_id % 50).alias("conv_id"),
+        (doc_id / 50).cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                             F.lit("tool")),
+                     (doc_id % 3).cast("int") + 1).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_seconds(F.lit(1767225600) + doc_id * 7).alias("ts"))
+    docs = stitch_conversations(tr)
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("doc_text")),
+                                         r"\s+", " "))
+    fps = docs.select("conv_id", "n_turns",
+                      F.md5(normalized).alias("fp"))
+    keeper = fps.groupBy("fp").agg(F.min("conv_id").alias("keep_id"),
+                                   F.count("*").cast("bigint")
+                                   .alias("n_copies"))
+    return (fps.join(F.broadcast(keeper), "fp")
+            .select("conv_id", "n_turns", "fp", "n_copies",
+                    (F.col("conv_id") == F.col("keep_id"))
+                    .alias("is_canonical")))
+
+
+SQL_CONV_DEDUP = """
+WITH tr AS (
+  SELECT printf('conv-%06d', CAST(doc_id % 50 AS BIGINT)) AS conv_id,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         text,
+         (1767225600 + doc_id * 7) * 1000 AS ms
+  FROM documents),
+docs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(role || ': ' || text, chr(10)
+                    ORDER BY turn_idx, ms, role || ': ' || text)
+             AS doc_text
+  FROM tr GROUP BY conv_id),
+fps AS (
+  SELECT conv_id, n_turns,
+         md5(trim(regexp_replace(lower(doc_text), '\\s+', ' ', 'g')))
+             AS fp
+  FROM docs),
+keeper AS (SELECT fp, min(conv_id) AS keep_id,
+                  CAST(count(*) AS BIGINT) AS n_copies
+           FROM fps GROUP BY fp)
+SELECT f.conv_id, f.n_turns, f.fp, k.n_copies,
+       f.conv_id = k.keep_id AS is_canonical
+FROM fps f JOIN keeper k ON f.fp = k.fp
+"""
+
+
 SQL_CONVERSATION_STATS = """
 WITH tr AS (
   SELECT CAST(doc_id % 50 AS BIGINT) AS conv_n,
@@ -4233,6 +4296,7 @@ QUERIES = {
     "turtle_roundtrip": q_turtle_roundtrip,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "conversation_stats": q_conversation_stats,
+    "conv_dedup": q_conv_dedup,
     "stitch_conversations": q_stitch_conversations,
     "turn_latency": q_turn_latency,
     "compaction_plan": q_compaction_plan,
@@ -4359,6 +4423,7 @@ def oracles() -> dict[str, str]:
         "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "conversation_stats": SQL_CONVERSATION_STATS,
+        "conv_dedup": SQL_CONV_DEDUP,
         "stitch_conversations": SQL_STITCH_CONVERSATIONS,
         "turn_latency": SQL_TURN_LATENCY,
         "compaction_plan": SQL_COMPACTION_PLAN,
