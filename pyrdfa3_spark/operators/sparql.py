@@ -809,10 +809,15 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         limit = int(p.eat("NUM"))
     if p.take("KW", "OFFSET"):
         offset = int(p.eat("NUM"))
+    trailing_values = None
+    if p.take("KW", "VALUES"):
+        # trailing VALUES (SPARQL §10.2): post-hoc constraint over the
+        # whole solution sequence
+        trailing_values = p._values()
     return {"form": "select", "star": star, "items": items,
             "distinct": distinct, "where": where, "group_by": group_by,
             "having": having, "order_by": order_by, "limit": limit,
-            "offset": offset, **ds}
+            "offset": offset, "values": trailing_values, **ds}
 
 
 # ------------------------------------------------------------------ #
@@ -1094,12 +1099,50 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     return _solve_select(triples, q)
 
 
+def _join_values(sols: DataFrame, names: list[str],
+                 rows: list[tuple]) -> DataFrame:
+    """Trailing ``VALUES`` (SPARQL §10.2): join the inline bindings
+    onto the finished solution sequence.  Rows group by their
+    defined-mask (UNDEF cells constrain nothing); each group inner-
+    joins broadcast on its defined columns, preserving the algebra's
+    bag semantics (a solution compatible with several rows multiplies).
+    The constraint form only — rows may not bind NEW variables here
+    (put the VALUES inside the WHERE group for that)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    missing = [n for n in names if n not in sols.columns]
+    if missing:
+        raise SparqlUnsupported(
+            f"trailing VALUES binds new variables {missing} — inline "
+            "the VALUES in the WHERE group instead")
+    groups: dict = defaultdict(list)
+    for row in rows:
+        groups[tuple(i for i, v in enumerate(row)
+                     if v is not None)].append(row)
+    out = None
+    for mask, rs in groups.items():
+        if not mask:  # an all-UNDEF row matches every solution
+            part = sols
+        else:
+            cols = [names[i] for i in mask]
+            lit = sols.sparkSession.createDataFrame(
+                [tuple(r[i] for i in mask) for r in rs],
+                schema=", ".join(f"`{c}` string" for c in cols))
+            part = sols.join(F.broadcast(lit), cols, "inner")
+        out = part if out is None else out.unionByName(part)
+    return out if out is not None else sols.limit(0)
+
+
 def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     """Execute a parsed SELECT description (top-level query or
     ``{ SELECT ... }`` subquery — per the SPARQL algebra a subquery is
     evaluated independently and its projected solutions joined with
     the enclosing group on the shared variables)."""
     sols = _solve_group(triples, q["where"])
+    if q.get("values"):
+        sols = _join_values(sols, *q["values"])
     aggs = [it for it in q["items"] if it[0] == "agg"]
     plain = [it[1] for it in q["items"] if it[0] == "var"]
     exprs = [it for it in q["items"] if it[0] == "expr"]

@@ -1094,3 +1094,24 @@ def test_describe_multiple_variables(spark):
     out = sorted(map(tuple, sparql(t, """
         DESCRIBE <z> ?y WHERE { ?x <knows> ?y }""").collect()))
     assert out == [("b", "name", "B"), ("z", "name", "Z")]
+
+
+def test_trailing_values(kg):
+    """Trailing VALUES (§10.2): a post-hoc join over the finished
+    solution sequence, with UNDEF wildcards and bag semantics."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    out = _rows(sparql(kg, """
+        SELECT ?x ?n WHERE { ?x p:name ?n } ORDER BY ?x ?n
+        VALUES ?n { "Ada" "Bobby" }"""))
+    assert out == [("a", "Ada"), ("b", "Bobby")]
+
+    # multi-var rows with UNDEF
+    out = _rows(sparql(kg, """
+        SELECT ?x ?n WHERE { ?x p:name ?n } ORDER BY ?x ?n
+        VALUES (?x ?n) { ("a" UNDEF) (UNDEF "Bobby") }"""))
+    assert out == [("a", "Ada"), ("b", "Bobby")]
+
+    with pytest.raises(SparqlUnsupported):
+        sparql(kg, 'SELECT ?x WHERE { ?x p:name ?n } '
+                   'VALUES ?new { "z" }')
