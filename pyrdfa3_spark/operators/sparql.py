@@ -742,6 +742,11 @@ def parse(text: str) -> dict:
                 "DESCRIBE needs IRIs or ?variables with WHERE")
     else:
         raise SparqlError(f"expected a query form, got {v!r}")
+    if p.at("KW", "VALUES") and q["form"] != "select":
+        raise SparqlUnsupported(
+            "trailing VALUES on ASK/CONSTRUCT/DESCRIBE (supported on "
+            "SELECT; wrap the others' patterns in a VALUES-carrying "
+            "group instead)")
     if not p.at("EOF"):
         raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
     return q
@@ -1066,10 +1071,10 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         for v in q["vars"]:
             part = sols.select(F.col(v).alias("node"))
             nodes = part if nodes is None else nodes.unionByName(part)
-        for iri in q["nodes"]:  # mixed DESCRIBE <iri> ?x form
+        if q["nodes"]:  # mixed DESCRIBE <iri> ?x form: one batch frame
             nodes = nodes.unionByName(
                 triples.sparkSession.createDataFrame(
-                    [(iri,)], "node string"))
+                    [(i,) for i in q["nodes"]], "node string"))
         return G.describe_frame(triples, nodes)
     if q["form"] == "construct":
         g = q["where"]
@@ -1102,12 +1107,16 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
 def _join_values(sols: DataFrame, names: list[str],
                  rows: list[tuple]) -> DataFrame:
     """Trailing ``VALUES`` (SPARQL §10.2): join the inline bindings
-    onto the finished solution sequence.  Rows group by their
-    defined-mask (UNDEF cells constrain nothing); each group inner-
-    joins broadcast on its defined columns, preserving the algebra's
-    bag semantics (a solution compatible with several rows multiplies).
-    The constraint form only — rows may not bind NEW variables here
-    (put the VALUES inside the WHERE group for that)."""
+    onto the finished solution sequence with full §18.5 compatibility
+    semantics — an UNBOUND (NULL) solution cell agrees with any row
+    value and the merge ADOPTS the row's binding; UNDEF row cells
+    constrain nothing; a solution compatible with several rows
+    multiplies (bag join — note the in-group ``bgp_values`` keeps its
+    established set posture instead, so the two forms differ exactly
+    there).  Rows group by their defined-mask; each group joins the
+    broadcast binding table on ``IS NULL OR =`` per defined column
+    (tiny build side, so the nested-loop fallback is bounded).  Rows
+    may not bind NEW variables here (use the in-group form)."""
     from collections import defaultdict
 
     from pyspark.sql import functions as F
@@ -1123,14 +1132,26 @@ def _join_values(sols: DataFrame, names: list[str],
                      if v is not None)].append(row)
     out = None
     for mask, rs in groups.items():
-        if not mask:  # an all-UNDEF row matches every solution
+        if not mask:
+            # all-UNDEF rows match every solution — once PER ROW
             part = sols
+            for _ in rs[1:]:
+                part = part.unionByName(sols)
         else:
             cols = [names[i] for i in mask]
             lit = sols.sparkSession.createDataFrame(
                 [tuple(r[i] for i in mask) for r in rs],
                 schema=", ".join(f"`{c}` string" for c in cols))
-            part = sols.join(F.broadcast(lit), cols, "inner")
+            s, v = sols.alias("__tv_s"), F.broadcast(lit.alias("__tv_v"))
+            cond = None
+            for c in cols:
+                eq = (F.col(f"__tv_s.{c}").isNull()
+                      | (F.col(f"__tv_s.{c}") == F.col(f"__tv_v.{c}")))
+                cond = eq if cond is None else cond & eq
+            part = s.join(v, cond, "inner").select(*[
+                (F.coalesce(F.col(f"__tv_s.{c}"), F.col(f"__tv_v.{c}"))
+                 if c in cols else F.col(f"__tv_s.{c}")).alias(c)
+                for c in sols.columns])
         out = part if out is None else out.unionByName(part)
     return out if out is not None else sols.limit(0)
 
@@ -1141,8 +1162,6 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     evaluated independently and its projected solutions joined with
     the enclosing group on the shared variables)."""
     sols = _solve_group(triples, q["where"])
-    if q.get("values"):
-        sols = _join_values(sols, *q["values"])
     aggs = [it for it in q["items"] if it[0] == "agg"]
     plain = [it[1] for it in q["items"] if it[0] == "var"]
     exprs = [it for it in q["items"] if it[0] == "expr"]
@@ -1197,6 +1216,10 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             # aliases interleave)
             project = [it[1] if it[0] == "var" else it[2]
                        for it in q["items"]]
+    if q.get("values"):
+        # SPARQL §18.2.4.3: the trailing VALUES joins AFTER grouping,
+        # aggregation and HAVING, before the solution modifiers
+        sols = _join_values(sols, *q["values"])
     return G.select_solutions(
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],

@@ -1115,3 +1115,32 @@ def test_trailing_values(kg):
     with pytest.raises(SparqlUnsupported):
         sparql(kg, 'SELECT ?x WHERE { ?x p:name ?n } '
                    'VALUES ?new { "z" }')
+
+
+def test_trailing_values_review_regressions(kg):
+    """§18.5 compatibility: an UNBOUND solution cell agrees with any
+    row and adopts its binding; VALUES joins AFTER aggregation; all-
+    UNDEF rows multiply; non-SELECT forms raise SparqlUnsupported."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    # unbound ?n (c has no name) survives and adopts the row binding
+    out = _rows(sparql(kg, """
+        SELECT ?y ?n WHERE { "b" p:knows ?y
+                             OPTIONAL { ?y p:name ?n } }
+        VALUES ?n { "Adopted" }"""))
+    assert out == [("c", "Adopted")]
+
+    # post-aggregation join: counts are computed BEFORE the values
+    # rows multiply them
+    out = _rows(sparql(kg, """
+        SELECT ?x (COUNT(*) AS ?c) WHERE { ?x p:name ?n }
+        GROUP BY ?x VALUES ?x { "b" "b" }"""))
+    assert out == [("b", 2), ("b", 2)]
+
+    # all-UNDEF rows each contribute a copy (bag semantics)
+    assert sparql(kg, """
+        SELECT ?x WHERE { ?x p:type "Person" }
+        VALUES ?x { UNDEF UNDEF }""").count() == 4
+
+    with pytest.raises(SparqlUnsupported):
+        sparql(kg, 'ASK { ?x p:name ?n } VALUES ?n { "Ada" }')
