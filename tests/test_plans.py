@@ -487,3 +487,17 @@ def test_classifier_score_plan_shape(spark):
     simple = _plan(classifier_score(docs, w, n_buckets=64), "simple")
     assert "Window" not in simple and "CartesianProduct" not in simple
     assert "partial" in plan.lower()
+
+
+def test_conv_dedup_plan_shape(spark):
+    """The stitch->fingerprint->keeper composition: one aggregation
+    pass per stage with map-side partials, keeper dim broadcast, no
+    window, no cartesian."""
+    from pyrdfa3_spark.plans.queries import q_conv_dedup
+
+    df = q_conv_dedup(spark, "/root/testdata/sf0.001")
+    simple = _plan(df, mode="simple")
+    assert "Window" not in simple and "CartesianProduct" not in simple
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial" in plan.lower() or "ObjectHashAggregate" in plan
