@@ -1753,6 +1753,29 @@ ORDER BY n
 """
 
 
+def q_sparql_values_trailing(spark, sf_dir):
+    """Trailing VALUES (§10.2/§18.2.4.3): supplier counts per nation
+    aggregate FIRST, then the post-query VALUES constrains the groups
+    — the parameterized-query idiom rdflib callers use."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?name (COUNT(?s) AS ?n_sup)
+        WHERE {{ ?s ex:locatedIn ?nn . ?nn ex:name ?name }}
+        GROUP BY ?name ORDER BY ?name
+        VALUES ?name {{ "NATION_3" "NATION_7" "NATION_11" }}
+    """)
+
+
+SQL_SPARQL_VALUES_TRAILING = """
+SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+GROUP BY n_name ORDER BY name
+"""
+
+
 SQL_SPARQL_SUBQUERY = """
 SELECT n.n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -4257,6 +4280,7 @@ QUERIES = {
     "sparql_dataset": q_sparql_dataset,
     "sparql_project_expr": q_sparql_project_expr,
     "sparql_optional_group": q_sparql_optional_group,
+    "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "bgp_match": q_bgp_match,
@@ -4384,6 +4408,7 @@ def oracles() -> dict[str, str]:
         "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
+        "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,
