@@ -96,9 +96,14 @@ def _capped_bucket_pairs(members: DataFrame, keys: list[str], id_col: str,
     so NOTHING ever materializes an O(bucket) row: the old
     ``collect_set`` shape built the full member array before any cap
     could apply, which is itself the OOM at a 10^9-member bucket.
-    The membership frame is persisted across its three consumers.
+    The membership frame is ``localCheckpoint(eager=True)``-ed across
+    its three consumers: the signature lineage runs exactly once, AQE
+    plans the self-join from REAL materialized sizes, and — unlike an
+    ownerless ``persist()`` — the blocks are released by the
+    ContextCleaner as soon as the frame is garbage-collected, so a
+    long multi-stage job never accumulates leaked cache entries.
     """
-    members = members.persist()
+    members = members.localCheckpoint(eager=True)
     stats = (members.groupBy(*keys)
              .agg(F.count("*").alias("n"),
                   F.min(id_col).alias("rep"))
@@ -190,14 +195,15 @@ def near_dup_pipeline(docs: DataFrame, k: int = 5, n_hashes: int = 8,
     doc_id of a confirmed pair).
 
     Unlike the per-query gate entries (one query = one plan), the
-    candidate frame is **persisted** between the generation and verify
-    stages so the shingle/signature lineage runs once, not once per
-    consumer; the caller should ``unpersist`` the returned frame's
-    ancestors when done (or rely on LRU eviction).
+    candidate frame is ``localCheckpoint(eager=True)``-ed between the
+    generation and verify stages so the shingle/signature lineage runs
+    once, not once per consumer — self-cleaning (ContextCleaner frees
+    the blocks when the frame is GC'd), no unpersist owner needed.
     Output: (doc_a, doc_b, jaccard) for pairs at/above the threshold.
     """
     candidates = minhash_lsh_candidates(docs, k, n_hashes, bands,
-                                        max_bucket).persist()
+                                        max_bucket) \
+        .localCheckpoint(eager=True)
     verified = (ngram_jaccard(docs, candidates, k)
                 .filter(F.col("jaccard") >= jaccard_threshold))
     return verified
@@ -238,9 +244,12 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     cannot see).
 
     Output: one row per duplicated span —
-    ``(span_hash, n_occurrences, n_docs, keep_key)`` where ``keep_key``
-    encodes the first occurrence to keep (``doc_id * 10^9 + pos``,
-    minimal over all occurrences; pos is the 1-based token offset).
+    ``(span_hash, n_occurrences, n_docs, keep_doc, keep_pos)`` where
+    ``(keep_doc, keep_pos)`` is the first occurrence to keep
+    (lexicographic minimum over all occurrences; pos is the 1-based
+    token offset).  Two columns, not a packed ``doc_id * K + pos``
+    key — packing overflows int64 once doc ids pass ``2^63 / K``,
+    silently electing the wrong keeper at the 10^12-turn target.
 
     Scale shape: windows are built IN-ROW (one ``transform`` over the
     token array, md5 per window), so the only explode is the one the
@@ -263,12 +272,16 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
            .filter(F.size("toks") >= window)
            .select("doc_id", F.posexplode(grams).alias("p", "span_hash"))
            .select("doc_id", (F.col("p") + 1).alias("pos"), "span_hash"))
+    # struct min = lexicographic (doc_id, pos) — overflow-free arg-min,
+    # still a map-side-partial aggregate
     return (occ.groupBy("span_hash")
             .agg(F.count("*").cast("bigint").alias("n_occurrences"),
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-                 F.min(F.col("doc_id") * F.lit(1_000_000_000)
-                       + F.col("pos")).cast("bigint").alias("keep_key"))
-            .filter(F.col("n_occurrences") >= min_occurrences))
+                 F.min(F.struct("doc_id", "pos")).alias("_keep"))
+            .filter(F.col("n_occurrences") >= min_occurrences)
+            .select("span_hash", "n_occurrences", "n_docs",
+                    F.col("_keep.doc_id").cast("bigint").alias("keep_doc"),
+                    F.col("_keep.pos").cast("bigint").alias("keep_pos")))
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:

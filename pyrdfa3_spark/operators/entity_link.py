@@ -43,7 +43,8 @@ def sameas_canonical_map(edges: DataFrame,
     travels a doubling distance per round and a component of diameter d
     converges in O(log d) rounds, not O(d).  At 100 TB this is the
     difference between ~6 shuffles and ~40 for a 40-hop alias chain.
-    ``cache`` + ``localCheckpoint`` keep the loop's lineage flat.
+    Eager ``localCheckpoint`` keeps the loop's lineage flat with no
+    CacheManager entries to leak.
 
     Raises ``RuntimeError`` if ``max_iterations`` rounds pass without
     reaching the fixpoint — a silent partial result would assign wrong
@@ -52,11 +53,11 @@ def sameas_canonical_map(edges: DataFrame,
     sym = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
            .unionByName(edges.select(F.col("dst").alias("a"),
                                      F.col("src").alias("b")))
-           .dropDuplicates().cache())
+           .dropDuplicates().localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("node"))
               .dropDuplicates()
               .withColumn("canon", F.col("node"))
-              .cache())
+              .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_iterations):
         neighbor_min = (sym

@@ -20,6 +20,11 @@ from pyrdfa3_spark.functions.constants import (
 TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_iri", "obj_lang",
               "obj_datatype"]
 
+# reserved predicate namespace for materialized property-path edges
+# (the SPARQL front-end unions them into its working frame); variable
+# predicates and negated property sets never match them
+_VIRTUAL_PRED = "__path"
+
 
 def dedup_triples(triples: DataFrame, per_document: bool = True) -> DataFrame:
     """RDF set semantics (E16; rdflib Graph is a set).  Per-document by
@@ -150,7 +155,11 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20,
     """
     if strategy not in ("seminaive", "doubling"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    base = edges.select("src", "dst").dropDuplicates().cache()
+    # eager localCheckpoint, not cache(): materialized once for the
+    # loop's repeated consumers, blocks self-release on GC (no
+    # CacheManager entry to leak or double-register)
+    base = edges.select("src", "dst").dropDuplicates() \
+        .localCheckpoint(eager=True)
     closure = base
     delta = base
     converged = False
@@ -275,7 +284,8 @@ def miniowl_expand(data: DataFrame, vocab: DataFrame,
     cm = spark.createDataFrame(class_map or [("", "")], ["f", "t"]) \
         .filter(F.col("f") != "")
 
-    base = data.select("subj", "pred", "obj").dropDuplicates().cache()
+    base = data.select("subj", "pred", "obj").dropDuplicates() \
+        .localCheckpoint(eager=True)  # see transitive_closure: no cache leak
     all_t = base
     delta = base
     converged = False
@@ -451,6 +461,13 @@ def _match(frame, positions, patterns, optional, filters):
         for pos, term in zip(positions, pat):
             if term.startswith("?"):
                 var = term[1:]
+                # a variable PREDICATE ranges over the graph's real
+                # predicates only — never the reserved __path* virtual
+                # edges a sibling property-path pattern materialized
+                # into the shared working frame
+                if pos == "pred":
+                    df = df.filter(
+                        ~F.col("pred").startswith(_VIRTUAL_PRED))
                 if var in seen:      # repeated variable inside a pattern
                     df = df.filter(F.col(pos) == F.col(seen[var]))
                 else:
@@ -634,7 +651,8 @@ def construct(triples: DataFrame,
 
 
 def construct_solutions(sols: DataFrame,
-                        template: list[tuple[str, str, str]]
+                        template: list[tuple[str, str, str]],
+                        obj_shapes: list[tuple] | None = None
                         ) -> DataFrame:
     """The instantiation half of :func:`construct`: explode every
     ``template`` (s, p, o) per solution row (``?var`` positions
@@ -642,16 +660,36 @@ def construct_solutions(sols: DataFrame,
     incomplete-triple rule), with set semantics.  Exposed separately so
     callers holding an already-solved frame (e.g. SPARQL UPDATE
     instantiating both a DELETE and an INSERT template from ONE WHERE
-    match) don't re-run the pattern join per template."""
+    match) don't re-run the pattern join per template.
+
+    ``obj_shapes`` (one ``(is_iri, lang, datatype)`` per template
+    entry) additionally emits the literal-shape columns — SPARQL
+    UPDATE uses it so inserted rows land with the template's term
+    shape instead of the all-IRI default."""
     def term(t):
+        t = str(t)  # parser terms may be str subclasses
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
 
-    rows = F.array(*[
-        F.struct(term(s).alias("subj"), term(p).alias("pred"),
-                 term(o).alias("obj"))
-        for s, p, o in template])
+    if obj_shapes is not None and len(obj_shapes) != len(template):
+        raise ValueError("obj_shapes must align with template")
+
+    def fields(i, s, p, o):
+        out = [term(s).alias("subj"), term(p).alias("pred"),
+               term(o).alias("obj")]
+        if obj_shapes is not None:
+            is_iri, lang, dtype = obj_shapes[i]
+            out += [F.lit(bool(is_iri)).alias("obj_is_iri"),
+                    F.lit(lang).cast("string").alias("obj_lang"),
+                    F.lit(dtype).cast("string").alias("obj_datatype")]
+        return out
+
+    cols = ["subj", "pred", "obj"] + (
+        ["obj_is_iri", "obj_lang", "obj_datatype"]
+        if obj_shapes is not None else [])
+    rows = F.array(*[F.struct(*fields(i, s, p, o))
+                     for i, (s, p, o) in enumerate(template)])
     out = (sols.select(F.explode(rows).alias("t"))
-           .select("t.subj", "t.pred", "t.obj")
+           .select(*[f"t.{c}" for c in cols])
            .filter(F.col("subj").isNotNull() & F.col("pred").isNotNull()
                    & F.col("obj").isNotNull()))
     return out.dropDuplicates()
@@ -736,7 +774,8 @@ def path_negated(triples: DataFrame, preds: list[str],
         raise ValueError("path_negated needs at least one excluded "
                          "predicate (use the triples frame directly "
                          "for the empty set)")
-    return (triples.filter(~F.col("pred").isin(preds))
+    return (triples.filter(~F.col("pred").isin(preds)
+                           & ~F.col("pred").startswith(_VIRTUAL_PRED))
             .select("subj", F.lit(out_pred).alias("pred"), "obj")
             .dropDuplicates())
 
@@ -814,26 +853,42 @@ def bgp_values(triples: DataFrame,
             "binding table would cross-join every solution")
 
     spark = triples.sparkSession
+    extra = [v for v in var_names if v not in sols.columns]
+    if not rows:  # empty binding table: joins away every solution
+        out = sols.limit(0)
+        for v in extra:
+            out = out.withColumn(v, F.lit(None).cast("string"))
+        return out
     by_mask: dict[tuple[str, ...], list[tuple]] = {}
     for r in rows:
         mask = tuple(v for v, cell in zip(var_names, r)
                      if cell is not None and v in shared)
-        if not mask:
-            # all-UNDEF row: constrains nothing, keeps every solution
-            return sols
         by_mask.setdefault(mask, []).append(r)
 
     out = None
     for mask, grp in by_mask.items():
-        vals = spark.createDataFrame(
-            [tuple(str(c) if c is not None else None for c in r)
-             for r in grp],
-            ", ".join(f"`{v}` string" for v in var_names))
-        extra = [v for v in var_names if v not in sols.columns]
-        joined = sols.join(
-            F.broadcast(vals.select(*mask, *extra).dropDuplicates()),
-            list(mask), "inner")
-        out = joined if out is None else out.unionByName(joined)
+        if not mask and not extra:
+            # a row binding nothing at all keeps every solution as-is
+            joined = sols
+        else:
+            vals = spark.createDataFrame(
+                [tuple(str(c) if c is not None else None for c in r)
+                 for r in grp],
+                ", ".join(f"`{v}` string" for v in var_names))
+            vals = F.broadcast(
+                vals.select(*mask, *extra).dropDuplicates())
+            if mask:
+                joined = sols.join(vals, list(mask), "inner")
+            else:
+                # a row whose defined cells are all UNDEF or all on
+                # extension variables constrains nothing: it is ONE
+                # union branch keeping every solution, extended with
+                # that row's extra bindings (NULL when those are UNDEF
+                # too) — not an early return that would discard the
+                # other rows' constraints
+                joined = sols.crossJoin(vals)
+        out = joined if out is None else out.unionByName(
+            joined, allowMissingColumns=True)
     return out
 
 
@@ -1174,15 +1229,17 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     discipline as :func:`transitive_closure`).  Out-degrees are
     computed once, outside the loop.
     """
-    e = edges.select("src", "dst").dropDuplicates().cache()
+    e = edges.select("src", "dst").dropDuplicates() \
+        .localCheckpoint(eager=True)  # see transitive_closure: no cache leak
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .dropDuplicates().cache())
+             .dropDuplicates().localCheckpoint(eager=True))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = (e.groupBy(F.col("src").alias("node"))
-              .agg(F.count(F.lit(1)).alias("outdeg")).cache())
+              .agg(F.count(F.lit(1)).alias("outdeg"))
+              .localCheckpoint(eager=True))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n

@@ -115,7 +115,8 @@ def lsh_cosine_candidates(embeddings: DataFrame, dim: int = 64,
     (vec_a < vec_b).  groupBy(bucket) + in-bucket pair expansion: one
     shuffle of O(corpus) rows, and the signature lineage (8 dot products
     per row) is computed exactly once (the membership frame is
-    persisted, so the equi-self-join does not recompute it).  Buckets
+    eagerly localCheckpointed, so the equi-self-join does not recompute
+    it and AQE plans from materialized sizes).  Buckets
     larger than ``max_bucket`` (degenerate near-identical clusters) are
     star-linked to their minimum member with no per-bucket arrays — see
     ``dedup._capped_bucket_pairs``."""
@@ -132,12 +133,13 @@ def embedding_near_dups(embeddings: DataFrame, dim: int = 64,
                         max_bucket: int = 512) -> DataFrame:
     """Embedding-cosine near-duplicate detection, composed production
     flow: LSH bucket candidates -> exact cosine verify -> threshold.
-    The candidate frame is persisted so the bucket lineage runs once;
-    the verify join touches only candidate pairs, never all-pairs.
+    The candidate frame is ``localCheckpoint(eager=True)``-ed so the
+    bucket lineage runs once and the blocks self-release on GC; the
+    verify join touches only candidate pairs, never all-pairs.
     Output: (vec_a, vec_b, cos_sim) with cos_sim >= threshold."""
     cands = lsh_cosine_candidates(embeddings, dim, n_planes,
                                   max_bucket).select("vec_a", "vec_b") \
-        .persist()
+        .localCheckpoint(eager=True)
     e = embeddings.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("emb"))

@@ -94,6 +94,35 @@ class SparqlUnsupported(SparqlError):
     """Syntactically valid SPARQL outside the implemented subset."""
 
 
+class _Term(str):
+    """A parsed ground term: a plain string to the engine (the term
+    model is lexical — matching, joins and set ops compare lexical
+    forms), annotated with the IRI/literal distinction rdflib would
+    record.  Consumed only by UPDATE when the input frame carries
+    literal-shape columns, so ``INSERT DATA { <s> <p> "x" }`` lands
+    with ``obj_is_iri = false`` instead of the all-IRI default.
+    String equality/hash are inherited on purpose: the engine's
+    pattern machinery must keep treating terms as their lexical form.
+    """
+
+    __slots__ = ("is_iri",)
+
+    def __new__(cls, value: str, is_iri: bool = True):
+        t = super().__new__(cls, value)
+        t.is_iri = is_iri
+        return t
+
+    def __getnewargs__(self):  # picklable despite the required arg
+        return (str(self), self.is_iri)
+
+
+def _term_is_iri(t) -> bool:
+    """Shape of a template/DATA term: parse-time shape when recorded,
+    the engine-wide all-IRI default otherwise (bnode labels and
+    variable-bound values — the lexical term model cannot know)."""
+    return bool(getattr(t, "is_iri", True))
+
+
 # ------------------------------------------------------------------ #
 # tokenizer
 # ------------------------------------------------------------------ #
@@ -199,20 +228,20 @@ class _Parser:
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:",
                                           iri):
                 from urllib.parse import urljoin
-                return urljoin(self.base, iri)
-            return iri
+                return _Term(urljoin(self.base, iri), True)
+            return _Term(iri, True)
         if k == "PNAME":
-            return self._expand_pname(v)
+            return _Term(self._expand_pname(v), True)
         if k == "KW" and v == "A":
-            return RDF_TYPE
+            return _Term(RDF_TYPE, True)
         if k == "STRING" and allow_literal:
             if self.at("OP", "^") and self.peek(1) == ("OP", "^"):
                 raise SparqlUnsupported(
                     "typed literals in patterns: the term model "
                     "stores the lexical form — match on it")
-            return _unquote(v)
+            return _Term(_unquote(v), False)
         if k == "NUM" and allow_literal:
-            return v
+            return _Term(v, False)
         raise SparqlError(f"unexpected term {v!r}")
 
     # -- property paths --------------------------------------------------
@@ -660,9 +689,19 @@ def _require_simple(group: dict, where: str, filters_ok: bool = True):
 
 def _unquote(tok: str) -> str:
     body = tok[1:-1]
-    return re.sub(r"\\(.)",
-                  lambda m: {"n": "\n", "t": "\t", "r": "\r"}.get(
-                      m.group(1), m.group(1)), body)
+    bad = re.search(r"\\u(?![0-9A-Fa-f]{4})|\\U(?![0-9A-Fa-f]{8})",
+                    body)
+    if bad:
+        raise SparqlError(f"malformed \\u escape in string {tok!r}")
+
+    def sub(m):
+        e = m.group(1)
+        if e[0] in "uU":  # \uXXXX / \UXXXXXXXX numeric escapes
+            return chr(int(e[1:], 16))
+        return {"n": "\n", "t": "\t", "r": "\r",
+                "b": "\b", "f": "\f"}.get(e, e)
+
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, body)
 
 
 def _sql_str(s: str) -> str:
@@ -1060,7 +1099,9 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         return sols.limit(1).agg(
             (F.count(F.lit(1)) > 0).alias("result"))
     if q["form"] == "describe":
-        return G.describe(triples, q["nodes"])
+        # parser terms are str subclasses; createDataFrame's schema
+        # inference dispatches on exact type, so ground them to str
+        return G.describe(triples, [str(n) for n in q["nodes"]])
     if q["form"] == "describe_var":
         sols = _solve_group(triples, q["where"])
         missing = [v for v in q["vars"] if v not in sols.columns]
@@ -1074,7 +1115,7 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         if q["nodes"]:  # mixed DESCRIBE <iri> ?x form: one batch frame
             nodes = nodes.unionByName(
                 triples.sparkSession.createDataFrame(
-                    [(i,) for i in q["nodes"]], "node string"))
+                    [(str(i),) for i in q["nodes"]], "node string"))
         return G.describe_frame(triples, nodes)
     if q["form"] == "construct":
         g = q["where"]
@@ -1140,7 +1181,8 @@ def _join_values(sols: DataFrame, names: list[str],
         else:
             cols = [names[i] for i in mask]
             lit = sols.sparkSession.createDataFrame(
-                [tuple(r[i] for i in mask) for r in rs],
+                [tuple(None if r[i] is None else str(r[i]) for i in mask)
+                 for r in rs],
                 schema=", ".join(f"`{c}` string" for c in cols))
             s, v = sols.alias("__tv_s"), F.broadcast(lit.alias("__tv_v"))
             cond = None
@@ -1468,23 +1510,33 @@ def update(triples: DataFrame, text: str) -> DataFrame:
       distinct on the triple key restores the set invariant — the only
       full-graph shuffle in the grammar, and exactly the compaction
       shuffle an append+merge-on-read lake pays instead.
+
+    Column contract (rdflib preserves term identity; the lake twin):
+    every non-key column — the literal-shape triple
+    (``obj_is_iri``/``obj_lang``/``obj_datatype``) and any provenance
+    columns — passes through UNTOUCHED on surviving rows.  When the
+    frame carries literal-shape columns they join into every set
+    operation's key (a literal ``"x"`` never deletes/dedups against an
+    IRI ``<x>``), ground ``DATA`` rows land with their parse-time
+    shape, and template-derived insertions get the template constant's
+    shape (variable-bound objects get the all-IRI default — the
+    lexical term model cannot recover a binding's shape).  Provenance
+    columns are NULL on inserted rows.
     """
     for col in _TRIPLE_KEY:
         if col not in triples.columns:
             raise SparqlError(f"update needs a triple frame with "
                               f"'{col}' (got {triples.columns})")
     quads = "graph" in triples.columns
-    df = triples.select(*_TRIPLE_KEY,
-                        *(("graph",) if quads else ()))
+    df = triples
     for op in parse_update(text):
         df = _apply_update(df, op, quads)
     return df
 
 
-# join-key sentinel for the default graph (NULL never equi-joins —
-# the null-key hazard; no IRI can contain a NUL byte, so the coalesce
-# is collision-free)
-_DEFAULT_G = "\x00default"
+# literal-shape columns: part of a term's identity when present, so
+# they join into every UPDATE set-operation key
+_SHAPE_COLS = ("obj_is_iri", "obj_lang", "obj_datatype")
 
 
 def _in_graph(gcol, target):
@@ -1500,21 +1552,31 @@ def _not_in_graph(gcol, target):
     return gcol.isNull() | (gcol != target)
 
 
+def _term_key(df: DataFrame, delta: DataFrame) -> list[str]:
+    """The set-operation key: the lexical triple, plus the graph term
+    and the literal-shape columns when both sides carry them."""
+    return [c for c in (*_TRIPLE_KEY, "graph", *_SHAPE_COLS)
+            if c in df.columns and c in delta.columns]
+
+
 def _quad_minus(df: DataFrame, delta: DataFrame,
                 broadcast_delta: bool = False) -> DataFrame:
-    """``df`` minus ``delta`` on the (subj, pred, obj, graph) key with
-    the default graph (NULL) matching itself — equi-join on a coalesced
-    sentinel so the plan stays a (broadcastable) hash join."""
+    """``df`` minus ``delta`` on the term key (lexical triple + graph
+    + literal shape where present), NULL cells matching themselves —
+    ``eqNullSafe`` equi-conditions keep the plan a (broadcastable)
+    hash join, no sentinel columns needed."""
     from pyspark.sql import functions as F
 
-    key = [*_TRIPLE_KEY, "_gk"]
-    gk = F.coalesce(F.col("graph"), F.lit(_DEFAULT_G)).alias("_gk")
-    right = delta.select(*_TRIPLE_KEY, gk)
+    key = _term_key(df, delta)
+    left = df.alias("_upd_l")
+    # no dropDuplicates on the right: anti-join semantics are immune to
+    # right-side duplicates, and the dedup would cost a shuffle
+    right = delta.select(*key).alias("_upd_r")
     if broadcast_delta:
         right = F.broadcast(right)
-    return (df.select("*", gk)
-            .join(right, key, "left_anti")
-            .drop("_gk"))
+    cond = [F.col(f"_upd_l.{c}").eqNullSafe(F.col(f"_upd_r.{c}"))
+            for c in key]
+    return left.join(right, cond, "left_anti")
 
 
 def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
@@ -1551,9 +1613,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
             # dst ∪= src: both sides of the anti-join are single
             # graphs, so the join input is two pruned slices, not the
             # whole store
-            fresh = moved.join(
-                df.filter(_in_graph(gcol, dst)).select(*_TRIPLE_KEY),
-                _TRIPLE_KEY, "left_anti")
+            fresh = _quad_minus(moved, df.filter(_in_graph(gcol, dst)))
             return df.unionByName(fresh)
         base = df.filter(_not_in_graph(gcol, dst))
         if kind == "move":
@@ -1561,24 +1621,29 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         return base.unionByName(moved)
 
     if op["op"] in ("insert_data", "delete_data"):
-        rows = sorted(set(op["quads"]),
-                      key=lambda r: tuple(x or "" for x in r))
-        if not quads:
-            if any(r[3] is not None for r in rows):
-                raise SparqlError("GRAPH blocks in DATA need a quad "
-                                  "frame (no 'graph' column)")
-            delta = df.sparkSession.createDataFrame(
-                [r[:3] for r in rows],
-                schema="subj string, pred string, obj string")
-            kept = df.join(F.broadcast(delta), _TRIPLE_KEY,
-                           "left_anti")
-            return (kept.unionByName(delta)
-                    if op["op"] == "insert_data" else kept)
-        delta = df.sparkSession.createDataFrame(
-            rows, schema="subj string, pred string, obj string, "
-                         "graph string")
+        shape = [c for c in _SHAPE_COLS if c in df.columns]
+        rows = sorted(
+            {(str(r[0]), str(r[1]), str(r[2]),
+              None if r[3] is None else str(r[3]),
+              _term_is_iri(r[2]))
+             for r in op["quads"]},
+            key=lambda r: tuple("" if x is None else str(x)
+                                for x in r))
+        if not quads and any(r[3] is not None for r in rows):
+            raise SparqlError("GRAPH blocks in DATA need a quad "
+                              "frame (no 'graph' column)")
+        data = [(s, p, o) + ((g,) if quads else ())
+                + ((is_iri, None, None) if shape else ())
+                for s, p, o, g, is_iri in rows]
+        schema = ("subj string, pred string, obj string"
+                  + (", graph string" if quads else "")
+                  + (", obj_is_iri boolean, obj_lang string, "
+                     "obj_datatype string" if shape else ""))
+        delta = (df.sparkSession.createDataFrame(data, schema=schema)
+                 .select(*_TRIPLE_KEY, *(("graph",) if quads else ()),
+                         *shape))
         kept = _quad_minus(df, delta, broadcast_delta=True)
-        return (kept.unionByName(delta)
+        return (kept.unionByName(delta, allowMissingColumns=True)
                 if op["op"] == "insert_data" else kept)
 
     # modify
@@ -1615,21 +1680,48 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     sols = G.bgp_match(t, g["patterns"],
                        optional=g["optionals"] or None,
                        filters=g["filters"] or None)
-    if op["delete"] and op["insert"]:
-        sols = sols.localCheckpoint(eager=False)
 
-    def derived(template):
-        out = G.construct_solutions(sols, template)
+    shape = [c for c in _SHAPE_COLS if c in df.columns]
+
+    def is_var(t) -> bool:
+        return str(t).startswith("?")
+
+    def derived(template, with_shape):
+        # template constants carry their parse-time shape; a
+        # variable-bound object gets the all-IRI default (the lexical
+        # term model loses a binding's shape — documented in update())
+        shapes = ([((True, None, None) if is_var(o)
+                    else (_term_is_iri(o), None, None))
+                   for _s, _p, o in template] if with_shape else None)
+        out = G.construct_solutions(sols, template, obj_shapes=shapes)
         if quads:
             out = out.withColumn("graph",
                                  F.lit(scope_graph).cast("string"))
         return out
 
+    # the delete templates with a CONSTANT object match shape-exactly
+    # (a literal "x" never deletes an IRI <x>); a variable object
+    # deletes every shape of the lexical triple it bound — so with
+    # shape columns present the two kinds instantiate separately
+    del_parts = []
+    if op["delete"] and shape:
+        const_t = [t for t in op["delete"] if not is_var(t[2])]
+        var_t = [t for t in op["delete"] if is_var(t[2])]
+        if const_t:
+            del_parts.append((const_t, True))
+        if var_t:
+            del_parts.append((var_t, False))
+    elif op["delete"]:
+        del_parts.append((op["delete"], False))
+    if len(del_parts) + (1 if op["insert"] else 0) > 1:
+        sols = sols.localCheckpoint(eager=False)
+
     out = df
-    if op["delete"]:
-        dels = derived(op["delete"])
-        out = (_quad_minus(out, dels) if quads
-               else out.join(dels, _TRIPLE_KEY, "left_anti"))
+    for template, with_shape in del_parts:
+        out = _quad_minus(out, derived(template, with_shape))
     if op["insert"]:
-        out = out.unionByName(derived(op["insert"])).dropDuplicates()
+        ins = derived(op["insert"], bool(shape))
+        key = _term_key(out, ins)
+        out = (out.unionByName(ins, allowMissingColumns=True)
+               .dropDuplicates(key))
     return out

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 _SKIP_RE = r"^\s*(#.*)?$"  # blank / comment lines
 
 _TERM_S = r"(<[^>]*>|_:[^\s]+)"
-_TERM_O = r"(.+?)"
+# object term: IRI | bnode | literal(@lang | ^^<dt>)? — the explicit
+# alternation (not a lazy wildcard) so junk objects ('o', '<o> junk')
+# fail the statement regex and surface in parse_errors, per the module
+# contract; the bnode branch is lazy so '_:b1.' gives the dot back
+_TERM_O = (r"(<[^>]*>|_:[^\s]+?|\"(?:[^\"\\]|\\.)*\""
+           r"(?:@[A-Za-z][A-Za-z0-9\-]*|\^\^<[^>]*>)?)")
 _GRAPH = r"(?:\s+(<[^>]*>|_:[^\s.]+))?"
 
 _NT_RE = rf"^\s*{_TERM_S}\s+<([^>]*)>\s+{_TERM_O}\s*\.\s*$"

@@ -12,7 +12,9 @@ log.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,15 +39,38 @@ def vocab_triples_from_turtle(spark: SparkSession, turtle_text: str,
 
 
 def cached_vocab(spark: SparkSession, cache_dir: str, vocab_iri: str,
-                 loader) -> DataFrame:
+                 loader, ttl_seconds: float | None = None,
+                 now: float | None = None) -> DataFrame:
     """Snapshot cache: ``loader(vocab_iri) -> DataFrame`` runs only on a
-    cache miss; afterwards the parquet snapshot serves every reader.
-    Refresh = delete the snapshot (or, on Iceberg, overwrite the
-    partition) and re-run."""
+    cache miss or an EXPIRED snapshot; afterwards the parquet snapshot
+    serves every reader.
+
+    ``ttl_seconds`` mirrors the reference's Expires-driven invalidation
+    (pyRdfa/rdfs/cache.py:226-300: a cached vocab carries an expiration
+    date checked on every access; past it the cache re-fetches): each
+    snapshot records ``expires`` in a sidecar manifest, and a read past
+    that instant re-runs the loader and overwrites the snapshot.
+    ``None`` = never expires (manual refresh: delete the snapshot, or
+    on Iceberg overwrite the partition).  ``now`` is injectable for
+    deterministic tests; it defaults to wall-clock time.
+    """
     key = hashlib.sha256(vocab_iri.encode()).hexdigest()[:24]
     path = os.path.join(cache_dir, f"vocab-{key}")
+    meta_path = path + ".meta.json"
+    t = time.time() if now is None else now
+
     if os.path.isdir(path):
-        return spark.read.parquet(path)
+        expires = None
+        if os.path.isfile(meta_path):
+            with open(meta_path) as fh:
+                expires = json.load(fh).get("expires")
+        if expires is None or t < expires:
+            return spark.read.parquet(path)
+
     df = loader(vocab_iri)
     df.write.mode("overwrite").parquet(path)
+    meta = {"vocab_iri": vocab_iri, "created": t,
+            "expires": None if ttl_seconds is None else t + ttl_seconds}
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
     return spark.read.parquet(path)

@@ -1,0 +1,165 @@
+"""Regression tests for the round-2 ADVICE findings.
+
+1. UPDATE preserves literal-shape + provenance columns (rdflib's
+   ``Graph.update`` preserves term identity; pyRdfa consumers update
+   graphs whose literals must survive, pyRdfa/__init__.py emits
+   Literal objects with lang/datatype).
+2. ``?s ?p ?o`` / ``!(p)`` never match a sibling property path's
+   materialized ``__path*`` virtual edges.
+3. VALUES rows that are all-UNDEF (or defined only on extension
+   variables) are union branches, not early returns.
+4. N-Triples object terms must match the term grammar — junk objects
+   land in ``parse_errors``, never in the parse.
+5. ``\\uXXXX`` escapes in SPARQL strings decode (malformed ones raise).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyrdfa3_spark.operators.sparql import (
+    SparqlError, _unquote, sparql, update,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+SHAPED = "subj string, pred string, obj string, obj_is_iri boolean, " \
+         "obj_lang string, obj_datatype string, src string"
+
+
+@pytest.fixture(scope="module")
+def shaped(spark):
+    rows = [
+        ("s1", "p:name", "Ada", False, "en", None, "doc1"),
+        ("s1", "p:age", "36", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer", "doc1"),
+        ("s1", "p:link", "x", True, None, None, "doc2"),
+        ("s1", "p:note", "x", False, None, None, "doc2"),
+    ]
+    return spark.createDataFrame(rows, SHAPED)
+
+
+def test_update_preserves_untouched_literal_shapes(shaped):
+    out = update(shaped, 'INSERT DATA { <s9> <p:new> <o9> }')
+    kept = {(r["subj"], r["pred"]): r for r in out.collect()}
+    ada = kept[("s1", "p:name")]
+    assert ada["obj_is_iri"] is False and ada["obj_lang"] == "en"
+    age = kept[("s1", "p:age")]
+    assert age["obj_datatype"].endswith("integer")
+    assert kept[("s1", "p:link")]["src"] == "doc2"  # provenance intact
+    ins = kept[("s9", "p:new")]
+    assert ins["obj_is_iri"] is True and ins["src"] is None
+
+
+def test_insert_data_literal_lands_as_literal(shaped):
+    out = update(shaped, 'INSERT DATA { <s9> <p:new> "lit" }')
+    row = out.filter("subj = 's9'").collect()[0]
+    assert row["obj_is_iri"] is False
+    assert row["obj_lang"] is None and row["obj_datatype"] is None
+
+
+def test_delete_data_is_shape_exact(shaped):
+    # "x" exists twice: an IRI (p:link) and a literal (p:note);
+    # DELETE DATA with the literal form must delete only the literal
+    out = update(shaped, 'DELETE DATA { <s1> <p:note> "x" }')
+    assert out.filter("pred = 'p:note'").count() == 0
+    assert out.filter("pred = 'p:link'").count() == 1
+    # and the IRI form must not delete a literal
+    out2 = update(shaped, "DELETE DATA { <s1> <p:note> <x> }")
+    assert out2.filter("pred = 'p:note'").count() == 1
+
+
+def test_modify_insert_template_shape(shaped):
+    out = update(shaped, """
+        DELETE { ?s <p:name> ?n }
+        INSERT { ?s <p:reviewed> "pending" . ?s <p:seen> <yes> }
+        WHERE { ?s <p:name> ?n }""")
+    rows = {r["pred"]: r for r in out.collect()}
+    assert "p:name" not in rows
+    assert rows["p:reviewed"]["obj_is_iri"] is False
+    assert rows["p:seen"]["obj_is_iri"] is True
+    # untouched literal rows keep their shape through the modify
+    assert rows["p:age"]["obj_datatype"].endswith("integer")
+
+
+def test_delete_where_variable_object_deletes_all_shapes(shaped):
+    out = update(shaped, "DELETE WHERE { <s1> <p:note> ?o }")
+    assert out.filter("pred = 'p:note'").count() == 0
+    assert out.filter("pred = 'p:link'").count() == 1
+
+
+def test_bare_frames_keep_prior_update_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "q", "c")], ["subj", "pred", "obj"])
+    out = update(df, 'DELETE DATA { <a> <p> <b> } ; '
+                     'INSERT DATA { <a> <r> "z" }')
+    assert _rows(out) == [("a", "q", "c"), ("a", "r", "z")]
+    assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_variable_predicate_ignores_path_virtual_edges(spark):
+    kg = spark.createDataFrame(
+        [("a", "p1", "b"), ("b", "p2", "c")], ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?p WHERE { ?s <p1>/<p2> ?o . ?s ?p ?y }""")
+    preds = {r["p"] for r in out.collect()}
+    assert preds == {"p1"}  # never the materialized __path edge a->c
+
+
+def test_negated_set_ignores_path_virtual_edges(spark):
+    kg = spark.createDataFrame(
+        [("a", "p1", "b"), ("b", "p2", "c"), ("a", "p3", "c")],
+        ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?s ?o WHERE { ?s <p1>/<p2> ?z . ?s !(<p1>|<p2>) ?o }""")
+    assert _rows(out) == [("a", "c")]
+
+
+def test_values_undef_row_is_a_union_branch(spark):
+    kg = spark.createDataFrame(
+        [("a", "p:name", "A"), ("b", "p:name", "B")],
+        ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?x ?new WHERE {
+          ?x <p:name> ?n .
+          VALUES (?x ?new) { (UNDEF "u") ("a" "c") }
+        }""")
+    assert _rows(out) == [("a", "c"), ("a", "u"), ("b", "u")]
+
+
+def test_values_all_undef_keeps_solutions(spark):
+    kg = spark.createDataFrame(
+        [("a", "p:name", "A")], ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?x WHERE { ?x <p:name> ?n .
+                          VALUES ?x { UNDEF "a" } }""")
+    assert _rows(out) == [("a",), ("a",)]  # one branch each, bag union
+
+
+def test_ntriples_rejects_junk_objects(spark):
+    from pyrdfa3_spark.sources.ntriples import (
+        parse_errors, parse_ntriples,
+    )
+    lines = spark.createDataFrame(
+        [("<s> <p> o .",), ("<s> <p> <o> junk .",),
+         ("<s> <p> <o> .",), ('<s> <p> "lit"@en .',),
+         ("<s> <p> _:b1 .",)], ["line"])
+    good = parse_ntriples(lines)
+    assert good.count() == 3
+    assert {r["obj"] for r in good.collect()} == {"o", "lit", "_:b1"}
+    bad = parse_errors(lines)
+    assert sorted(r["line"] for r in bad.collect()) == [
+        "<s> <p> <o> junk .", "<s> <p> o ."]
+
+
+def test_unquote_numeric_escapes():
+    assert _unquote('"\\u0041BC"') == "ABC"
+    assert _unquote('"\\U0001F600"') == "\U0001F600"
+    assert _unquote('"a\\nb"') == "a\nb"
+    with pytest.raises(SparqlError):
+        _unquote('"\\uZZ11"')
+    with pytest.raises(SparqlError):
+        _unquote('"\\U123"')

@@ -890,15 +890,36 @@ def test_duplicate_spans_matches_python(spark):
             h = hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
             occ[h].append((did, i + 1))
     expected = {
-        h: (len(ps), len({d for d, _ in ps}),
-            min(d * 1_000_000_000 + p for d, p in ps))
+        h: (len(ps), len({d for d, _ in ps}), *min(ps))
         for h, ps in occ.items() if len(ps) >= 2
     }
     docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
-    got = {r["span_hash"]: (r["n_occurrences"], r["n_docs"], r["keep_key"])
+    got = {r["span_hash"]: (r["n_occurrences"], r["n_docs"],
+                            r["keep_doc"], r["keep_pos"])
            for r in duplicate_spans(docs, window=3).collect()}
     assert got == expected
     assert expected  # the fixture genuinely exercises duplicates
+
+
+def test_duplicate_spans_keeper_survives_huge_doc_ids(spark):
+    """doc ids past 2^33 — where the old packed ``doc_id*10^9 + pos``
+    key overflowed int64 and silently elected the wrong keeper — must
+    still pick the lexicographically-minimal (doc_id, pos)."""
+    from pyrdfa3_spark.operators.dedup import duplicate_spans
+
+    big = 1 << 62  # doc_id * 10^9 would overflow int64 by ~5*10^8 x
+    docs = spark.createDataFrame(
+        [(big + 7, "alpha beta gamma delta"),
+         (big + 3, "zzz alpha beta gamma"),
+         (5, "prefix alpha beta gamma")],
+        "doc_id long, text string")
+    rows = duplicate_spans(docs, window=3).collect()
+    keep = {r["span_hash"]: (r["keep_doc"], r["keep_pos"], r["n_docs"])
+            for r in rows}
+    # 'alpha beta gamma' appears in all three docs; the keeper is the
+    # smallest doc_id (5) at its 1-based offset 2
+    assert (5, 2, 3) in keep.values()
+    assert all(d >= 0 for d, _p, _n in keep.values())  # no wraparound
 
 
 def test_semantic_dedup_drop_list(spark):
