@@ -22,8 +22,10 @@ TRIPLE_KEY = ["subj", "pred", "obj", "obj_is_iri", "obj_lang",
 
 # reserved predicate namespace for materialized property-path edges
 # (the SPARQL front-end unions them into its working frame); variable
-# predicates and negated property sets never match them
-_VIRTUAL_PRED = "__path"
+# predicates and negated property sets never match them.  NUL-prefixed
+# because no IRI/CURIE/literal can contain \x00 — a user predicate can
+# never collide with (and be silently hidden by) the reserved space
+_VIRTUAL_PRED = "\x00path"
 
 
 def dedup_triples(triples: DataFrame, per_document: bool = True) -> DataFrame:
@@ -868,25 +870,31 @@ def bgp_values(triples: DataFrame,
     out = None
     for mask, grp in by_mask.items():
         if not mask and not extra:
-            # a row binding nothing at all keeps every solution as-is
+            # rows binding nothing at all keep every solution — one
+            # union branch PER ROW (bag semantics: VALUES joins as a
+            # multiset, so k all-UNDEF rows multiply solutions by k)
             joined = sols
+            for _ in grp[1:]:
+                joined = joined.unionByName(sols)
         else:
             vals = spark.createDataFrame(
                 [tuple(str(c) if c is not None else None for c in r)
                  for r in grp],
                 ", ".join(f"`{v}` string" for v in var_names))
-            vals = F.broadcast(
-                vals.select(*mask, *extra).dropDuplicates())
             if mask:
-                joined = sols.join(vals, list(mask), "inner")
+                joined = sols.join(
+                    F.broadcast(vals.select(*mask, *extra)
+                                .dropDuplicates()),
+                    list(mask), "inner")
             else:
-                # a row whose defined cells are all UNDEF or all on
-                # extension variables constrains nothing: it is ONE
+                # rows whose defined cells are all UNDEF or all on
+                # extension variables constrain nothing: each is a
                 # union branch keeping every solution, extended with
                 # that row's extra bindings (NULL when those are UNDEF
-                # too) — not an early return that would discard the
-                # other rows' constraints
-                joined = sols.crossJoin(vals)
+                # too) — no dropDuplicates: duplicate rows keep their
+                # bag multiplicity, like the all-UNDEF branch above
+                joined = sols.crossJoin(
+                    F.broadcast(vals.select(*extra)))
         out = joined if out is None else out.unionByName(
             joined, allowMissingColumns=True)
     return out

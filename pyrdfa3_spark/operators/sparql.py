@@ -688,16 +688,19 @@ def _require_simple(group: dict, where: str, filters_ok: bool = True):
 
 
 def _unquote(tok: str) -> str:
+    """Decode SPARQL string escapes in one left-to-right pass, so an
+    escaped backslash correctly consumes its backslash (``"C:\\\\user"``
+    is a literal backslash + 'user', not a malformed ``\\u`` escape);
+    a genuinely malformed ``\\u``/``\\U`` raises instead of misparsing
+    (the front-end's raise-not-misparse guarantee)."""
     body = tok[1:-1]
-    bad = re.search(r"\\u(?![0-9A-Fa-f]{4})|\\U(?![0-9A-Fa-f]{8})",
-                    body)
-    if bad:
-        raise SparqlError(f"malformed \\u escape in string {tok!r}")
 
     def sub(m):
         e = m.group(1)
-        if e[0] in "uU":  # \uXXXX / \UXXXXXXXX numeric escapes
+        if e[0] in "uU" and len(e) > 1:  # \uXXXX / \UXXXXXXXX
             return chr(int(e[1:], 16))
+        if e in ("u", "U"):  # bare \u not followed by enough hex
+            raise SparqlError(f"malformed \\{e} escape in string {tok!r}")
         return {"n": "\n", "t": "\t", "r": "\r",
                 "b": "\b", "f": "\f"}.get(e, e)
 
@@ -883,7 +886,9 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
         if kind == "pred":
             return path[1]
         counter[0] += 1
-        name = f"__path{counter[0]}"
+        # NUL-prefixed: no IRI, CURIE or literal can contain \x00, so
+        # the reserved namespace can never shadow a real predicate
+        name = f"\x00path{counter[0]}"
         if kind in ("seq", "alt", "neg"):
             ops = [p if isinstance(p, str) else materialize(p)
                    for p in path[1]]
@@ -1632,9 +1637,13 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         if not quads and any(r[3] is not None for r in rows):
             raise SparqlError("GRAPH blocks in DATA need a quad "
                               "frame (no 'graph' column)")
-        data = [(s, p, o) + ((g,) if quads else ())
-                + ((is_iri, None, None) if shape else ())
-                for s, p, o, g, is_iri in rows]
+        data = sorted(
+            # re-dedup AFTER the projection: without shape columns an
+            # IRI <x> and a literal "x" collapse onto one lexical row
+            {(s, p, o) + ((g,) if quads else ())
+             + ((is_iri, None, None) if shape else ())
+             for s, p, o, g, is_iri in rows},
+            key=lambda r: tuple("" if x is None else str(x) for x in r))
         schema = ("subj string, pred string, obj string"
                   + (", graph string" if quads else "")
                   + (", obj_is_iri boolean, obj_lang string, "
@@ -1642,9 +1651,28 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         delta = (df.sparkSession.createDataFrame(data, schema=schema)
                  .select(*_TRIPLE_KEY, *(("graph",) if quads else ()),
                          *shape))
-        kept = _quad_minus(df, delta, broadcast_delta=True)
-        return (kept.unionByName(delta, allowMissingColumns=True)
-                if op["op"] == "insert_data" else kept)
+        if op["op"] == "delete_data":
+            return _quad_minus(df, delta, broadcast_delta=True)
+        # INSERT DATA: re-adding an existing triple is a NO-OP (rdflib
+        # set semantics) — existing rows pass through UNTOUCHED (their
+        # provenance survives; the old delete-then-append replaced them
+        # with NULL-provenance delta rows).  Zero corpus shuffle: the
+        # matched keys are found with a map-side broadcast semi-join
+        # (bounded by |delta| rows), then broadcast back to anti-join
+        # the tiny delta itself.
+        key = _term_key(df, delta)
+        matched = (df.alias("_ins_l")
+                   .join(F.broadcast(delta.select(*key).alias("_ins_r")),
+                         [F.col(f"_ins_l.{c}").eqNullSafe(
+                             F.col(f"_ins_r.{c}")) for c in key],
+                         "left_semi")
+                   .select(*key))
+        fresh = delta.alias("_ins_d").join(
+            F.broadcast(matched.alias("_ins_m")),
+            [F.col(f"_ins_d.{c}").eqNullSafe(F.col(f"_ins_m.{c}"))
+             for c in key],
+            "left_anti")
+        return df.unionByName(fresh, allowMissingColumns=True)
 
     # modify
     g = op["where"]
@@ -1720,8 +1748,13 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     for template, with_shape in del_parts:
         out = _quad_minus(out, derived(template, with_shape))
     if op["insert"]:
+        # set semantics via fresh-only insert: rows already present
+        # pass through UNTOUCHED (provenance survives — the old
+        # union+dropDuplicates picked an ARBITRARY winner between the
+        # existing row and the NULL-provenance derived twin).  Same
+        # cost class: one join keyed on the term key instead of the
+        # full-store distinct — still the grammar's one corpus shuffle.
         ins = derived(op["insert"], bool(shape))
-        key = _term_key(out, ins)
-        out = (out.unionByName(ins, allowMissingColumns=True)
-               .dropDuplicates(key))
+        out = out.unionByName(_quad_minus(ins, out),
+                              allowMissingColumns=True)
     return out

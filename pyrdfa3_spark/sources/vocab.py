@@ -60,12 +60,18 @@ def cached_vocab(spark: SparkSession, cache_dir: str, vocab_iri: str,
     t = time.time() if now is None else now
 
     if os.path.isdir(path):
-        expires = None
         if os.path.isfile(meta_path):
             with open(meta_path) as fh:
                 expires = json.load(fh).get("expires")
-        if expires is None or t < expires:
+            if expires is None or t < expires:
+                return spark.read.parquet(path)
+        elif ttl_seconds is None:
+            # legacy snapshot (no manifest) + caller wants no expiry
             return spark.read.parquet(path)
+        # manifest missing but a TTL was requested: the snapshot's age
+        # is UNKNOWN (pre-TTL snapshot, or a crash between the parquet
+        # write and the manifest write) — treat as expired rather than
+        # silently serving stale vocab forever
 
     df = loader(vocab_iri)
     df.write.mode("overwrite").parquet(path)

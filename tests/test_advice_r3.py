@@ -163,3 +163,89 @@ def test_unquote_numeric_escapes():
         _unquote('"\\uZZ11"')
     with pytest.raises(SparqlError):
         _unquote('"\\U123"')
+
+
+# ---------------------------------------------------------------- #
+# round-3 self-review findings
+# ---------------------------------------------------------------- #
+
+def test_unquote_escaped_backslash_before_u():
+    # \\ consumes its backslash: "C:\\user" is backslash + 'user',
+    # NOT a malformed \u escape
+    assert _unquote(r'"C:\\user"') == "C:\\user"
+    assert _unquote(r'"a\\U end"') == "a\\U end"
+
+
+def test_insert_existing_triple_is_noop_preserving_provenance(shaped):
+    out = update(shaped, "INSERT DATA { <s1> <p:link> <x> }")
+    rows = out.filter("pred = 'p:link'").collect()
+    assert len(rows) == 1
+    assert rows[0]["src"] == "doc2"  # untouched, not a NULL-src twin
+
+
+def test_insert_data_shape_distinct_on_bare_frame(spark):
+    # without shape columns an IRI <x> and a literal "x" collapse onto
+    # one lexical row — exactly one inserted row, set invariant intact
+    df = spark.createDataFrame([("a", "q", "c")], ["subj", "pred", "obj"])
+    out = update(df, 'INSERT DATA { <a> <p> "x" . <a> <p> <x> }')
+    assert out.filter("pred = 'p'").count() == 1
+    # and re-inserting an existing triple is a no-op
+    out2 = update(df, "INSERT DATA { <a> <q> <c> }")
+    assert out2.count() == 1
+
+
+def test_modify_insert_existing_row_keeps_provenance(shaped):
+    # INSERT ... WHERE deriving an already-present triple must keep the
+    # existing row (deterministically), not race a NULL-provenance twin
+    out = update(shaped, """
+        INSERT { <s1> <p:link> <x> } WHERE { <s1> <p:name> ?n }""")
+    rows = out.filter("pred = 'p:link'").collect()
+    assert len(rows) == 1 and rows[0]["src"] == "doc2"
+
+
+def test_user_predicate_in_reserved_lookalike_namespace(spark):
+    # a real predicate named '__pathway' must stay visible to variable
+    # predicates and negated sets (the reserved namespace is \x00path,
+    # which no IRI can collide with)
+    kg = spark.createDataFrame(
+        [("a", "__pathway", "b"), ("a", "p1", "c"), ("c", "p2", "d")],
+        ["subj", "pred", "obj"])
+    out = sparql(kg, "SELECT ?p WHERE { ?s <p1>/<p2> ?o . ?s ?p ?x }")
+    assert {r["p"] for r in out.collect()} == {"__pathway", "p1"}
+
+
+def test_values_all_undef_bag_multiplicity(spark):
+    kg = spark.createDataFrame(
+        [("a", "p:name", "A")], ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?x WHERE { ?x <p:name> ?n .
+                          VALUES ?x { UNDEF UNDEF } }""")
+    assert _rows(out) == [("a",), ("a",)]  # one branch per UNDEF row
+
+
+def test_cached_vocab_missing_manifest_with_ttl_refreshes(spark, tmp_path):
+    import os
+
+    from pyrdfa3_spark.sources.vocab import cached_vocab
+
+    calls = []
+
+    def loader(iri):
+        calls.append(iri)
+        return spark.createDataFrame(
+            [(iri, "p", str(len(calls)))], ["subj", "pred", "obj"])
+
+    d = str(tmp_path)
+    v = "http://example.org/v#"
+    cached_vocab(spark, d, v, loader, ttl_seconds=100, now=1000.0)
+    # simulate a pre-TTL snapshot / crash between write and manifest
+    meta = [p for p in os.listdir(d) if p.endswith(".meta.json")]
+    assert len(meta) == 1
+    os.remove(os.path.join(d, meta[0]))
+    # unknown age + TTL requested -> treated as expired, loader re-runs
+    df = cached_vocab(spark, d, v, loader, ttl_seconds=100, now=1001.0)
+    assert len(calls) == 2 and df.collect()[0]["obj"] == "2"
+    # but with no TTL a legacy manifest-less snapshot serves forever
+    os.remove(os.path.join(d, meta[0]))
+    cached_vocab(spark, d, v, loader, now=10**9)
+    assert len(calls) == 2
