@@ -22,10 +22,18 @@ protection; the referenced element's ``lang`` is its own attribute (or
 the item's, when absent) — full ancestor-chain lang inheritance for
 out-of-tree references is a documented simplification.
 
-Not implemented (documented contract): the md-registry fallback
-vocabulary for untyped items — properties of an item with no vocabulary
-and a non-absolute name are skipped, as are relative ``itemtype``
-tokens.
+Vocabulary selection follows the W3C microdata-to-RDF registry model:
+the first itemtype token is matched against ``MD_REGISTRY`` (longest
+prefix wins — the public registry's entries, extensible by callers)
+and falls back to the up-to-last-``#``/``/`` heuristic for
+non-registry types.  The *current vocabulary* is inherited by nested
+items that carry no ``itemtype`` of their own (spec evaluation
+context), so untyped sub-items inside schema.org markup still get
+schema.org property URIs.
+
+Not implemented (documented contract): top-level untyped items with no
+inherited vocabulary — their non-absolute property names are skipped,
+as are relative ``itemtype`` tokens.
 """
 
 from __future__ import annotations
@@ -43,10 +51,26 @@ _URL_ATTRS = {
 }
 _VALUE_ATTRS = {"meta": "content", "data": "value", "meter": "value"}
 
+# W3C microdata-to-RDF registry (the public md registry's vocabulary
+# prefixes): a type matching one of these prefixes uses the prefix as
+# its property vocabulary regardless of the type URI's own shape.
+# Callers may extend via extract_microdata(registry=...).
+MD_REGISTRY: tuple[str, ...] = (
+    "http://schema.org/",
+    "https://schema.org/",
+    "http://microformats.org/profile/hcard",
+    "http://microformats.org/profile/hcalendar#",
+)
 
-def _vocab_of(itemtype: str) -> str | None:
-    """Property vocabulary from the first itemtype token: everything up
-    to and including the last '#' or '/'."""
+
+def _vocab_of(itemtype: str,
+              registry: tuple[str, ...] = MD_REGISTRY) -> str | None:
+    """Property vocabulary from the first itemtype token: the longest
+    matching registry prefix when there is one, else everything up to
+    and including the last '#' or '/'."""
+    hits = [p for p in registry if itemtype.startswith(p)]
+    if hits:
+        return max(hits, key=len)
     if "#" in itemtype:
         return itemtype[:itemtype.rindex("#") + 1]
     if "/" in itemtype.partition("://")[2]:
@@ -66,8 +90,10 @@ def _text_content(node) -> str:
 
 
 class _MicrodataWalker:
-    def __init__(self, base: str):
+    def __init__(self, base: str,
+                 registry: tuple[str, ...] = MD_REGISTRY):
         self.base = base
+        self.registry = registry
         self.counter = 0
         self.triples: list = []
         self._ids: dict = {}
@@ -100,18 +126,20 @@ class _MicrodataWalker:
         for c in node.element_children():
             self._find_items(c, lang)
 
-    def _item(self, node, lang) -> str:
-        """Emit an item's triples; return its subject."""
+    def _item(self, node, lang, vocab_in: str | None = None) -> str:
+        """Emit an item's triples; return its subject.  ``vocab_in`` is
+        the enclosing item's current vocabulary — inherited when this
+        item carries no itemtype of its own (spec evaluation context)."""
         itemid = node.attrs.get("itemid")
         subj = urljoin(self.base, itemid.strip()) if itemid \
             else self._bnode()
-        vocab = None
+        vocab = vocab_in
         types = (node.attrs.get("itemtype") or "").split()
         for i, t in enumerate(types):
             if _is_absolute(t):
                 self.triples.append((subj, RDF_TYPE, t))
                 if i == 0:
-                    vocab = _vocab_of(t)
+                    vocab = _vocab_of(t, self.registry)
         item_lang = self._lang(node, lang)
         for c in node.element_children():
             self._properties(c, subj, vocab, item_lang)
@@ -133,7 +161,7 @@ class _MicrodataWalker:
         props = (node.attrs.get("itemprop") or "").split()
         if props:
             if "itemscope" in node.attrs:
-                value = self._item(node, lang)
+                value = self._item(node, lang, vocab_in=vocab)
                 is_item = True
             else:
                 value = self._value(node, lang)
@@ -168,8 +196,11 @@ class _MicrodataWalker:
         return Literal(_text_content(node), lang, None)
 
 
-def extract_microdata(root, base: str) -> list:
+def extract_microdata(root, base: str,
+                      registry: tuple[str, ...] = MD_REGISTRY) -> list:
     """DOM -> [(subj, pred, obj)] where obj is an IRI/bnode string or a
     :class:`Literal`; bnode labels are ``_:mdN`` (disjoint from the RDFa
-    engine's labels so one document can run both extractors)."""
-    return _MicrodataWalker(base).run(root)
+    engine's labels so one document can run both extractors).
+    ``registry``: vocabulary-prefix registry consulted for itemtype ->
+    property-vocabulary mapping (defaults to the public md registry)."""
+    return _MicrodataWalker(base, registry).run(root)

@@ -145,3 +145,48 @@ def test_itemref_nested_item_in_reference():
     assert len(addr) == 1 and addr[0].startswith("_:md")
     assert (addr[0], S + "addressLocality",
             Literal("Graz", None, None)) in out
+
+
+def test_untyped_nested_item_inherits_current_vocabulary():
+    # spec evaluation context: a nested item with no itemtype of its
+    # own inherits the enclosing item's current vocabulary, so its
+    # non-absolute property names still resolve
+    doc = ('<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#p">'
+           '<div itemprop="address" itemscope itemid="#a">'
+           '<span itemprop="streetAddress">Main St 1</span>'
+           '</div></div>')
+    out = set(_md(doc))
+    assert ("http://ex.org/doc#a", S + "streetAddress",
+            Literal("Main St 1", None, None)) in out
+    assert ("http://ex.org/doc#p", S + "address",
+            "http://ex.org/doc#a") in out
+
+
+def test_registry_prefix_wins_over_heuristic():
+    # https variant of schema.org is a registry entry; hcalendar's
+    # fragment-style prefix would mislead the up-to-last-# heuristic
+    # if the registry did not match first
+    doc = ('<div itemscope itemtype="https://schema.org/Person" '
+           'itemid="#p"><span itemprop="name">A</span></div>')
+    assert ("http://ex.org/doc#p", "https://schema.org/name",
+            Literal("A", None, None)) in set(_md(doc))
+
+    doc2 = ('<div itemscope itemid="#e" itemtype='
+            '"http://microformats.org/profile/hcalendar#vevent">'
+            '<span itemprop="dtstart">2020</span></div>')
+    assert ("http://ex.org/doc#e",
+            "http://microformats.org/profile/hcalendar#dtstart",
+            Literal("2020", None, None)) in set(_md(doc2))
+
+
+def test_stray_untyped_item_still_skips_relative_props():
+    # a TOP-LEVEL untyped item has no vocabulary to inherit: relative
+    # names skip (documented contract), absolute ones still emit
+    doc = ('<div itemscope itemid="#x">'
+           '<span itemprop="name">skipped</span>'
+           '<span itemprop="http://ex.org/p">kept</span></div>')
+    out = set(_md(doc))
+    assert ("http://ex.org/doc#x", "http://ex.org/p",
+            Literal("kept", None, None)) in out
+    assert not any(p.endswith("name") for _s, p, _o in out)
