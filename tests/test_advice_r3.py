@@ -249,3 +249,112 @@ def test_cached_vocab_missing_manifest_with_ttl_refreshes(spark, tmp_path):
     os.remove(os.path.join(d, meta[0]))
     cached_vocab(spark, d, v, loader, now=10**9)
     assert len(calls) == 2
+
+
+def test_shaped_update_matches_model_differential(spark):
+    """Differential property test for UPDATE over a SHAPED frame
+    (literal-shape + provenance columns): random ';'-sequences of
+    ground and template operations run both through update() and a
+    pure python model keyed on the full term key, with provenance as
+    the row value.  Catches shape-key regressions (a literal deleting
+    an IRI), no-op-insert regressions (provenance clobbered), and
+    pre-state template evaluation."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    subjects = [f"s{i}" for i in range(3)]
+    objects = ["o1", "o2"]
+
+    # base store: dict (s,p,o,graph,is_iri,lang,dt) -> src; lexical
+    # collisions on purpose: o1 exists as IRI, plain literal AND @en
+    base = {}
+    n = 0
+    for i, s in enumerate(subjects):
+        for o in objects:
+            for shape in ((True, None, None), (False, None, None),
+                          (False, "en", None))[:(i + 2)]:
+                g = (None, "urn:g1")[(i + len(o)) % 2]
+                base[(s, "p", o, g) + shape] = f"d{n}"
+                n += 1
+
+    def term(o, is_iri):
+        return f"<{o}>" if is_iri else f'"{o}"'
+
+    def model_apply(store, op):
+        kind = op[0]
+        if kind == "insert_data":
+            s, o, g, is_iri = op[1]
+            key = (s, "p", o, g, is_iri, None, None)
+            if key not in store:
+                store[key] = None  # fresh row: NULL provenance
+            return store  # existing row UNTOUCHED
+        if kind == "delete_data":
+            s, o, g, is_iri = op[1]
+            store.pop((s, "p", o, g, is_iri, None, None), None)
+            return store
+        # modify on the default graph: WHERE matches LEXICALLY (the
+        # term model), templates are shape-exact for constants
+        _kind, o, is_iri = op
+        sols = {k[0] for k in store if k[1] == "p" and k[2] == o
+                and k[3] is None}
+        for s in sols:
+            store.pop((s, "p", o, None, is_iri, None, None), None)
+        for s in sols:
+            key = (s, "q", o, None, is_iri, None, None)
+            if key not in store:
+                store[key] = None
+        return store
+
+    def render(op):
+        kind = op[0]
+        if kind in ("insert_data", "delete_data"):
+            s, o, g, is_iri = op[1]
+            stmt = f"<{s}> <p> {term(o, is_iri)}"
+            body = f"GRAPH <{g}> {{ {stmt} }}" if g else stmt
+            return f"{'INSERT' if kind == 'insert_data' else 'DELETE'}" \
+                   f" DATA {{ {body} }}"
+        _kind, o, is_iri = op
+        t = term(o, is_iri)
+        return (f"DELETE {{ ?s <p> {t} }} INSERT {{ ?s <q> {t} }} "
+                f"WHERE {{ ?s <p> {t} }}")
+
+    ground_st = st.tuples(st.sampled_from(subjects),
+                          st.sampled_from(objects),
+                          st.sampled_from([None, "urn:g1"]),
+                          st.booleans())
+    op_st = st.one_of(
+        st.tuples(st.just("insert_data"), ground_st),
+        st.tuples(st.just("delete_data"), ground_st),
+        st.tuples(st.just("modify"), st.sampled_from(objects),
+                  st.booleans()),
+    )
+
+    df = spark.createDataFrame(
+        [k + (v,) for k, v in sorted(
+            base.items(), key=lambda kv: tuple(
+                "" if x is None else str(x) for x in kv[0]))],
+        "subj string, pred string, obj string, graph string, "
+        "obj_is_iri boolean, obj_lang string, obj_datatype string, "
+        "src string")
+
+    @settings(max_examples=int(os.environ.get("SPARQL_EXAMPLES", "12")),
+              derandomize=os.environ.get("PARITY_RANDOM") is None,
+              deadline=None)
+    @given(ops=st.lists(op_st, min_size=1, max_size=3))
+    def run(ops):
+        text = " ;\n".join(render(op) for op in ops)
+        got = {(r["subj"], r["pred"], r["obj"], r["graph"],
+                r["obj_is_iri"], r["obj_lang"], r["obj_datatype"]):
+               r["src"] for r in update(df, text).collect()}
+        want = dict(base)
+        for op in ops:
+            want = model_apply(want, op)
+        assert got == want, (text,
+                             {k: (got.get(k), want.get(k))
+                              for k in set(got) ^ set(want)
+                              | {k for k in got
+                                 if got.get(k) != want.get(k)}})
+
+    run()
