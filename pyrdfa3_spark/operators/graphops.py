@@ -464,9 +464,9 @@ def _match(frame, positions, patterns, optional, filters):
             if term.startswith("?"):
                 var = term[1:]
                 # a variable PREDICATE ranges over the graph's real
-                # predicates only — never the reserved __path* virtual
-                # edges a sibling property-path pattern materialized
-                # into the shared working frame
+                # predicates only — never the reserved \x00path*
+                # virtual edges a sibling property-path pattern
+                # materialized into the shared working frame
                 if pos == "pred":
                     df = df.filter(
                         ~F.col("pred").startswith(_VIRTUAL_PRED))
@@ -882,9 +882,11 @@ def bgp_values(triples: DataFrame,
                  for r in grp],
                 ", ".join(f"`{v}` string" for v in var_names))
             if mask:
+                # no dropDuplicates: VALUES joins as a MULTISET
+                # (§18.5) — duplicate bound rows multiply solutions,
+                # same bag posture as the branches below
                 joined = sols.join(
-                    F.broadcast(vals.select(*mask, *extra)
-                                .dropDuplicates()),
+                    F.broadcast(vals.select(*mask, *extra)),
                     list(mask), "inner")
             else:
                 # rows whose defined cells are all UNDEF or all on

@@ -52,25 +52,29 @@ _URL_ATTRS = {
 _VALUE_ATTRS = {"meta": "content", "data": "value", "meter": "value"}
 
 # W3C microdata-to-RDF registry (the public md registry's vocabulary
-# prefixes): a type matching one of these prefixes uses the prefix as
-# its property vocabulary regardless of the type URI's own shape.
+# prefixes): a type matching a key uses the mapped VOCABULARY URI for
+# property-name concatenation — distinct from the matched prefix when
+# the registry's property scheme inserts a separator (hcard's property
+# URIs are ...profile/hcard#name while the type itself has no '#').
 # Callers may extend via extract_microdata(registry=...).
-MD_REGISTRY: tuple[str, ...] = (
-    "http://schema.org/",
-    "https://schema.org/",
-    "http://microformats.org/profile/hcard",
-    "http://microformats.org/profile/hcalendar#",
-)
+MD_REGISTRY: dict[str, str] = {
+    "http://schema.org/": "http://schema.org/",
+    "https://schema.org/": "https://schema.org/",
+    "http://microformats.org/profile/hcard":
+        "http://microformats.org/profile/hcard#",
+    "http://microformats.org/profile/hcalendar#":
+        "http://microformats.org/profile/hcalendar#",
+}
 
 
 def _vocab_of(itemtype: str,
-              registry: tuple[str, ...] = MD_REGISTRY) -> str | None:
+              registry: dict[str, str] = MD_REGISTRY) -> str | None:
     """Property vocabulary from the first itemtype token: the longest
-    matching registry prefix when there is one, else everything up to
-    and including the last '#' or '/'."""
+    matching registry prefix's vocabulary when there is one, else
+    everything up to and including the last '#' or '/'."""
     hits = [p for p in registry if itemtype.startswith(p)]
     if hits:
-        return max(hits, key=len)
+        return registry[max(hits, key=len)]
     if "#" in itemtype:
         return itemtype[:itemtype.rindex("#") + 1]
     if "/" in itemtype.partition("://")[2]:
@@ -91,7 +95,7 @@ def _text_content(node) -> str:
 
 class _MicrodataWalker:
     def __init__(self, base: str,
-                 registry: tuple[str, ...] = MD_REGISTRY):
+                 registry: dict[str, str] = MD_REGISTRY):
         self.base = base
         self.registry = registry
         self.counter = 0
@@ -197,7 +201,7 @@ class _MicrodataWalker:
 
 
 def extract_microdata(root, base: str,
-                      registry: tuple[str, ...] = MD_REGISTRY) -> list:
+                      registry: dict[str, str] = MD_REGISTRY) -> list:
     """DOM -> [(subj, pred, obj)] where obj is an IRI/bnode string or a
     :class:`Literal`; bnode labels are ``_:mdN`` (disjoint from the RDFa
     engine's labels so one document can run both extractors).

@@ -698,7 +698,11 @@ def _unquote(tok: str) -> str:
     def sub(m):
         e = m.group(1)
         if e[0] in "uU" and len(e) > 1:  # \uXXXX / \UXXXXXXXX
-            return chr(int(e[1:], 16))
+            cp = int(e[1:], 16)
+            if cp > 0x10FFFF:
+                raise SparqlError(
+                    f"\\U escape beyond U+10FFFF in string {tok!r}")
+            return chr(cp)
         if e in ("u", "U"):  # bare \u not followed by enough hex
             raise SparqlError(f"malformed \\{e} escape in string {tok!r}")
         return {"n": "\n", "t": "\t", "r": "\r",
@@ -1157,9 +1161,9 @@ def _join_values(sols: DataFrame, names: list[str],
     semantics — an UNBOUND (NULL) solution cell agrees with any row
     value and the merge ADOPTS the row's binding; UNDEF row cells
     constrain nothing; a solution compatible with several rows
-    multiplies (bag join — note the in-group ``bgp_values`` keeps its
-    established set posture instead, so the two forms differ exactly
-    there).  Rows group by their defined-mask; each group joins the
+    multiplies (bag join — the in-group ``bgp_values`` is a bag join
+    too, so duplicate VALUES rows multiply in both forms).  Rows
+    group by their defined-mask; each group joins the
     broadcast binding table on ``IS NULL OR =`` per defined column
     (tiny build side, so the nested-loop fallback is bounded).  Rows
     may not bind NEW variables here (use the in-group form)."""
@@ -1666,7 +1670,13 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
                          [F.col(f"_ins_l.{c}").eqNullSafe(
                              F.col(f"_ins_r.{c}")) for c in key],
                          "left_semi")
-                   .select(*key))
+                   # dedup BEFORE broadcasting: a store carrying
+                   # per-document provenance duplicates of one term key
+                   # would otherwise broadcast one row per document —
+                   # the distinct bounds the broadcast by |delta|, and
+                   # its exchange shuffles only the matched rows, never
+                   # the corpus (plan-guarded)
+                   .select(*key).dropDuplicates())
         fresh = delta.alias("_ins_d").join(
             F.broadcast(matched.alias("_ins_m")),
             [F.col(f"_ins_d.{c}").eqNullSafe(F.col(f"_ins_m.{c}"))

@@ -5,7 +5,8 @@
    graphs whose literals must survive, pyRdfa/__init__.py emits
    Literal objects with lang/datatype).
 2. ``?s ?p ?o`` / ``!(p)`` never match a sibling property path's
-   materialized ``__path*`` virtual edges.
+   materialized virtual edges (reserved ``\\x00path*`` namespace —
+   NUL-prefixed so no real predicate can collide).
 3. VALUES rows that are all-UNDEF (or defined only on extension
    variables) are union branches, not early returns.
 4. N-Triples object terms must match the term grammar — junk objects
@@ -358,3 +359,29 @@ def test_shaped_update_matches_model_differential(spark):
                                  if got.get(k) != want.get(k)}})
 
     run()
+
+
+def test_unquote_out_of_range_codepoint_raises():
+    with pytest.raises(SparqlError):
+        _unquote('"\\UFFFFFFFF"')  # > U+10FFFF: raise, not ValueError
+
+
+def test_values_duplicate_bound_rows_multiply(spark):
+    # §18.5: VALUES joins as a multiset — duplicate BOUND rows multiply
+    # solutions just like duplicate UNDEF rows
+    kg = spark.createDataFrame(
+        [("a", "p:name", "A")], ["subj", "pred", "obj"])
+    out = sparql(kg, """
+        SELECT ?x WHERE { ?x <p:name> ?n . VALUES ?x { "a" "a" } }""")
+    assert _rows(out) == [("a",), ("a",)]
+
+
+def test_insert_data_broadcast_bounded_by_delta(spark):
+    # a store with per-document provenance duplicates of one term key:
+    # re-inserting that triple stays a no-op for ALL duplicate rows
+    rows = [("s", "p", "o", f"doc{i}") for i in range(50)] + \
+           [("s", "q", "x", "doc0")]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "src"])
+    out = update(df, "INSERT DATA { <s> <p> <o> . <s> <new> <n> }")
+    assert out.filter("pred = 'p'").count() == 50  # all rows untouched
+    assert out.filter("pred = 'new'").collect()[0]["src"] is None

@@ -190,3 +190,14 @@ def test_stray_untyped_item_still_skips_relative_props():
     assert ("http://ex.org/doc#x", "http://ex.org/p",
             Literal("kept", None, None)) in out
     assert not any(p.endswith("name") for _s, p, _o in out)
+
+
+def test_hcard_registry_vocab_inserts_separator():
+    # the hcard TYPE has no '#', but its property URIs do — the
+    # registry maps the type prefix to the '#'-terminated vocabulary
+    doc = ('<div itemscope itemid="#c" '
+           'itemtype="http://microformats.org/profile/hcard">'
+           '<span itemprop="fn">Ada</span></div>')
+    assert ("http://ex.org/doc#c",
+            "http://microformats.org/profile/hcard#fn",
+            Literal("Ada", None, None)) in set(_md(doc))
