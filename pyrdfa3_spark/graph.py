@@ -136,7 +136,8 @@ class SparkGraph:
         row = self.df.sparkSession.createDataFrame(
             [(s, p, o)], "subj string, pred string, obj string")
         return SparkGraph(
-            self.df.unionByName(row, allowMissingColumns=True))
+            self.df.unionByName(row, allowMissingColumns=True),
+            self._ns)
 
     def remove(self, pattern) -> "SparkGraph":
         """rdflib ``remove`` with ``None`` wildcards — an anti-filter,
@@ -147,8 +148,8 @@ class SparkGraph:
                 c = F.col(col) != term
                 keep = c if keep is None else keep & c
         if keep is None:      # remove((None,None,None)) clears all
-            return SparkGraph(self.df.filter(F.lit(False)))
-        return SparkGraph(self.df.filter(keep))
+            return SparkGraph(self.df.filter(F.lit(False)), self._ns)
+        return SparkGraph(self.df.filter(keep), self._ns)
 
     def parse(self, source=None, format: str = "nt", data: str = None,
               context: dict | None = None) -> "SparkGraph":
@@ -213,7 +214,7 @@ class SparkGraph:
         else:
             raise ValueError(f"unknown parse format {format!r}")
         return SparkGraph(self.df.unionByName(
-            parsed, allowMissingColumns=True))
+            parsed, allowMissingColumns=True), self._ns)
 
     # -- namespace management -----------------------------------------
 
@@ -234,15 +235,18 @@ class SparkGraph:
     # -- set arithmetic (rdflib operator overloads) ------------------
 
     def __add__(self, other: "SparkGraph") -> "SparkGraph":
-        return SparkGraph(G.union_graphs(self.df, other.df))
+        return SparkGraph(G.union_graphs(self.df, other.df),
+                          {**other._ns, **self._ns})
 
     def __sub__(self, other: "SparkGraph") -> "SparkGraph":
-        return SparkGraph(G.subtract_graph(self.df, other.df))
+        return SparkGraph(G.subtract_graph(self.df, other.df),
+                          self._ns)
 
     def __mul__(self, other: "SparkGraph") -> "SparkGraph":
         """Intersection — a null-safe semi-join on the triple key
         (broadcastable, like subtraction)."""
-        return SparkGraph(G.intersect_graphs(self.df, other.df))
+        return SparkGraph(G.intersect_graphs(self.df, other.df),
+                          {**other._ns, **self._ns})
 
     def items(self, head: str, max_length: int = 100) -> DataFrame:
         """rdflib ``Graph.items`` twin: the members of the rdf:List
@@ -326,11 +330,11 @@ class SparkGraph:
 
     def skolemize(self, base: str = "http://transcript.local",
                   ) -> "SparkGraph":
-        return SparkGraph(G.skolemize(self.df, base))
+        return SparkGraph(G.skolemize(self.df, base), self._ns)
 
     def de_skolemize(self, base: str = "http://transcript.local",
                      ) -> "SparkGraph":
-        return SparkGraph(G.deskolemize(self.df, base))
+        return SparkGraph(G.deskolemize(self.df, base), self._ns)
 
     # -- query verbs -------------------------------------------------
 
@@ -359,17 +363,19 @@ class SparkGraph:
         SparkGraph, the lake's copy-on-write table version."""
         from pyrdfa3_spark.operators.sparql import update as _update
 
-        return SparkGraph(_update(self.df, text))
+        return SparkGraph(_update(self.df, text), self._ns)
 
     def ask(self, patterns, filters=None) -> bool:
         return G.ask(self.df, patterns,
                      filters=filters).collect()[0]["result"]
 
     def construct(self, patterns, template, **kw) -> "SparkGraph":
-        return SparkGraph(G.construct(self.df, patterns, template, **kw))
+        return SparkGraph(G.construct(self.df, patterns, template,
+                                      **kw), self._ns)
 
     def describe(self, nodes, max_hops: int = 10) -> "SparkGraph":
-        return SparkGraph(G.describe(self.df, nodes, max_hops=max_hops))
+        return SparkGraph(G.describe(self.df, nodes,
+                                     max_hops=max_hops), self._ns)
 
     # -- serialization ----------------------------------------------
 
@@ -387,7 +393,15 @@ class SparkGraph:
         if fmt == "nquads":
             return S.to_nquads(df)
         if fmt in ("turtle", "ttl"):
-            return S.to_turtle(df, prefixes=self._ns or None)
+            # rdflib's serialize returns a full document, @prefix
+            # directives included — without them the pname-compressed
+            # blocks are not parseable turtle, so prepend the header
+            # block (same union write_turtle uses: the 1-row local
+            # header partition collects ahead of the body partitions).
+            body = S.to_turtle(df, prefixes=self._ns or None)
+            header = df.sparkSession.createDataFrame(
+                [(S.turtle_header(self._ns or None),)], ["block"])
+            return header.unionByName(body)
         if fmt == "jsonld":
             return S.to_jsonld(df, context=self._ns or None)
         if fmt in ("xml", "rdfxml", "prettyxml"):
@@ -396,11 +410,16 @@ class SparkGraph:
 
     def _with_literal_shape(self) -> DataFrame:
         """Serializers need the literal-shape columns; graphs built
-        from bare (s, p, o) rows get the all-IRI default rdflib would
-        infer for URIRef-only triples."""
+        from bare (s, p, o) rows infer them lexically: an object with
+        an IRI scheme (or a bnode label) is a term, anything else is a
+        plain literal — the all-IRI default would emit invalid
+        relative IRIs like ``<alpha>`` for plain strings."""
         df = self.df
         if "obj_is_iri" not in df.columns:
-            df = df.withColumn("obj_is_iri", F.lit(True))
+            df = df.withColumn(
+                "obj_is_iri",
+                F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+                | F.col("obj").startswith("_:"))
         for c in ("obj_lang", "obj_datatype"):
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))

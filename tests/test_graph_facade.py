@@ -67,8 +67,11 @@ def test_query_verbs_and_serialize(g):
                           template=[("?y", "p:knownBy", "?x")])
     assert ("b", "p:knownBy", "a") in derived
 
+    # bare-frame graphs get lexical literal-shape inference: "b" has
+    # no IRI scheme, so it serializes as a plain literal, never as an
+    # (invalid) relative IRI <b>
     lines = {r["line"] for r in g.serialize("nt").collect()}
-    assert "<a> <p:knows> <b> ." in lines
+    assert '<a> <p:knows> "b" .' in lines
     with pytest.raises(ValueError):
         g.serialize("csv")
 
@@ -144,9 +147,11 @@ def test_bind_namespaces_feed_turtle(spark):
     g = g0.bind("ex", "urn:x:")
     assert g.namespaces() == [("ex", "urn:x:")]
     assert g0.namespaces() == []  # bind is functional
-    # the binding actually reaches the serializers
-    block = g.serialize("turtle").collect()[0]["block"]
-    assert "ex:s" in block and "ex:p" in block
+    # the binding actually reaches the serializers; row 0 is the
+    # @prefix header (rdflib emits a full document, not bare blocks)
+    blocks = [r["block"] for r in g.serialize("turtle").collect()]
+    assert "@prefix ex: <urn:x:>" in blocks[0]
+    assert "ex:s" in blocks[1] and "ex:p" in blocks[1]
     line = g.serialize("json-ld").collect()[0]["jsonld"]
     assert '"ex:p"' in line
     # empty inline data parses to zero triples, rdflib-style
@@ -220,3 +225,36 @@ def test_transitive_objects_subjects(spark):
     assert sorted(r["node"] for r in
                   g.transitive_subjects("up", "c").collect()) \
         == ["a", "b", "c"]
+
+
+def test_namespaces_survive_functional_ops(spark):
+    """rdflib keeps bound prefixes across mutations; the functional
+    facade must carry them through every graph-returning method, or a
+    bind -> update -> serialize(turtle) flow silently loses its
+    prefix compression."""
+    from pyrdfa3_spark.graph import SparkGraph
+
+    g = (SparkGraph.empty(spark)
+         .add(("http://s.example/a", "http://p.example/n", "x"))
+         .bind("p", "http://p.example/"))
+    flows = {
+        "add": g.add(("http://s.example/b", "http://p.example/n", "y")),
+        "remove": g.remove((None, None, "never")),
+        "update": g.update('INSERT DATA { <s2> <p2> "v" }'),
+        "skolemize": g.skolemize(),
+        "union": g + SparkGraph.empty(spark),
+        "minus": g - SparkGraph.empty(spark),
+    }
+    for name, out in flows.items():
+        assert dict(out.namespaces())["p"] == "http://p.example/", name
+    # ...and the surviving binding reaches the serialized document:
+    # header present, pnames compressed, plain strings stay literals
+    ttl = "\n".join(r["block"] for r in
+                    flows["update"].serialize("turtle").collect())
+    assert "@prefix p: <http://p.example/>" in ttl
+    assert "p:n" in ttl and '"x"' in ttl and "<x>" not in ttl
+    # binary ops merge both sides' bindings
+    h = SparkGraph.empty(spark).bind("q", "http://q.example/")
+    both = dict((g + h).namespaces())
+    assert both["p"] == "http://p.example/"
+    assert both["q"] == "http://q.example/"
