@@ -395,10 +395,57 @@ def rdfa_semantic_expansion(triples: DataFrame,
     return miniowl_expand(data, vocab_graph)
 
 
+# Hidden literal-shape companion columns: a variable listed in
+# ``shape_vars`` binds with three extra columns carrying the term's
+# shape so SPARQL's term-model builtins (LANG / DATATYPE / ISIRI /
+# ISLITERAL / ...) compile to plain column expressions.  The prefix is
+# reserved: SPARQL variable names can't start with "__shape_" here
+# (the front-end validates names), so companions never shadow a
+# binding.  Companions ride along unreferenced until final projection
+# drops them — Catalyst prunes the unread ones out of the scan.
+_SHAPE_PREFIX = "__shape_"
+
+
+def _shape_names(var: str) -> tuple[str, str, str]:
+    return (f"{_SHAPE_PREFIX}{var}_iri", f"{_SHAPE_PREFIX}{var}_lang",
+            f"{_SHAPE_PREFIX}{var}_dt")
+
+
+def _lexical_is_iri(col):
+    """Best-effort shape for frames without shape columns: a term with
+    an IRI scheme or a bnode label is a term, anything else a plain
+    literal (same inference the serializer facade uses)."""
+    return col.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") | col.startswith("_:")
+
+
+def ensure_shape_companions(df: DataFrame, shape_vars) -> DataFrame:
+    """Add lexically-inferred companions for any tracked variable that
+    is bound but shapeless (VALUES-introduced bindings, frames built
+    outside the matcher)."""
+    for v in shape_vars or ():
+        iri, lang, dt = _shape_names(v)
+        if v in df.columns and iri not in df.columns:
+            df = (df.withColumn(iri, _lexical_is_iri(F.col(v)))
+                  .withColumn(lang, F.lit(None).cast("string"))
+                  .withColumn(dt, F.lit(None).cast("string")))
+    return df
+
+
+def _drop_dup_companions(right: DataFrame, left_cols) -> DataFrame:
+    """Before joining two solution frames, drop the right side's
+    companion columns that the left already carries (the left frame's
+    shape wins — part of the documented string-equality join
+    simplification)."""
+    dup = [c for c in right.columns
+           if c.startswith(_SHAPE_PREFIX) and c in left_cols]
+    return right.drop(*dup) if dup else right
+
+
 def bgp_match(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
-              filters: list[str] | None = None) -> DataFrame:
+              filters: list[str] | None = None,
+              shape_vars=None) -> DataFrame:
     """Basic-graph-pattern matching — the SPARQL SELECT core the
     reference's consumers run over its emitted graphs (pyrdfa3 hands an
     rdflib Graph to SPARQL; this is the lake-side equivalent over the
@@ -428,13 +475,14 @@ def bgp_match(triples: DataFrame,
     cartesian product and raises instead.
     """
     return _match(triples, ("subj", "pred", "obj"), patterns,
-                  optional, filters)
+                  optional, filters, shape_vars)
 
 
 def bgp_match_quads(quads: DataFrame,
                     patterns: list[tuple[str, str, str, str]],
                     optional: list[tuple[str, str, str, str]] | None = None,
-                    filters: list[str] | None = None) -> DataFrame:
+                    filters: list[str] | None = None,
+                    shape_vars=None) -> DataFrame:
     """SPARQL GRAPH-clause matching over a quad store: each pattern is
     an (s, p, o, g) 4-tuple whose fourth term scopes the triple pattern
     to a named graph — constant (``GRAPH <g> {...}``) or variable
@@ -448,10 +496,31 @@ def bgp_match_quads(quads: DataFrame,
     written partitioned by graph), a variable joins like any other.
     """
     return _match(quads, ("subj", "pred", "obj", "graph"), patterns,
-                  optional, filters)
+                  optional, filters, shape_vars)
 
 
-def _match(frame, positions, patterns, optional, filters):
+def _match(frame, positions, patterns, optional, filters,
+           shape_vars=None):
+    shape = frozenset(shape_vars or ())
+    shaped = "obj_is_iri" in frame.columns
+
+    def companions(pos: str, var: str) -> list:
+        """The three shape columns for a tracked variable, by binding
+        position: the object carries the store's shape (or the lexical
+        inference on a shapeless frame); subject / predicate / graph
+        terms are IRIs-or-bnodes by the data model."""
+        iri, lang, dt = _shape_names(var)
+        null = F.lit(None).cast("string")
+        if pos == "obj":
+            if shaped:
+                return [F.col("obj_is_iri").alias(iri),
+                        F.col("obj_lang").alias(lang),
+                        F.col("obj_datatype").alias(dt)]
+            return [_lexical_is_iri(F.col("obj")).alias(iri),
+                    null.alias(lang), null.alias(dt)]
+        return [F.lit(True).alias(iri), null.alias(lang),
+                null.alias(dt)]
+
     def compile_one(pat):
         if len(pat) != len(positions):
             raise ValueError(
@@ -475,6 +544,8 @@ def _match(frame, positions, patterns, optional, filters):
                 else:
                     seen[var] = pos
                     cols.append(F.col(pos).alias(var))
+                    if var in shape:
+                        cols.extend(companions(pos, var))
             else:
                 df = df.filter(F.col(pos) == term)
         if not cols:
@@ -493,7 +564,8 @@ def _match(frame, positions, patterns, optional, filters):
                 f"{sorted(bound)} — a cartesian product at corpus scale; "
                 "split the query instead")
         vs, df = rest.pop(idx)
-        out = out.join(df, sorted(vs & bound), "inner")
+        out = out.join(_drop_dup_companions(df, out.columns),
+                       sorted(vs & bound), "inner")
         bound |= vs
     for grp in optional or []:
         if isinstance(grp, tuple):
@@ -510,7 +582,7 @@ def _match(frame, positions, patterns, optional, filters):
         # condition) — and left-joins onto the solutions as one frame
         try:
             sub = _match(frame, positions, grp["patterns"], None,
-                         grp.get("filters"))
+                         grp.get("filters"), shape)
         except AnalysisException as exc:
             # an unresolved column means the filter references a
             # variable bound only OUTSIDE the group — the left-join-
@@ -519,12 +591,14 @@ def _match(frame, positions, patterns, optional, filters):
                 "OPTIONAL FILTER may reference only the group's own "
                 "variables (outer-domain join conditions are outside "
                 f"the subset): {exc}") from exc
-        vs = set(sub.columns)
+        vs = {c for c in sub.columns
+              if not c.startswith(_SHAPE_PREFIX)}
         if not vs & bound:
             raise ValueError(
                 f"optional group {grp['patterns']} shares no variable "
                 f"with {sorted(bound)}")
-        out = out.join(sub, sorted(vs & bound), "left")
+        out = out.join(_drop_dup_companions(sub, out.columns),
+                       sorted(vs & bound), "left")
         bound |= vs
     for expr in filters or []:
         out = out.filter(F.expr(expr))
@@ -532,7 +606,8 @@ def _match(frame, positions, patterns, optional, filters):
 
 
 def bgp_union(triples: DataFrame,
-              branches: list[dict]) -> DataFrame:
+              branches: list[dict],
+              shape_vars=None) -> DataFrame:
     """SPARQL UNION: each branch is a kwargs dict for :func:`bgp_match`
     (``patterns`` required; ``optional`` / ``filters`` as needed).
     Branch solutions concatenate; variables bound in only some branches
@@ -545,7 +620,8 @@ def bgp_union(triples: DataFrame,
     """
     if not branches:
         raise ValueError("bgp_union needs at least one branch")
-    outs = [bgp_match(triples, **b) for b in branches]
+    outs = [bgp_match(triples, shape_vars=shape_vars, **b)
+            for b in branches]
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o, allowMissingColumns=True)
@@ -631,7 +707,8 @@ def construct(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               template: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
-              filters: list[str] | None = None) -> DataFrame:
+              filters: list[str] | None = None,
+              shape_vars=None) -> DataFrame:
     """SPARQL CONSTRUCT — rule-based triple derivation, the KG-
     construction primitive: match ``patterns``, instantiate every
     ``template`` (s, p, o) per solution (``?var`` positions substitute
@@ -648,7 +725,7 @@ def construct(triples: DataFrame,
     (set semantics, same as every other graph op here).
     """
     sols = bgp_match(triples, patterns, optional=optional,
-                     filters=filters)
+                     filters=filters, shape_vars=shape_vars)
     return construct_solutions(sols, template)
 
 
@@ -723,6 +800,16 @@ def path_closure(triples: DataFrame, pred: str,
                          F.col("dst").alias("obj"))
 
 
+def _obj_shape_cols(df: DataFrame) -> list[str]:
+    """The literal-shape columns present on a frame.  The single-hop
+    path forms (alt / negated / seq's last hop / inverse) keep them so
+    term-shape builtins still see a path-bound object's shape; the
+    closure forms don't (a multi-hop endpoint's shape is unknown by
+    construction and reads as NULL)."""
+    return [c for c in ("obj_is_iri", "obj_lang", "obj_datatype")
+            if c in df.columns]
+
+
 def path_seq(triples: DataFrame, preds: list[str],
              out_pred: str) -> DataFrame:
     """SPARQL sequence path ``p1/p2/.../pn`` as a virtual predicate:
@@ -732,16 +819,20 @@ def path_seq(triples: DataFrame, preds: list[str],
     """
     if not preds:
         raise ValueError("path_seq needs at least one predicate")
-    hops = [triples.filter(F.col("pred") == p)
-            .select(F.col("subj").alias(f"_n{i}"),
-                    F.col("obj").alias(f"_n{i + 1}"))
-            for i, p in enumerate(preds)]
+    sh = _obj_shape_cols(triples)
+    hops = []
+    for i, p in enumerate(preds):
+        cols = [F.col("subj").alias(f"_n{i}"),
+                F.col("obj").alias(f"_n{i + 1}")]
+        if i == len(preds) - 1:  # the endpoint keeps its shape
+            cols += [F.col(c) for c in sh]
+        hops.append(triples.filter(F.col("pred") == p).select(*cols))
     out = hops[0]
     for i, h in enumerate(hops[1:], start=1):
         out = out.join(h, f"_n{i}")
     return (out.select(F.col("_n0").alias("subj"),
                        F.lit(out_pred).alias("pred"),
-                       F.col(f"_n{len(preds)}").alias("obj"))
+                       F.col(f"_n{len(preds)}").alias("obj"), *sh)
             .dropDuplicates())
 
 
@@ -752,18 +843,25 @@ def path_alt(triples: DataFrame, preds: list[str],
     if not preds:
         raise ValueError("path_alt needs at least one predicate")
     return (triples.filter(F.col("pred").isin(preds))
-            .select("subj", F.lit(out_pred).alias("pred"), "obj")
+            .select("subj", F.lit(out_pred).alias("pred"), "obj",
+                    *_obj_shape_cols(triples))
             .dropDuplicates())
 
 
 def path_inverse(triples: DataFrame, pred: str,
                  out_pred: str) -> DataFrame:
     """SPARQL inverse path ``^p`` — subject/object swap under the
-    virtual predicate (a projection; zero shuffle)."""
-    return (triples.filter(F.col("pred") == pred)
-            .select(F.col("obj").alias("subj"),
-                    F.lit(out_pred).alias("pred"),
-                    F.col("subj").alias("obj")))
+    virtual predicate (a projection; zero shuffle).  The new object is
+    the original SUBJECT, an IRI-or-bnode by the data model."""
+    out = (triples.filter(F.col("pred") == pred)
+           .select(F.col("obj").alias("subj"),
+                   F.lit(out_pred).alias("pred"),
+                   F.col("subj").alias("obj")))
+    if _obj_shape_cols(triples):
+        out = (out.withColumn("obj_is_iri", F.lit(True))
+               .withColumn("obj_lang", F.lit(None).cast("string"))
+               .withColumn("obj_datatype", F.lit(None).cast("string")))
+    return out
 
 
 def path_negated(triples: DataFrame, preds: list[str],
@@ -778,7 +876,8 @@ def path_negated(triples: DataFrame, preds: list[str],
                          "for the empty set)")
     return (triples.filter(~F.col("pred").isin(preds)
                            & ~F.col("pred").startswith(_VIRTUAL_PRED))
-            .select("subj", F.lit(out_pred).alias("pred"), "obj")
+            .select("subj", F.lit(out_pred).alias("pred"), "obj",
+                    *_obj_shape_cols(triples))
             .dropDuplicates())
 
 
@@ -828,7 +927,8 @@ def bgp_values(triples: DataFrame,
                var_names: list[str],
                rows: list[tuple],
                optional: list[tuple[str, str, str]] | None = None,
-               filters: list[str] | None = None) -> DataFrame:
+               filters: list[str] | None = None,
+               shape_vars=None) -> DataFrame:
     """SPARQL VALUES: constrain (and extend) BGP solutions with an
     inline binding table.  ``var_names`` are the VALUES variables (no
     ``?``), ``rows`` their bindings; ``None`` is UNDEF — that variable
@@ -847,7 +947,7 @@ def bgp_values(triples: DataFrame,
         if len(r) != len(var_names):
             raise ValueError(f"VALUES row {r} arity != {var_names}")
     sols = bgp_match(triples, patterns, optional=optional,
-                     filters=filters)
+                     filters=filters, shape_vars=shape_vars)
     shared = [v for v in var_names if v in sols.columns]
     if not shared:
         raise ValueError(
@@ -860,7 +960,7 @@ def bgp_values(triples: DataFrame,
         out = sols.limit(0)
         for v in extra:
             out = out.withColumn(v, F.lit(None).cast("string"))
-        return out
+        return ensure_shape_companions(out, shape_vars)
     by_mask: dict[tuple[str, ...], list[tuple]] = {}
     for r in rows:
         mask = tuple(v for v, cell in zip(var_names, r)
@@ -899,7 +999,8 @@ def bgp_values(triples: DataFrame,
                     F.broadcast(vals.select(*extra)))
         out = joined if out is None else out.unionByName(
             joined, allowMissingColumns=True)
-    return out
+    # VALUES-introduced bindings carry no store shape: infer lexically
+    return ensure_shape_companions(out, shape_vars)
 
 
 def select_solutions(sols: DataFrame,

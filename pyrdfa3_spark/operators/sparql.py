@@ -68,7 +68,16 @@ STRLEN / LCASE / UCASE / STR / BOUND / ABS / CEIL / FLOOR / ROUND /
 STRBEFORE / STRAFTER / SUBSTR / REPLACE / CONCAT / COALESCE / IF /
 YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS / MD5 / SHA1 / SHA256 /
 ENCODE_FOR_URI (variadics arity-checked; STRBEFORE/STRAFTER return ''
-on a missing needle per spec).
+on a missing needle per spec).  Term-shape builtins LANG /
+LANGMATCHES / DATATYPE / ISIRI / ISURI / ISLITERAL / ISBLANK /
+ISNUMERIC are supported over plain variable arguments: the matcher
+binds each such variable with hidden ``__shape_*`` companion columns
+(the store's ``obj_is_iri``/``obj_lang``/``obj_datatype`` for object
+bindings, IRI-or-bnode constants for term positions, lexical
+inference on a shapeless frame) and the builtin compiles to a column
+expression over them; variables bound only behind a subquery
+projection or a property-path object have no (or unknown) shape and
+the builtin returns NULL — row filtered, never misclassified.
 
 Scale note: parsing is driver-side string work on a query of bytes;
 every execution decision (join order, broadcast, path closure) is the
@@ -84,6 +93,53 @@ from pyspark.sql import DataFrame
 from pyrdfa3_spark.operators import graphops as G
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_LANGSTRING = ("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                   "langString")
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_NUMERIC_XSD = ("integer", "decimal", "float", "double", "long", "int",
+                "short", "byte", "nonPositiveInteger",
+                "negativeInteger", "nonNegativeInteger",
+                "positiveInteger", "unsignedLong", "unsignedInt",
+                "unsignedShort", "unsignedByte")
+
+# term-model builtins that read a binding's literal SHAPE (language
+# tag / datatype / term kind), not just its lexical form.  Each takes
+# a single plain variable; the matcher binds that variable with three
+# hidden companion columns (__shape_<v>_iri/_lang/_dt — the store's
+# obj_is_iri/obj_lang/obj_datatype for object bindings, the
+# IRI-or-bnode constant for term positions, lexical inference on a
+# shapeless frame) and these templates compile to plain column
+# expressions over them.  NULL-in-NULL-out everywhere reproduces
+# SPARQL's type-error-on-unbound FILTER semantics.
+_SHAPE_FNS = frozenset({"LANG", "DATATYPE", "ISIRI", "ISURI",
+                        "ISLITERAL", "ISNUMERIC", "ISBLANK"})
+
+
+def _shape_fn_sql(fn: str, var: str) -> str:
+    iri = f"__shape_{var}_iri"
+    lang = f"__shape_{var}_lang"
+    dt = f"__shape_{var}_dt"
+    if fn == "LANG":
+        # LANG of an IRI/bnode is a type error (NULL); a literal with
+        # no tag returns "" per spec
+        return (f"(CASE WHEN {var} IS NULL OR {iri} THEN NULL "
+                f"ELSE coalesce({lang}, '') END)")
+    if fn == "DATATYPE":
+        return (f"(CASE WHEN {var} IS NULL OR {iri} THEN NULL "
+                f"WHEN {lang} IS NOT NULL THEN '{_RDF_LANGSTRING}' "
+                f"ELSE coalesce({dt}, '{_XSD}string') END)")
+    if fn in ("ISIRI", "ISURI"):
+        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+                f"ELSE {iri} AND NOT startswith({var}, '_:') END)")
+    if fn == "ISBLANK":
+        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+                f"ELSE {iri} AND startswith({var}, '_:') END)")
+    if fn == "ISLITERAL":
+        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+                f"ELSE NOT {iri} END)")
+    dts = ", ".join(f"'{_XSD}{n}'" for n in _NUMERIC_XSD)
+    return (f"(CASE WHEN {var} IS NULL THEN NULL "         # ISNUMERIC
+            f"ELSE NOT {iri} AND coalesce({dt}, '') IN ({dts}) END)")
 
 
 class SparqlError(ValueError):
@@ -180,6 +236,10 @@ class _Parser:
         self.prefixes: dict[str, str] = {}
         self.base: str = ""
         self._anon = 0  # fresh-variable counter for [..] bnode syntax
+        # variables a term-model builtin (LANG/DATATYPE/ISIRI/...)
+        # touches — the matcher binds these with hidden literal-shape
+        # companion columns the compiled expression reads
+        self.shape_vars: set[str] = set()
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -317,6 +377,10 @@ class _Parser:
             raise SparqlError(
                 "?_anon* variable names are reserved for [..] "
                 "blank-node existentials")
+        if v[1:].startswith("__shape_"):
+            raise SparqlError(
+                "?__shape_* variable names are reserved for the "
+                "term-shape companion columns")
         return v[1:]
 
     _AGG = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -382,14 +446,19 @@ class _Parser:
         "MD5": "md5({0})", "SHA1": "sha1({0})",
         "SHA256": "sha2({0}, 256)",
         "ENCODE_FOR_URI": "url_encode({0})",
-        # term-model builtins: terms are strings, so ISBLANK is the
-        # label convention (a LITERAL whose lexical form starts '_:'
-        # misclassifies — the solution frame has no shape column) and
         # SAMETERM is plain string equality — NULL-propagating, which
-        # reproduces SPARQL's type-error-on-unbound FILTER behavior;
-        # ISIRI/ISLITERAL stay unsupported rather than wrong
-        "ISBLANK": "(substring({0}, 1, 2) = '_:')",
+        # reproduces SPARQL's type-error-on-unbound FILTER behavior
+        # (the other term-model builtins — LANG / DATATYPE / ISIRI /
+        # ISBLANK / ... — compile against hidden shape-companion
+        # columns; see _shape_fn)
         "SAMETERM": "({0} = {1})",
+        # basic language-range matching (RFC 4647 §3.3.1): '*' matches
+        # any non-empty tag, otherwise exact or hyphen-prefix match,
+        # case-insensitively
+        "LANGMATCHES": ("(CASE WHEN {1} = '*' THEN {0} <> '' "
+                        "WHEN lower({0}) = lower({1}) THEN true "
+                        "ELSE startswith(lower({0}), "
+                        "concat(lower({1}), '-')) END)"),
     }
 
     # fn -> (sql name, min args, max args)
@@ -467,6 +536,10 @@ class _Parser:
                 raise SparqlError(
                     "?_anon* variable names are reserved for [..] "
                     "blank-node existentials")
+            if name.startswith("__shape_"):
+                raise SparqlError(
+                    "?__shape_* variable names are reserved for the "
+                    "term-shape companion columns")
             return name
         if k == "NUM":
             self.next()
@@ -494,6 +567,20 @@ class _Parser:
             if "i" in flags:
                 pat = "(?i)" + pat
             return f"({target} RLIKE {_sql_str(pat)})"
+        if k == "NAME" and v.upper() in _SHAPE_FNS:
+            fn = v.upper()
+            self.next()
+            self.eat("OP", "(")
+            if not self.at("VAR"):
+                raise SparqlUnsupported(
+                    f"{fn} over a non-variable expression (the shape "
+                    "companions attach to pattern bindings)")
+            name = self._expr_prim()  # validates the variable name
+            if self.take("OP", ","):
+                raise SparqlError(f"{fn} takes 1 argument(s), got 2+")
+            self.eat("OP", ")")
+            self.shape_vars.add(name)
+            return _shape_fn_sql(fn, name)
         if k == "NAME" and v.upper() in self._FUNCS:
             self.next()
             tmpl = self._FUNCS[v.upper()]
@@ -795,6 +882,7 @@ def parse(text: str) -> dict:
             "group instead)")
     if not p.at("EOF"):
         raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
+    q["shape_vars"] = frozenset(p.shape_vars)
     return q
 
 
@@ -875,6 +963,19 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
 # execution
 # ------------------------------------------------------------------ #
 
+def _attach_shape(g: dict | None, shape_vars) -> None:
+    """Hand the parse-time shape-variable set to every group dict so
+    the solver can ask the matcher for companion columns wherever the
+    variable might bind (union branches, subqueries)."""
+    if g is None or not shape_vars:
+        return
+    g["_shape"] = shape_vars
+    for branch in g["union"] or []:
+        _attach_shape(branch, shape_vars)
+    for sq in g["subqueries"]:
+        _attach_shape(sq["where"], shape_vars)
+
+
 def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
     """Rewrite non-plain path predicates to virtual predicates and
     union their materialized edges into the working frame (the same
@@ -883,7 +984,13 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
     operand becomes a virtual edge set in the working frame before
     the outer operator closes over it."""
     counter = [0]
-    work = [triples.select("subj", "pred", "obj")]
+    # literal-shape columns ride along when the store has them (the
+    # term-shape builtins read them); virtual path edges union in with
+    # NULL shape — a path-bound object's shape is unknown by design
+    keep = ["subj", "pred", "obj"] + [
+        c for c in ("obj_is_iri", "obj_lang", "obj_datatype")
+        if c in triples.columns]
+    work = [triples.select(*keep)]
 
     def materialize(path) -> str:
         kind = path[0]
@@ -913,7 +1020,8 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
                 edges = G.path_inverse(work[0], inner, name)
             else:  # pragma: no cover
                 raise SparqlUnsupported(f"path kind {kind}")
-        work[0] = work[0].unionByName(edges)
+        work[0] = work[0].unionByName(edges,
+                                      allowMissingColumns=True)
         return name
 
     def rewrite(patterns):
@@ -938,6 +1046,7 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
 def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
+    sv = g.get("_shape") or None
     if g["union"] is not None:
         if g["subqueries"] or g["graphs"]:
             raise SparqlUnsupported(
@@ -947,7 +1056,7 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             {"patterns": b["patterns"],
              "optional": b["optionals"] or None,
              "filters": b["filters"] or None}
-            for b in g["union"]])
+            for b in g["union"]], shape_vars=sv)
         for var, e in g["binds"]:
             sols = G.bind(sols, var, e)
         for e in g["filters"]:
@@ -958,21 +1067,51 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     if not g["patterns"] and not g["subqueries"] and not g["graphs"]:
         raise SparqlUnsupported("empty WHERE group")
     late = bool(g["subqueries"] or g["graphs"])
+    # FILTER scope is the whole group (§18.2.2: filters apply at the
+    # end of the group), so a filter mentioning a BIND-defined
+    # variable must run after the BINDs; the rest may inline into the
+    # match where Catalyst pushes them to the scan (conjunction —
+    # same solutions either way)
+    bind_targets = [v for v, _ in g["binds"]]
+    if g["values"] is not None:
+        # VALUES EXTENSION variables (bound by the row table, not the
+        # patterns) only exist after the VALUES join inside bgp_values
+        pat_vars = set()
+        for grp_pats in ([g["patterns"]]
+                         + [o["patterns"] for o in g["optionals"]]):
+            for s, p, o in grp_pats:
+                for term in (s, p if isinstance(p, str) else "", o):
+                    if term.startswith("?"):
+                        pat_vars.add(term[1:])
+        bind_targets += [n for n in g["values"][0]
+                         if n not in pat_vars]
+    pre_bind, post_bind = [], []
+    for e in g["filters"]:
+        if any(re.search(rf"\b{re.escape(v)}\b", e)
+               for v in bind_targets):
+            post_bind.append(e)
+        else:
+            pre_bind.append(e)
     # filters may reference subquery/GRAPH-bound variables, so with
     # those present they apply after the joins, not inside bgp_match
-    # (conjunction — same solutions either way)
-    inline_filters = None if late else (g["filters"] or None)
+    inline_filters = None if late else (pre_bind or None)
 
     def conjoin(sols, other, what):
         if sols is None:
             return other
-        shared = sorted(set(sols.columns) & set(other.columns))
+        # companion columns join along with their variable, never as
+        # keys of their own; the left frame's shape wins on overlap
+        shared = sorted(c for c in
+                        set(sols.columns) & set(other.columns)
+                        if not c.startswith("__shape_"))
         if not shared:
             # SPARQL says disjoint-domain join = cartesian product;
             # refuse rather than misplan it at lake scale
             raise SparqlUnsupported(
                 f"{what} shares no variables with its group")
-        return sols.join(other, shared, "inner")
+        dup = [c for c in other.columns
+               if c.startswith("__shape_") and c in sols.columns]
+        return sols.join(other.drop(*dup), shared, "inner")
 
     sols = None
     if g["patterns"]:
@@ -980,11 +1119,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             names, rows = g["values"]
             sols = G.bgp_values(t, g["patterns"], names, rows,
                                 optional=g["optionals"] or None,
-                                filters=inline_filters)
+                                filters=inline_filters,
+                                shape_vars=sv)
         else:
             sols = G.bgp_match(t, g["patterns"],
                                optional=g["optionals"] or None,
-                               filters=inline_filters)
+                               filters=inline_filters,
+                               shape_vars=sv)
     if g["graphs"]:
         qsrc = g.get("_quads", triples)
         if "graph" not in qsrc.columns:
@@ -994,14 +1135,18 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # graph term) are invisible inside it, per SPARQL dataset
         # semantics; with FROM/FROM NAMED clauses qsrc is the full
         # restricted dataset (triples is the FROM merge only)
-        named = (qsrc.select("subj", "pred", "obj", "graph")
+        named = (qsrc.select("subj", "pred", "obj", "graph", *[
+                     c for c in ("obj_is_iri", "obj_lang",
+                                 "obj_datatype") if c in qsrc.columns])
                  .filter(F.col("graph").isNotNull()))
-        sols = conjoin(sols, G.bgp_match_quads(named, g["graphs"]),
+        sols = conjoin(sols,
+                       G.bgp_match_quads(named, g["graphs"],
+                                         shape_vars=sv),
                        "GRAPH group")
     for sub in (_solve_select(triples, sq) for sq in g["subqueries"]):
         sols = conjoin(sols, sub, "subquery")
     if late:
-        for e in g["filters"]:
+        for e in pre_bind:
             sols = sols.filter(F.expr(e))
     for negate, patterns in g["exists"]:
         grp = G.bgp_match(t, patterns)
@@ -1025,6 +1170,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                          "left_anti")
     for var, e in g["binds"]:
         sols = G.bind(sols, var, e)
+    for e in post_bind:
+        sols = sols.filter(F.expr(e))
     return sols
 
 
@@ -1094,6 +1241,7 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     q = parse(text)
+    _attach_shape(q.get("where"), q.get("shape_vars"))
     if q.get("from") or q.get("from_named"):
         full = _apply_dataset(triples, q)
         # strict dataset semantics: the solver's working frame is the
@@ -1149,7 +1297,8 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
             template.append((s, p, o))
         return G.construct(t, g["patterns"], template,
                            optional=g["optionals"] or None,
-                           filters=g["filters"] or None)
+                           filters=g["filters"] or None,
+                           shape_vars=q.get("shape_vars") or None)
 
     return _solve_select(triples, q)
 
@@ -1255,9 +1404,11 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             sols = G.bind(sols, alias, e)
         if q["star"]:
             # SPARQL: bnodes are not named variables — the [..]
-            # existential columns never project
+            # existential columns and the hidden term-shape
+            # companions never project
             project = [c for c in sols.columns
-                       if not c.startswith("_anon")]
+                       if not c.startswith("_anon")
+                       and not c.startswith("__shape_")]
             if not project:
                 raise SparqlError(
                     "SELECT * with no projectable variables (only "
@@ -1490,6 +1641,8 @@ def parse_update(text: str) -> list[dict]:
             break  # trailing ';' is valid
     if not p.at("EOF"):
         raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
+    for op in ops:
+        _attach_shape(op.get("where"), frozenset(p.shape_vars))
     return ops
 
 
@@ -1698,15 +1851,19 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # (default graph when neither) — the scope filter prunes the scan
     # before any join; templates always target the WITH/default graph
     using = op.get("using") or []
+    # literal-shape columns stay visible to the WHERE match (the
+    # term-shape builtins read them); the triple key for the RDF-merge
+    # dedup is shape-exact, same as the graphops TRIPLE_KEY
+    keep = _TRIPLE_KEY + [c for c in _SHAPE_COLS if c in df.columns]
     if using:
         need_quads("USING")
         scope = (df.filter(F.col("graph").isin(using))
-                 .select(*_TRIPLE_KEY))
+                 .select(*keep))
         if len(using) > 1:
             scope = scope.dropDuplicates()  # RDF merge = set union
     else:
         scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
-                 .select(*_TRIPLE_KEY) if quads else df)
+                 .select(*keep) if quads else df)
     t = _expand_paths(scope, [g])
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
@@ -1717,7 +1874,8 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # the pattern join (lazy: materializes at first use).
     sols = G.bgp_match(t, g["patterns"],
                        optional=g["optionals"] or None,
-                       filters=g["filters"] or None)
+                       filters=g["filters"] or None,
+                       shape_vars=g.get("_shape") or None)
 
     shape = [c for c in _SHAPE_COLS if c in df.columns]
 

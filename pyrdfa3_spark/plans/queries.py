@@ -1775,6 +1775,57 @@ def q_sparql_values_trailing(spark, sf_dir):
     """)
 
 
+def q_sparql_term_shape(spark, sf_dir):
+    """Term-model builtins (SPARQL §17.4.1/2): LANG / LANGMATCHES /
+    DATATYPE / ISIRI / ISLITERAL / ISBLANK / ISNUMERIC over the
+    every-term-shape nation graph.  The matcher binds each touched
+    variable with hidden ``__shape_*`` companion columns carrying the
+    store's literal shape (``obj_is_iri``/``obj_lang``/
+    ``obj_datatype``), so the builtins compile to plain column
+    expressions — no UDF, no second scan.  Filter exercises the 3VL
+    OR path (bnode rows pass via ISIRI(?o), literal rows via the
+    langmatches-or-not-blank arms)."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_nation_graph(spark, sf_dir), """
+        SELECT ?s ?o (LANG(?o) AS ?lang) (DATATYPE(?o) AS ?dt)
+               (ISIRI(?o) AS ?o_iri) (ISLITERAL(?o) AS ?o_lit)
+               (ISBLANK(?s) AS ?s_blank) (ISNUMERIC(?o) AS ?o_num)
+        WHERE { ?s ?p ?o
+                FILTER(!ISBLANK(?s) || LANGMATCHES(LANG(?o), "*")
+                       || ISIRI(?o)) }
+        ORDER BY ?s ?o
+    """)
+
+
+# _nation_graph closed form: t1 = en-tagged name literals (datatype
+# rdf:langString per spec), t2 = xsd:integer keys (plain LANG = ''),
+# t3 = bnode-subject IRI objects (LANG/DATATYPE = type error = NULL)
+SQL_SPARQL_TERM_SHAPE = """
+WITH g AS (
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS s,
+         n_name || ' says "hi"' || chr(10) AS o, 'en' AS lang,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' AS dt,
+         FALSE AS o_iri, TRUE AS o_lit, FALSE AS s_blank,
+         FALSE AS o_num
+  FROM nation
+  UNION ALL
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR),
+         CAST(n_nationkey AS VARCHAR), '',
+         'http://www.w3.org/2001/XMLSchema#integer',
+         FALSE, TRUE, FALSE, TRUE
+  FROM nation
+  UNION ALL
+  SELECT '_:bn' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:R' || CAST(n_regionkey AS VARCHAR),
+         NULL, NULL, TRUE, FALSE, TRUE, FALSE
+  FROM nation
+)
+SELECT s, o, lang, dt, o_iri, o_lit, s_blank, o_num
+FROM g ORDER BY s, o
+"""
+
+
 SQL_SPARQL_VALUES_TRAILING = """
 SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n_sup
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -4275,6 +4326,7 @@ QUERIES = {
     "sparql_project_expr": q_sparql_project_expr,
     "sparql_optional_group": q_sparql_optional_group,
     "sparql_values_trailing": q_sparql_values_trailing,
+    "sparql_term_shape": q_sparql_term_shape,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "skolemize": q_skolemize,
@@ -4421,6 +4473,7 @@ def oracles() -> dict[str, str]:
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
+        "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

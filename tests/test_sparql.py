@@ -1144,3 +1144,131 @@ def test_trailing_values_review_regressions(kg):
 
     with pytest.raises(SparqlUnsupported):
         sparql(kg, 'ASK { ?x p:name ?n } VALUES ?n { "Ada" }')
+
+
+# ------------------------------------------------------------------ #
+# term-shape builtins (LANG / DATATYPE / ISIRI / ... over hidden
+# __shape_* companion columns)
+# ------------------------------------------------------------------ #
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+
+@pytest.fixture(scope="module")
+def shaped_kg(spark):
+    rows = [
+        ("urn:a", "p:name", "Alice", False, "en", None),
+        ("urn:a", "p:name", "Alicia", False, "es-MX", None),
+        ("urn:b", "p:name", "Bob", False, None, None),
+        ("urn:b", "p:age", "42", False, None, _XSD_INT),
+        ("urn:a", "p:knows", "urn:b", True, None, None),
+        ("urn:a", "p:tag", "_:bn1", True, None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+
+
+def test_lang_filter_and_projection(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o (LANG(?o) AS ?l) WHERE {
+          ?s p:name ?o FILTER(LANG(?o) = "en") }"""))
+    assert out == [("Alice", "en")]
+    # untagged literal: LANG = "" per spec; IRI object: type error
+    # (NULL) so the equality filter drops it
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE { ?s ?p ?o FILTER(LANG(?o) = "") }
+        ORDER BY ?o"""))
+    assert out == [("42",), ("Bob",)]
+
+
+def test_langmatches_star_and_prefix(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE {
+          ?s p:name ?o FILTER(LANGMATCHES(LANG(?o), "es")) }"""))
+    assert out == [("Alicia",)]
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE {
+          ?s p:name ?o FILTER(LANGMATCHES(LANG(?o), "*")) }
+        ORDER BY ?o"""))
+    assert out == [("Alice",), ("Alicia",)]
+
+
+def test_datatype_shapes(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o (DATATYPE(?o) AS ?dt) WHERE { urn:b ?p ?o }
+        ORDER BY ?o"""))
+    assert out == [("42", _XSD_INT), ("Bob", _XSD_STR)]
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE { ?s ?p ?o
+          FILTER(DATATYPE(?o) = <%s>) }""" % _LANGSTR))
+    assert sorted(out) == [("Alice",), ("Alicia",)]
+
+
+def test_isiri_isblank_isliteral_isnumeric(shaped_kg):
+    get = lambda q: sorted(_rows(sparql(shaped_kg, q)))
+    assert get("SELECT ?o WHERE { ?s ?p ?o FILTER(ISIRI(?o)) }") == \
+        [("urn:b",)]
+    assert get("SELECT ?o WHERE { ?s ?p ?o FILTER(ISBLANK(?o)) }") == \
+        [("_:bn1",)]
+    assert get("SELECT ?o WHERE { ?s ?p ?o FILTER(ISNUMERIC(?o)) }") \
+        == [("42",)]
+    assert get("SELECT ?o WHERE { ?s ?p ?o FILTER(ISLITERAL(?o)) }") \
+        == [("42",), ("Alice",), ("Alicia",), ("Bob",)]
+    # subject position: IRI-or-bnode by the data model
+    assert get("SELECT DISTINCT ?s WHERE { ?s ?p ?o "
+               "FILTER(ISIRI(?s)) }") == [("urn:a",), ("urn:b",)]
+
+
+def test_shape_builtins_lexical_inference_on_bare_frame(shaped_kg):
+    bare = shaped_kg.select("subj", "pred", "obj")
+    out = sorted(_rows(sparql(bare, """
+        SELECT ?o WHERE { ?s ?p ?o FILTER(ISIRI(?o)) }""")))
+    assert out == [("urn:b",)]
+    out = sorted(_rows(sparql(bare, """
+        SELECT ?o WHERE { ?s ?p ?o FILTER(ISBLANK(?o)) }""")))
+    assert out == [("_:bn1",)]
+    # no shape columns -> every kept literal reads as plain
+    out = _rows(sparql(bare, """
+        SELECT ?o (LANG(?o) AS ?l) (DATATYPE(?o) AS ?dt)
+        WHERE { ?s p:age ?o }"""))
+    assert out == [("42", "", _XSD_STR)]
+
+
+def test_shape_builtins_in_union_and_optional(shaped_kg):
+    out = sorted(_rows(sparql(shaped_kg, """
+        SELECT ?o WHERE {
+          { ?s p:name ?o FILTER(LANGMATCHES(LANG(?o), "es")) }
+          UNION { ?s p:age ?o FILTER(ISNUMERIC(?o)) } }""")))
+    assert out == [("42",), ("Alicia",)]
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?s ?t WHERE {
+          ?s p:age ?o .
+          OPTIONAL { ?s p:tag ?t FILTER(ISBLANK(?t)) } }"""))
+    assert out == [("urn:b", None)]
+
+
+def test_shape_builtins_with_property_path(shaped_kg):
+    # path-bound object: single-hop alt keeps the store shape
+    out = sorted(_rows(sparql(shaped_kg, """
+        SELECT ?o WHERE { ?s (p:age|p:name) ?o
+                          FILTER(ISNUMERIC(?o)) }""")))
+    assert out == [("42",)]
+
+
+def test_shape_builtin_guards(shaped_kg):
+    with pytest.raises(SparqlUnsupported):
+        parse('SELECT ?s WHERE { ?s ?p ?o FILTER(ISIRI("x")) }')
+    with pytest.raises(SparqlError):
+        parse("SELECT ?__shape_o_iri WHERE { ?s ?p ?__shape_o_iri }")
+    with pytest.raises(SparqlError):
+        parse("SELECT ?s WHERE { ?s ?p ?o FILTER(LANG(?o, ?s)) }")
+
+
+def test_shape_companions_never_project(shaped_kg):
+    df = sparql(shaped_kg, """
+        SELECT * WHERE { ?s ?p ?o FILTER(ISLITERAL(?o)) }""")
+    assert all(not c.startswith("__shape_") for c in df.columns)
+    assert set(df.columns) == {"s", "p", "o"}
