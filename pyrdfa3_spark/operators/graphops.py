@@ -403,12 +403,12 @@ def rdfa_semantic_expansion(triples: DataFrame,
 # (the front-end validates names), so companions never shadow a
 # binding.  Companions ride along unreferenced until final projection
 # drops them — Catalyst prunes the unread ones out of the scan.
-_SHAPE_PREFIX = "__shape_"
+SHAPE_PREFIX = "__shape_"
 
 
-def _shape_names(var: str) -> tuple[str, str, str]:
-    return (f"{_SHAPE_PREFIX}{var}_iri", f"{_SHAPE_PREFIX}{var}_lang",
-            f"{_SHAPE_PREFIX}{var}_dt")
+def shape_names(var: str) -> tuple[str, str, str]:
+    return (f"{SHAPE_PREFIX}{var}_iri", f"{SHAPE_PREFIX}{var}_lang",
+            f"{SHAPE_PREFIX}{var}_dt")
 
 
 def _lexical_is_iri(col):
@@ -423,7 +423,7 @@ def ensure_shape_companions(df: DataFrame, shape_vars) -> DataFrame:
     is bound but shapeless (VALUES-introduced bindings, frames built
     outside the matcher)."""
     for v in shape_vars or ():
-        iri, lang, dt = _shape_names(v)
+        iri, lang, dt = shape_names(v)
         if v in df.columns and iri not in df.columns:
             df = (df.withColumn(iri, _lexical_is_iri(F.col(v)))
                   .withColumn(lang, F.lit(None).cast("string"))
@@ -431,13 +431,28 @@ def ensure_shape_companions(df: DataFrame, shape_vars) -> DataFrame:
     return df
 
 
-def _drop_dup_companions(right: DataFrame, left_cols) -> DataFrame:
+def fill_null_companions(df: DataFrame, shape_vars) -> DataFrame:
+    """Add NULL companions for tracked variables that are bound but
+    carry no shape anywhere (BIND-defined, subquery-projected): the
+    term-shape builtins read NULL = unknown and return NULL — the row
+    filters out rather than misclassifying.  No-op where the matcher
+    already bound companions."""
+    for v in shape_vars or ():
+        iri, lang, dt = shape_names(v)
+        if v in df.columns and iri not in df.columns:
+            df = (df.withColumn(iri, F.lit(None).cast("boolean"))
+                  .withColumn(lang, F.lit(None).cast("string"))
+                  .withColumn(dt, F.lit(None).cast("string")))
+    return df
+
+
+def drop_dup_companions(right: DataFrame, left_cols) -> DataFrame:
     """Before joining two solution frames, drop the right side's
     companion columns that the left already carries (the left frame's
     shape wins — part of the documented string-equality join
     simplification)."""
     dup = [c for c in right.columns
-           if c.startswith(_SHAPE_PREFIX) and c in left_cols]
+           if c.startswith(SHAPE_PREFIX) and c in left_cols]
     return right.drop(*dup) if dup else right
 
 
@@ -509,7 +524,7 @@ def _match(frame, positions, patterns, optional, filters,
         position: the object carries the store's shape (or the lexical
         inference on a shapeless frame); subject / predicate / graph
         terms are IRIs-or-bnodes by the data model."""
-        iri, lang, dt = _shape_names(var)
+        iri, lang, dt = shape_names(var)
         null = F.lit(None).cast("string")
         if pos == "obj":
             if shaped:
@@ -564,7 +579,7 @@ def _match(frame, positions, patterns, optional, filters,
                 f"{sorted(bound)} — a cartesian product at corpus scale; "
                 "split the query instead")
         vs, df = rest.pop(idx)
-        out = out.join(_drop_dup_companions(df, out.columns),
+        out = out.join(drop_dup_companions(df, out.columns),
                        sorted(vs & bound), "inner")
         bound |= vs
     for grp in optional or []:
@@ -592,12 +607,12 @@ def _match(frame, positions, patterns, optional, filters,
                 "variables (outer-domain join conditions are outside "
                 f"the subset): {exc}") from exc
         vs = {c for c in sub.columns
-              if not c.startswith(_SHAPE_PREFIX)}
+              if not c.startswith(SHAPE_PREFIX)}
         if not vs & bound:
             raise ValueError(
                 f"optional group {grp['patterns']} shares no variable "
                 f"with {sorted(bound)}")
-        out = out.join(_drop_dup_companions(sub, out.columns),
+        out = out.join(drop_dup_companions(sub, out.columns),
                        sorted(vs & bound), "left")
         bound |= vs
     for expr in filters or []:
@@ -800,7 +815,7 @@ def path_closure(triples: DataFrame, pred: str,
                          F.col("dst").alias("obj"))
 
 
-def _obj_shape_cols(df: DataFrame) -> list[str]:
+def obj_shape_cols(df: DataFrame) -> list[str]:
     """The literal-shape columns present on a frame.  The single-hop
     path forms (alt / negated / seq's last hop / inverse) keep them so
     term-shape builtins still see a path-bound object's shape; the
@@ -819,7 +834,7 @@ def path_seq(triples: DataFrame, preds: list[str],
     """
     if not preds:
         raise ValueError("path_seq needs at least one predicate")
-    sh = _obj_shape_cols(triples)
+    sh = obj_shape_cols(triples)
     hops = []
     for i, p in enumerate(preds):
         cols = [F.col("subj").alias(f"_n{i}"),
@@ -844,7 +859,7 @@ def path_alt(triples: DataFrame, preds: list[str],
         raise ValueError("path_alt needs at least one predicate")
     return (triples.filter(F.col("pred").isin(preds))
             .select("subj", F.lit(out_pred).alias("pred"), "obj",
-                    *_obj_shape_cols(triples))
+                    *obj_shape_cols(triples))
             .dropDuplicates())
 
 
@@ -857,7 +872,7 @@ def path_inverse(triples: DataFrame, pred: str,
            .select(F.col("obj").alias("subj"),
                    F.lit(out_pred).alias("pred"),
                    F.col("subj").alias("obj")))
-    if _obj_shape_cols(triples):
+    if obj_shape_cols(triples):
         out = (out.withColumn("obj_is_iri", F.lit(True))
                .withColumn("obj_lang", F.lit(None).cast("string"))
                .withColumn("obj_datatype", F.lit(None).cast("string")))
@@ -877,7 +892,7 @@ def path_negated(triples: DataFrame, preds: list[str],
     return (triples.filter(~F.col("pred").isin(preds)
                            & ~F.col("pred").startswith(_VIRTUAL_PRED))
             .select("subj", F.lit(out_pred).alias("pred"), "obj",
-                    *_obj_shape_cols(triples))
+                    *obj_shape_cols(triples))
             .dropDuplicates())
 
 

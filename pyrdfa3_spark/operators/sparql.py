@@ -116,29 +116,33 @@ _SHAPE_FNS = frozenset({"LANG", "DATATYPE", "ISIRI", "ISURI",
 
 
 def _shape_fn_sql(fn: str, var: str) -> str:
-    iri = f"__shape_{var}_iri"
-    lang = f"__shape_{var}_lang"
-    dt = f"__shape_{var}_dt"
+    from pyrdfa3_spark.operators.graphops import shape_names
+
+    iri, lang, dt = shape_names(var)
+    # a NULL iri companion means UNKNOWN shape (multi-hop path
+    # endpoints, BIND-defined / subquery-projected bindings): every
+    # builtin returns NULL there — row filtered, never misclassified
+    unknown = f"{var} IS NULL OR {iri} IS NULL"
     if fn == "LANG":
         # LANG of an IRI/bnode is a type error (NULL); a literal with
         # no tag returns "" per spec
-        return (f"(CASE WHEN {var} IS NULL OR {iri} THEN NULL "
+        return (f"(CASE WHEN {unknown} OR {iri} THEN NULL "
                 f"ELSE coalesce({lang}, '') END)")
     if fn == "DATATYPE":
-        return (f"(CASE WHEN {var} IS NULL OR {iri} THEN NULL "
+        return (f"(CASE WHEN {unknown} OR {iri} THEN NULL "
                 f"WHEN {lang} IS NOT NULL THEN '{_RDF_LANGSTRING}' "
                 f"ELSE coalesce({dt}, '{_XSD}string') END)")
     if fn in ("ISIRI", "ISURI"):
-        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+        return (f"(CASE WHEN {unknown} THEN NULL "
                 f"ELSE {iri} AND NOT startswith({var}, '_:') END)")
     if fn == "ISBLANK":
-        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+        return (f"(CASE WHEN {unknown} THEN NULL "
                 f"ELSE {iri} AND startswith({var}, '_:') END)")
     if fn == "ISLITERAL":
-        return (f"(CASE WHEN {var} IS NULL THEN NULL "
+        return (f"(CASE WHEN {unknown} THEN NULL "
                 f"ELSE NOT {iri} END)")
     dts = ", ".join(f"'{_XSD}{n}'" for n in _NUMERIC_XSD)
-    return (f"(CASE WHEN {var} IS NULL THEN NULL "         # ISNUMERIC
+    return (f"(CASE WHEN {unknown} THEN NULL "              # ISNUMERIC
             f"ELSE NOT {iri} AND coalesce({dt}, '') IN ({dts}) END)")
 
 
@@ -377,7 +381,7 @@ class _Parser:
             raise SparqlError(
                 "?_anon* variable names are reserved for [..] "
                 "blank-node existentials")
-        if v[1:].startswith("__shape_"):
+        if v[1:].startswith(G.SHAPE_PREFIX):
             raise SparqlError(
                 "?__shape_* variable names are reserved for the "
                 "term-shape companion columns")
@@ -536,7 +540,7 @@ class _Parser:
                 raise SparqlError(
                     "?_anon* variable names are reserved for [..] "
                     "blank-node existentials")
-            if name.startswith("__shape_"):
+            if name.startswith(G.SHAPE_PREFIX):
                 raise SparqlError(
                     "?__shape_* variable names are reserved for the "
                     "term-shape companion columns")
@@ -976,7 +980,8 @@ def _attach_shape(g: dict | None, shape_vars) -> None:
         _attach_shape(sq["where"], shape_vars)
 
 
-def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
+def _expand_paths(triples: DataFrame, groups: list[dict],
+                  keep_shape: bool = False) -> DataFrame:
     """Rewrite non-plain path predicates to virtual predicates and
     union their materialized edges into the working frame (the same
     composition the path operators document).  Nested paths (e.g.
@@ -984,12 +989,13 @@ def _expand_paths(triples: DataFrame, groups: list[dict]) -> DataFrame:
     operand becomes a virtual edge set in the working frame before
     the outer operator closes over it."""
     counter = [0]
-    # literal-shape columns ride along when the store has them (the
-    # term-shape builtins read them); virtual path edges union in with
-    # NULL shape — a path-bound object's shape is unknown by design
-    keep = ["subj", "pred", "obj"] + [
-        c for c in ("obj_is_iri", "obj_lang", "obj_datatype")
-        if c in triples.columns]
+    # literal-shape columns ride along ONLY when a term-shape builtin
+    # will read them (keep_shape) — otherwise the classic 3-column
+    # pipeline, so path dedups never widen for nothing; virtual path
+    # edges union in with NULL shape — a multi-hop endpoint's shape is
+    # unknown by design
+    keep = ["subj", "pred", "obj"] + (
+        G.obj_shape_cols(triples) if keep_shape else [])
     work = [triples.select(*keep)]
 
     def materialize(path) -> str:
@@ -1051,7 +1057,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         if g["subqueries"] or g["graphs"]:
             raise SparqlUnsupported(
                 "subquery/GRAPH beside UNION in one group")
-        t = _expand_paths(triples, [g] + g["union"])
+        t = _expand_paths(triples, [g] + g["union"],
+                          keep_shape=bool(sv))
         sols = G.bgp_union(t, [
             {"patterns": b["patterns"],
              "optional": b["optionals"] or None,
@@ -1059,11 +1066,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             for b in g["union"]], shape_vars=sv)
         for var, e in g["binds"]:
             sols = G.bind(sols, var, e)
+        sols = G.fill_null_companions(sols, sv)
         for e in g["filters"]:
             sols = sols.filter(F.expr(e))
         return sols
 
-    t = _expand_paths(triples, [g])
+    t = _expand_paths(triples, [g], keep_shape=bool(sv))
     if not g["patterns"] and not g["subqueries"] and not g["graphs"]:
         raise SparqlUnsupported("empty WHERE group")
     late = bool(g["subqueries"] or g["graphs"])
@@ -1103,15 +1111,14 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # keys of their own; the left frame's shape wins on overlap
         shared = sorted(c for c in
                         set(sols.columns) & set(other.columns)
-                        if not c.startswith("__shape_"))
+                        if not c.startswith(G.SHAPE_PREFIX))
         if not shared:
             # SPARQL says disjoint-domain join = cartesian product;
             # refuse rather than misplan it at lake scale
             raise SparqlUnsupported(
                 f"{what} shares no variables with its group")
-        dup = [c for c in other.columns
-               if c.startswith("__shape_") and c in sols.columns]
-        return sols.join(other.drop(*dup), shared, "inner")
+        return sols.join(G.drop_dup_companions(other, sols.columns),
+                         shared, "inner")
 
     sols = None
     if g["patterns"]:
@@ -1135,9 +1142,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # graph term) are invisible inside it, per SPARQL dataset
         # semantics; with FROM/FROM NAMED clauses qsrc is the full
         # restricted dataset (triples is the FROM merge only)
-        named = (qsrc.select("subj", "pred", "obj", "graph", *[
-                     c for c in ("obj_is_iri", "obj_lang",
-                                 "obj_datatype") if c in qsrc.columns])
+        named = (qsrc.select("subj", "pred", "obj", "graph",
+                             *(G.obj_shape_cols(qsrc) if sv else []))
                  .filter(F.col("graph").isNotNull()))
         sols = conjoin(sols,
                        G.bgp_match_quads(named, g["graphs"],
@@ -1146,6 +1152,10 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     for sub in (_solve_select(triples, sq) for sq in g["subqueries"]):
         sols = conjoin(sols, sub, "subquery")
     if late:
+        # a subquery-projected binding carries no shape (its
+        # companions never leave the subquery): NULL companions keep
+        # the shape builtins NULL-on-unknown instead of unresolved
+        sols = G.fill_null_companions(sols, sv)
         for e in pre_bind:
             sols = sols.filter(F.expr(e))
     for negate, patterns in g["exists"]:
@@ -1170,6 +1180,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                          "left_anti")
     for var, e in g["binds"]:
         sols = G.bind(sols, var, e)
+    # BIND-defined and VALUES-extension bindings have unknown shape
+    sols = G.fill_null_companions(sols, sv)
     for e in post_bind:
         sols = sols.filter(F.expr(e))
     return sols
@@ -1281,7 +1293,8 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
             raise SparqlUnsupported(
                 "CONSTRUCT WHERE supports patterns, OPTIONAL and "
                 "FILTER only")
-        t = _expand_paths(triples, [g])
+        t = _expand_paths(triples, [g],
+                          keep_shape=bool(q.get("shape_vars")))
         template = []
         for s, p, o in q["template"]:
             if isinstance(p, tuple):
@@ -1394,6 +1407,11 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
                 arg = col
             spec[alias] = ((kind, arg, sep) if kind == "group_concat"
                            else (kind, arg))
+        if q["having"] and G.SHAPE_PREFIX in q["having"]:
+            raise SparqlUnsupported(
+                "term-shape builtins in HAVING (shape companions "
+                "don't survive aggregation — FILTER before grouping "
+                "instead)")
         sols = G.solution_agg(sols, q["group_by"], spec,
                               having=q["having"])
         project = [v for v in (plain + [a[4] for a in aggs])]
@@ -1408,7 +1426,7 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             # companions never project
             project = [c for c in sols.columns
                        if not c.startswith("_anon")
-                       and not c.startswith("__shape_")]
+                       and not c.startswith(G.SHAPE_PREFIX)]
             if not project:
                 raise SparqlError(
                     "SELECT * with no projectable variables (only "
@@ -1864,7 +1882,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     else:
         scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
                  .select(*keep) if quads else df)
-    t = _expand_paths(scope, [g])
+    t = _expand_paths(scope, [g], keep_shape=bool(g.get("_shape")))
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
     # WHERE matches the pre-update state) — guaranteed here because

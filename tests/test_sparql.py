@@ -1272,3 +1272,57 @@ def test_shape_companions_never_project(shaped_kg):
         SELECT * WHERE { ?s ?p ?o FILTER(ISLITERAL(?o)) }""")
     assert all(not c.startswith("__shape_") for c in df.columns)
     assert set(df.columns) == {"s", "p", "o"}
+
+
+def test_closure_path_endpoint_shape_is_unknown(shaped_kg):
+    # multi-hop endpoints have NULL shape: LANG is NULL (row dropped),
+    # never '' — an IRI bound through p+ must not read as a plain
+    # literal
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE { ?s p:knows+ ?o FILTER(LANG(?o) = "") }"""))
+    assert out == []
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE { ?s p:knows+ ?o FILTER(!ISNUMERIC(?o)) }"""))
+    assert out == []  # NULL, not false -> filtered, not kept
+
+
+def test_shape_builtin_over_bind_defined_variable(shaped_kg):
+    # BIND-defined bindings carry no shape: builtin reads NULL and the
+    # row filters out (documented) rather than raising unresolved
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?b WHERE { ?s p:age ?o BIND(STR(?o) AS ?b)
+                          FILTER(ISBLANK(?b)) }"""))
+    assert out == []
+
+
+def test_shape_builtin_over_subquery_projected_variable(shaped_kg):
+    # a subquery projection drops its companions; the outer filter
+    # reads unknown shape -> NULL -> rows filtered, no crash
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?o WHERE {
+          ?s p:age ?a .
+          { SELECT ?s ?o WHERE { ?s p:name ?o } }
+          FILTER(ISLITERAL(?o)) }"""))
+    assert out == []
+
+
+def test_shape_builtin_in_having_raises(shaped_kg):
+    with pytest.raises(SparqlUnsupported):
+        sparql(shaped_kg, """
+            SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ?p ?o }
+            GROUP BY ?s HAVING(ISIRI(?s))""")
+
+
+def test_plain_path_query_carries_no_shape_columns(shaped_kg):
+    # no shape builtin in the query -> the classic 3-column path
+    # pipeline (no companion/shape columns widen the dedups)
+    df = sparql(shaped_kg, """
+        SELECT ?s ?o WHERE { ?s (p:name|p:age) ?o }""")
+    assert set(df.columns) == {"s", "o"}
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__shape_" not in plan
+    # the path-branch dedup groups over the 3-column key only (the
+    # source relation line always lists the full frame schema)
+    import re as _re
+    for m in _re.finditer(r"Aggregate \[([^\]]*)\]", plan):
+        assert "obj_is_iri" not in m.group(1)
