@@ -431,6 +431,18 @@ def ensure_shape_companions(df: DataFrame, shape_vars) -> DataFrame:
     return df
 
 
+def set_shape_companions(df: DataFrame, var: str,
+                         shape: tuple) -> DataFrame:
+    """Stamp a variable's companions with a KNOWN constant shape — a
+    BIND whose whole body is a term constructor (IRI / STRLANG / STRDT
+    / UUID / ...) knows the result's term kind at parse time."""
+    iri, lang, dt = shape_names(var)
+    is_iri, lg, d = shape
+    return (df.withColumn(iri, F.lit(bool(is_iri)))
+            .withColumn(lang, F.lit(lg).cast("string"))
+            .withColumn(dt, F.lit(d).cast("string")))
+
+
 def fill_null_companions(df: DataFrame, shape_vars) -> DataFrame:
     """Add NULL companions for tracked variables that are bound but
     carry no shape anywhere (BIND-defined, subquery-projected): the
@@ -562,7 +574,28 @@ def _match(frame, positions, patterns, optional, filters,
                     if var in shape:
                         cols.extend(companions(pos, var))
             else:
-                df = df.filter(F.col(pos) == term)
+                df = df.filter(F.col(pos) == str(term))
+                # an EXPLICITLY tagged literal ("x"@en / "x"^^<dt>)
+                # constrains the term shape, not just the lexical form
+                # (implicit grammar shapes — bare 42 — stay lexical,
+                # the documented matching model)
+                lg = getattr(term, "lang", None)
+                d = getattr(term, "dt", None)
+                if ((lg or d) and pos == "obj"
+                        and not getattr(term, "implicit", False)):
+                    if not shaped:
+                        raise ValueError(
+                            f"shape-tagged literal pattern {pat} "
+                            "needs a frame with literal-shape columns "
+                            "(obj_is_iri/obj_lang/obj_datatype)")
+                    df = df.filter(~F.col("obj_is_iri"))
+                    if lg:
+                        df = df.filter(
+                            F.lower(F.col("obj_lang")) == lg.lower())
+                    else:
+                        df = df.filter(
+                            F.col("obj_lang").isNull()
+                            & (F.col("obj_datatype") == d))
         if not cols:
             raise ValueError(f"pattern {pat} binds no variables")
         return set(seen), df.select(*cols)

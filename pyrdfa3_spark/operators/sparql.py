@@ -165,15 +165,25 @@ class _Term(str):
     pattern machinery must keep treating terms as their lexical form.
     """
 
-    __slots__ = ("is_iri",)
+    __slots__ = ("is_iri", "lang", "dt", "implicit")
 
-    def __new__(cls, value: str, is_iri: bool = True):
+    def __new__(cls, value: str, is_iri: bool = True,
+                lang: str | None = None, dt: str | None = None,
+                implicit: bool = False):
         t = super().__new__(cls, value)
         t.is_iri = is_iri
+        t.lang = lang
+        t.dt = dt
+        # implicit = the shape comes from the grammar (bare 42 is
+        # xsd:integer), not a written tag: DATA/templates insert it,
+        # but pattern matching stays lexical (the documented model) —
+        # only an EXPLICIT "x"@tag / "x"^^<dt> constrains the match
+        t.implicit = implicit
         return t
 
     def __getnewargs__(self):  # picklable despite the required arg
-        return (str(self), self.is_iri)
+        return (str(self), self.is_iri, self.lang, self.dt,
+                self.implicit)
 
 
 def _term_is_iri(t) -> bool:
@@ -192,6 +202,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<IRI><[^<>\s{}|^`\\]*>)
   | (?P<STRING>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUM>[+-]?\d+(?:\.\d+)?)
   | (?P<PNAME>(?:[A-Za-z_][A-Za-z0-9_\-]*)?:
               (?:[A-Za-z0-9_%\-]+(?:\.[A-Za-z0-9_%\-]+)*)?)
@@ -244,6 +255,10 @@ class _Parser:
         # touches — the matcher binds these with hidden literal-shape
         # companion columns the compiled expression reads
         self.shape_vars: set[str] = set()
+        # (sql, (is_iri, lang, dt)) of the most recent term-constructor
+        # compilation — BIND compares sql to its whole body to stamp
+        # the target variable's shape
+        self._last_ctor: tuple[str, tuple] | None = None
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -299,13 +314,29 @@ class _Parser:
         if k == "KW" and v == "A":
             return _Term(RDF_TYPE, True)
         if k == "STRING" and allow_literal:
+            lex = _unquote(v)
+            if self.at("LANGTAG"):
+                return _Term(lex, False, lang=self.next()[1][1:])
             if self.at("OP", "^") and self.peek(1) == ("OP", "^"):
-                raise SparqlUnsupported(
-                    "typed literals in patterns: the term model "
-                    "stores the lexical form — match on it")
-            return _Term(_unquote(v), False)
+                self.next(), self.next()
+                dk, dv = self.next()
+                if dk == "IRI":
+                    dt = dv[1:-1]
+                elif dk == "PNAME":
+                    dt = self._expand_pname(dv)
+                else:
+                    raise SparqlError(
+                        f"expected datatype IRI after ^^, got {dv!r}")
+                return _Term(lex, False, dt=dt)
+            return _Term(lex, False)
         if k == "NUM" and allow_literal:
-            return _Term(v, False)
+            # bare numeric literals are typed per the SPARQL grammar
+            return _Term(v, False, dt=_XSD + ("decimal" if "." in v
+                                              else "integer"),
+                         implicit=True)
+        if k == "KW" and v in ("TRUE", "FALSE") and allow_literal:
+            return _Term(v.lower(), False, dt=_XSD + "boolean",
+                         implicit=True)
         raise SparqlError(f"unexpected term {v!r}")
 
     # -- property paths --------------------------------------------------
@@ -432,7 +463,7 @@ class _Parser:
     # -- expressions (FILTER / BIND / HAVING) -> Spark SQL ----------------
     _FUNCS = {
         "STRLEN": "length({0})", "LCASE": "lower({0})",
-        "UCASE": "upper({0})", "STR": "{0}", "ABS": "abs({0})",
+        "UCASE": "upper({0})", "STR": "({0})", "ABS": "abs({0})",
         "CEIL": "ceil({0})", "FLOOR": "floor({0})",
         "ROUND": "round({0})", "BOUND": "({0} IS NOT NULL)",
         "STRSTARTS": "startswith({0}, {1})",
@@ -450,6 +481,10 @@ class _Parser:
         "MD5": "md5({0})", "SHA1": "sha1({0})",
         "SHA256": "sha2({0}, 256)",
         "ENCODE_FOR_URI": "url_encode({0})",
+        # TZ of a dateTime literal's lexical form: trailing Z/offset,
+        # '' when absent, per spec
+        "TZ": ("regexp_extract({0}, "
+               "'(Z|[+-][0-9][0-9]:[0-9][0-9])$', 1)"),
         # SAMETERM is plain string equality — NULL-propagating, which
         # reproduces SPARQL's type-error-on-unbound FILTER behavior
         # (the other term-model builtins — LANG / DATATYPE / ISIRI /
@@ -471,6 +506,42 @@ class _Parser:
         "SUBSTR": ("substring", 2, 3), "REPLACE": ("regexp_replace", 3, 3),
         "IF": ("if", 3, 3),
     }
+
+    # zero-argument builtins -> (sql, result term shape).  The
+    # nondeterministic ones (UUID/BNODE/RAND) compile to Spark's
+    # nondeterministic expressions — fresh per solution row, constant
+    # within the row, exactly the spec's per-solution semantics; NOW is
+    # query-constant (current_timestamp() is fixed per Spark query)
+    _NULLARY = {
+        "UUID": ("concat('urn:uuid:', uuid())", (True, None, None)),
+        "STRUUID": ("uuid()", (False, None, None)),
+        "BNODE": ("concat('_:fb', replace(uuid(), '-', ''))",
+                  (True, None, None)),
+        "RAND": ("rand()", (False, None, _XSD + "double")),
+        "NOW": ("date_format(current_timestamp(), "
+                "\"yyyy-MM-dd'T'HH:mm:ss.SSSXXX\")",
+                (False, None, _XSD + "dateTime")),
+    }
+
+    _ABS_IRI_RE = "'^[A-Za-z][A-Za-z0-9+.-]*:'"
+    # a plain relative path IRI(x) can resolve against BASE by prefix
+    # concatenation without dot-segment/authority logic; anything
+    # fancier (../, leading /, ?query, #fragment) reads as an
+    # expression error -> NULL -> unbound, per SPARQL's error-in-BIND
+    _REL_PATH_RE = ("'^[A-Za-z0-9._~%!$&*+,;=@-]+"
+                    "(/[A-Za-z0-9._~%!$&*+,;=@-]+)*$'")
+
+    def _iri_fn_sql(self, arg: str) -> str:
+        if self.base:
+            from urllib.parse import urljoin
+            prefix = urljoin(self.base, ".")
+            return (f"(CASE WHEN {arg} RLIKE {self._ABS_IRI_RE} "
+                    f"THEN {arg} "
+                    f"WHEN {arg} RLIKE {self._REL_PATH_RE} "
+                    f"THEN concat({_sql_str(prefix)}, {arg}) "
+                    f"ELSE NULL END)")
+        return (f"(CASE WHEN {arg} RLIKE {self._ABS_IRI_RE} "
+                f"THEN {arg} ELSE NULL END)")
 
     def expr(self) -> str:
         out = self._expr_and()
@@ -571,6 +642,59 @@ class _Parser:
             if "i" in flags:
                 pat = "(?i)" + pat
             return f"({target} RLIKE {_sql_str(pat)})"
+        if k == "NAME" and v.upper() in self._NULLARY:
+            fn = v.upper()
+            self.next()
+            self.eat("OP", "(")
+            if not self.at("OP", ")"):
+                if fn == "BNODE":
+                    raise SparqlUnsupported(
+                        "BNODE(expr) (argument-keyed bnode identity "
+                        "is per-solution state; use BNODE() or a "
+                        "[..] pattern existential)")
+                raise SparqlError(f"{fn} takes no arguments")
+            self.eat("OP", ")")
+            sql, shape = self._NULLARY[fn]
+            self._last_ctor = (sql, shape)
+            return sql
+        if k == "NAME" and v.upper() in ("IRI", "URI"):
+            self.next()
+            self.eat("OP", "(")
+            arg = self.expr()
+            self.eat("OP", ")")
+            sql = self._iri_fn_sql(arg)
+            self._last_ctor = (sql, (True, None, None))
+            return sql
+        if k == "NAME" and v.upper() in ("STRLANG", "STRDT"):
+            fn = v.upper()
+            self.next()
+            self.eat("OP", "(")
+            lex = self.expr()
+            self.eat("OP", ",")
+            if fn == "STRLANG":
+                k3, v3 = self.peek()
+                if k3 != "STRING":
+                    raise SparqlUnsupported(
+                        f"{fn} with a non-constant language tag")
+                self.next()
+                shape = (False, _unquote(v3), None)
+            else:
+                k3, v3 = self.next()
+                if k3 == "IRI":
+                    d = v3[1:-1]
+                elif k3 == "PNAME":
+                    d = self._expand_pname(v3)
+                else:
+                    raise SparqlUnsupported(
+                        f"{fn} with a non-constant datatype IRI")
+                shape = (False, None, d)
+            self.eat("OP", ")")
+            # lexically the constructed literal IS its lexical form;
+            # the tag/datatype lives in the shape (stamped onto the
+            # target variable when this is the whole BIND body)
+            sql = f"({lex})"
+            self._last_ctor = (sql, shape)
+            return sql
         if k == "NAME" and v.upper() in _SHAPE_FNS:
             fn = v.upper()
             self.next()
@@ -667,9 +791,17 @@ class _Parser:
                 g["minus"].append(sub["patterns"])
             elif self.take("KW", "BIND"):
                 self.eat("OP", "(")
+                self._last_ctor = None
                 e = self.expr()
+                # a term constructor (IRI / STRLANG / STRDT / UUID /
+                # BNODE / ...) as the WHOLE bind body stamps the
+                # target variable's term shape; nested uses lose it
+                # (shape reads as unknown -> NULL, never misclassified)
+                shape = (self._last_ctor[1]
+                         if self._last_ctor
+                         and self._last_ctor[0] == e else None)
                 self.eat("KW", "AS")
-                g["binds"].append((self.var(), e))
+                g["binds"].append((self.var(), e, shape))
                 self.eat("OP", ")")
             elif self.take("KW", "VALUES"):
                 g["values"] = self._values()
@@ -728,7 +860,13 @@ class _Parser:
     def _values_cell(self):
         if self.take("KW", "UNDEF"):
             return None
-        return self.term(allow_var=False)
+        t = self.term(allow_var=False)
+        if _tagged(t):
+            raise SparqlUnsupported(
+                "shape-tagged literals in VALUES (the binding table "
+                "joins on the lexical form; bind the plain literal "
+                "and FILTER on the pattern side instead)")
+        return t
 
     def _pattern_term(self, patterns: list) -> str:
         """A subject/object term in a triples block: a plain term, or
@@ -980,6 +1118,33 @@ def _attach_shape(g: dict | None, shape_vars) -> None:
         _attach_shape(sq["where"], shape_vars)
 
 
+def _tagged(term) -> bool:
+    """An explicitly shape-tagged literal constant ("x"@en /
+    "x"^^<dt>) — its pattern match constrains the term shape, so the
+    working frame must carry the shape columns."""
+    return bool((getattr(term, "lang", None)
+                 or getattr(term, "dt", None))
+                and not getattr(term, "implicit", False))
+
+
+def _group_has_tagged(g: dict) -> bool:
+    def in_pats(pats) -> bool:
+        return any(_tagged(t) for pat in pats for t in pat
+                   if isinstance(t, str))
+
+    if in_pats(g["patterns"]) or in_pats(g.get("graphs") or []):
+        return True
+    for o in g["optionals"]:
+        pats = [o] if isinstance(o, tuple) else o["patterns"]
+        if in_pats(pats):
+            return True
+    if any(in_pats(pats) for _, pats in g["exists"]):
+        return True
+    if any(in_pats(pats) for pats in g["minus"]):
+        return True
+    return any(_group_has_tagged(b) for b in g["union"] or [])
+
+
 def _expand_paths(triples: DataFrame, groups: list[dict],
                   keep_shape: bool = False) -> DataFrame:
     """Rewrite non-plain path predicates to virtual predicates and
@@ -1053,25 +1218,28 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     sv = g.get("_shape") or None
+    keep_shape = bool(sv) or _group_has_tagged(g)
     if g["union"] is not None:
         if g["subqueries"] or g["graphs"]:
             raise SparqlUnsupported(
                 "subquery/GRAPH beside UNION in one group")
         t = _expand_paths(triples, [g] + g["union"],
-                          keep_shape=bool(sv))
+                          keep_shape=keep_shape)
         sols = G.bgp_union(t, [
             {"patterns": b["patterns"],
              "optional": b["optionals"] or None,
              "filters": b["filters"] or None}
             for b in g["union"]], shape_vars=sv)
-        for var, e in g["binds"]:
+        for var, e, shp in g["binds"]:
             sols = G.bind(sols, var, e)
+            if shp is not None and sv and var in sv:
+                sols = G.set_shape_companions(sols, var, shp)
         sols = G.fill_null_companions(sols, sv)
         for e in g["filters"]:
             sols = sols.filter(F.expr(e))
         return sols
 
-    t = _expand_paths(triples, [g], keep_shape=bool(sv))
+    t = _expand_paths(triples, [g], keep_shape=keep_shape)
     if not g["patterns"] and not g["subqueries"] and not g["graphs"]:
         raise SparqlUnsupported("empty WHERE group")
     late = bool(g["subqueries"] or g["graphs"])
@@ -1080,7 +1248,7 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     # variable must run after the BINDs; the rest may inline into the
     # match where Catalyst pushes them to the scan (conjunction —
     # same solutions either way)
-    bind_targets = [v for v, _ in g["binds"]]
+    bind_targets = [b[0] for b in g["binds"]]
     if g["values"] is not None:
         # VALUES EXTENSION variables (bound by the row table, not the
         # patterns) only exist after the VALUES join inside bgp_values
@@ -1143,7 +1311,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # semantics; with FROM/FROM NAMED clauses qsrc is the full
         # restricted dataset (triples is the FROM merge only)
         named = (qsrc.select("subj", "pred", "obj", "graph",
-                             *(G.obj_shape_cols(qsrc) if sv else []))
+                             *(G.obj_shape_cols(qsrc) if keep_shape
+                               else []))
                  .filter(F.col("graph").isNotNull()))
         sols = conjoin(sols,
                        G.bgp_match_quads(named, g["graphs"],
@@ -1178,9 +1347,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             continue  # SPARQL: disjoint MINUS removes nothing
         sols = sols.join(neg.select(*shared).dropDuplicates(), shared,
                          "left_anti")
-    for var, e in g["binds"]:
+    for var, e, shp in g["binds"]:
         sols = G.bind(sols, var, e)
-    # BIND-defined and VALUES-extension bindings have unknown shape
+        # a whole-body term constructor stamps a KNOWN shape
+        if shp is not None and sv and var in sv:
+            sols = G.set_shape_companions(sols, var, shp)
+    # other BIND-defined and VALUES-extension bindings: unknown shape
     sols = G.fill_null_companions(sols, sv)
     for e in post_bind:
         sols = sols.filter(F.expr(e))
@@ -1294,7 +1466,8 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                 "CONSTRUCT WHERE supports patterns, OPTIONAL and "
                 "FILTER only")
         t = _expand_paths(triples, [g],
-                          keep_shape=bool(q.get("shape_vars")))
+                          keep_shape=bool(q.get("shape_vars"))
+                          or _group_has_tagged(g))
         template = []
         for s, p, o in q["template"]:
             if isinstance(p, tuple):
@@ -1805,7 +1978,8 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         rows = sorted(
             {(str(r[0]), str(r[1]), str(r[2]),
               None if r[3] is None else str(r[3]),
-              _term_is_iri(r[2]))
+              _term_is_iri(r[2]), getattr(r[2], "lang", None),
+              getattr(r[2], "dt", None))
              for r in op["quads"]},
             key=lambda r: tuple("" if x is None else str(x)
                                 for x in r))
@@ -1816,8 +1990,8 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
             # re-dedup AFTER the projection: without shape columns an
             # IRI <x> and a literal "x" collapse onto one lexical row
             {(s, p, o) + ((g,) if quads else ())
-             + ((is_iri, None, None) if shape else ())
-             for s, p, o, g, is_iri in rows},
+             + ((is_iri, lg, dt) if shape else ())
+             for s, p, o, g, is_iri, lg, dt in rows},
             key=lambda r: tuple("" if x is None else str(x) for x in r))
         schema = ("subj string, pred string, obj string"
                   + (", graph string" if quads else "")
@@ -1882,7 +2056,8 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     else:
         scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
                  .select(*keep) if quads else df)
-    t = _expand_paths(scope, [g], keep_shape=bool(g.get("_shape")))
+    t = _expand_paths(scope, [g], keep_shape=bool(g.get("_shape"))
+                      or _group_has_tagged(g))
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
     # WHERE matches the pre-update state) — guaranteed here because
@@ -1901,11 +2076,13 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         return str(t).startswith("?")
 
     def derived(template, with_shape):
-        # template constants carry their parse-time shape; a
-        # variable-bound object gets the all-IRI default (the lexical
-        # term model loses a binding's shape — documented in update())
+        # template constants carry their parse-time shape (including
+        # @lang / ^^dt tags); a variable-bound object gets the all-IRI
+        # default (the lexical term model loses a binding's shape —
+        # documented in update())
         shapes = ([((True, None, None) if is_var(o)
-                    else (_term_is_iri(o), None, None))
+                    else (_term_is_iri(o), getattr(o, "lang", None),
+                          getattr(o, "dt", None)))
                    for _s, _p, o in template] if with_shape else None)
         out = G.construct_solutions(sols, template, obj_shapes=shapes)
         if quads:

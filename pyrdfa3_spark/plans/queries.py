@@ -1775,6 +1775,38 @@ def q_sparql_values_trailing(spark, sf_dir):
     """)
 
 
+def q_sparql_kg_mint(spark, sf_dir):
+    """KG-construction minting idioms (SPARQL §17.4.2): BIND(IRI(
+    CONCAT(...))) mints node IRIs from keys, STRLANG stamps a
+    language-tagged label (shape readable back via LANG/DATATYPE —
+    the parse-time constructor shape rides the hidden companions),
+    and an explicitly tagged pattern literal constrains the match
+    shape-exactly.  All column algebra — constructors compile to
+    CASE/concat expressions, zero UDFs."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_nation_graph(spark, sf_dir), """
+        SELECT ?node ?label (LANG(?label) AS ?lab_lang)
+               (DATATYPE(?key) AS ?key_dt)
+        WHERE {
+          ?n <urn:p:key> ?key .
+          BIND(IRI(CONCAT("urn:minted:nation/", ?key)) AS ?node)
+          BIND(STRLANG(CONCAT("Nation ", ?key), "en-US") AS ?label)
+          FILTER(ISIRI(?node) && LANGMATCHES(LANG(?label), "en"))
+        }
+        ORDER BY ?node
+    """)
+
+
+SQL_SPARQL_KG_MINT = """
+SELECT 'urn:minted:nation/' || CAST(n_nationkey AS VARCHAR) AS node,
+       'Nation ' || CAST(n_nationkey AS VARCHAR) AS label,
+       'en-US' AS lab_lang,
+       'http://www.w3.org/2001/XMLSchema#integer' AS key_dt
+FROM nation ORDER BY node
+"""
+
+
 def q_sparql_term_shape(spark, sf_dir):
     """Term-model builtins (SPARQL §17.4.1/2): LANG / LANGMATCHES /
     DATATYPE / ISIRI / ISLITERAL / ISBLANK / ISNUMERIC over the
@@ -4327,6 +4359,7 @@ QUERIES = {
     "sparql_optional_group": q_sparql_optional_group,
     "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_term_shape": q_sparql_term_shape,
+    "sparql_kg_mint": q_sparql_kg_mint,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "skolemize": q_skolemize,
@@ -4474,6 +4507,7 @@ def oracles() -> dict[str, str]:
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
+        "sparql_kg_mint": SQL_SPARQL_KG_MINT,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

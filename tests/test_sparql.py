@@ -153,8 +153,12 @@ def test_parse_errors(kg):
                       WHERE { ?x p:name ?n } GROUP BY ?x""")
     with pytest.raises(SparqlError, match="HAVING"):
         sparql(kg, "SELECT ?s WHERE { ?s ?p ?o } HAVING (?s > 1)")
-    with pytest.raises(SparqlUnsupported):
-        parse('SELECT ?s WHERE { ?s p:a "x"^^<http://t> }')
+    # typed-literal patterns parse now and constrain the term shape —
+    # which needs shape columns; an unshaped frame raises instead of
+    # matching lexically (misclassification)
+    parse('SELECT ?s WHERE { ?s p:a "x"^^<http://t> }')
+    with pytest.raises(ValueError, match="shape-tagged"):
+        sparql(kg, 'SELECT ?s WHERE { ?s p:a "x"^^<http://t> }')
 
 
 def test_sparql_text_matches_algebra_differential(spark):
@@ -1326,3 +1330,122 @@ def test_plain_path_query_carries_no_shape_columns(shaped_kg):
     import re as _re
     for m in _re.finditer(r"Aggregate \[([^\]]*)\]", plan):
         assert "obj_is_iri" not in m.group(1)
+
+
+# ------------------------------------------------------------------ #
+# term constructors (IRI / STRLANG / STRDT / UUID / BNODE / ...) and
+# shape-tagged literals in patterns / templates / DATA
+# ------------------------------------------------------------------ #
+
+
+def test_tagged_literal_pattern_matches_shape_exactly(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?s WHERE { ?s p:name "Alicia"@es-MX }"""))
+    assert out == [("urn:a",)]
+    # wrong tag: no match (case-insensitive tag compare)
+    assert _rows(sparql(shaped_kg, """
+        SELECT ?s WHERE { ?s p:name "Alicia"@ES-mx }""")) == \
+        [("urn:a",)]
+    assert _rows(sparql(shaped_kg, """
+        SELECT ?s WHERE { ?s p:name "Alicia"@fr }""")) == []
+    # typed literal: exact datatype
+    out = _rows(sparql(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s p:age "42"^^xsd:integer }"""))
+    assert out == [("urn:b",)]
+    assert _rows(sparql(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s p:age "42"^^xsd:long }""")) == []
+    # a PLAIN literal pattern stays lexical (documented model): it
+    # still matches the tagged row
+    assert _rows(sparql(shaped_kg, """
+        SELECT ?s WHERE { ?s p:age "42" }""")) == [("urn:b",)]
+
+
+def test_iri_constructor_bind(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?node WHERE {
+          ?s p:age ?o . BIND(IRI(CONCAT("urn:minted:", ?o)) AS ?node)
+          FILTER(ISIRI(?node)) }"""))
+    assert out == [("urn:minted:42",)]
+    # relative without BASE: error -> unbound -> NULL filtered
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?node WHERE {
+          ?s p:age ?o . BIND(IRI(?o) AS ?node) }"""))
+    assert out == [(None,)]
+    # relative WITH base: plain-path prefix resolution
+    out = _rows(sparql(shaped_kg, """
+        BASE <http://ex.org/data/>
+        SELECT ?node WHERE {
+          ?s p:age ?o . BIND(IRI(CONCAT("item/", ?o)) AS ?node) }"""))
+    assert out == [("http://ex.org/data/item/42",)]
+
+
+def test_strlang_strdt_stamp_shape(shaped_kg):
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?t (LANG(?t) AS ?l) WHERE {
+          ?s p:age ?o . BIND(STRLANG(?o, "en-GB") AS ?t) }"""))
+    assert out == [("42", "en-GB")]
+    out = _rows(sparql(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?t (DATATYPE(?t) AS ?dt) WHERE {
+          ?s p:age ?o . BIND(STRDT(?o, xsd:token) AS ?t) }"""))
+    assert out == [("42", "http://www.w3.org/2001/XMLSchema#token")]
+    # nested constructor loses the stamp: shape unknown -> NULL
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?t (LANG(?t) AS ?l) WHERE {
+          ?s p:age ?o . BIND(UCASE(STRLANG(?o, "en")) AS ?t) }"""))
+    assert out == [("42", None)]
+
+
+def test_uuid_bnode_struuid_now_tz(shaped_kg):
+    rows = _rows(sparql(shaped_kg, """
+        SELECT ?u ?b ?su WHERE {
+          ?s p:name ?o .
+          BIND(UUID() AS ?u) BIND(BNODE() AS ?b)
+          BIND(STRUUID() AS ?su)
+          FILTER(ISIRI(?u) && ISBLANK(?b) && ISLITERAL(?su)) }"""))
+    assert len(rows) == 3  # three p:name rows survive the filters
+    assert len({r[0] for r in rows}) == 3  # fresh per solution
+    assert all(r[0].startswith("urn:uuid:") for r in rows)
+    assert all(r[1].startswith("_:") for r in rows)
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?z WHERE {
+          ?s p:age ?o .
+          BIND(TZ("2011-01-10T14:45:13.815-05:00") AS ?z) }"""))
+    assert out == [("-05:00",)]
+    out = _rows(sparql(shaped_kg, """
+        SELECT ?n WHERE { ?s p:age ?o . BIND(NOW() AS ?n) }"""))
+    assert out[0][0][:3] == "202"  # xsd:dateTime lexical form
+    with pytest.raises(SparqlUnsupported):
+        parse("SELECT ?b WHERE { ?s ?p ?o BIND(BNODE(?o) AS ?b) }")
+
+
+def test_insert_data_tagged_literals(shaped_kg):
+    from pyrdfa3_spark.operators.sparql import update
+    out = update(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT DATA { <urn:c> <p:label> "hola"@es .
+                      <urn:c> <p:n> "7"^^xsd:byte .
+                      <urn:c> <p:m> 3.5 .
+                      <urn:c> <p:f> true }""")
+    got = {(r["obj"], r["obj_is_iri"], r["obj_lang"], r["obj_datatype"])
+           for r in out.filter("subj = 'urn:c'").collect()}
+    assert got == {
+        ("hola", False, "es", None),
+        ("7", False, None, "http://www.w3.org/2001/XMLSchema#byte"),
+        ("3.5", False, None, "http://www.w3.org/2001/XMLSchema#decimal"),
+        ("true", False, None, "http://www.w3.org/2001/XMLSchema#boolean"),
+    }
+    # delete the tagged row only: the untagged twin stays
+    out2 = update(out, """
+        INSERT DATA { <urn:c> <p:label> "hola" } ;
+        DELETE DATA { <urn:c> <p:label> "hola"@es }""")
+    left = {(r["obj"], r["obj_lang"]) for r in
+            out2.filter("subj = 'urn:c' and pred = 'p:label'").collect()}
+    assert left == {("hola", None)}
+
+
+def test_values_tagged_literal_raises(shaped_kg):
+    with pytest.raises(SparqlUnsupported):
+        parse('SELECT ?o WHERE { ?s ?p ?o VALUES ?o { "x"@en } }')
