@@ -316,7 +316,11 @@ class _Parser:
         if k == "STRING" and allow_literal:
             lex = _unquote(v)
             if self.at("LANGTAG"):
-                return _Term(lex, False, lang=self.next()[1][1:])
+                # language tags live in lower case in the RDF 1.1
+                # value space — normalize at parse time so pattern
+                # matching, DATA keys and LANG() read one form
+                return _Term(lex, False,
+                             lang=self.next()[1][1:].lower())
             if self.at("OP", "^") and self.peek(1) == ("OP", "^"):
                 self.next(), self.next()
                 dk, dv = self.next()
@@ -327,6 +331,9 @@ class _Parser:
                 else:
                     raise SparqlError(
                         f"expected datatype IRI after ^^, got {dv!r}")
+                # RDF 1.1: "x"^^xsd:string IS the simple literal "x"
+                if dt == _XSD + "string":
+                    return _Term(lex, False)
                 return _Term(lex, False, dt=dt)
             return _Term(lex, False)
         if k == "NUM" and allow_literal:
@@ -532,16 +539,22 @@ class _Parser:
                     "(/[A-Za-z0-9._~%!$&*+,;=@-]+)*$'")
 
     def _iri_fn_sql(self, arg: str) -> str:
+        # the lambda binds the argument ONCE (transform over a 1-array)
+        # so nondeterministic args (IRI(IF(RAND()...)) can't diverge
+        # between the CASE test and the CASE result, and expensive
+        # args aren't recomputed per branch
         if self.base:
             from urllib.parse import urljoin
             prefix = urljoin(self.base, ".")
-            return (f"(CASE WHEN {arg} RLIKE {self._ABS_IRI_RE} "
-                    f"THEN {arg} "
-                    f"WHEN {arg} RLIKE {self._REL_PATH_RE} "
-                    f"THEN concat({_sql_str(prefix)}, {arg}) "
-                    f"ELSE NULL END)")
-        return (f"(CASE WHEN {arg} RLIKE {self._ABS_IRI_RE} "
-                f"THEN {arg} ELSE NULL END)")
+            body = (f"CASE WHEN __i RLIKE {self._ABS_IRI_RE} "
+                    f"THEN __i "
+                    f"WHEN __i RLIKE {self._REL_PATH_RE} "
+                    f"THEN concat({_sql_str(prefix)}, __i) "
+                    f"ELSE CAST(NULL AS STRING) END")
+        else:
+            body = (f"CASE WHEN __i RLIKE {self._ABS_IRI_RE} "
+                    f"THEN __i ELSE CAST(NULL AS STRING) END")
+        return f"(transform(array({arg}), __i -> {body})[0])"
 
     def expr(self) -> str:
         out = self._expr_and()
@@ -671,13 +684,18 @@ class _Parser:
             self.eat("OP", "(")
             lex = self.expr()
             self.eat("OP", ",")
+            # NOTE: per spec both take a SIMPLE LITERAL first argument;
+            # the lexical term model can't see a binding's shape here,
+            # so the constructor stamps its result shape uncondition-
+            # ally — applying it to an IRI binding tags that IRI's
+            # lexical form (documented deviation; rdflib errors)
             if fn == "STRLANG":
                 k3, v3 = self.peek()
                 if k3 != "STRING":
                     raise SparqlUnsupported(
                         f"{fn} with a non-constant language tag")
                 self.next()
-                shape = (False, _unquote(v3), None)
+                shape = (False, _unquote(v3).lower(), None)
             else:
                 k3, v3 = self.next()
                 if k3 == "IRI":
@@ -687,7 +705,9 @@ class _Parser:
                 else:
                     raise SparqlUnsupported(
                         f"{fn} with a non-constant datatype IRI")
-                shape = (False, None, d)
+                # ^^xsd:string = the simple literal, same as in terms
+                shape = (False, None,
+                         None if d == _XSD + "string" else d)
             self.eat("OP", ")")
             # lexically the constructed literal IS its lexical form;
             # the tag/datatype lives in the shape (stamped onto the
@@ -1195,10 +1215,29 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
                                       allowMissingColumns=True)
         return name
 
+    def has_closure(p) -> bool:
+        if not isinstance(p, tuple):
+            return False
+        if p[0] in ("plus", "star", "opt"):
+            return True
+        if p[0] in ("seq", "alt", "neg"):
+            return any(has_closure(x) for x in p[1])
+        return has_closure(p[1])  # inv
+
     def rewrite(patterns):
         out = []
         for s, path, o in patterns:
             if isinstance(path, tuple):
+                if _tagged(o) and has_closure(path):
+                    # closure endpoints carry NULL (unknown) shape, so
+                    # a shape-tagged object could only ever filter to
+                    # empty — refuse rather than silently mismatch
+                    raise SparqlUnsupported(
+                        "shape-tagged literal as the object of a "
+                        "path containing a closure (a multi-hop "
+                        "endpoint's shape is unknown; match a "
+                        "variable and FILTER on LANG/DATATYPE of a "
+                        "single-hop binding instead)")
                 pred = materialize(path)
             else:  # already a plain string (template positions)
                 pred = path
@@ -1218,7 +1257,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
     sv = g.get("_shape") or None
-    keep_shape = bool(sv) or _group_has_tagged(g)
+    tg = _group_has_tagged(g)
+    keep_shape = bool(sv) or tg
+    if tg and "obj_is_iri" not in triples.columns:
+        raise SparqlUnsupported(
+            "shape-tagged literal patterns need a frame with "
+            "literal-shape columns (obj_is_iri/obj_lang/"
+            "obj_datatype); match the plain lexical form instead")
     if g["union"] is not None:
         if g["subqueries"] or g["graphs"]:
             raise SparqlUnsupported(
@@ -1465,6 +1510,12 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
             raise SparqlUnsupported(
                 "CONSTRUCT WHERE supports patterns, OPTIONAL and "
                 "FILTER only")
+        if (_group_has_tagged(g)
+                and "obj_is_iri" not in triples.columns):
+            raise SparqlUnsupported(
+                "shape-tagged literal patterns need a frame with "
+                "literal-shape columns (obj_is_iri/obj_lang/"
+                "obj_datatype); match the plain lexical form instead")
         t = _expand_paths(triples, [g],
                           keep_shape=bool(q.get("shape_vars"))
                           or _group_has_tagged(g))
@@ -1975,6 +2026,15 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
 
     if op["op"] in ("insert_data", "delete_data"):
         shape = [c for c in _SHAPE_COLS if c in df.columns]
+        if not shape and any(_tagged(r[2]) for r in op["quads"]):
+            # an explicit @lang/^^dt on a shapeless frame would
+            # silently insert/delete the PLAIN lexical twin — refuse,
+            # mirroring the query-side matcher (implicit grammar
+            # shapes — bare 42 — stay lexical as documented)
+            raise SparqlUnsupported(
+                "tagged literals in DATA need a frame with "
+                "literal-shape columns (obj_is_iri/obj_lang/"
+                "obj_datatype)")
         rows = sorted(
             {(str(r[0]), str(r[1]), str(r[2]),
               None if r[3] is None else str(r[3]),
@@ -2039,6 +2099,16 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         raise SparqlUnsupported(
             "DELETE/INSERT WHERE supports patterns, OPTIONAL and "
             "FILTER only")
+    if "obj_is_iri" not in df.columns:
+        if _group_has_tagged(g) or any(
+                _tagged(o) for tmpl in (op["delete"], op["insert"])
+                for _s, _p, o in tmpl or []):
+            # same refusal as DATA: a tag a shapeless frame can't
+            # store/match must not silently become the plain twin
+            raise SparqlUnsupported(
+                "tagged literals in DELETE/INSERT templates or WHERE "
+                "patterns need a frame with literal-shape columns "
+                "(obj_is_iri/obj_lang/obj_datatype)")
     # WHERE matches the USING merge when given, else the WITH graph
     # (default graph when neither) — the scope filter prunes the scan
     # before any join; templates always target the WITH/default graph

@@ -1801,7 +1801,7 @@ def q_sparql_kg_mint(spark, sf_dir):
 SQL_SPARQL_KG_MINT = """
 SELECT 'urn:minted:nation/' || CAST(n_nationkey AS VARCHAR) AS node,
        'Nation ' || CAST(n_nationkey AS VARCHAR) AS label,
-       'en-US' AS lab_lang,
+       'en-us' AS lab_lang,
        'http://www.w3.org/2001/XMLSchema#integer' AS key_dt
 FROM nation ORDER BY node
 """

@@ -1382,10 +1382,11 @@ def test_iri_constructor_bind(shaped_kg):
 
 
 def test_strlang_strdt_stamp_shape(shaped_kg):
+    # language tags normalize to the RDF 1.1 lower-case value space
     out = _rows(sparql(shaped_kg, """
         SELECT ?t (LANG(?t) AS ?l) WHERE {
           ?s p:age ?o . BIND(STRLANG(?o, "en-GB") AS ?t) }"""))
-    assert out == [("42", "en-GB")]
+    assert out == [("42", "en-gb")]
     out = _rows(sparql(shaped_kg, """
         PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
         SELECT ?t (DATATYPE(?t) AS ?dt) WHERE {
@@ -1449,3 +1450,65 @@ def test_insert_data_tagged_literals(shaped_kg):
 def test_values_tagged_literal_raises(shaped_kg):
     with pytest.raises(SparqlUnsupported):
         parse('SELECT ?o WHERE { ?s ?p ?o VALUES ?o { "x"@en } }')
+
+
+def test_xsd_string_normalizes_to_simple_literal(shaped_kg):
+    # RDF 1.1: "x"^^xsd:string IS the simple literal — matches the
+    # untagged store row
+    out = _rows(sparql(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s p:name "Bob"^^xsd:string }"""))
+    assert out == [("urn:b",)]
+    from pyrdfa3_spark.operators.sparql import update
+    out = update(shaped_kg, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        INSERT DATA { <urn:d> <p:x> "v"^^xsd:string }""")
+    row = out.filter("subj = 'urn:d'").collect()[0]
+    assert (row["obj_lang"], row["obj_datatype"]) == (None, None)
+
+
+def test_lang_tag_case_normalization_in_data(shaped_kg):
+    from pyrdfa3_spark.operators.sparql import update
+    out = update(shaped_kg, """
+        INSERT DATA { <urn:d> <p:l> "hola"@ES } ;
+        DELETE DATA { <urn:d> <p:l> "hola"@es }""")
+    assert out.filter("subj = 'urn:d'").count() == 0
+    # duplicate-cased inserts collapse to one row
+    out = update(shaped_kg, """
+        INSERT DATA { <urn:d> <p:l> "hola"@ES .
+                      <urn:d> <p:l> "hola"@es }""")
+    rows = out.filter("subj = 'urn:d'").collect()
+    assert [(r["obj"], r["obj_lang"]) for r in rows] == [("hola", "es")]
+
+
+def test_tagged_literal_guards_raise_sparql_unsupported(shaped_kg):
+    from pyrdfa3_spark.operators.sparql import update
+    bare = shaped_kg.select("subj", "pred", "obj")
+    # query side: pattern over shapeless frame
+    with pytest.raises(SparqlUnsupported):
+        sparql(bare, 'SELECT ?s WHERE { ?s p:name "x"@en }')
+    # DATA and templates over shapeless frames
+    with pytest.raises(SparqlUnsupported):
+        update(bare, 'INSERT DATA { <a> <b> "x"@en }')
+    with pytest.raises(SparqlUnsupported):
+        update(bare, 'DELETE { ?s <b> "x"@en } WHERE { ?s ?p ?o }')
+    # implicit grammar shapes stay lexical on shapeless frames (no
+    # raise): bare numbers insert their lexical form
+    out = update(bare, "INSERT DATA { <a> <b> 42 }")
+    assert out.filter("subj = 'a'").collect()[0]["obj"] == "42"
+    # closure-path object with a tag: silent-empty refused
+    with pytest.raises(SparqlUnsupported):
+        sparql(shaped_kg, 'SELECT ?s WHERE { ?s p:knows+ "x"@en }')
+    with pytest.raises(SparqlUnsupported):
+        sparql(shaped_kg,
+               'SELECT ?s WHERE { ?s (p:a/p:knows*) "x"@en }')
+
+
+def test_iri_nondeterministic_arg_single_eval(shaped_kg):
+    # the argument binds once: result is either a validated absolute
+    # IRI or NULL — never an unvalidated relative leaking through
+    rows = _rows(sparql(shaped_kg, """
+        SELECT ?u WHERE {
+          ?s p:name ?o .
+          BIND(IRI(IF(RAND() < 0.5, "urn:a", "rel")) AS ?u) }"""))
+    assert all(u is None or u == "urn:a" for (u,) in rows)
