@@ -756,7 +756,8 @@ def construct(triples: DataFrame,
               template: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
               filters: list[str] | None = None,
-              shape_vars=None) -> DataFrame:
+              shape_vars=None,
+              obj_shapes: list | None = None) -> DataFrame:
     """SPARQL CONSTRUCT — rule-based triple derivation, the KG-
     construction primitive: match ``patterns``, instantiate every
     ``template`` (s, p, o) per solution (``?var`` positions substitute
@@ -774,7 +775,7 @@ def construct(triples: DataFrame,
     """
     sols = bgp_match(triples, patterns, optional=optional,
                      filters=filters, shape_vars=shape_vars)
-    return construct_solutions(sols, template)
+    return construct_solutions(sols, template, obj_shapes=obj_shapes)
 
 
 def construct_solutions(sols: DataFrame,
@@ -789,10 +790,15 @@ def construct_solutions(sols: DataFrame,
     instantiating both a DELETE and an INSERT template from ONE WHERE
     match) don't re-run the pattern join per template.
 
-    ``obj_shapes`` (one ``(is_iri, lang, datatype)`` per template
-    entry) additionally emits the literal-shape columns — SPARQL
-    UPDATE uses it so inserted rows land with the template's term
-    shape instead of the all-IRI default."""
+    ``obj_shapes`` (one entry per template entry) additionally emits
+    the literal-shape columns — SPARQL UPDATE and shaped CONSTRUCT use
+    it so derived rows land with real term shapes instead of the
+    all-IRI default.  Each entry is either a constant
+    ``(is_iri, lang, datatype)`` triple (template constants carry
+    their parse-time shape) or the string ``"binding"``: the object is
+    a variable and its shape is read per-row from the solution frame's
+    hidden ``__shape_<var>_*`` companion columns (ask the matcher for
+    them via ``shape_vars``)."""
     def term(t):
         t = str(t)  # parser terms may be str subclasses
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
@@ -804,10 +810,19 @@ def construct_solutions(sols: DataFrame,
         out = [term(s).alias("subj"), term(p).alias("pred"),
                term(o).alias("obj")]
         if obj_shapes is not None:
-            is_iri, lang, dtype = obj_shapes[i]
-            out += [F.lit(bool(is_iri)).alias("obj_is_iri"),
-                    F.lit(lang).cast("string").alias("obj_lang"),
-                    F.lit(dtype).cast("string").alias("obj_datatype")]
+            if obj_shapes[i] == "binding":
+                iri, lang, dt = shape_names(str(o)[1:])
+                out += [F.col(iri).cast("boolean")
+                        .alias("obj_is_iri"),
+                        F.col(lang).cast("string").alias("obj_lang"),
+                        F.col(dt).cast("string")
+                        .alias("obj_datatype")]
+            else:
+                is_iri, lang, dtype = obj_shapes[i]
+                out += [F.lit(bool(is_iri)).alias("obj_is_iri"),
+                        F.lit(lang).cast("string").alias("obj_lang"),
+                        F.lit(dtype).cast("string")
+                        .alias("obj_datatype")]
         return out
 
     cols = ["subj", "pred", "obj"] + (

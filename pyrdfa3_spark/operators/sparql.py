@@ -1516,9 +1516,6 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                 "shape-tagged literal patterns need a frame with "
                 "literal-shape columns (obj_is_iri/obj_lang/"
                 "obj_datatype); match the plain lexical form instead")
-        t = _expand_paths(triples, [g],
-                          keep_shape=bool(q.get("shape_vars"))
-                          or _group_has_tagged(g))
         template = []
         for s, p, o in q["template"]:
             if isinstance(p, tuple):
@@ -1532,10 +1529,32 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                     "(fresh-per-solution minting is outside the "
                     "subset — use a named variable)")
             template.append((s, p, o))
+        # on a shaped frame the constructed graph carries real term
+        # shapes (rdflib's CONSTRUCT returns terms, not lexical
+        # forms): constants stamp their parse-time shape, variable
+        # objects copy the matched binding's shape per-row — so the
+        # derived graph serializes literals as literals instead of
+        # the all-IRI default
+        shapes = None
+        svars = set(q.get("shape_vars") or ())
+        if "obj_is_iri" in triples.columns:
+            shapes = []
+            for _s, _p, o in template:
+                if str(o).startswith("?"):
+                    shapes.append("binding")
+                    svars.add(str(o)[1:])
+                else:
+                    shapes.append((_term_is_iri(o),
+                                   getattr(o, "lang", None),
+                                   getattr(o, "dt", None)))
+        t = _expand_paths(triples, [g],
+                          keep_shape=bool(svars)
+                          or _group_has_tagged(g))
         return G.construct(t, g["patterns"], template,
                            optional=g["optionals"] or None,
                            filters=g["filters"] or None,
-                           shape_vars=q.get("shape_vars") or None)
+                           shape_vars=svars or None,
+                           obj_shapes=shapes)
 
     return _solve_select(triples, q)
 
@@ -2126,8 +2145,16 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     else:
         scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
                  .select(*keep) if quads else df)
+    # a variable-bound template object instantiates with the shape its
+    # binding MATCHED (read per-row from the matcher's hidden
+    # companions), so the solutions must track every template object
+    # variable and the working frame must keep the store's shape
+    # columns for the matcher to copy from
+    tvars = ({str(o)[1:] for tmpl in (op["delete"], op["insert"])
+              for _s, _p, o in tmpl or [] if str(o).startswith("?")}
+             if "obj_is_iri" in df.columns else set())
     t = _expand_paths(scope, [g], keep_shape=bool(g.get("_shape"))
-                      or _group_has_tagged(g))
+                      or bool(tvars) or _group_has_tagged(g))
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
     # WHERE matches the pre-update state) — guaranteed here because
@@ -2138,7 +2165,8 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     sols = G.bgp_match(t, g["patterns"],
                        optional=g["optionals"] or None,
                        filters=g["filters"] or None,
-                       shape_vars=g.get("_shape") or None)
+                       shape_vars=(set(g.get("_shape") or ()) | tvars)
+                       or None)
 
     shape = [c for c in _SHAPE_COLS if c in df.columns]
 
@@ -2147,10 +2175,10 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
 
     def derived(template, with_shape):
         # template constants carry their parse-time shape (including
-        # @lang / ^^dt tags); a variable-bound object gets the all-IRI
-        # default (the lexical term model loses a binding's shape —
-        # documented in update())
-        shapes = ([((True, None, None) if is_var(o)
+        # @lang / ^^dt tags); a variable-bound object instantiates
+        # with the shape of the row its binding matched, read per-row
+        # from the solution's hidden companions ("binding")
+        shapes = ([("binding" if is_var(o)
                     else (_term_is_iri(o), getattr(o, "lang", None),
                           getattr(o, "dt", None)))
                    for _s, _p, o in template] if with_shape else None)
@@ -2160,20 +2188,14 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
                                  F.lit(scope_graph).cast("string"))
         return out
 
-    # the delete templates with a CONSTANT object match shape-exactly
-    # (a literal "x" never deletes an IRI <x>); a variable object
-    # deletes every shape of the lexical triple it bound — so with
-    # shape columns present the two kinds instantiate separately
+    # on a shaped frame every delete template matches shape-exactly:
+    # a constant literal "x" never deletes an IRI <x>, and a variable
+    # object deletes exactly the shape(s) its binding matched — one
+    # solution row per matching shape (bag), same as rdflib's
+    # term-exact Graph.update
     del_parts = []
-    if op["delete"] and shape:
-        const_t = [t for t in op["delete"] if not is_var(t[2])]
-        var_t = [t for t in op["delete"] if is_var(t[2])]
-        if const_t:
-            del_parts.append((const_t, True))
-        if var_t:
-            del_parts.append((var_t, False))
-    elif op["delete"]:
-        del_parts.append((op["delete"], False))
+    if op["delete"]:
+        del_parts.append((op["delete"], bool(shape)))
     if len(del_parts) + (1 if op["insert"] else 0) > 1:
         sols = sols.localCheckpoint(eager=False)
 

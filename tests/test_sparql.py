@@ -1512,3 +1512,65 @@ def test_iri_nondeterministic_arg_single_eval(shaped_kg):
           ?s p:name ?o .
           BIND(IRI(IF(RAND() < 0.5, "urn:a", "rel")) AS ?u) }"""))
     assert all(u is None or u == "urn:a" for (u,) in rows)
+
+
+def test_construct_carries_binding_shapes(shaped_kg):
+    """CONSTRUCT over a shaped frame emits real term shapes: a
+    variable object copies the matched binding's shape per-row, a
+    constant stamps its parse-time shape, and a subject-bound variable
+    used as a template object lands as the IRI/bnode it is — so a
+    derived literal stays a literal through serialization (rdflib's
+    CONSTRUCT returns terms, not lexical forms)."""
+    out = sparql(shaped_kg, """
+        CONSTRUCT { ?s <p:alias> ?o . ?s <p:src> <urn:g> .
+                    ?s <p:note> "copy"@en . <urn:reg> <p:has> ?s }
+        WHERE { ?s p:name ?o FILTER(LANGMATCHES(LANG(?o), "es")) }""")
+    got = {(r["pred"], r["obj"], r["obj_is_iri"], r["obj_lang"])
+           for r in out.collect()}
+    assert got == {
+        ("p:alias", "Alicia", False, "es-MX"),
+        ("p:src", "urn:g", True, None),
+        ("p:note", "copy", False, "en"),
+        ("p:has", "urn:a", True, None),
+    }
+    # shapeless frame: the classic 3-column contract is unchanged
+    plain = shaped_kg.select("subj", "pred", "obj")
+    assert sparql(plain, "CONSTRUCT { ?s <p:alias> ?o } "
+                         "WHERE { ?s <p:name> ?o }").columns == [
+        "subj", "pred", "obj"]
+
+
+def test_update_insert_var_object_keeps_shape(shaped_kg):
+    """INSERT templates with a variable object land with the binding's
+    matched shape, not the all-IRI default (rdflib Graph.update
+    preserves literals through copy rules)."""
+    from pyrdfa3_spark.operators.sparql import update
+    out = update(shaped_kg, """
+        INSERT { ?s <p:label> ?o } WHERE { ?s <p:name> ?o }""")
+    got = {(r["obj"], r["obj_is_iri"], r["obj_lang"], r["obj_datatype"])
+           for r in out.filter("pred = 'p:label'").collect()}
+    assert got == {("Alice", False, "en", None),
+                   ("Alicia", False, "es-MX", None),
+                   ("Bob", False, None, None)}
+
+
+def test_update_delete_var_object_shape_exact(spark):
+    """A variable-bound DELETE object removes exactly the shape its
+    binding matched: the lexical IRI twin of a deleted literal
+    survives (rdflib's term-exact Graph.update), and a binding that
+    matched BOTH shapes deletes both (one solution row per shape)."""
+    from pyrdfa3_spark.operators.sparql import update
+    rows = [("urn:a", "p:v", "x", False, None, None),   # literal "x"
+            ("urn:a", "p:v", "x", True, None, None),    # IRI <x>
+            ("urn:a", "p:lit", "x", False, None, None)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    out = update(df, """
+        DELETE { <urn:a> <p:v> ?o } WHERE { <urn:a> <p:lit> ?o }""")
+    got = {(r["pred"], r["obj"], r["obj_is_iri"]) for r in out.collect()}
+    assert got == {("p:v", "x", True), ("p:lit", "x", False)}
+    # ?o bound against p:v matches both shapes -> both delete
+    out2 = update(df, """
+        DELETE { <urn:a> <p:v> ?o } WHERE { <urn:a> <p:v> ?o }""")
+    assert {(r["pred"],) for r in out2.collect()} == {("p:lit",)}
