@@ -801,7 +801,10 @@ def construct_solutions(sols: DataFrame,
     them via ``shape_vars``)."""
     def term(t):
         t = str(t)  # parser terms may be str subclasses
-        return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+        # BIND/aggregate-bound variables are typed columns; the
+        # lexical triple model stores the string form
+        return (F.col(t[1:]).cast("string") if t.startswith("?")
+                else F.lit(t))
 
     if obj_shapes is not None and len(obj_shapes) != len(template):
         raise ValueError("obj_shapes must align with template")
@@ -812,7 +815,12 @@ def construct_solutions(sols: DataFrame,
         if obj_shapes is not None:
             if obj_shapes[i] == "binding":
                 iri, lang, dt = shape_names(str(o)[1:])
-                out += [F.col(iri).cast("boolean")
+                # a NULL companion (BIND/subquery-bound value — shape
+                # unknown) falls back to the engine-wide lexical
+                # inference: NULL obj_is_iri would serialize as an
+                # IRI, silently corrupting derived literals
+                out += [F.coalesce(F.col(iri).cast("boolean"),
+                                   _lexical_is_iri(term(o)))
                         .alias("obj_is_iri"),
                         F.col(lang).cast("string").alias("obj_lang"),
                         F.col(dt).cast("string")

@@ -1037,11 +1037,14 @@ def parse(text: str) -> dict:
                 "DESCRIBE needs IRIs or ?variables with WHERE")
     else:
         raise SparqlError(f"expected a query form, got {v!r}")
-    if p.at("KW", "VALUES") and q["form"] != "select":
+    if p.at("KW", "VALUES") and q["form"] not in ("select",
+                                                  "construct"):
         raise SparqlUnsupported(
-            "trailing VALUES on ASK/CONSTRUCT/DESCRIBE (supported on "
-            "SELECT; wrap the others' patterns in a VALUES-carrying "
+            "trailing VALUES on ASK/DESCRIBE (supported on SELECT and "
+            "CONSTRUCT; wrap the others' patterns in a VALUES-carrying "
             "group instead)")
+    if p.take("KW", "VALUES") and q["form"] == "construct":
+        q["values"] = p._values()
     if not p.at("EOF"):
         raise SparqlError(f"trailing tokens at {p.peek()[1]!r}")
     q["shape_vars"] = frozenset(p.shape_vars)
@@ -1505,17 +1508,6 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         return G.describe_frame(triples, nodes)
     if q["form"] == "construct":
         g = q["where"]
-        if (g["union"] or g["minus"] or g["exists"] or g["values"]
-                or g["binds"] or g["graphs"] or g["subqueries"]):
-            raise SparqlUnsupported(
-                "CONSTRUCT WHERE supports patterns, OPTIONAL and "
-                "FILTER only")
-        if (_group_has_tagged(g)
-                and "obj_is_iri" not in triples.columns):
-            raise SparqlUnsupported(
-                "shape-tagged literal patterns need a frame with "
-                "literal-shape columns (obj_is_iri/obj_lang/"
-                "obj_datatype); match the plain lexical form instead")
         template = []
         for s, p, o in q["template"]:
             if isinstance(p, tuple):
@@ -1547,14 +1539,30 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                     shapes.append((_term_is_iri(o),
                                    getattr(o, "lang", None),
                                    getattr(o, "dt", None)))
-        t = _expand_paths(triples, [g],
-                          keep_shape=bool(svars)
-                          or _group_has_tagged(g))
-        return G.construct(t, g["patterns"], template,
-                           optional=g["optionals"] or None,
-                           filters=g["filters"] or None,
-                           shape_vars=svars or None,
-                           obj_shapes=shapes)
+        # the WHERE solves with the FULL group grammar (UNION, BIND,
+        # VALUES, GRAPH, subqueries, EXISTS/MINUS) — same solver as
+        # SELECT, then one instantiation pass over the solutions
+        _attach_shape(g, frozenset(svars))
+        sols = _solve_group(triples, g)
+        if q.get("values") is not None:
+            sols = _join_values(sols, *q["values"])
+        # §16.2: a template entry referencing a variable the WHERE
+        # never binds instantiates for no solution — it contributes
+        # nothing (rdflib skips it the same way)
+        keep = [i for i, tpl in enumerate(template)
+                if all(not str(t).startswith("?")
+                       or str(t)[1:] in sols.columns for t in tpl)]
+        if len(keep) < len(template):
+            template = [template[i] for i in keep]
+            if shapes is not None:
+                shapes = [shapes[i] for i in keep]
+        if not template:
+            schema = ("subj string, pred string, obj string"
+                      + (", obj_is_iri boolean, obj_lang string, "
+                         "obj_datatype string"
+                         if shapes is not None else ""))
+            return triples.sparkSession.createDataFrame([], schema)
+        return G.construct_solutions(sols, template, obj_shapes=shapes)
 
     return _solve_select(triples, q)
 
@@ -1941,10 +1949,11 @@ def update(triples: DataFrame, text: str) -> DataFrame:
     frame carries literal-shape columns they join into every set
     operation's key (a literal ``"x"`` never deletes/dedups against an
     IRI ``<x>``), ground ``DATA`` rows land with their parse-time
-    shape, and template-derived insertions get the template constant's
-    shape (variable-bound objects get the all-IRI default — the
-    lexical term model cannot recover a binding's shape).  Provenance
-    columns are NULL on inserted rows.
+    shape, and template-derived rows instantiate term-exactly: a
+    constant carries its parse-time shape, a variable-bound object
+    the shape of the row its binding matched (read per-row from the
+    matcher's hidden companions).  Provenance columns are NULL on
+    inserted rows.
     """
     for col in _TRIPLE_KEY:
         if col not in triples.columns:
@@ -2113,11 +2122,11 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     scope_graph = op.get("with")
     if scope_graph is not None:
         need_quads("WITH <graph>")
-    if (g["union"] or g["minus"] or g["exists"] or g["values"]
-            or g["binds"] or g["subqueries"] or g["graphs"]):
+    if g["graphs"]:
         raise SparqlUnsupported(
-            "DELETE/INSERT WHERE supports patterns, OPTIONAL and "
-            "FILTER only")
+            "GRAPH inside DELETE/INSERT WHERE (needs USING NAMED "
+            "dataset semantics — outside the subset; scope the match "
+            "with WITH or USING instead)")
     if "obj_is_iri" not in df.columns:
         if _group_has_tagged(g) or any(
                 _tagged(o) for tmpl in (op["delete"], op["insert"])
@@ -2153,25 +2162,30 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     tvars = ({str(o)[1:] for tmpl in (op["delete"], op["insert"])
               for _s, _p, o in tmpl or [] if str(o).startswith("?")}
              if "obj_is_iri" in df.columns else set())
-    t = _expand_paths(scope, [g], keep_shape=bool(g.get("_shape"))
-                      or bool(tvars) or _group_has_tagged(g))
+    _attach_shape(g, frozenset(set(g.get("_shape") or ()) | tvars))
     # both templates instantiate against the ORIGINAL graph's
     # solutions (SPARQL 1.1 §3.1.3: delete first, insert second, but
     # WHERE matches the pre-update state) — guaranteed here because
     # `sols` derives from `df`, not from the partial result.  The
-    # match runs ONCE; with both templates present the solutions are
-    # locally checkpointed so the two instantiations don't re-execute
-    # the pattern join (lazy: materializes at first use).
-    sols = G.bgp_match(t, g["patterns"],
-                       optional=g["optionals"] or None,
-                       filters=g["filters"] or None,
-                       shape_vars=(set(g.get("_shape") or ()) | tvars)
-                       or None)
+    # match runs ONCE (the full group grammar, same solver as SELECT);
+    # with both templates present the solutions are locally
+    # checkpointed so the two instantiations don't re-execute the
+    # pattern join (lazy: materializes at first use).
+    sols = _solve_group(scope, g)
 
     shape = [c for c in _SHAPE_COLS if c in df.columns]
 
     def is_var(t) -> bool:
         return str(t).startswith("?")
+
+    def bound_only(template):
+        # §3.1.3: a template entry referencing a variable the WHERE
+        # never binds instantiates for no solution — drop it
+        return [tpl for tpl in template or []
+                if all(not is_var(x) or str(x)[1:] in sols.columns
+                       for x in tpl)]
+
+    deletes, inserts = bound_only(op["delete"]), bound_only(op["insert"])
 
     def derived(template, with_shape):
         # template constants carry their parse-time shape (including
@@ -2194,22 +2208,22 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # solution row per matching shape (bag), same as rdflib's
     # term-exact Graph.update
     del_parts = []
-    if op["delete"]:
-        del_parts.append((op["delete"], bool(shape)))
-    if len(del_parts) + (1 if op["insert"] else 0) > 1:
+    if deletes:
+        del_parts.append((deletes, bool(shape)))
+    if len(del_parts) + (1 if inserts else 0) > 1:
         sols = sols.localCheckpoint(eager=False)
 
     out = df
     for template, with_shape in del_parts:
         out = _quad_minus(out, derived(template, with_shape))
-    if op["insert"]:
+    if inserts:
         # set semantics via fresh-only insert: rows already present
         # pass through UNTOUCHED (provenance survives — the old
         # union+dropDuplicates picked an ARBITRARY winner between the
         # existing row and the NULL-provenance derived twin).  Same
         # cost class: one join keyed on the term key instead of the
         # full-store distinct — still the grammar's one corpus shuffle.
-        ins = derived(op["insert"], bool(shape))
+        ins = derived(inserts, bool(shape))
         out = out.unionByName(_quad_minus(ins, out),
                               allowMissingColumns=True)
     return out

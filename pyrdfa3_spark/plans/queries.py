@@ -1807,6 +1807,50 @@ FROM nation ORDER BY node
 """
 
 
+def q_sparql_construct_group(spark, sf_dir):
+    """CONSTRUCT over the FULL group grammar (SPARQL §16.2 + §10.2):
+    the WHERE solves with the same solver as SELECT — here UNION
+    across two predicates, a BIND-minted IRI subject, and a trailing
+    VALUES post-filter — and the derived graph carries real term
+    shapes: variable objects copy the matched binding's shape per-row
+    (lang-tagged name vs xsd:integer key), the IRI-bound subject
+    variable lands as an IRI.  All column algebra: the union is a
+    unionByName, the mint a concat, the instantiation one
+    explode-of-structs — no extra shuffle beyond the set-semantics
+    distinct."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_nation_graph(spark, sf_dir), """
+        CONSTRUCT { ?s <urn:d:val> ?o . ?m <urn:d:marks> ?s }
+        WHERE {
+          { ?s <urn:p:name> ?o } UNION { ?s <urn:p:key> ?o }
+          BIND(IRI(CONCAT(STR(?s), ":m")) AS ?m)
+        }
+        VALUES ?s { <urn:nation:N1> <urn:nation:N2> <urn:nation:N3> }
+    """)
+
+
+SQL_SPARQL_CONSTRUCT_GROUP = """
+WITH sols AS (
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR) AS s,
+         n_name || ' says "hi"' || chr(10) AS o,
+         'en' AS lang, NULL AS dt
+  FROM nation WHERE n_nationkey IN (1, 2, 3)
+  UNION ALL
+  SELECT 'urn:nation:N' || CAST(n_nationkey AS VARCHAR),
+         CAST(n_nationkey AS VARCHAR), NULL,
+         'http://www.w3.org/2001/XMLSchema#integer'
+  FROM nation WHERE n_nationkey IN (1, 2, 3))
+SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_lang, obj_datatype
+FROM (
+  SELECT s AS subj, 'urn:d:val' AS pred, o AS obj,
+         FALSE AS obj_is_iri, lang AS obj_lang, dt AS obj_datatype
+  FROM sols
+  UNION ALL
+  SELECT s || ':m', 'urn:d:marks', s, TRUE, NULL, NULL FROM sols)
+"""
+
+
 def q_sparql_term_shape(spark, sf_dir):
     """Term-model builtins (SPARQL §17.4.1/2): LANG / LANGMATCHES /
     DATATYPE / ISIRI / ISLITERAL / ISBLANK / ISNUMERIC over the
@@ -4360,6 +4404,7 @@ QUERIES = {
     "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_term_shape": q_sparql_term_shape,
     "sparql_kg_mint": q_sparql_kg_mint,
+    "sparql_construct_group": q_sparql_construct_group,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
     "skolemize": q_skolemize,
@@ -4508,6 +4553,7 @@ def oracles() -> dict[str, str]:
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
         "sparql_kg_mint": SQL_SPARQL_KG_MINT,
+        "sparql_construct_group": SQL_SPARQL_CONSTRUCT_GROUP,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
         "bgp_match": SQL_BGP_MATCH,

@@ -535,10 +535,12 @@ def test_update_parse_errors(kg):
     ]:
         with pytest.raises(exc):
             parse_update(bad)
-    # unsupported WHERE shapes raise at execution
+    # unsupported WHERE shapes raise at execution (UNION/BIND/VALUES/
+    # subqueries are solved since the full-group solver — GRAPH still
+    # needs USING NAMED semantics)
     with pytest.raises(SparqlUnsupported):
         update(kg, 'DELETE { ?s ?p ?o } WHERE '
-                   '{ { ?s ?p ?o } UNION { ?o ?p ?s } }')
+                   '{ GRAPH ?g { ?s ?p ?o } }')
     # quadless frame
     with pytest.raises(SparqlError):
         update(kg.select("subj", "pred"), "CLEAR ALL")
@@ -662,9 +664,13 @@ def test_dataset_clauses(spark):
     with pytest.raises(SparqlUnsupported):
         sparql(q, "SELECT ?s WHERE { { SELECT ?s FROM <g> WHERE "
                   "{ ?s ?p ?o } } . ?s <p> ?o }")
-    with pytest.raises(SparqlUnsupported):
-        sparql(q, "CONSTRUCT { ?s <q> ?o } WHERE "
-                  "{ GRAPH ?g { ?s <p> ?o } }")
+    # CONSTRUCT solves the full group grammar: GRAPH ranges over the
+    # store's named graphs (default-graph rows invisible inside it)
+    got = sorted(tuple(r) for r in sparql(
+        q, "CONSTRUCT { ?s <q> ?o } WHERE "
+           "{ GRAPH ?g { ?s <p> ?o } }").collect())
+    assert got == [("s2", "q", "o2"), ("s3", "q", "o3"),
+                   ("s4", "q", "o4"), ("s5", "q", "o5")]
 
 
 def test_dataset_review_regressions(spark):
@@ -1574,3 +1580,100 @@ def test_update_delete_var_object_shape_exact(spark):
     out2 = update(df, """
         DELETE { <urn:a> <p:v> ?o } WHERE { <urn:a> <p:v> ?o }""")
     assert {(r["pred"],) for r in out2.collect()} == {("p:lit",)}
+
+
+def test_construct_full_group_grammar(spark):
+    """CONSTRUCT's WHERE solves with the same group solver as SELECT:
+    UNION, BIND, in-group VALUES, subqueries and trailing VALUES all
+    feed the template instantiation (previously refused)."""
+    t = spark.createDataFrame(
+        [("urn:a", "p1", "x"), ("urn:a", "p1", "y"),
+         ("urn:b", "p2", "z")],
+        "subj string, pred string, obj string")
+
+    def run(text):
+        return sorted(tuple(r) for r in sparql(t, text).collect())
+
+    # UNION across predicates
+    assert run("""CONSTRUCT { ?s <t> ?o } WHERE {
+        { ?s <p1> ?o } UNION { ?s <p2> ?o } }""") == [
+        ("urn:a", "t", "x"), ("urn:a", "t", "y"), ("urn:b", "t", "z")]
+    # BIND-derived object (typed column lands as its lexical form)
+    assert run("""CONSTRUCT { ?s <len> ?l } WHERE {
+        ?s <p2> ?o BIND(STRLEN(?o) AS ?l) }""") == [
+        ("urn:b", "len", "1")]
+    # in-group VALUES constrains, trailing VALUES post-filters
+    assert run("""CONSTRUCT { ?s <t> ?o } WHERE {
+        ?s <p1> ?o VALUES ?o { "x" } }""") == [("urn:a", "t", "x")]
+    assert run("""CONSTRUCT { ?s <t> ?o } WHERE { ?s <p1> ?o }
+        VALUES ?o { "y" }""") == [("urn:a", "t", "y")]
+    # subquery aggregate feeding the template
+    assert run("""CONSTRUCT { ?s <n> ?n } WHERE {
+        { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p1> ?o }
+          GROUP BY ?s } . ?s <p1> ?o }""") == [("urn:a", "n", "2")]
+    # an unbound template variable contributes nothing (§16.2)
+    assert run("""CONSTRUCT { ?s <t> ?o . ?s <u> ?zzz }
+        WHERE { ?s <p2> ?o }""") == [("urn:b", "t", "z")]
+    out = sparql(t, "CONSTRUCT { ?s <u> ?zzz } WHERE { ?s <p2> ?o }")
+    assert out.columns == ["subj", "pred", "obj"] and out.count() == 0
+
+
+def test_construct_bind_shape_fallback(shaped_kg):
+    """On a shaped frame a BIND-derived template object has no matched
+    shape: the companion is NULL and the emitted row falls back to the
+    lexical inference (an IRI-looking value serializes as an IRI, a
+    prose value as a literal) instead of a NULL shape that would
+    serialize as an IRI."""
+    out = sparql(shaped_kg, """
+        CONSTRUCT { ?s <p:mint> ?m . ?s <p:text> ?t } WHERE {
+          ?s p:age ?o
+          BIND(CONCAT("urn:minted:", ?o) AS ?m)
+          BIND(CONCAT("label ", ?o) AS ?t) }""")
+    got = {(r["pred"], r["obj"], r["obj_is_iri"]) for r in out.collect()}
+    assert got == {("p:mint", "urn:minted:42", True),
+                   ("p:text", "label 42", False)}
+
+
+def test_update_full_group_grammar(spark):
+    """DELETE/INSERT WHERE solves with the same group solver as
+    SELECT: UNION, BIND, in-group VALUES and subqueries feed the
+    template instantiation (previously refused); a template entry
+    with a never-bound variable contributes nothing; GRAPH inside
+    the WHERE stays an honest refusal (needs USING NAMED)."""
+    from pyrdfa3_spark.operators.sparql import (SparqlUnsupported,
+                                                update)
+    t = spark.createDataFrame(
+        [("urn:a", "p1", "x"), ("urn:a", "p1", "y"),
+         ("urn:b", "p2", "z")],
+        "subj string, pred string, obj string")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # UNION in WHERE
+    out = update(t, """INSERT { ?s <t> ?o } WHERE {
+        { ?s <p1> ?o } UNION { ?s <p2> ?o } }""")
+    assert rows(out.filter("pred = 't'")) == [
+        ("urn:a", "t", "x"), ("urn:a", "t", "y"), ("urn:b", "t", "z")]
+    # BIND-derived insert object
+    out = update(t, """INSERT { ?s <len> ?l } WHERE {
+        ?s <p2> ?o BIND(STRLEN(?o) AS ?l) }""")
+    assert rows(out.filter("pred = 'len'")) == [("urn:b", "len", "1")]
+    # in-group VALUES constrains the delete
+    out = update(t, """DELETE { ?s <p1> ?o } WHERE {
+        ?s <p1> ?o VALUES ?o { "x" } }""")
+    assert rows(out) == [("urn:a", "p1", "y"), ("urn:b", "p2", "z")]
+    # subquery aggregate feeding the insert
+    out = update(t, """INSERT { ?s <n> ?n } WHERE {
+        { SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <p1> ?o }
+          GROUP BY ?s } . ?s <p1> ?o }""")
+    assert rows(out.filter("pred = 'n'")) == [("urn:a", "n", "2")]
+    # unbound template variable: that entry is skipped, others land
+    out = update(t, """INSERT { ?s <t> ?o . ?s <u> ?zzz }
+        WHERE { ?s <p2> ?o }""")
+    assert rows(out.filter("pred IN ('t', 'u')")) == [
+        ("urn:b", "t", "z")]
+    from pyspark.sql import functions as F
+    with pytest.raises(SparqlUnsupported):
+        update(t.withColumn("graph", F.lit(None).cast("string")),
+               "INSERT { ?s <t> ?o } WHERE { GRAPH ?g { ?s <p1> ?o } }")
