@@ -1150,6 +1150,18 @@ def _tagged(term) -> bool:
                 and not getattr(term, "implicit", False))
 
 
+def _group_has_graphs(g: dict) -> bool:
+    """GRAPH anywhere in the group tree — the update path refuses it
+    wholesale (the scope select strips the graph column, so a nested
+    GRAPH would otherwise fail with a misleading 'needs a quad frame'
+    diagnosis)."""
+    if g.get("graphs"):
+        return True
+    return (any(_group_has_graphs(sq["where"])
+                for sq in g.get("subqueries") or ())
+            or any(_group_has_graphs(b) for b in g.get("union") or ()))
+
+
 def _group_has_tagged(g: dict) -> bool:
     def in_pats(pats) -> bool:
         return any(_tagged(t) for pat in pats for t in pat
@@ -1527,18 +1539,19 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         # objects copy the matched binding's shape per-row — so the
         # derived graph serializes literals as literals instead of
         # the all-IRI default
-        shapes = None
+        shaped = "obj_is_iri" in triples.columns
         svars = set(q.get("shape_vars") or ())
-        if "obj_is_iri" in triples.columns:
-            shapes = []
-            for _s, _p, o in template:
-                if str(o).startswith("?"):
-                    shapes.append("binding")
-                    svars.add(str(o)[1:])
-                else:
-                    shapes.append((_term_is_iri(o),
-                                   getattr(o, "lang", None),
-                                   getattr(o, "dt", None)))
+        if shaped:
+            svars |= {str(o)[1:] for _s, _p, o in template
+                      if str(o).startswith("?")}
+        elif any(_tagged(o) for _s, _p, o in template):
+            # same refusal as UPDATE templates: a tag a shapeless
+            # frame can't store must not silently become the plain
+            # lexical twin
+            raise SparqlUnsupported(
+                "tagged literals in CONSTRUCT templates need a frame "
+                "with literal-shape columns (obj_is_iri/obj_lang/"
+                "obj_datatype)")
         # the WHERE solves with the FULL group grammar (UNION, BIND,
         # VALUES, GRAPH, subqueries, EXISTS/MINUS) — same solver as
         # SELECT, then one instantiation pass over the solutions
@@ -1549,18 +1562,17 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         # §16.2: a template entry referencing a variable the WHERE
         # never binds instantiates for no solution — it contributes
         # nothing (rdflib skips it the same way)
-        keep = [i for i, tpl in enumerate(template)
-                if all(not str(t).startswith("?")
-                       or str(t)[1:] in sols.columns for t in tpl)]
-        if len(keep) < len(template):
-            template = [template[i] for i in keep]
-            if shapes is not None:
-                shapes = [shapes[i] for i in keep]
+        template = [tpl for tpl in template
+                    if all(not str(t).startswith("?")
+                           or str(t)[1:] in sols.columns for t in tpl)]
+        shapes = ([("binding" if str(o).startswith("?")
+                    else (_term_is_iri(o), getattr(o, "lang", None),
+                          getattr(o, "dt", None)))
+                   for _s, _p, o in template] if shaped else None)
         if not template:
             schema = ("subj string, pred string, obj string"
                       + (", obj_is_iri boolean, obj_lang string, "
-                         "obj_datatype string"
-                         if shapes is not None else ""))
+                         "obj_datatype string" if shaped else ""))
             return triples.sparkSession.createDataFrame([], schema)
         return G.construct_solutions(sols, template, obj_shapes=shapes)
 
@@ -2122,7 +2134,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     scope_graph = op.get("with")
     if scope_graph is not None:
         need_quads("WITH <graph>")
-    if g["graphs"]:
+    if _group_has_graphs(g):
         raise SparqlUnsupported(
             "GRAPH inside DELETE/INSERT WHERE (needs USING NAMED "
             "dataset semantics — outside the subset; scope the match "

@@ -1677,3 +1677,23 @@ def test_update_full_group_grammar(spark):
     with pytest.raises(SparqlUnsupported):
         update(t.withColumn("graph", F.lit(None).cast("string")),
                "INSERT { ?s <t> ?o } WHERE { GRAPH ?g { ?s <p1> ?o } }")
+
+
+def test_construct_tagged_template_shapeless_raises(spark):
+    """A tagged template literal on a shapeless frame is an honest
+    refusal (same policy as UPDATE templates), never the silent plain
+    twin; nested GRAPH in an update WHERE gets the USING-NAMED
+    refusal, not a misleading quad-frame diagnosis."""
+    from pyrdfa3_spark.operators.sparql import (SparqlUnsupported,
+                                                update)
+    t = spark.createDataFrame([("urn:a", "p1", "x")],
+                              "subj string, pred string, obj string")
+    with pytest.raises(SparqlUnsupported):
+        sparql(t, 'CONSTRUCT { ?s <note> "copy"@en } '
+                  'WHERE { ?s <p1> ?o }')
+    from pyspark.sql import functions as F
+    q = t.withColumn("graph", F.lit(None).cast("string"))
+    with pytest.raises(SparqlUnsupported, match="USING NAMED"):
+        update(q, """INSERT { ?s <t> ?o } WHERE {
+            { SELECT ?s WHERE { GRAPH <g> { ?s ?p ?o } } } .
+            ?s <p1> ?o }""")
