@@ -1451,12 +1451,16 @@ def _apply_dataset(triples: DataFrame, q: dict) -> DataFrame:
         # RDF merge is a SET union: a triple present in several FROM
         # graphs must appear once, or non-DISTINCT solutions and
         # aggregates over the merge inflate.  The distinct (one
-        # shuffle) is paid only on the pruned multi-graph slice.
+        # shuffle) is paid only on the pruned multi-graph slice, and
+        # its key is TERM-exact where shape columns exist (a literal
+        # "x" and an IRI <x> from different FROM graphs both survive).
         # Simplification vs the spec: shared bnode labels co-identify
         # instead of being standardized apart — lake stores carry
         # skolemized or doc-scoped labels (see skolemize/rdfdocs), so
         # cross-graph label collisions are already impossible upstream.
-        default = default.dropDuplicates(["subj", "pred", "obj"])
+        default = default.dropDuplicates(
+            ["subj", "pred", "obj"]
+            + [c for c in _SHAPE_COLS if c in triples.columns])
     return default.unionByName(triples.filter(gcol.isin(named)))
 
 
@@ -1489,11 +1493,13 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     if q.get("from") or q.get("from_named"):
         full = _apply_dataset(triples, q)
         # strict dataset semantics: the solver's working frame is the
-        # FROM merge (a plain TRIPLE frame, so DESCRIBE/CONSTRUCT keep
-        # their 3-column contract); GRAPH sees the full dataset via
-        # the group dicts
+        # FROM merge, a TRIPLE frame that KEEPS the store's literal-
+        # shape columns (term-shape builtins and shaped CONSTRUCT/
+        # DESCRIBE stay term-exact under FROM); GRAPH sees the full
+        # dataset via the group dicts
         triples = (full.filter(F.col("graph").isNull())
-                   .select("subj", "pred", "obj"))
+                   .select("subj", "pred", "obj",
+                           *G.obj_shape_cols(full)))
         _attach_quads(q.get("where"), full)
     if q["form"] == "ask":
         sols = _solve_group(triples, q["where"])
@@ -1810,21 +1816,17 @@ def _clear_target(p: _Parser, verb: str):
                       f"GRAPH <iri>, got {p.peek()[1]!r}")
 
 
-def _using_clause(p: _Parser) -> list[str]:
-    """``USING <g>`` clauses: the WHERE-side dataset of a modify (the
-    UPDATE twin of FROM) — the match runs over the merge of the USING
-    graphs instead of the WITH/default graph.  ``USING NAMED`` would
-    only matter with GRAPH inside the modify WHERE, which the subset
-    rejects, so it raises rather than silently binding nothing."""
-    using = []
+def _using_clause(p: _Parser) -> tuple[list[str], list[str]]:
+    """``USING <g>`` / ``USING NAMED <g>`` clauses: the WHERE-side
+    dataset of a modify (the UPDATE twins of FROM / FROM NAMED) — the
+    match runs over the merge of the USING graphs instead of the
+    WITH/default graph, and GRAPH inside the WHERE ranges over exactly
+    the USING NAMED set."""
+    using, named = [], []
     while p.take("KW", "USING"):
-        if p.take("KW", "NAMED"):
-            raise SparqlUnsupported(
-                "USING NAMED (GRAPH inside a modify WHERE is outside "
-                "the subset — match named graphs with a query, then "
-                "INSERT DATA the result)")
-        using.append(p.term(allow_var=False, allow_literal=False))
-    return using
+        (named if p.take("KW", "NAMED") else using).append(
+            p.term(allow_var=False, allow_literal=False))
+    return using, named
 
 
 def parse_update(text: str) -> list[dict]:
@@ -1869,11 +1871,12 @@ def parse_update(text: str) -> list[dict]:
             else:
                 raise SparqlError(
                     "WITH must precede a DELETE/INSERT .. WHERE form")
-            using = _using_clause(p)
+            using, unamed = _using_clause(p)
             p.eat("KW", "WHERE")
             ops.append({"op": "modify", "delete": tpl_del,
                         "insert": tpl_ins, "where": p.group(),
-                        "with": scope, "using": using})
+                        "with": scope, "using": using,
+                        "using_named": unamed})
         elif p.take("KW", "INSERT"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "insert_data",
@@ -1881,11 +1884,12 @@ def parse_update(text: str) -> list[dict]:
                                                  "INSERT DATA")})
             else:
                 tpl = _plain_patterns(p.group(), "INSERT templates")
-                using = _using_clause(p)
+                using, unamed = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": None,
                             "insert": tpl, "where": p.group(),
-                            "with": None, "using": using})
+                            "with": None, "using": using,
+                            "using_named": unamed})
         elif p.take("KW", "DELETE"):
             if p.take("KW", "DATA"):
                 ops.append({"op": "delete_data",
@@ -1908,11 +1912,12 @@ def parse_update(text: str) -> list[dict]:
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
                                               "INSERT templates")
-                using = _using_clause(p)
+                using, unamed = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": tpl_del,
                             "insert": tpl_ins, "where": p.group(),
-                            "with": None, "using": using})
+                            "with": None, "using": using,
+                            "using_named": unamed})
         else:
             raise SparqlError(
                 f"expected an update operation, got {p.peek()[1]!r}")
@@ -2135,10 +2140,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     if scope_graph is not None:
         need_quads("WITH <graph>")
     if _group_has_graphs(g):
-        raise SparqlUnsupported(
-            "GRAPH inside DELETE/INSERT WHERE (needs USING NAMED "
-            "dataset semantics — outside the subset; scope the match "
-            "with WITH or USING instead)")
+        need_quads("GRAPH inside DELETE/INSERT WHERE")
     if "obj_is_iri" not in df.columns:
         if _group_has_tagged(g) or any(
                 _tagged(o) for tmpl in (op["delete"], op["insert"])
@@ -2151,21 +2153,33 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
                 "(obj_is_iri/obj_lang/obj_datatype)")
     # WHERE matches the USING merge when given, else the WITH graph
     # (default graph when neither) — the scope filter prunes the scan
-    # before any join; templates always target the WITH/default graph
+    # before any join; templates always target the WITH/default graph.
+    # GRAPH inside the WHERE ranges over exactly the USING NAMED set
+    # when any USING clause is present (§3.1.3 strict split, same as
+    # FROM/FROM NAMED), else over ALL of the store's named graphs
+    # (the rdflib Graph-Store posture).
     using = op.get("using") or []
+    using_named = op.get("using_named") or []
     # literal-shape columns stay visible to the WHERE match (the
     # term-shape builtins read them); the triple key for the RDF-merge
     # dedup is shape-exact, same as the graphops TRIPLE_KEY
     keep = _TRIPLE_KEY + [c for c in _SHAPE_COLS if c in df.columns]
-    if using:
+    if using or using_named:
         need_quads("USING")
-        scope = (df.filter(F.col("graph").isin(using))
+        # default graph of the match = merge of the USING graphs
+        # (EMPTY with only USING NAMED given — plain patterns bind
+        # nothing, per the strict dataset split)
+        scope = (df.filter(F.col("graph").isin(using) if using
+                           else F.lit(False))
                  .select(*keep))
         if len(using) > 1:
             scope = scope.dropDuplicates()  # RDF merge = set union
     else:
         scope = (df.filter(_in_graph(F.col("graph"), scope_graph))
                  .select(*keep) if quads else df)
+    if quads:
+        _attach_quads(g, df.filter(F.col("graph").isin(using_named))
+                      if (using or using_named) else df)
     # a variable-bound template object instantiates with the shape its
     # binding MATCHED (read per-row from the matcher's hidden
     # companions), so the solutions must track every template object

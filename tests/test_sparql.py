@@ -535,10 +535,8 @@ def test_update_parse_errors(kg):
     ]:
         with pytest.raises(exc):
             parse_update(bad)
-    # unsupported WHERE shapes raise at execution (UNION/BIND/VALUES/
-    # subqueries are solved since the full-group solver — GRAPH still
-    # needs USING NAMED semantics)
-    with pytest.raises(SparqlUnsupported):
+    # GRAPH inside a modify WHERE needs a quad frame (kg is 3-column)
+    with pytest.raises(SparqlError):
         update(kg, 'DELETE { ?s ?p ?o } WHERE '
                    '{ GRAPH ?g { ?s ?p ?o } }')
     # quadless frame
@@ -740,9 +738,11 @@ def test_update_using_clause(spark):
                      "USING <urn:b> WHERE { ?s <p> ?o }")
     assert out.filter("pred = 'd'").count() == 1
 
-    with pytest.raises(SparqlUnsupported):
-        parse_update("INSERT { ?s <d> ?o } USING NAMED <urn:a> "
-                     "WHERE { ?s <p> ?o }")
+    # USING NAMED parses (semantics covered in
+    # test_update_using_named)
+    ops = parse_update("INSERT { ?s <d> ?o } USING NAMED <urn:a> "
+                       "WHERE { GRAPH ?g { ?s <p> ?o } }")
+    assert ops[0]["using_named"] == ["urn:a"]
     with pytest.raises(SparqlError):
         update(q.select("subj", "pred", "obj"),
                "INSERT { ?s <d> ?o } USING <urn:a> WHERE { ?s <p> ?o }")
@@ -1673,10 +1673,12 @@ def test_update_full_group_grammar(spark):
         WHERE { ?s <p2> ?o }""")
     assert rows(out.filter("pred IN ('t', 'u')")) == [
         ("urn:b", "t", "z")]
+    # GRAPH over a store with no named graphs binds nothing (no-op)
     from pyspark.sql import functions as F
-    with pytest.raises(SparqlUnsupported):
-        update(t.withColumn("graph", F.lit(None).cast("string")),
-               "INSERT { ?s <t> ?o } WHERE { GRAPH ?g { ?s <p1> ?o } }")
+    q = t.withColumn("graph", F.lit(None).cast("string"))
+    out = update(
+        q, "INSERT { ?s <t> ?o } WHERE { GRAPH ?g { ?s <p1> ?o } }")
+    assert out.count() == q.count()
 
 
 def test_construct_tagged_template_shapeless_raises(spark):
@@ -1693,7 +1695,74 @@ def test_construct_tagged_template_shapeless_raises(spark):
                   'WHERE { ?s <p1> ?o }')
     from pyspark.sql import functions as F
     q = t.withColumn("graph", F.lit(None).cast("string"))
-    with pytest.raises(SparqlUnsupported, match="USING NAMED"):
-        update(q, """INSERT { ?s <t> ?o } WHERE {
+    with pytest.raises(SparqlError):
+        update(q.select("subj", "pred", "obj"),
+               """INSERT { ?s <t> ?o } WHERE {
             { SELECT ?s WHERE { GRAPH <g> { ?s ?p ?o } } } .
             ?s <p1> ?o }""")
+
+
+def test_dataset_merge_keeps_shape(spark):
+    """FROM merges keep the store's literal-shape columns: term-shape
+    builtins stay term-exact under a dataset clause, and the
+    multi-FROM set union dedups TERM-exactly (a literal and an IRI
+    twin from different graphs both survive)."""
+    q = spark.createDataFrame(
+        [("s", "p", "x", False, "en", None, "urn:g1"),
+         ("s", "p", "x", True, None, None, "urn:g2"),
+         ("s", "p", "x", False, "en", None, "urn:g2")],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_datatype string, graph string")
+    # the @en literal appears in BOTH graphs -> merges to one row;
+    # the IRI twin survives beside it (term-exact union)
+    out = sparql(q, """SELECT ?o (LANG(?o) AS ?l) (ISIRI(?o) AS ?i)
+        FROM <urn:g1> FROM <urn:g2> WHERE { <s> <p> ?o }""")
+    got = sorted(map(tuple, out.collect()),
+                 key=lambda r: (r[0], r[1] or ""))
+    assert got == [("x", None, True), ("x", "en", False)]
+    # shaped CONSTRUCT under FROM carries the shape columns through
+    c = sparql(q, """CONSTRUCT { ?s <q> ?o } FROM <urn:g1>
+        WHERE { ?s <p> ?o }""")
+    assert [(r.obj, r.obj_is_iri, r.obj_lang) for r in c.collect()] == [
+        ("x", False, "en")]
+
+
+def test_update_using_named(spark):
+    """USING / USING NAMED define the modify WHERE's dataset
+    (SPARQL 1.1 Update §3.1.3, the FROM / FROM NAMED twins): plain
+    patterns match the USING merge (EMPTY with only USING NAMED
+    given), GRAPH ranges over exactly the USING NAMED set — and with
+    no USING clause at all, GRAPH sees every named graph of the
+    store.  Templates still target the default graph."""
+    from pyrdfa3_spark.operators.sparql import update
+    q = spark.createDataFrame(
+        [("s1", "p", "o1", None), ("s2", "p", "o2", "urn:g1"),
+         ("s3", "p", "o3", "urn:g2"), ("s2", "p", "o3", "urn:g2")],
+        "subj string, pred string, obj string, graph string")
+
+    def added(out):
+        return sorted((r["subj"], r["pred"], r["obj"], r["graph"])
+                      for r in out.subtract(q).collect())
+
+    # GRAPH without USING: every named graph is visible
+    out = update(q, """INSERT { ?s <from> ?g }
+        WHERE { GRAPH ?g { ?s <p> ?o } }""")
+    assert added(out) == [("s2", "from", "urn:g1", None),
+                          ("s2", "from", "urn:g2", None),
+                          ("s3", "from", "urn:g2", None)]
+    # USING NAMED restricts GRAPH to the named set
+    out = update(q, """INSERT { ?s <from> ?g } USING NAMED <urn:g2>
+        WHERE { GRAPH ?g { ?s <p> ?o } }""")
+    assert added(out) == [("s2", "from", "urn:g2", None),
+                          ("s3", "from", "urn:g2", None)]
+    # with any USING clause the split is strict: plain patterns see
+    # ONLY the USING merge (here empty), not the default graph
+    out = update(q, """INSERT { ?s <t> ?o } USING NAMED <urn:g1>
+        WHERE { ?s <p> ?o }""")
+    assert added(out) == []
+    # USING + USING NAMED combine: pattern from the merge, GRAPH from
+    # the named set, joined on the shared subject
+    out = update(q, """INSERT { ?s <pair> ?o2 }
+        USING <urn:g1> USING NAMED <urn:g2>
+        WHERE { ?s <p> ?o . GRAPH ?g { ?s <p> ?o2 } }""")
+    assert added(out) == [("s2", "pair", "o3", None)]
