@@ -1151,10 +1151,11 @@ def _tagged(term) -> bool:
 
 
 def _group_has_graphs(g: dict) -> bool:
-    """GRAPH anywhere in the group tree — the update path refuses it
-    wholesale (the scope select strips the graph column, so a nested
-    GRAPH would otherwise fail with a misleading 'needs a quad frame'
-    diagnosis)."""
+    """GRAPH anywhere in the group tree — the update path requires a
+    quad frame up front when one is present (the scope select strips
+    the graph column, so a nested GRAPH would otherwise fail with a
+    misleading 'needs a quad frame' diagnosis on a genuine quad
+    store)."""
     if g.get("graphs"):
         return True
     return (any(_group_has_graphs(sq["where"])
@@ -1459,8 +1460,7 @@ def _apply_dataset(triples: DataFrame, q: dict) -> DataFrame:
         # skolemized or doc-scoped labels (see skolemize/rdfdocs), so
         # cross-graph label collisions are already impossible upstream.
         default = default.dropDuplicates(
-            ["subj", "pred", "obj"]
-            + [c for c in _SHAPE_COLS if c in triples.columns])
+            _TRIPLE_KEY + G.obj_shape_cols(triples))
     return default.unionByName(triples.filter(gcol.isin(named)))
 
 
