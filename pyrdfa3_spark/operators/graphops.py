@@ -1140,17 +1140,23 @@ def solution_agg(sols: DataFrame, group_by: list[str],
             e = F.countDistinct(var)
         elif kind == "sum":
             e = F.sum(var)
+        elif kind == "sum_distinct":
+            e = F.sum_distinct(F.col(var))
         elif kind == "avg":
             e = F.avg(var)
+        elif kind == "avg_distinct":
+            e = F.expr(f"avg(DISTINCT `{var}`)")
         elif kind == "min":
             e = F.min(var)
         elif kind == "max":
             e = F.max(var)
         elif kind == "sample":
             e = F.min(var)
-        elif kind == "group_concat":
+        elif kind in ("group_concat", "group_concat_distinct"):
             sep = spec[2] if len(spec) > 2 else " "
-            e = F.array_join(F.array_sort(F.collect_list(var)), sep)
+            vals = (F.collect_set(var) if kind.endswith("_distinct")
+                    else F.collect_list(var))
+            e = F.array_join(F.array_sort(vals), sep)
         else:
             raise ValueError(f"unknown aggregate kind {kind!r}")
         exprs.append(e.alias(name))

@@ -89,6 +89,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql.utils import AnalysisException
 
 from pyrdfa3_spark.operators import graphops as G
 
@@ -1650,10 +1651,16 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     if aggs or q["group_by"]:
         if q["star"]:
             raise SparqlUnsupported("SELECT * with GROUP BY")
-        if exprs:
-            raise SparqlUnsupported(
-                "projection expressions beside GROUP BY — BIND the "
-                "expression in the WHERE group instead")
+        for _, e, alias in exprs:
+            # post-aggregation projection expressions (§18.2.4.4:
+            # Extend over the aggregate-projected sequence) range over
+            # group keys, aggregate aliases and earlier expr aliases
+            if G.SHAPE_PREFIX in e:
+                raise SparqlUnsupported(
+                    "term-shape builtins in aggregate projection "
+                    "expressions (shape companions don't survive "
+                    "aggregation — FILTER/BIND before grouping "
+                    "instead)")
         stray = [v for v in plain if v not in q["group_by"]]
         if stray:
             raise SparqlError(
@@ -1662,10 +1669,12 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
         synth = 0
         for _, fn, distinct, arg, alias, sep in aggs:
             kind = _AGG_KIND[fn]
-            if fn == "COUNT" and distinct:
-                kind = "count_distinct"
-            elif distinct:
-                raise SparqlUnsupported(f"DISTINCT inside {fn}")
+            if distinct and fn in ("COUNT", "SUM", "AVG",
+                                   "GROUP_CONCAT"):
+                kind += "_distinct"
+            # MIN/MAX/SAMPLE(DISTINCT ..) are semantic no-ops
+            # (§18.5.1: the set function ranges over a multiset the
+            # DISTINCT collapses, but min/max/pick-one can't differ)
             if arg != "*" and not re.fullmatch(
                     r"[A-Za-z_][A-Za-z0-9_]*", arg):
                 # expression argument: bind it as a synthetic column so
@@ -1674,7 +1683,8 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
                 col = f"_aggexpr{synth}"
                 sols = G.bind(sols, col, arg)
                 arg = col
-            spec[alias] = ((kind, arg, sep) if kind == "group_concat"
+            spec[alias] = ((kind, arg, sep)
+                           if kind.startswith("group_concat")
                            else (kind, arg))
         if q["having"] and G.SHAPE_PREFIX in q["having"]:
             raise SparqlUnsupported(
@@ -1683,7 +1693,22 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
                 "instead)")
         sols = G.solution_agg(sols, q["group_by"], spec,
                               having=q["having"])
-        project = [v for v in (plain + [a[4] for a in aggs])]
+        for _, e, alias in exprs:
+            try:
+                sols = G.bind(sols, alias, e)
+            except AnalysisException as exc:
+                # an unresolved column here is a variable that did not
+                # survive aggregation — invalid SPARQL (§18.2.4.4:
+                # only group keys and aggregate aliases are in scope)
+                raise SparqlError(
+                    f"projection expression ({e} AS ?{alias}) "
+                    "references a variable not visible after "
+                    f"aggregation: {exc}") from exc
+        # projection in SELECT-clause order (vars, aggregate aliases
+        # and expression aliases interleave)
+        project = [it[1] if it[0] == "var"
+                   else (it[4] if it[0] == "agg" else it[2])
+                   for it in q["items"]]
     else:
         if q["having"]:
             raise SparqlError("HAVING without aggregation")

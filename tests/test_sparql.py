@@ -769,7 +769,9 @@ def test_projection_expressions(kg):
         WHERE { ?x p:name ?n . FILTER(?n = "Ada") }"""))
     assert out == [("a", 7)]
 
-    with pytest.raises(SparqlUnsupported):
+    # an expression over a variable that does not survive aggregation
+    # is invalid SPARQL (§18.2.4.4) — clean error, not a plan crash
+    with pytest.raises(SparqlError, match="not visible after"):
         sparql(kg, """SELECT (STRLEN(?n) AS ?l) (COUNT(?n) AS ?c)
                       WHERE { ?x p:name ?n } GROUP BY ?x""")
 
@@ -1766,3 +1768,36 @@ def test_update_using_named(spark):
         USING <urn:g1> USING NAMED <urn:g2>
         WHERE { ?s <p> ?o . GRAPH ?g { ?s <p> ?o2 } }""")
     assert added(out) == [("s2", "pair", "o3", None)]
+
+
+def test_distinct_aggregates(spark):
+    """DISTINCT inside every set function (§18.5.1): SUM/AVG/
+    GROUP_CONCAT collapse the multiset, COUNT(DISTINCT) already
+    worked, MIN/MAX/SAMPLE accept the keyword as a no-op."""
+    t = spark.createDataFrame(
+        [("a", "p:v", "2"), ("a", "p:v", "2"), ("a", "p:v", "3"),
+         ("b", "p:v", "5")],
+        "subj string, pred string, obj string")
+    out = sparql(t, """SELECT ?s (SUM(DISTINCT ?o) AS ?sd)
+            (AVG(DISTINCT ?o) AS ?ad)
+            (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?gc)
+            (MIN(DISTINCT ?o) AS ?mn)
+        WHERE { ?s <p:v> ?o } GROUP BY ?s ORDER BY ?s""")
+    got = [tuple(r) for r in out.collect()]
+    assert got == [("a", 5.0, 2.5, "2,3", "2"),
+                   ("b", 5.0, 5.0, "5", "5")]
+
+
+def test_projection_expr_with_group_by(spark):
+    """Projection expressions beside GROUP BY (§18.2.4.4 Extend over
+    the aggregated sequence): they range over group keys, aggregate
+    aliases and earlier expression aliases, in SELECT-clause order."""
+    t = spark.createDataFrame(
+        [("a", "p:v", "2"), ("a", "p:v", "4"), ("b", "p:v", "6")],
+        "subj string, pred string, obj string")
+    out = sparql(t, """SELECT ?s (SUM(?o) AS ?t) (?t / 2 AS ?h)
+            (CONCAT(?s, "!") AS ?tag)
+        WHERE { ?s <p:v> ?o } GROUP BY ?s ORDER BY ?s""")
+    assert out.columns == ["s", "t", "h", "tag"]
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", 6.0, 3.0, "a!"), ("b", 6.0, 3.0, "b!")]
