@@ -1081,8 +1081,10 @@ def select_solutions(sols: DataFrame,
                      distinct: bool = False,
                      project: list[str] | None = None) -> DataFrame:
     """SPARQL solution modifiers: SELECT projection, DISTINCT,
-    ORDER BY (``"var"`` ascending, ``"-var"`` descending), LIMIT /
-    OFFSET.
+    ORDER BY (``"var"`` ascending, ``"-var"`` descending, or an
+    ``("asc"|"desc", sql_expr)`` pair for expression order
+    conditions — expressions evaluate over the PROJECTED columns),
+    LIMIT / OFFSET.
 
     Scale shape: ORDER BY + LIMIT plans as TakeOrdered — each partition
     keeps its local top (limit+offset) and only those rows reach the
@@ -1096,7 +1098,10 @@ def select_solutions(sols: DataFrame,
     if distinct:
         out = out.dropDuplicates()
     if order_by:
-        keys = [F.col(k[1:]).desc() if k.startswith("-") else F.col(k)
+        keys = [(F.expr(k[1]).desc() if k[0] == "desc"
+                 else F.expr(k[1])) if isinstance(k, tuple)
+                else (F.col(k[1:]).desc() if k.startswith("-")
+                      else F.col(k))
                 for k in order_by]
         out = out.orderBy(*keys)
     if offset:

@@ -1092,28 +1092,54 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         while p.at("VAR"):
             group_by.append(p.var())
     if p.take("KW", "HAVING"):
-        p.eat("OP", "(")
-        having = p.expr()
-        p.eat("OP", ")")
+        # one or more bracketted constraints, conjoined (§18.2.4.4)
+        parts = []
+        while p.at("OP", "("):
+            p.eat("OP", "(")
+            parts.append(p.expr())
+            p.eat("OP", ")")
+        if not parts:
+            raise SparqlError("HAVING needs a (constraint)")
+        having = " AND ".join(f"({c})" for c in parts)
     if p.take("KW", "ORDER"):
         p.eat("KW", "BY")
+        # OrderCondition ::= (ASC|DESC) BrackettedExpression
+        #                  | Constraint | Var — plain variables stay
+        # bare-string keys ("v"/"-v", the operator API), expressions
+        # become ("asc"|"desc", sql) pairs so a leading minus in the
+        # expression can't masquerade as the DESC marker
         while True:
-            if p.take("KW", "DESC"):
+            if p.at("KW", "DESC") or p.at("KW", "ASC"):
+                direction = p.next()[1].lower()
                 p.eat("OP", "(")
-                order_by.append("-" + p.var())
+                e = p.expr()
                 p.eat("OP", ")")
-            elif p.take("KW", "ASC"):
-                p.eat("OP", "(")
-                order_by.append(p.var())
-                p.eat("OP", ")")
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e):
+                    order_by.append(("-" if direction == "desc"
+                                     else "") + e)
+                else:
+                    order_by.append((direction, e))
             elif p.at("VAR"):
                 order_by.append(p.var())
+            elif p.at("OP", "("):
+                p.eat("OP", "(")
+                order_by.append(("asc", p.expr()))
+                p.eat("OP", ")")
+            elif p.at("NAME") and p.peek(1) == ("OP", "("):
+                order_by.append(("asc", p.expr()))
             else:
                 break
-    if p.take("KW", "LIMIT"):
-        limit = int(p.eat("NUM"))
-    if p.take("KW", "OFFSET"):
-        offset = int(p.eat("NUM"))
+    # LimitOffsetClauses: LIMIT and OFFSET in either order (§18.2.4)
+    while p.at("KW", "LIMIT") or p.at("KW", "OFFSET"):
+        if p.take("KW", "LIMIT"):
+            if limit is not None:
+                raise SparqlError("duplicate LIMIT")
+            limit = int(p.eat("NUM"))
+        else:
+            p.take("KW", "OFFSET")
+            if offset is not None:
+                raise SparqlError("duplicate OFFSET")
+            offset = int(p.eat("NUM"))
     trailing_values = None
     if p.take("KW", "VALUES"):
         # trailing VALUES (SPARQL §10.2): post-hoc constraint over the

@@ -1801,3 +1801,32 @@ def test_projection_expr_with_group_by(spark):
     assert out.columns == ["s", "t", "h", "tag"]
     assert [tuple(r) for r in out.collect()] == [
         ("a", 6.0, 3.0, "a!"), ("b", 6.0, 3.0, "b!")]
+
+
+def test_order_by_expressions_and_modifiers(spark):
+    """ORDER BY expression conditions (§18.2.4: ASC/DESC bracketted
+    expressions, bare constraints), multiple HAVING constraints
+    conjoined, and LIMIT/OFFSET in either order."""
+    t = spark.createDataFrame(
+        [("a", "p:v", "xx"), ("b", "p:v", "yyyy"), ("c", "p:v", "z")],
+        "subj string, pred string, obj string")
+
+    def run(text):
+        return [tuple(r) for r in sparql(t, text).collect()]
+
+    assert run("""SELECT ?s ?o WHERE { ?s <p:v> ?o }
+        ORDER BY DESC(STRLEN(?o))""") == [
+        ("b", "yyyy"), ("a", "xx"), ("c", "z")]
+    assert run("""SELECT ?s ?o WHERE { ?s <p:v> ?o }
+        ORDER BY STRLEN(?o) ?s""") == [
+        ("c", "z"), ("a", "xx"), ("b", "yyyy")]
+    assert run("""SELECT ?s ?o WHERE { ?s <p:v> ?o }
+        ORDER BY (STRLEN(?o) * -1)""") == [
+        ("b", "yyyy"), ("a", "xx"), ("c", "z")]
+    # OFFSET before LIMIT parses; both apply after the sort
+    assert run("""SELECT ?s WHERE { ?s <p:v> ?o }
+        ORDER BY ?s OFFSET 1 LIMIT 1""") == [("b",)]
+    # multiple HAVING constraints conjoin
+    assert run("""SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p:v> ?o }
+        GROUP BY ?s HAVING (?n > 0) (?s != "a") ORDER BY ?s""") == [
+        ("b", 1), ("c", 1)]
