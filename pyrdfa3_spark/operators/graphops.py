@@ -1093,17 +1093,31 @@ def select_solutions(sols: DataFrame,
     because that is what the query asks for.
     """
     out = sols
-    if project:
-        out = out.select(*project)
+    keys = [(F.expr(k[1]).desc() if k[0] == "desc"
+             else F.expr(k[1])) if isinstance(k, tuple)
+            else (F.col(k[1:]).desc() if k.startswith("-")
+                  else F.col(k))
+            for k in order_by or []]
     if distinct:
+        # DISTINCT collapses the PROJECTED solutions, so the sort can
+        # only come after it and must use projected columns — ordering
+        # by a non-projected variable under DISTINCT is ambiguous (the
+        # collapsed row has no single source value) and resolves as an
+        # unresolved-column error
+        if project:
+            out = out.select(*project)
         out = out.dropDuplicates()
-    if order_by:
-        keys = [(F.expr(k[1]).desc() if k[0] == "desc"
-                 else F.expr(k[1])) if isinstance(k, tuple)
-                else (F.col(k[1:]).desc() if k.startswith("-")
-                      else F.col(k))
-                for k in order_by]
-        out = out.orderBy(*keys)
+        if keys:
+            out = out.orderBy(*keys)
+    else:
+        # ORDER BY precedes projection in the SPARQL algebra
+        # (§18.2.4.4 Slice∘Project∘OrderBy), so order conditions may
+        # reference non-projected variables; the narrow projection
+        # afterwards preserves the sort
+        if keys:
+            out = out.orderBy(*keys)
+        if project:
+            out = out.select(*project)
     if offset:
         if not order_by:
             raise ValueError("OFFSET without ORDER BY is "

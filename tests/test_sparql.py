@@ -1830,3 +1830,18 @@ def test_order_by_expressions_and_modifiers(spark):
     assert run("""SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p:v> ?o }
         GROUP BY ?s HAVING (?n > 0) (?s != "a") ORDER BY ?s""") == [
         ("b", 1), ("c", 1)]
+
+
+def test_order_by_non_projected_var(spark):
+    """ORDER BY precedes projection in the SPARQL algebra, so order
+    conditions may reference variables the SELECT clause drops."""
+    t = spark.createDataFrame(
+        [("a", "p:v", "3"), ("b", "p:v", "1"), ("c", "p:v", "2")],
+        "subj string, pred string, obj string")
+    out = sparql(t, """SELECT ?s WHERE { ?s <p:v> ?o }
+        ORDER BY DESC(?o)""")
+    assert out.columns == ["s"]
+    assert [r.s for r in out.collect()] == ["a", "c", "b"]
+    out = sparql(t, """SELECT ?s WHERE { ?s <p:v> ?o }
+        ORDER BY STRLEN(?o) ?o LIMIT 2""")
+    assert [r.s for r in out.collect()] == ["b", "c"]
