@@ -9,6 +9,8 @@ noted).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1074,6 +1076,23 @@ def bgp_values(triples: DataFrame,
     return ensure_shape_companions(out, shape_vars)
 
 
+_SQL_KEYWORDS = frozenset(
+    "and or not case when then else end null true false is in like "
+    "as cast distinct asc desc between".split())
+
+
+def _sql_column_refs(expr: str) -> set[str]:
+    """Best-effort column references of a SQL expression: bare
+    identifiers that aren't function calls, keywords or inside string
+    literals.  Used only to REJECT ambiguous shapes early — a false
+    positive surfaces as a clear error, never a wrong answer."""
+    stripped = re.sub(r"'(?:[^'\\]|\\.)*'", "", expr)
+    return {m.group(1)
+            for m in re.finditer(r"\b([A-Za-z_]\w*)\b(?!\s*\()",
+                                 stripped)
+            if m.group(1).lower() not in _SQL_KEYWORDS}
+
+
 def select_solutions(sols: DataFrame,
                      order_by: list[str] | None = None,
                      limit: int | None = None,
@@ -1083,8 +1102,11 @@ def select_solutions(sols: DataFrame,
     """SPARQL solution modifiers: SELECT projection, DISTINCT,
     ORDER BY (``"var"`` ascending, ``"-var"`` descending, or an
     ``("asc"|"desc", sql_expr)`` pair for expression order
-    conditions — expressions evaluate over the PROJECTED columns),
-    LIMIT / OFFSET.
+    conditions), LIMIT / OFFSET.  Without DISTINCT the sort runs
+    BEFORE projection, so order conditions may reference
+    non-projected variables (§18.2.4.4); with DISTINCT they must use
+    projected columns only — anything else is rejected, never an
+    arbitrary pick.
 
     Scale shape: ORDER BY + LIMIT plans as TakeOrdered — each partition
     keeps its local top (limit+offset) and only those rows reach the
@@ -1102,9 +1124,19 @@ def select_solutions(sols: DataFrame,
         # DISTINCT collapses the PROJECTED solutions, so the sort can
         # only come after it and must use projected columns — ordering
         # by a non-projected variable under DISTINCT is ambiguous (the
-        # collapsed row has no single source value) and resolves as an
-        # unresolved-column error
+        # collapsed row has no single source value).  Validated HERE
+        # because Spark's ResolveMissingReferences would silently pull
+        # the missing column through dropDuplicates and return an
+        # arbitrary, partition-dependent "order"
         if project:
+            bad = [r for k in order_by or []
+                   for r in _sql_column_refs(
+                       k[1] if isinstance(k, tuple) else k.lstrip("-"))
+                   if r not in project]
+            if bad:
+                raise ValueError(
+                    f"ORDER BY references non-projected columns {bad} "
+                    "under DISTINCT — project them or drop DISTINCT")
             out = out.select(*project)
         out = out.dropDuplicates()
         if keys:

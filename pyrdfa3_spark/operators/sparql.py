@@ -187,6 +187,12 @@ class _Term(str):
                 self.implicit)
 
 
+# a plain-variable column name — what survives the SPARQL-var ->
+# Spark-column mapping; anything else in an argument/order position is
+# an expression
+_BARE_NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def _term_is_iri(t) -> bool:
     """Shape of a template/DATA term: parse-time shape when recorded,
     the engine-wide all-IRI default otherwise (bnode labels and
@@ -463,6 +469,11 @@ class _Parser:
             self.eat("OP", "=")
             sep = _unquote(self.eat("STRING"))
         self.eat("OP", ")")
+        if not self.at("KW", "AS"):
+            raise SparqlUnsupported(
+                "composite aggregate expressions ((SUM(?x) + 1 AS ?y))"
+                " — alias the aggregate first, then extend: "
+                "(SUM(?x) AS ?t) (?t + 1 AS ?y)")
         self.eat("KW", "AS")
         alias = self.var()
         self.eat("OP", ")")
@@ -619,7 +630,7 @@ class _Parser:
         if k == "VAR":
             self.next()
             name = v[1:]
-            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            if not _BARE_NAME.fullmatch(name):
                 raise SparqlError(f"unmappable variable name {name!r}")
             if name.startswith("_anon"):
                 raise SparqlError(
@@ -1114,7 +1125,7 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                 p.eat("OP", "(")
                 e = p.expr()
                 p.eat("OP", ")")
-                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e):
+                if _BARE_NAME.fullmatch(e):
                     order_by.append(("-" if direction == "desc"
                                      else "") + e)
                 else:
@@ -1129,6 +1140,8 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                 order_by.append(("asc", p.expr()))
             else:
                 break
+        if not order_by:
+            raise SparqlError("ORDER BY needs at least one condition")
     # LimitOffsetClauses: LIMIT and OFFSET in either order (§18.2.4)
     while p.at("KW", "LIMIT") or p.at("KW", "OFFSET"):
         if p.take("KW", "LIMIT"):
@@ -1701,8 +1714,7 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             # MIN/MAX/SAMPLE(DISTINCT ..) are semantic no-ops
             # (§18.5.1: the set function ranges over a multiset the
             # DISTINCT collapses, but min/max/pick-one can't differ)
-            if arg != "*" and not re.fullmatch(
-                    r"[A-Za-z_][A-Za-z0-9_]*", arg):
+            if arg != "*" and not _BARE_NAME.fullmatch(arg):
                 # expression argument: bind it as a synthetic column so
                 # solution_agg aggregates a plain column either way
                 synth += 1
@@ -1712,6 +1724,13 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             spec[alias] = ((kind, arg, sep)
                            if kind.startswith("group_concat")
                            else (kind, arg))
+        for k in q["order_by"] or []:
+            if isinstance(k, tuple) and G.SHAPE_PREFIX in k[1]:
+                raise SparqlUnsupported(
+                    "term-shape builtins in ORDER BY of an aggregated "
+                    "query (shape companions don't survive "
+                    "aggregation — BIND the value before grouping "
+                    "instead)")
         if q["having"] and G.SHAPE_PREFIX in q["having"]:
             raise SparqlUnsupported(
                 "term-shape builtins in HAVING (shape companions "

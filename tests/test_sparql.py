@@ -1845,3 +1845,35 @@ def test_order_by_non_projected_var(spark):
     out = sparql(t, """SELECT ?s WHERE { ?s <p:v> ?o }
         ORDER BY STRLEN(?o) ?o LIMIT 2""")
     assert [r.s for r in out.collect()] == ["b", "c"]
+
+
+def test_order_modifier_review_fixes(spark):
+    """Review fixes: DISTINCT + non-projected ORDER BY is an explicit
+    rejection (Spark would silently return a partition-dependent
+    'order'), empty ORDER BY is a parse error, composite aggregate
+    projections get a guiding refusal, and shape builtins in an
+    aggregated ORDER BY refuse cleanly."""
+    t = spark.createDataFrame(
+        [("a", "p:v", "1"), ("a", "p:v", "9"), ("b", "p:v", "5")],
+        "subj string, pred string, obj string")
+    with pytest.raises(ValueError, match="non-projected"):
+        sparql(t, """SELECT DISTINCT ?s WHERE { ?s <p:v> ?o }
+            ORDER BY DESC(?o)""").collect()
+    with pytest.raises(SparqlError):
+        parse("SELECT ?s WHERE { ?s <p> ?o } ORDER BY LIMIT 1")
+    with pytest.raises(SparqlUnsupported, match="alias the aggregate"):
+        parse("""SELECT ?s (SUM(?o) + 1 AS ?x)
+            WHERE { ?s <p:v> ?o } GROUP BY ?s""")
+    from pyspark.sql import functions as F
+    shaped = t.select(
+        "subj", "pred", "obj",
+        F.lit(False).alias("obj_is_iri"),
+        F.lit("en").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    with pytest.raises(SparqlUnsupported, match="ORDER BY"):
+        sparql(shaped, """SELECT ?o (COUNT(?s) AS ?c)
+            WHERE { ?s <p:v> ?o } GROUP BY ?o ORDER BY LANG(?o)""")
+    # DISTINCT ordering by a projected variable still works
+    out = sparql(t, """SELECT DISTINCT ?s WHERE { ?s <p:v> ?o }
+        ORDER BY DESC(?s)""")
+    assert [r.s for r in out.collect()] == ["b", "a"]
