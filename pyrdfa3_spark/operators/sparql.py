@@ -1573,11 +1573,6 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
                     raise SparqlUnsupported(
                         "paths in CONSTRUCT templates")
                 p = p[1]
-            if any(t.startswith("?_anon") for t in (s, p, o)):
-                raise SparqlUnsupported(
-                    "[..] blank nodes in CONSTRUCT templates "
-                    "(fresh-per-solution minting is outside the "
-                    "subset — use a named variable)")
             template.append((s, p, o))
         # on a shaped frame the constructed graph carries real term
         # shapes (rdflib's CONSTRUCT returns terms, not lexical
@@ -1588,8 +1583,11 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         shaped = "obj_is_iri" in triples.columns
         svars = set(q.get("shape_vars") or ())
         if shaped:
+            # ?_anon* template slots mint fresh bnodes below — they
+            # are never bindings, so no companions to track
             svars |= {str(o)[1:] for _s, _p, o in template
-                      if str(o).startswith("?")}
+                      if str(o).startswith("?")
+                      and not str(o).startswith("?_anon")}
         elif any(_tagged(o) for _s, _p, o in template):
             # same refusal as UPDATE templates: a tag a shapeless
             # frame can't store must not silently become the plain
@@ -1605,13 +1603,18 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         sols = _solve_group(triples, g)
         if q.get("values") is not None:
             sols = _join_values(sols, *q["values"])
+        # template blank nodes (explicit _:b / [..]) mint fresh per
+        # solution (§16.2.1)
+        sols, template, minted = _mint_template_bnodes(sols, template)
         # §16.2: a template entry referencing a variable the WHERE
         # never binds instantiates for no solution — it contributes
         # nothing (rdflib skips it the same way)
         template = [tpl for tpl in template
                     if all(not str(t).startswith("?")
                            or str(t)[1:] in sols.columns for t in tpl)]
-        shapes = ([("binding" if str(o).startswith("?")
+        shapes = ([((True, None, None)
+                    if str(o).startswith("?") and str(o)[1:] in minted
+                    else "binding" if str(o).startswith("?")
                     else (_term_is_iri(o), getattr(o, "lang", None),
                           getattr(o, "dt", None)))
                    for _s, _p, o in template] if shaped else None)
@@ -1803,25 +1806,65 @@ def _unwrap_pred(path, what: str) -> str:
     return path
 
 
+def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
+                          ) -> tuple[DataFrame, list[tuple],
+                                     frozenset]:
+    """Blank nodes in CONSTRUCT/INSERT templates denote a FRESH blank
+    node per solution (SPARQL §16.2.1 CONSTRUCT / Update §3.1.3) —
+    never a constant label shared across solutions.  Each distinct
+    label (explicit ``_:b`` or a ``[..]`` existential slot) becomes a
+    uuid-minted per-row column: one mint per solution, shared by every
+    template entry that reuses the label, exactly rdflib's
+    instantiation.  Returns the widened solutions, the rewritten
+    template, and the minted variable names (their term shape is
+    bnode — IRI-kind — not a binding's companions)."""
+    from pyspark.sql import functions as F
+
+    minted: dict[str, str] = {}
+    out = []
+    for s, p, o in template:
+        row = []
+        for pos, t in zip("spo", (s, p, o)):
+            ts = str(t)
+            if ts.startswith("_:") or ts.startswith("?_anon"):
+                if pos == "p":
+                    raise SparqlError(
+                        "blank node in template predicate position")
+                if ts not in minted:
+                    # the ?_anon* namespace is front-end-reserved, so
+                    # the minted column can never shadow a user var
+                    col = f"_anon_mint{len(minted)}"
+                    sols = sols.withColumn(
+                        col, F.concat(
+                            F.lit("_:m"),
+                            F.expr("replace(uuid(), '-', '')")))
+                    minted[ts] = col
+                row.append("?" + minted[ts])
+            else:
+                row.append(t)
+        out.append(tuple(row))
+    return sols, out, frozenset(minted.values())
+
+
 def _plain_patterns(g: dict, what: str,
                     allow_anon: bool = False
                     ) -> list[tuple[str, str, str]]:
     """A group's patterns as plain (s, p, o) strings — the template
-    shape.  ``[..]`` existentials are rejected unless ``allow_anon``
-    (DELETE WHERE, where the pattern doubles as the template and the
-    bnode is a pure wildcard): a template blank node would need
-    fresh-per-solution minting, which is outside the subset — name the
-    variable instead."""
+    shape.  ``[..]`` existentials are rejected unless ``allow_anon``:
+    in DELETE WHERE the bnode is the pattern's pure wildcard, and in
+    INSERT/CONSTRUCT templates it mints a fresh blank node per
+    solution (see :func:`_mint_template_bnodes`); the DELETE-template
+    grammar has no blank nodes (nothing to delete by a fresh label)."""
     _require_simple(g, what, filters_ok=False)
     out = [(s, _unwrap_pred(path, what), o)
            for s, path, o in g["patterns"]]
     if not allow_anon:
         for row in out:
             if any(t.startswith("?_anon") for t in row):
-                raise SparqlUnsupported(
-                    f"[..] blank nodes in {what} (fresh-per-solution "
-                    "template bnodes are outside the subset — use a "
-                    "named variable)")
+                raise SparqlError(
+                    f"[..] blank nodes in {what} (the grammar forbids "
+                    "blank nodes in delete templates — there is no "
+                    "fresh label to delete)")
     return out
 
 
@@ -1934,10 +1977,12 @@ def parse_update(text: str) -> list[dict]:
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
-                                              "INSERT templates")
+                                              "INSERT templates",
+                                              allow_anon=True)
             elif p.take("KW", "INSERT"):
                 tpl_del = None
-                tpl_ins = _plain_patterns(p.group(), "INSERT templates")
+                tpl_ins = _plain_patterns(p.group(), "INSERT templates",
+                                          allow_anon=True)
             else:
                 raise SparqlError(
                     "WITH must precede a DELETE/INSERT .. WHERE form")
@@ -1953,7 +1998,8 @@ def parse_update(text: str) -> list[dict]:
                             "quads": _data_quads(p.group(),
                                                  "INSERT DATA")})
             else:
-                tpl = _plain_patterns(p.group(), "INSERT templates")
+                tpl = _plain_patterns(p.group(), "INSERT templates",
+                                      allow_anon=True)
                 using, unamed = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": None,
@@ -1981,7 +2027,8 @@ def parse_update(text: str) -> list[dict]:
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
-                                              "INSERT templates")
+                                              "INSERT templates",
+                                              allow_anon=True)
                 using, unamed = _using_clause(p)
                 p.eat("KW", "WHERE")
                 ops.append({"op": "modify", "delete": tpl_del,
@@ -2256,7 +2303,9 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # variable and the working frame must keep the store's shape
     # columns for the matcher to copy from
     tvars = ({str(o)[1:] for tmpl in (op["delete"], op["insert"])
-              for _s, _p, o in tmpl or [] if str(o).startswith("?")}
+              for _s, _p, o in tmpl or []
+              if str(o).startswith("?")
+              and not str(o).startswith("?_anon")}
              if "obj_is_iri" in df.columns else set())
     _attach_shape(g, frozenset(set(g.get("_shape") or ()) | tvars))
     # both templates instantiate against the ORIGINAL graph's
@@ -2274,44 +2323,52 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     def is_var(t) -> bool:
         return str(t).startswith("?")
 
-    def bound_only(template):
+    def bound_only(template, frame):
         # §3.1.3: a template entry referencing a variable the WHERE
         # never binds instantiates for no solution — drop it
         return [tpl for tpl in template or []
-                if all(not is_var(x) or str(x)[1:] in sols.columns
+                if all(not is_var(x) or str(x)[1:] in frame.columns
                        for x in tpl)]
 
-    deletes, inserts = bound_only(op["delete"]), bound_only(op["insert"])
+    deletes = bound_only(op["delete"], sols)
+    if deletes and op["insert"]:
+        # both templates instantiate from ONE match — checkpoint
+        # before the insert side widens it with minted columns
+        sols = sols.localCheckpoint(eager=False)
+    # INSERT template blank nodes (explicit _:b / [..]) mint fresh
+    # per solution (§3.1.3); the DELETE grammar has no bnodes to
+    # instantiate (a [..] there is the DELETE WHERE wildcard)
+    ins_sols, ins_tpl, minted = (
+        _mint_template_bnodes(sols, op["insert"])
+        if op["insert"] else (sols, [], frozenset()))
+    inserts = bound_only(ins_tpl, ins_sols)
 
-    def derived(template, with_shape):
+    def derived(template, with_shape, frame, minted=frozenset()):
         # template constants carry their parse-time shape (including
-        # @lang / ^^dt tags); a variable-bound object instantiates
-        # with the shape of the row its binding matched, read per-row
-        # from the solution's hidden companions ("binding")
-        shapes = ([("binding" if is_var(o)
+        # @lang / ^^dt tags); a minted bnode is a term (IRI-kind); a
+        # variable-bound object instantiates with the shape of the
+        # row its binding matched, read per-row from the solution's
+        # hidden companions ("binding")
+        shapes = ([((True, None, None)
+                    if is_var(o) and str(o)[1:] in minted
+                    else "binding" if is_var(o)
                     else (_term_is_iri(o), getattr(o, "lang", None),
                           getattr(o, "dt", None)))
                    for _s, _p, o in template] if with_shape else None)
-        out = G.construct_solutions(sols, template, obj_shapes=shapes)
+        out = G.construct_solutions(frame, template, obj_shapes=shapes)
         if quads:
             out = out.withColumn("graph",
                                  F.lit(scope_graph).cast("string"))
         return out
 
-    # on a shaped frame every delete template matches shape-exactly:
-    # a constant literal "x" never deletes an IRI <x>, and a variable
-    # object deletes exactly the shape(s) its binding matched — one
-    # solution row per matching shape (bag), same as rdflib's
-    # term-exact Graph.update
-    del_parts = []
-    if deletes:
-        del_parts.append((deletes, bool(shape)))
-    if len(del_parts) + (1 if inserts else 0) > 1:
-        sols = sols.localCheckpoint(eager=False)
-
     out = df
-    for template, with_shape in del_parts:
-        out = _quad_minus(out, derived(template, with_shape))
+    if deletes:
+        # on a shaped frame every delete template matches
+        # shape-exactly: a constant literal "x" never deletes an IRI
+        # <x>, and a variable object deletes exactly the shape(s) its
+        # binding matched — one solution row per matching shape
+        # (bag), same as rdflib's term-exact Graph.update
+        out = _quad_minus(out, derived(deletes, bool(shape), sols))
     if inserts:
         # set semantics via fresh-only insert: rows already present
         # pass through UNTOUCHED (provenance survives — the old
@@ -2319,7 +2376,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         # existing row and the NULL-provenance derived twin).  Same
         # cost class: one join keyed on the term key instead of the
         # full-store distinct — still the grammar's one corpus shuffle.
-        ins = derived(inserts, bool(shape))
+        ins = derived(inserts, bool(shape), ins_sols, minted)
         out = out.unionByName(_quad_minus(ins, out),
                               allowMissingColumns=True)
     return out

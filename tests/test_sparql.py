@@ -1000,12 +1000,16 @@ def test_bnode_syntax_review_regressions(kg, spark):
     with pytest.raises(SparqlError):
         update(kg, 'DELETE DATA { [ <p:new> "v1" ] }')
 
-    # templates reject [..] — fresh-per-solution minting is out
-    with pytest.raises(SparqlUnsupported):
-        sparql(kg, 'CONSTRUCT { ?x <p:q> [ ] } '
-                   'WHERE { ?x p:type "Person" }')
-    with pytest.raises(SparqlUnsupported):
-        update(kg, 'INSERT { ?x <p:q> [ ] } '
+    # template [..] mints a FRESH bnode per solution (§16.2.1) —
+    # fuller coverage in test_template_bnode_minting
+    out = sparql(kg, 'CONSTRUCT { ?x <p:q> [ ] } '
+                     'WHERE { ?x p:type "Person" }')
+    objs = [r["obj"] for r in out.collect()]
+    assert len(objs) == len(set(objs)) > 0
+    assert all(o.startswith("_:m") for o in objs)
+    # ... the DELETE-template grammar has no blank nodes
+    with pytest.raises(SparqlError):
+        update(kg, 'DELETE { ?x <p:q> [ ] } '
                    'WHERE { ?x p:type "Person" }')
     # ... but DELETE WHERE keeps them (pure wildcard patterns)
     out = update(kg, "DELETE WHERE { [ p:name ?n ] . }")
@@ -1877,3 +1881,37 @@ def test_order_modifier_review_fixes(spark):
     out = sparql(t, """SELECT DISTINCT ?s WHERE { ?s <p:v> ?o }
         ORDER BY DESC(?s)""")
     assert [r.s for r in out.collect()] == ["b", "a"]
+
+
+def test_template_bnode_minting(spark):
+    """Template blank nodes (explicit _:b and [..]) mint a FRESH
+    bnode per solution (§16.2.1 / Update §3.1.3): the label is shared
+    across template entries WITHIN one solution and distinct across
+    solutions and update() calls — rdflib's instantiation."""
+    from pyrdfa3_spark.operators.sparql import update
+    t = spark.createDataFrame(
+        [("urn:a", "p:v", "1"), ("urn:b", "p:v", "2")],
+        "subj string, pred string, obj string")
+    # one label, two template entries: same mint within a solution
+    out = sparql(t, """CONSTRUCT { ?s <addr> _:x . _:x <val> ?o }
+        WHERE { ?s <p:v> ?o }""")
+    rows = [(r.subj, r.pred, r.obj) for r in out.collect()]
+    addr = {r[0]: r[2] for r in rows if r[1] == "addr"}
+    val = {r[0]: r[2] for r in rows if r[1] == "val"}
+    assert set(addr) == {"urn:a", "urn:b"}
+    assert addr["urn:a"] != addr["urn:b"]          # fresh per solution
+    assert set(val.keys()) == set(addr.values())   # shared label links
+    assert val[addr["urn:a"]] == "1" and val[addr["urn:b"]] == "2"
+    # INSERT templates mint too, and [ <p> ?o ] expands to two entries
+    out2 = update(t, """INSERT { ?s <note> [ <of> ?o ] }
+        WHERE { ?s <p:v> ?o }""")
+    notes = {r["subj"]: r["obj"] for r in out2.collect()
+             if r["pred"] == "note"}
+    ofs = {r["subj"]: r["obj"] for r in out2.collect()
+           if r["pred"] == "of"}
+    assert set(notes) == {"urn:a", "urn:b"}
+    assert len(set(notes.values())) == 2
+    assert ofs == {notes["urn:a"]: "1", notes["urn:b"]: "2"}
+    # bnode in a template predicate position is malformed
+    with pytest.raises(SparqlError):
+        sparql(t, "CONSTRUCT { ?s _:p ?o } WHERE { ?s <p:v> ?o }")
