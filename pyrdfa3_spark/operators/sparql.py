@@ -1612,12 +1612,8 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         template = [tpl for tpl in template
                     if all(not str(t).startswith("?")
                            or str(t)[1:] in sols.columns for t in tpl)]
-        shapes = ([((True, None, None)
-                    if str(o).startswith("?") and str(o)[1:] in minted
-                    else "binding" if str(o).startswith("?")
-                    else (_term_is_iri(o), getattr(o, "lang", None),
-                          getattr(o, "dt", None)))
-                   for _s, _p, o in template] if shaped else None)
+        shapes = (_template_shapes(template, minted)
+                  if shaped else None)
         if not template:
             schema = ("subj string, pred string, obj string"
                       + (", obj_is_iri boolean, obj_lang string, "
@@ -1806,6 +1802,19 @@ def _unwrap_pred(path, what: str) -> str:
     return path
 
 
+def _template_shapes(template: list[tuple],
+                     minted: frozenset = frozenset()) -> list:
+    """``obj_shapes`` for a template instantiation: a minted bnode is
+    a term (IRI-kind), a variable object reads its binding's hidden
+    companions per-row, a constant carries its parse-time shape."""
+    return [((True, None, None)
+             if str(o).startswith("?") and str(o)[1:] in minted
+             else "binding" if str(o).startswith("?")
+             else (_term_is_iri(o), getattr(o, "lang", None),
+                   getattr(o, "dt", None)))
+            for _s, _p, o in template]
+
+
 def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
                           ) -> tuple[DataFrame, list[tuple],
                                      frozenset]:
@@ -1847,7 +1856,8 @@ def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
 
 
 def _plain_patterns(g: dict, what: str,
-                    allow_anon: bool = False
+                    allow_anon: bool = False,
+                    forbid_labels: bool = False
                     ) -> list[tuple[str, str, str]]:
     """A group's patterns as plain (s, p, o) strings — the template
     shape.  ``[..]`` existentials are rejected unless ``allow_anon``:
@@ -1865,6 +1875,17 @@ def _plain_patterns(g: dict, what: str,
                     f"[..] blank nodes in {what} (the grammar forbids "
                     "blank nodes in delete templates — there is no "
                     "fresh label to delete)")
+    if forbid_labels:
+        # §19.8: DELETE templates (and DELETE WHERE patterns) contain
+        # no blank nodes — an explicit _:x would be a constant here
+        # but a fresh mint on the INSERT side, so the same label would
+        # silently mean two things
+        for row in out:
+            if any(t.startswith("_:") for t in row):
+                raise SparqlError(
+                    f"blank node labels in {what} (the grammar "
+                    "forbids blank nodes in delete templates; match "
+                    "the node with a variable instead)")
     return out
 
 
@@ -1973,7 +1994,8 @@ def parse_update(text: str) -> list[dict]:
         elif p.take("KW", "WITH"):
             scope = p.term(allow_var=False, allow_literal=False)
             if p.take("KW", "DELETE"):
-                tpl_del = _plain_patterns(p.group(), "DELETE templates")
+                tpl_del = _plain_patterns(p.group(), "DELETE templates",
+                                          forbid_labels=True)
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
@@ -2017,13 +2039,15 @@ def parse_update(text: str) -> list[dict]:
                 # delete template (SPARQL 1.1 §3.1.3.2)
                 g = p.group()
                 tpl = _plain_patterns(g, "DELETE WHERE",
-                                      allow_anon=True)
+                                      allow_anon=True,
+                                      forbid_labels=True)
                 ops.append({"op": "modify", "delete": tpl,
                             "insert": None,
                             "where": {**g, "patterns": tpl},
                             "with": None})
             else:
-                tpl_del = _plain_patterns(p.group(), "DELETE templates")
+                tpl_del = _plain_patterns(p.group(), "DELETE templates",
+                                          forbid_labels=True)
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
                     tpl_ins = _plain_patterns(p.group(),
@@ -2302,10 +2326,14 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # companions), so the solutions must track every template object
     # variable and the working frame must keep the store's shape
     # columns for the matcher to copy from
-    tvars = ({str(o)[1:] for tmpl in (op["delete"], op["insert"])
-              for _s, _p, o in tmpl or []
-              if str(o).startswith("?")
-              and not str(o).startswith("?_anon")}
+    # every template object variable needs shape companions — except
+    # INSERT-template ?_anon* slots, which mint fresh bnodes below and
+    # are never bindings (a DELETE WHERE [..] anon IS a binding)
+    tvars = (({str(o)[1:] for _s, _p, o in op["delete"] or []
+               if str(o).startswith("?")}
+              | {str(o)[1:] for _s, _p, o in op["insert"] or []
+                 if str(o).startswith("?")
+                 and not str(o).startswith("?_anon")})
              if "obj_is_iri" in df.columns else set())
     _attach_shape(g, frozenset(set(g.get("_shape") or ()) | tvars))
     # both templates instantiate against the ORIGINAL graph's
@@ -2323,38 +2351,34 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     def is_var(t) -> bool:
         return str(t).startswith("?")
 
-    def bound_only(template, frame):
+    def bound_only(template, anon_ok=False):
         # §3.1.3: a template entry referencing a variable the WHERE
-        # never binds instantiates for no solution — drop it
+        # never binds instantiates for no solution — drop it.
+        # ``anon_ok`` keeps INSERT-template ?_anon* slots: they mint
+        # fresh columns later, so they are never "unbound"
         return [tpl for tpl in template or []
-                if all(not is_var(x) or str(x)[1:] in frame.columns
+                if all((not is_var(x))
+                       or (anon_ok and str(x)[1:].startswith("_anon"))
+                       or str(x)[1:] in sols.columns
                        for x in tpl)]
 
-    deletes = bound_only(op["delete"], sols)
-    if deletes and op["insert"]:
+    deletes = bound_only(op["delete"])
+    pre_inserts = bound_only(op["insert"], anon_ok=True)
+    if deletes and pre_inserts:
         # both templates instantiate from ONE match — checkpoint
         # before the insert side widens it with minted columns
         sols = sols.localCheckpoint(eager=False)
     # INSERT template blank nodes (explicit _:b / [..]) mint fresh
-    # per solution (§3.1.3); the DELETE grammar has no bnodes to
-    # instantiate (a [..] there is the DELETE WHERE wildcard)
-    ins_sols, ins_tpl, minted = (
-        _mint_template_bnodes(sols, op["insert"])
-        if op["insert"] else (sols, [], frozenset()))
-    inserts = bound_only(ins_tpl, ins_sols)
+    # per solution (§3.1.3); DELETE templates reject them (nothing to
+    # delete by a fresh label — a [..] there is the DELETE WHERE
+    # wildcard, a real binding)
+    ins_sols, inserts, minted = (
+        _mint_template_bnodes(sols, pre_inserts)
+        if pre_inserts else (sols, [], frozenset()))
 
     def derived(template, with_shape, frame, minted=frozenset()):
-        # template constants carry their parse-time shape (including
-        # @lang / ^^dt tags); a minted bnode is a term (IRI-kind); a
-        # variable-bound object instantiates with the shape of the
-        # row its binding matched, read per-row from the solution's
-        # hidden companions ("binding")
-        shapes = ([((True, None, None)
-                    if is_var(o) and str(o)[1:] in minted
-                    else "binding" if is_var(o)
-                    else (_term_is_iri(o), getattr(o, "lang", None),
-                          getattr(o, "dt", None)))
-                   for _s, _p, o in template] if with_shape else None)
+        shapes = (_template_shapes(template, minted)
+                  if with_shape else None)
         out = G.construct_solutions(frame, template, obj_shapes=shapes)
         if quads:
             out = out.withColumn("graph",

@@ -1915,3 +1915,29 @@ def test_template_bnode_minting(spark):
     # bnode in a template predicate position is malformed
     with pytest.raises(SparqlError):
         sparql(t, "CONSTRUCT { ?s _:p ?o } WHERE { ?s <p:v> ?o }")
+
+
+def test_bnode_minting_review_fixes(spark):
+    """Review fixes: DELETE WHERE with a [..] object on a SHAPED frame
+    still binds shape companions (the anon is a real binding, not a
+    mint slot); explicit _:x labels in DELETE templates raise (§19.8)
+    instead of silently meaning constant-on-delete/fresh-on-insert;
+    an all-unbound INSERT template skips its checkpoint and derives
+    nothing."""
+    from pyrdfa3_spark.operators.sparql import update
+    shaped = spark.createDataFrame(
+        [("urn:a", "p:q", "x", False, None, None),
+         ("urn:a", "p:k", "y", False, None, None)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_datatype string")
+    out = update(shaped, "DELETE WHERE { ?s <p:q> [] }")
+    assert [(r.subj, r.pred) for r in out.collect()] == [
+        ("urn:a", "p:k")]
+    with pytest.raises(SparqlError, match="blank node"):
+        update(shaped, "DELETE { ?s <p:q> _:x } WHERE { ?s <p:q> ?o }")
+    with pytest.raises(SparqlError, match="blank node"):
+        update(shaped, "DELETE WHERE { ?s <p:q> _:x }")
+    out = update(shaped, """DELETE { ?s <p:q> ?o }
+        INSERT { ?s <p:n> ?never } WHERE { ?s <p:q> ?o }""")
+    assert [(r.subj, r.pred) for r in out.collect()] == [
+        ("urn:a", "p:k")]
