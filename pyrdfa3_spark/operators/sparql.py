@@ -776,7 +776,7 @@ class _Parser:
         self.eat("OP", "{")
         g = {"patterns": [], "optionals": [], "filters": [],
              "exists": [], "minus": [], "values": None, "binds": [],
-             "union": None, "subqueries": [], "graphs": []}
+             "unions": [], "subqueries": [], "graphs": []}
         while not self.at("OP", "}"):
             if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
                 self.eat("OP", "{")
@@ -838,29 +838,22 @@ class _Parser:
             elif self.take("KW", "VALUES"):
                 g["values"] = self._values()
             elif self.at("OP", "{"):
-                g["union"] = self._union_chain()
+                g["unions"].append(self._union_chain())
             else:
                 self._triples_block(g["patterns"])
             self.take("OP", ".")
         self.eat("OP", "}")
-        if g["union"] is not None and (g["patterns"] or g["optionals"]
-                                       or g["minus"] or g["exists"]
-                                       or g["values"]):
-            raise SparqlUnsupported(
-                "UNION mixed with sibling patterns in one group — "
-                "wrap the query as nested groups instead")
         return g
 
     def _union_chain(self) -> list[dict]:
+        """``{..} UNION {..} UNION ..`` — each branch is a FULL group
+        (nested UNION / BIND / VALUES / MINUS / subqueries all legal;
+        the solver recurses).  A single braceless-adjacent group
+        (no UNION keyword) parses as a 1-branch chain — SPARQL's
+        group-join of a nested group, same algebra."""
         branches = [self.group()]
         while self.take("KW", "UNION"):
             branches.append(self.group())
-        for b in branches:
-            if (b["union"] or b["minus"] or b["exists"] or b["values"]
-                    or b["binds"] or b["subqueries"] or b["graphs"]):
-                raise SparqlUnsupported(
-                    "UNION branches support patterns, OPTIONAL and "
-                    "FILTER only")
         return branches
 
     def _values(self):
@@ -939,7 +932,7 @@ class _Parser:
 
 
 def _require_simple(group: dict, where: str, filters_ok: bool = True):
-    bad = (group["union"] or group["optionals"] or group["minus"]
+    bad = (group["unions"] or group["optionals"] or group["minus"]
            or group["exists"] or group["values"] or group["binds"]
            or group["subqueries"] or group["graphs"]
            or (group["filters"] and not filters_ok))
@@ -1175,8 +1168,9 @@ def _attach_shape(g: dict | None, shape_vars) -> None:
     if g is None or not shape_vars:
         return
     g["_shape"] = shape_vars
-    for branch in g["union"] or []:
-        _attach_shape(branch, shape_vars)
+    for chain in g["unions"]:
+        for branch in chain:
+            _attach_shape(branch, shape_vars)
     for sq in g["subqueries"]:
         _attach_shape(sq["where"], shape_vars)
 
@@ -1200,7 +1194,9 @@ def _group_has_graphs(g: dict) -> bool:
         return True
     return (any(_group_has_graphs(sq["where"])
                 for sq in g.get("subqueries") or ())
-            or any(_group_has_graphs(b) for b in g.get("union") or ()))
+            or any(_group_has_graphs(b)
+                   for chain in g.get("unions") or ()
+                   for b in chain))
 
 
 def _group_has_tagged(g: dict) -> bool:
@@ -1218,7 +1214,8 @@ def _group_has_tagged(g: dict) -> bool:
         return True
     if any(in_pats(pats) for pats in g["minus"]):
         return True
-    return any(_group_has_tagged(b) for b in g["union"] or [])
+    return any(_group_has_tagged(b)
+               for chain in g["unions"] for b in chain)
 
 
 def _expand_paths(triples: DataFrame, groups: list[dict],
@@ -1309,6 +1306,51 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
     return work[0]
 
 
+def _certain_vars(g: dict) -> set[str]:
+    """Variables CERTAINLY bound (never NULL) in every solution the
+    group emits: plain/GRAPH pattern positions, VALUES columns with no
+    UNDEF cell, and — per union chain — variables certain in EVERY
+    branch.  OPTIONAL-, BIND- and subquery-bound variables are not
+    certain (they may come back unbound), which is exactly what the
+    union-join compatibility guard needs to know."""
+    vs: set[str] = set()
+
+    def add(term):
+        if isinstance(term, str) and term.startswith("?"):
+            vs.add(term[1:])
+
+    for s, p, o in g["patterns"]:
+        add(s)
+        if isinstance(p, str):
+            add(p)
+        add(o)
+    for s, p, o, gt in g.get("graphs") or []:
+        for term in (s, p, o, gt):
+            add(term)
+    if g["values"] is not None:
+        names, rows = g["values"]
+        for i, n in enumerate(names):
+            if all(r[i] is not None for r in rows):
+                vs.add(n)
+    for chain in g["unions"]:
+        vs |= set.intersection(*[_certain_vars(b) for b in chain])
+    return vs
+
+
+def _solve_union(triples: DataFrame, chain: list[dict]) -> DataFrame:
+    """A ``{..} UNION {..}`` chain: branches solve independently (full
+    recursive groups) and concatenate; variables bound in only some
+    branches come back NULL (SPARQL's unbound) elsewhere.
+
+    Scale shape: independent subplans over the same scan (Catalyst
+    reuses the exchange where they overlap) + a zero-shuffle union."""
+    outs = [_solve_group(triples, b) for b in chain]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
 def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1320,30 +1362,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             "shape-tagged literal patterns need a frame with "
             "literal-shape columns (obj_is_iri/obj_lang/"
             "obj_datatype); match the plain lexical form instead")
-    if g["union"] is not None:
-        if g["subqueries"] or g["graphs"]:
-            raise SparqlUnsupported(
-                "subquery/GRAPH beside UNION in one group")
-        t = _expand_paths(triples, [g] + g["union"],
-                          keep_shape=keep_shape)
-        sols = G.bgp_union(t, [
-            {"patterns": b["patterns"],
-             "optional": b["optionals"] or None,
-             "filters": b["filters"] or None}
-            for b in g["union"]], shape_vars=sv)
-        for var, e, shp in g["binds"]:
-            sols = G.bind(sols, var, e)
-            if shp is not None and sv and var in sv:
-                sols = G.set_shape_companions(sols, var, shp)
-        sols = G.fill_null_companions(sols, sv)
-        for e in g["filters"]:
-            sols = sols.filter(F.expr(e))
-        return sols
-
     t = _expand_paths(triples, [g], keep_shape=keep_shape)
-    if not g["patterns"] and not g["subqueries"] and not g["graphs"]:
+    if (not g["patterns"] and not g["subqueries"] and not g["graphs"]
+            and not g["unions"] and g["values"] is None):
         raise SparqlUnsupported("empty WHERE group")
-    late = bool(g["subqueries"] or g["graphs"])
+    late = bool(g["subqueries"] or g["graphs"] or g["unions"]
+                or (g["values"] is not None and not g["patterns"]))
     # FILTER scope is the whole group (§18.2.2: filters apply at the
     # end of the group), so a filter mentioning a BIND-defined
     # variable must run after the BINDs; the rest may inline into the
@@ -1421,6 +1445,51 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                        "GRAPH group")
     for sub in (_solve_select(triples, sq) for sq in g["subqueries"]):
         sols = conjoin(sols, sub, "subquery")
+    if g["values"] is not None and not g["patterns"]:
+        # with no sibling patterns the VALUES rows join as a literal
+        # frame of their own (bgp_values inlines them otherwise).
+        # UNDEF cells would need a null-compatible join; they raise.
+        names, rows = g["values"]
+        if any(c is None for r in rows for c in r):
+            raise SparqlUnsupported(
+                "UNDEF in a VALUES block with no sibling triple "
+                "patterns in its group (the row would need a null-"
+                "compatible join); move a pattern into the group")
+        vf = triples.sparkSession.createDataFrame(
+            [tuple(str(c) for c in r) for r in rows],
+            schema=", ".join(f"`{n}` string" for n in names))
+        # VALUES is a bag: duplicate rows multiply solutions — no dedup
+        sols = conjoin(sols, vf, "VALUES block")
+    if g["unions"]:
+        # union chains conjoin like any other group operand; branches
+        # are FULL groups solved recursively (nested UNION / BIND /
+        # VALUES / MINUS / subqueries all legal).  A shared join
+        # variable must be certainly bound on BOTH sides — an inner
+        # equi-join on a possibly-NULL (unbound) column would silently
+        # drop SPARQL-compatible solutions, so that shape raises.
+        acc_certain = _certain_vars({**g, "unions": []})
+        for chain in g["unions"]:
+            chain_certain = set.intersection(
+                *[_certain_vars(b) for b in chain])
+            usols = _solve_union(triples, chain)
+            if sols is not None:
+                shared = [c for c in
+                          set(sols.columns) & set(usols.columns)
+                          if not c.startswith(G.SHAPE_PREFIX)]
+                risky = sorted(v for v in shared
+                               if v not in chain_certain
+                               or v not in acc_certain)
+                if risky:
+                    raise SparqlUnsupported(
+                        f"joining a UNION on possibly-unbound "
+                        f"variable(s) {risky} (OPTIONAL/BIND/subquery-"
+                        "bound, UNDEF-able VALUES, or absent from a "
+                        "branch): SPARQL makes unbound compatible "
+                        "with anything, which an equi-join cannot "
+                        "express — bind the variable in every branch "
+                        "and in the sibling patterns instead")
+            sols = conjoin(sols, usols, "UNION chain")
+            acc_certain |= chain_certain
     if late:
         # a subquery-projected binding carries no shape (its
         # companions never leave the subquery): NULL companions keep
@@ -1512,8 +1581,9 @@ def _attach_quads(g: dict | None, full: DataFrame) -> None:
     if g is None:
         return
     g["_quads"] = full
-    for branch in g["union"] or []:
-        _attach_quads(branch, full)
+    for chain in g["unions"]:
+        for branch in chain:
+            _attach_quads(branch, full)
     for sq in g["subqueries"]:
         _attach_quads(sq["where"], full)
 
@@ -1894,7 +1964,7 @@ def _data_quads(g: dict, what: str,
     """A DATA block as ground ``(s, p, o, graph-or-None)`` rows.  The
     group parser already routes ``GRAPH <g> {..}`` wrappers into
     ``g["graphs"]``; bare statements are default-graph (None)."""
-    bad = (g["union"] or g["optionals"] or g["minus"] or g["exists"]
+    bad = (g["unions"] or g["optionals"] or g["minus"] or g["exists"]
            or g["values"] or g["binds"] or g["subqueries"]
            or g["filters"])
     if bad:

@@ -1760,6 +1760,48 @@ ORDER BY n
 """
 
 
+def q_sparql_union_join(spark, sf_dir):
+    """Compositional UNION: a chain joined against SIBLING patterns in
+    the same group (SPARQL algebra Join(BGP, Union(A, B))), with a
+    per-branch BIND, a variable bound in only one branch (NULL = the
+    SPARQL unbound elsewhere), and a MINUS applying to the joined
+    solutions.  The join key (?r) is certainly bound in every branch —
+    the solver's compatibility guard admits exactly that shape.
+
+    Scale shape: the chain is a zero-shuffle unionByName of two
+    subplans over one scan; the sibling join is a plain equi-join on
+    ?r (broadcastable), MINUS a left-anti on ?n."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?v ?k WHERE {{
+          ?n ex:memberOf ?r . ?n ex:name ?name .
+          {{ ?r ex:comment ?v . BIND("even" AS ?k) }}
+          UNION {{ ?r a ex:Region . BIND("typed" AS ?k) }}
+          MINUS {{ ?n ex:name "FRANCE" }}
+        }}
+        ORDER BY ?n ?k ?v
+    """)
+
+
+SQL_SPARQL_UNION_JOIN = """
+WITH n AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+         n_name AS name, n_regionkey FROM nation
+  WHERE n_name <> 'FRANCE'
+)
+SELECT n.n, n.name, u.v, u.k
+FROM n JOIN (
+  SELECT r_regionkey, r_name AS v, 'even' AS k FROM region
+  WHERE r_regionkey % 2 = 0
+  UNION ALL
+  SELECT r_regionkey, NULL AS v, 'typed' AS k FROM region
+) u ON n.n_regionkey = u.r_regionkey
+ORDER BY n, k, v
+"""
+
+
 def q_sparql_values_trailing(spark, sf_dir):
     """Trailing VALUES (§10.2/§18.2.4.3): supplier counts per nation
     aggregate FIRST, then the post-query VALUES constrains the groups
@@ -4401,6 +4443,7 @@ QUERIES = {
     "sparql_dataset": q_sparql_dataset,
     "sparql_project_expr": q_sparql_project_expr,
     "sparql_optional_group": q_sparql_optional_group,
+    "sparql_union_join": q_sparql_union_join,
     "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_term_shape": q_sparql_term_shape,
     "sparql_kg_mint": q_sparql_kg_mint,
@@ -4550,6 +4593,7 @@ def oracles() -> dict[str, str]:
         "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
+        "sparql_union_join": SQL_SPARQL_UNION_JOIN,
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
         "sparql_kg_mint": SQL_SPARQL_KG_MINT,

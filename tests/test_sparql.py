@@ -145,9 +145,15 @@ def test_parse_errors(kg):
     # nested path modifiers parse now; a variable path still raises
     with pytest.raises(SparqlUnsupported):
         parse("SELECT ?s WHERE { ?s (?v/p:b)+ ?o }")
-    with pytest.raises(SparqlUnsupported):
-        parse("""SELECT ?s WHERE {
-            ?s p:a ?o . { ?s p:b ?x } UNION { ?s p:c ?x } }""")
+    # UNION beside sibling patterns is compositional now — it parses;
+    # joining it on a possibly-unbound variable raises at solve time
+    parse("""SELECT ?s WHERE {
+        ?s p:a ?o . { ?s p:b ?x } UNION { ?s p:c ?x } }""")
+    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:name ?x .
+            { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
+            UNION { ?s p:age ?t } }""")
     with pytest.raises(SparqlError, match="GROUP BY"):
         sparql(kg, """SELECT ?x ?n (COUNT(?n) AS ?c)
                       WHERE { ?x p:name ?n } GROUP BY ?x""")
@@ -1941,3 +1947,72 @@ def test_bnode_minting_review_fixes(spark):
         INSERT { ?s <p:n> ?never } WHERE { ?s <p:q> ?o }""")
     assert [(r.subj, r.pred) for r in out.collect()] == [
         ("urn:a", "p:k")]
+
+
+# -- compositional UNION (round 3) ---------------------------------------
+
+def test_union_beside_sibling_patterns(kg):
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:type "Person" .
+        { ?s p:name ?n } UNION { ?s p:nick ?n } }""")))
+    assert out == [("a", "Ada"), ("b", "Bob"), ("b", "Bobby")]
+
+
+def test_union_nested_inside_branch(kg):
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        { ?s p:name ?n }
+        UNION { { ?s p:nick ?n } UNION { ?s p:alias ?n } } }""")))
+    assert out == [("a", "Ada"), ("b", "Bob"), ("b", "Bobby")]
+
+
+def test_union_branch_with_bind(kg):
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?k WHERE {
+        { ?s p:name "Ada" . BIND("first" AS ?k) }
+        UNION { ?s p:name "Bob" . BIND("second" AS ?k) } }""")))
+    assert out == [("a", "first"), ("b", "second")]
+
+
+def test_two_sibling_union_chains(kg):
+    # regression: a second sibling chain used to overwrite the first
+    out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s WHERE {
+        { ?s p:type "Person" } UNION { ?s p:knows "c" }
+        { ?s p:name ?n } UNION { ?s p:knows ?o } }""")))
+    assert out == [("a",), ("b",), ("c",)]
+
+
+def test_union_join_on_possibly_unbound_raises(kg):
+    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:name ?x .
+            { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
+            UNION { ?s p:type ?t } }""").collect()
+
+
+def test_values_only_group_and_values_beside_union(kg):
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n . { VALUES ?s { "a" } } }""")))
+    assert out == [("a", "Ada")]
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        VALUES ?s { "a" "c" }
+        { ?s p:name ?n } UNION { ?s p:knows ?n } }""")))
+    assert out == [("a", "Ada"), ("a", "b"), ("c", "c")]
+
+
+def test_values_bag_semantics_without_patterns(kg):
+    # duplicate VALUES rows multiply solutions (bag, not set)
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n . { VALUES ?s { "a" "a" } } }""")))
+    assert out == [("a", "Ada"), ("a", "Ada")]
+
+
+def test_minus_applies_to_union_solutions(kg):
+    out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s WHERE {
+        { ?s p:name ?n } UNION { ?s p:knows ?o }
+        MINUS { ?s p:knows "c" } }""")))
+    assert out == [("a",)]
+
+
+def test_union_undef_values_without_patterns_raises(kg):
+    with pytest.raises(SparqlUnsupported, match="UNDEF"):
+        sparql(kg, """SELECT ?s ?o WHERE {
+            ?s p:knows ?o . { VALUES (?s ?o) { ("a" UNDEF) } } }""")
