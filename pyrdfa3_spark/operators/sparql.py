@@ -836,7 +836,12 @@ class _Parser:
                 g["binds"].append((self.var(), e, shape))
                 self.eat("OP", ")")
             elif self.take("KW", "VALUES"):
-                g["values"] = self._values()
+                v = self._values()
+                # a second VALUES in the same group joins with the
+                # first (SPARQL group algebra); both tables are literal
+                # so the join folds here at parse time
+                g["values"] = (v if g["values"] is None
+                               else _merge_values(g["values"], v))
             elif self.at("OP", "{"):
                 g["unions"].append(self._union_chain())
             else:
@@ -1306,13 +1311,41 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
     return work[0]
 
 
+def _merge_values(a: tuple, b: tuple) -> tuple:
+    """Join two inline VALUES tables per §18.5 compatibility: rows
+    merge when every shared column agrees or is UNDEF on a side (the
+    defined cell wins); incompatible row pairs drop.  Both tables are
+    literal, so the join is computed here once — the solver only ever
+    sees one table per group."""
+    na, ra = a
+    nb, rb = b
+    names = list(na) + [n for n in nb if n not in na]
+    ia = {n: i for i, n in enumerate(na)}
+    ib = {n: i for i, n in enumerate(nb)}
+    rows = []
+    for x in ra:
+        for y in rb:
+            merged, ok = [], True
+            for n in names:
+                va = x[ia[n]] if n in ia else None
+                vb = y[ib[n]] if n in ib else None
+                if va is not None and vb is not None and va != vb:
+                    ok = False
+                    break
+                merged.append(va if va is not None else vb)
+            if ok:
+                rows.append(tuple(merged))
+    return (names, rows)
+
+
 def _certain_vars(g: dict) -> set[str]:
     """Variables CERTAINLY bound (never NULL) in every solution the
     group emits: plain/GRAPH pattern positions, VALUES columns with no
-    UNDEF cell, and — per union chain — variables certain in EVERY
-    branch.  OPTIONAL-, BIND- and subquery-bound variables are not
-    certain (they may come back unbound), which is exactly what the
-    union-join compatibility guard needs to know."""
+    UNDEF cell, per union chain the variables certain in EVERY branch,
+    and a subquery's projections of variables certain in its own WHERE.
+    OPTIONAL- and BIND-bound variables are not certain (they may come
+    back unbound), which is exactly what the join compatibility guards
+    need to know."""
     vs: set[str] = set()
 
     def add(term):
@@ -1334,7 +1367,26 @@ def _certain_vars(g: dict) -> set[str]:
                 vs.add(n)
     for chain in g["unions"]:
         vs |= set.intersection(*[_certain_vars(b) for b in chain])
+    for sq in g.get("subqueries") or []:
+        vs |= _subquery_certain(sq)
     return vs
+
+
+def _subquery_certain(q: dict) -> set[str]:
+    """Variables a ``{ SELECT ... }`` subquery certainly binds in every
+    projected solution: its WHERE's certain variables, filtered to what
+    the projection exposes.  Aggregate aliases and projection-expression
+    aliases stay uncertain (an aggregate over an empty-ish group or a
+    NULL-producing expression can come back unbound)."""
+    inner = _certain_vars(q["where"])
+    if q.get("group_by") or any(it[0] == "agg" for it in q["items"]):
+        # grouped query: only the group keys survive as plain columns,
+        # and each output group has >=1 row, so certain keys stay certain
+        return {k for k in q.get("group_by") or [] if k in inner}
+    if q.get("star"):
+        return inner
+    return {it[1] for it in q["items"]
+            if it[0] == "var" and it[1] in inner}
 
 
 def _solve_union(triples: DataFrame, chain: list[dict]) -> DataFrame:
@@ -1397,7 +1449,14 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     # those present they apply after the joins, not inside bgp_match
     inline_filters = None if late else (pre_bind or None)
 
-    def conjoin(sols, other, what):
+    # `acc_certain` tracks the variables certainly bound (never NULL)
+    # in `sols` as operands conjoin; every equi-join below requires its
+    # shared keys certain on BOTH sides — an inner/semi/anti join on a
+    # possibly-NULL (unbound) column silently violates SPARQL's §18.5
+    # compatibility (unbound agrees with anything), so that shape raises
+    acc_certain: set[str] = set()
+
+    def conjoin(sols, other, what, other_certain):
         if sols is None:
             return other
         # companion columns join along with their variable, never as
@@ -1410,8 +1469,26 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             # refuse rather than misplan it at lake scale
             raise SparqlUnsupported(
                 f"{what} shares no variables with its group")
+        risky = sorted(v for v in shared
+                       if v not in other_certain
+                       or v not in acc_certain)
+        if risky:
+            raise SparqlUnsupported(
+                f"joining a {what} on possibly-unbound variable(s) "
+                f"{risky} (OPTIONAL/BIND-bound, UNDEF-able VALUES, or "
+                "absent from a union branch): SPARQL makes unbound "
+                "compatible with anything, which an equi-join cannot "
+                "express — bind the variable on both sides instead")
         return sols.join(G.drop_dup_companions(other, sols.columns),
                          shared, "inner")
+
+    def pattern_vars(patterns):
+        vs = set()
+        for pat in patterns:
+            for term in pat:
+                if isinstance(term, str) and term.startswith("?"):
+                    vs.add(term[1:])
+        return vs
 
     sols = None
     if g["patterns"]:
@@ -1421,11 +1498,14 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                                 optional=g["optionals"] or None,
                                 filters=inline_filters,
                                 shape_vars=sv)
+            acc_certain |= {n for i, n in enumerate(names)
+                            if all(r[i] is not None for r in rows)}
         else:
             sols = G.bgp_match(t, g["patterns"],
                                optional=g["optionals"] or None,
                                filters=inline_filters,
                                shape_vars=sv)
+        acc_certain |= pattern_vars(g["patterns"])
     if g["graphs"]:
         qsrc = g.get("_quads", triples)
         if "graph" not in qsrc.columns:
@@ -1439,57 +1519,94 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                              *(G.obj_shape_cols(qsrc) if keep_shape
                                else []))
                  .filter(F.col("graph").isNotNull()))
+        gq_certain = pattern_vars(g["graphs"])
         sols = conjoin(sols,
                        G.bgp_match_quads(named, g["graphs"],
                                          shape_vars=sv),
-                       "GRAPH group")
-    for sub in (_solve_select(triples, sq) for sq in g["subqueries"]):
-        sols = conjoin(sols, sub, "subquery")
+                       "GRAPH group", gq_certain)
+        acc_certain |= gq_certain
+    for sq in g["subqueries"]:
+        sq_certain = _subquery_certain(sq)
+        sub = _solve_select(triples, sq)
+        scalar = (not sq.get("group_by")
+                  and any(it[0] == "agg" for it in sq["items"]))
+        if scalar and sols is not None:
+            # an ungrouped aggregate subquery yields EXACTLY one row
+            # (possibly with unbound cells), so the full §18.5
+            # compatibility join is a bounded broadcast nested loop —
+            # no certainty guard needed, and a disjoint domain is a
+            # legal 1-row product
+            sols = _compat_join_tiny(sols, sub)
+        else:
+            sols = conjoin(sols, sub, "subquery", sq_certain)
+        acc_certain |= sq_certain
     if g["values"] is not None and not g["patterns"]:
         # with no sibling patterns the VALUES rows join as a literal
-        # frame of their own (bgp_values inlines them otherwise).
-        # UNDEF cells would need a null-compatible join; they raise.
-        names, rows = g["values"]
-        if any(c is None for r in rows for c in r):
-            raise SparqlUnsupported(
-                "UNDEF in a VALUES block with no sibling triple "
-                "patterns in its group (the row would need a null-"
-                "compatible join); move a pattern into the group")
-        vf = triples.sparkSession.createDataFrame(
-            [tuple(str(c) for c in r) for r in rows],
-            schema=", ".join(f"`{n}` string" for n in names))
+        # frame of their own (bgp_values inlines them otherwise);
+        # _join_values implements the full §18.5 compatibility join
+        # (UNDEF constrains nothing, an unbound solution cell adopts
+        # the row's binding), so NULLs on either side are legal here.
         # VALUES is a bag: duplicate rows multiply solutions — no dedup
-        sols = conjoin(sols, vf, "VALUES block")
+        names, rows = g["values"]
+        if sols is None:
+            sols = triples.sparkSession.createDataFrame(
+                [tuple(None if c is None else str(c) for c in r)
+                 for r in rows],
+                schema=", ".join(f"`{n}` string" for n in names))
+        else:
+            sols = _join_values(sols, names, rows)
+        acc_certain |= {n for i, n in enumerate(names)
+                        if rows and all(r[i] is not None for r in rows)}
     if g["unions"]:
         # union chains conjoin like any other group operand; branches
         # are FULL groups solved recursively (nested UNION / BIND /
-        # VALUES / MINUS / subqueries all legal).  A shared join
-        # variable must be certainly bound on BOTH sides — an inner
-        # equi-join on a possibly-NULL (unbound) column would silently
-        # drop SPARQL-compatible solutions, so that shape raises.
-        acc_certain = _certain_vars({**g, "unions": []})
+        # VALUES / MINUS / subqueries all legal)
         for chain in g["unions"]:
             chain_certain = set.intersection(
                 *[_certain_vars(b) for b in chain])
             usols = _solve_union(triples, chain)
-            if sols is not None:
-                shared = [c for c in
-                          set(sols.columns) & set(usols.columns)
-                          if not c.startswith(G.SHAPE_PREFIX)]
-                risky = sorted(v for v in shared
-                               if v not in chain_certain
-                               or v not in acc_certain)
-                if risky:
-                    raise SparqlUnsupported(
-                        f"joining a UNION on possibly-unbound "
-                        f"variable(s) {risky} (OPTIONAL/BIND/subquery-"
-                        "bound, UNDEF-able VALUES, or absent from a "
-                        "branch): SPARQL makes unbound compatible "
-                        "with anything, which an equi-join cannot "
-                        "express — bind the variable in every branch "
-                        "and in the sibling patterns instead")
-            sols = conjoin(sols, usols, "UNION chain")
+            sols = conjoin(sols, usols, "UNION chain", chain_certain)
             acc_certain |= chain_certain
+    if g["optionals"] and not g["patterns"]:
+        # OPTIONAL beside a pattern-less group (union-only, VALUES-
+        # only, subquery-only): left-join each optional unit onto the
+        # assembled solutions — the same leftjoin bgp_match plans when
+        # sibling patterns exist
+        for o in g["optionals"]:
+            opt_vars = pattern_vars(o["patterns"])
+            for e in o["filters"] or []:
+                outside = sorted(
+                    v for v in set(sols.columns) - opt_vars
+                    if not v.startswith(G.SHAPE_PREFIX)
+                    and re.search(rf"\b{re.escape(v)}\b", e))
+                if outside:
+                    # §6.1 leftjoin evaluates the filter over the
+                    # MERGED solution; filtering the right side alone
+                    # is only equivalent when the filter reads no
+                    # group-side variables
+                    raise SparqlUnsupported(
+                        f"OPTIONAL FILTER reads group variable(s) "
+                        f"{outside} while the group has no sibling "
+                        "triple patterns")
+            opt = G.bgp_match(t, o["patterns"],
+                              filters=o["filters"] or None,
+                              shape_vars=sv)
+            shared = sorted(c for c in
+                            set(sols.columns) & set(opt.columns)
+                            if not c.startswith(G.SHAPE_PREFIX))
+            if not shared:
+                raise SparqlUnsupported(
+                    "OPTIONAL shares no variables with its group")
+            risky = sorted(v for v in shared if v not in acc_certain)
+            if risky:
+                raise SparqlUnsupported(
+                    f"OPTIONAL left-joining on possibly-unbound "
+                    f"variable(s) {risky}: SPARQL makes unbound "
+                    "compatible with anything, which an equi-join "
+                    "cannot express — bind the variable in the "
+                    "sibling operands first")
+            sols = sols.join(G.drop_dup_companions(opt, sols.columns),
+                             shared, "left")
     if late:
         # a subquery-projected binding carries no shape (its
         # companions never leave the subquery): NULL companions keep
@@ -1500,6 +1617,16 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     for negate, patterns in g["exists"]:
         grp = G.bgp_match(t, patterns)
         shared = sorted(set(sols.columns) & set(grp.columns))
+        risky = sorted(v for v in shared if v not in acc_certain)
+        if risky:
+            # §8.1.1 substitutes only BOUND variables into EXISTS; an
+            # unbound shared variable is FREE inside the pattern, which
+            # a semi/anti join on the column cannot express
+            raise SparqlUnsupported(
+                f"FILTER {'NOT ' if negate else ''}EXISTS sharing "
+                f"possibly-unbound variable(s) {risky} with its group "
+                "(unbound is free inside EXISTS, not a join key) — "
+                "bind the variable in the sibling operands first")
         if shared:  # same join bgp_exists plans
             sols = sols.join(grp.select(*shared).dropDuplicates(),
                              shared, "left_anti" if negate
@@ -1515,6 +1642,16 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         shared = sorted(set(sols.columns) & set(neg.columns))
         if not shared:
             continue  # SPARQL: disjoint MINUS removes nothing
+        risky = sorted(v for v in shared if v not in acc_certain)
+        if risky:
+            # §8.3 compatibility: an unbound cell agrees with any
+            # binding (and an all-unbound overlap means KEEP) — an
+            # anti-join on the NULL-able column gets both cases wrong
+            raise SparqlUnsupported(
+                f"MINUS sharing possibly-unbound variable(s) {risky} "
+                "with its group (unbound is compatible with anything "
+                "under §8.3, not an anti-join key) — bind the "
+                "variable in the sibling operands first")
         sols = sols.join(neg.select(*shared).dropDuplicates(), shared,
                          "left_anti")
     for var, e, shp in g["binds"]:
@@ -1694,6 +1831,37 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
     return _solve_select(triples, q)
 
 
+def _compat_join_tiny(sols: DataFrame, other: DataFrame) -> DataFrame:
+    """§18.5 compatibility join against a KNOWN-TINY right frame (a
+    scalar-aggregate subquery: exactly one row): broadcast the right
+    side and join on ``IS NULL OR =`` per shared column, the defined
+    side's binding winning the merge.  The nested-loop fallback Spark
+    picks for the non-equi condition is bounded by the 1-row build
+    side; with no shared columns the join is the SPARQL disjoint-domain
+    product — also 1×N."""
+    from pyspark.sql import functions as F
+
+    other = G.drop_dup_companions(other, sols.columns)
+    shared = [c for c in sols.columns
+              if c in other.columns and not c.startswith(G.SHAPE_PREFIX)]
+    s = sols.alias("__cj_s")
+    v = F.broadcast(other.alias("__cj_v"))
+    cond = None
+    for c in shared:
+        eq = (F.col(f"__cj_s.{c}").isNull()
+              | F.col(f"__cj_v.{c}").isNull()
+              | (F.col(f"__cj_s.{c}") == F.col(f"__cj_v.{c}")))
+        cond = eq if cond is None else cond & eq
+    joined = s.join(v, cond, "inner") if cond is not None \
+        else s.crossJoin(v)
+    return joined.select(
+        *[(F.coalesce(F.col(f"__cj_s.{c}"), F.col(f"__cj_v.{c}"))
+           if c in shared else F.col(f"__cj_s.{c}")).alias(c)
+          for c in sols.columns],
+        *[F.col(f"__cj_v.{c}").alias(c) for c in other.columns
+          if c not in sols.columns])
+
+
 def _join_values(sols: DataFrame, names: list[str],
                  rows: list[tuple]) -> DataFrame:
     """Trailing ``VALUES`` (SPARQL §10.2): join the inline bindings
@@ -1701,21 +1869,20 @@ def _join_values(sols: DataFrame, names: list[str],
     semantics — an UNBOUND (NULL) solution cell agrees with any row
     value and the merge ADOPTS the row's binding; UNDEF row cells
     constrain nothing; a solution compatible with several rows
-    multiplies (bag join — the in-group ``bgp_values`` is a bag join
-    too, so duplicate VALUES rows multiply in both forms).  Rows
-    group by their defined-mask; each group joins the
-    broadcast binding table on ``IS NULL OR =`` per defined column
-    (tiny build side, so the nested-loop fallback is bounded).  Rows
-    may not bind NEW variables here (use the in-group form)."""
+    multiplies (bag join — both VALUES forms route here, so duplicate
+    VALUES rows multiply in both).  Rows group by their defined-mask;
+    each group joins the broadcast binding table on ``IS NULL OR =``
+    per defined SHARED column (tiny build side, so the nested-loop
+    fallback is bounded).  Names absent from ``sols`` are EXTENSION
+    variables: they constrain nothing and bind their row's value (NULL
+    where the row says UNDEF) — a row defining only extension columns
+    joins as the SPARQL disjoint-domain product, bounded by the inline
+    table's size."""
     from collections import defaultdict
 
     from pyspark.sql import functions as F
 
-    missing = [n for n in names if n not in sols.columns]
-    if missing:
-        raise SparqlUnsupported(
-            f"trailing VALUES binds new variables {missing} — inline "
-            "the VALUES in the WHERE group instead")
+    new = [n for n in names if n not in sols.columns]
     groups: dict = defaultdict(list)
     for row in rows:
         groups[tuple(i for i, v in enumerate(row)
@@ -1723,28 +1890,43 @@ def _join_values(sols: DataFrame, names: list[str],
     out = None
     for mask, rs in groups.items():
         if not mask:
-            # all-UNDEF rows match every solution — once PER ROW
-            part = sols
+            # all-UNDEF rows match every solution — once PER ROW;
+            # extension variables stay unbound
+            base = sols.select(
+                *sols.columns,
+                *[F.lit(None).cast("string").alias(c) for c in new])
+            part = base
             for _ in rs[1:]:
-                part = part.unionByName(sols)
+                part = part.unionByName(base)
         else:
             cols = [names[i] for i in mask]
             lit = sols.sparkSession.createDataFrame(
-                [tuple(None if r[i] is None else str(r[i]) for i in mask)
-                 for r in rs],
+                [tuple(str(r[i]) for i in mask) for r in rs],
                 schema=", ".join(f"`{c}` string" for c in cols))
             s, v = sols.alias("__tv_s"), F.broadcast(lit.alias("__tv_v"))
             cond = None
             for c in cols:
+                if c in new:
+                    continue
                 eq = (F.col(f"__tv_s.{c}").isNull()
                       | (F.col(f"__tv_s.{c}") == F.col(f"__tv_v.{c}")))
                 cond = eq if cond is None else cond & eq
-            part = s.join(v, cond, "inner").select(*[
-                (F.coalesce(F.col(f"__tv_s.{c}"), F.col(f"__tv_v.{c}"))
-                 if c in cols else F.col(f"__tv_s.{c}")).alias(c)
-                for c in sols.columns])
+            joined = (s.join(v, cond, "inner") if cond is not None
+                      else s.crossJoin(v))
+            part = joined.select(
+                *[(F.coalesce(F.col(f"__tv_s.{c}"),
+                              F.col(f"__tv_v.{c}"))
+                   if c in cols else F.col(f"__tv_s.{c}")).alias(c)
+                  for c in sols.columns],
+                *[(F.col(f"__tv_v.{c}") if c in cols
+                   else F.lit(None).cast("string")).alias(c)
+                  for c in new])
         out = part if out is None else out.unionByName(part)
-    return out if out is not None else sols.limit(0)
+    if out is not None:
+        return out
+    return sols.limit(0).select(
+        *sols.columns,
+        *[F.lit(None).cast("string").alias(c) for c in new])
 
 
 def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
@@ -1846,8 +2028,12 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
                        for it in q["items"]]
     if q.get("values"):
         # SPARQL §18.2.4.3: the trailing VALUES joins AFTER grouping,
-        # aggregation and HAVING, before the solution modifiers
+        # aggregation and HAVING, before the solution modifiers; its
+        # extension variables are in scope, so SELECT * projects them
         sols = _join_values(sols, *q["values"])
+        if q["star"]:
+            project += [n for n in q["values"][0]
+                        if n not in project]
     return G.select_solutions(
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],

@@ -1134,9 +1134,17 @@ def test_trailing_values(kg):
         VALUES (?x ?n) { ("a" UNDEF) (UNDEF "Bobby") }"""))
     assert out == [("a", "Ada"), ("b", "Bobby")]
 
-    with pytest.raises(SparqlUnsupported):
-        sparql(kg, 'SELECT ?x WHERE { ?x p:name ?n } '
-                   'VALUES ?new { "z" }')
+    # extension variables are legal in trailing VALUES (§10.2: the
+    # join binds them); SELECT * projects them too
+    out = _rows(sparql(kg, """
+        SELECT * WHERE { ?x p:name ?n } ORDER BY ?x
+        VALUES ?new { "z" }"""))
+    assert all(r[-1] == "z" for r in out) and len(out) >= 2
+    out = _rows(sparql(kg, """
+        SELECT ?x ?new WHERE { ?x p:name ?n } ORDER BY ?x
+        VALUES (?x ?new) { ("a" "z") (UNDEF "w") }"""))
+    assert ("a", "z") in out and ("a", "w") in out and ("b", "w") in out
+    assert ("b", "z") not in out
 
 
 def test_trailing_values_review_regressions(kg):
@@ -2016,3 +2024,106 @@ def test_union_undef_values_without_patterns_raises(kg):
     with pytest.raises(SparqlUnsupported, match="UNDEF"):
         sparql(kg, """SELECT ?s ?o WHERE {
             ?s p:knows ?o . { VALUES (?s ?o) { ("a" UNDEF) } } }""")
+
+
+def test_exists_on_possibly_unbound_shared_var_raises(kg):
+    """§8.1.1: an unbound shared variable is FREE inside EXISTS — a
+    semi-join on the column would silently drop compatible solutions,
+    so the shape refuses instead (review round-3 finding)."""
+    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+        sparql(kg, """SELECT ?s WHERE {
+            { ?s p:name ?n } UNION { ?s p:knows ?o }
+            FILTER EXISTS { ?s p:knows ?o } }""")
+
+
+def test_minus_on_possibly_unbound_shared_var_raises(kg):
+    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+        sparql(kg, """SELECT ?s WHERE {
+            { ?s p:name ?n } UNION { ?s p:knows ?o }
+            MINUS { ?s p:knows ?o } }""")
+
+
+def test_optional_beside_patternless_group(kg):
+    """OPTIONAL next to a union-only / VALUES-only group left-joins
+    onto the assembled solutions instead of being silently ignored."""
+    out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s ?o WHERE {
+        { ?s p:name "Ada" } UNION { ?s p:name "Bob" }
+        OPTIONAL { ?s p:knows ?o } }""")))
+    assert out == [("a", "b"), ("b", "c")]
+    # unmatched left rows survive with NULL
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?t WHERE {
+        { VALUES ?s { "a" "c" } }
+        OPTIONAL { ?s p:type ?t } }""")), key=str)
+    assert out == [("a", "Person"), ("c", None)]
+    # a filter inside the OPTIONAL unit (right-side variables only)
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        { VALUES ?s { "b" } }
+        OPTIONAL { ?s p:name ?n FILTER(?n = "Bobby") } }""")), key=str)
+    assert out == [("b", "Bobby")]
+    # ...but one reading group-side variables refuses
+    with pytest.raises(SparqlUnsupported, match="OPTIONAL FILTER"):
+        sparql(kg, """SELECT ?s ?n WHERE {
+            { VALUES (?s ?m) { ("b" "Bob") } }
+            OPTIONAL { ?s p:name ?n FILTER(?n = ?m) } }""")
+
+
+def test_patternless_values_compat_join(kg):
+    """In-group VALUES with no sibling patterns routes through the
+    full §18.5 compatibility join: UNDEF cells are legal and an
+    unbound solution cell adopts the row's binding."""
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?x WHERE {
+        { SELECT ?s ?x WHERE { ?s p:type "Person" .
+                               OPTIONAL { ?s p:knows ?x
+                                          FILTER(?x = "c") } } }
+        VALUES ?x { "b" } }""")))
+    # a's OPTIONAL misses (?x unbound) -> adopts "b"; b knows c -> drops
+    assert out == [("a", "b")]
+    # UNDEF rows constrain nothing
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        { SELECT ?s ?n WHERE { ?s p:name ?n } }
+        VALUES (?s ?n) { ("a" UNDEF) (UNDEF "Bobby") } }""")))
+    assert out == [("a", "Ada"), ("b", "Bobby")]
+
+
+def test_two_values_blocks_merge(kg):
+    """A second VALUES in the same group joins with the first at parse
+    time instead of silently overwriting it."""
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n . VALUES ?s { "a" "b" } VALUES ?n { "Bobby" } }""")))
+    assert out == [("b", "Bobby")]
+    # disjoint columns: parse-time product
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n . VALUES ?s { "b" } VALUES ?n { "Bob" "Bobby" } }""")))
+    assert out == [("b", "Bob"), ("b", "Bobby")]
+    # UNDEF adopts the other table's binding
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n .
+        VALUES (?s ?n) { ("a" UNDEF) ("b" "Bob") }
+        VALUES ?n { "Ada" "Bob" } }""")))
+    assert out == [("a", "Ada"), ("b", "Bob")]
+
+
+def test_union_join_on_subquery_certain_var(kg):
+    """_certain_vars sees subquery projections: a variable pattern-
+    bound inside a subquery is a legal UNION join key (previously a
+    false SparqlUnsupported)."""
+    out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s WHERE {
+        { SELECT ?s WHERE { ?s p:type "Person" } }
+        { ?s p:name ?n } UNION { ?s p:knows ?o } }""")))
+    assert out == [("a",), ("b",)]
+
+
+def test_scalar_subquery_compat_join(kg):
+    """An ungrouped-aggregate subquery (exactly one row) joins with
+    full compatibility semantics even when the shared variable can be
+    unbound on either side — including the empty-match case, where the
+    scalar row's unbound cell must not wipe the outer solutions."""
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?n WHERE {
+        ?s p:name ?n .
+        { SELECT (MAX(?z) AS ?n) WHERE { ?x p:nosuch ?z } } }""")))
+    assert out == [("a", "Ada"), ("b", "Bob"), ("b", "Bobby")]
+    # disjoint domain: a scalar subquery is a legal 1-row product
+    out = sorted(_rows(sparql(kg, """SELECT ?s ?c WHERE {
+        ?s p:type "Person" .
+        { SELECT (COUNT(?x) AS ?c) WHERE { ?x p:knows ?y } } }""")))
+    assert out == [("a", 3), ("b", 3)]
