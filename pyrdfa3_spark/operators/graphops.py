@@ -470,6 +470,169 @@ def drop_dup_companions(right: DataFrame, left_cols) -> DataFrame:
     return right.drop(*dup) if dup else right
 
 
+# SPARQL §18.5 compatibility joins on possibly-unbound variables.
+#
+# An unbound (NULL) cell is compatible with ANY binding and the merge
+# adopts the bound side's value — semantics a plain equi-join cannot
+# express (SQL NULL keys never match).  Instead of refusing, the
+# operators below DECOMPOSE each side into its null-mask buckets over
+# the possibly-unbound shared variables: within a bucket the nullity of
+# every risky column is KNOWN, so each (left-bucket, right-bucket) pair
+# reduces to an ordinary equi-join on the variables non-NULL on both
+# sides (plus the always-certain keys), with the one-sided variables
+# merged by ``coalesce``.  Buckets partition the input, so every
+# compatible row pair appears exactly once — bag semantics preserved.
+#
+# Scale shape: 2^k buckets per side (k capped at COMPAT_MAX_NULLABLE,
+# larger shapes still refuse), each branch a proper shuffle/broadcast
+# hash join Catalyst plans independently; the inputs are
+# localCheckpointed first so the per-bucket re-filters scan the
+# materialized rows instead of recomputing the subtree 2^k times.  The
+# only non-equi branch is a bucket whose shared variables are ALL
+# unbound — per SPARQL that really is compatible-with-everything (a
+# product); such rows come from OPTIONAL misses / absent union-branch
+# bindings and are the minority, and AQE picks a broadcast nested loop
+# when the bucket is small.
+COMPAT_MAX_NULLABLE = 2
+
+
+def _null_mask_buckets(df: DataFrame, risky: list[str]):
+    """Partition ``df`` into its ``2^len(risky)`` null-mask buckets
+    over the possibly-unbound columns.  Every row lands in exactly one
+    bucket (NULL-ness of each risky column is a total predicate)."""
+    buckets = []
+    for bits in range(1 << len(risky)):
+        nullset = frozenset(v for i, v in enumerate(risky)
+                            if bits >> i & 1)
+        cond = F.lit(True)
+        for v in risky:
+            cond = cond & (F.col(v).isNull() if v in nullset
+                           else F.col(v).isNotNull())
+        buckets.append((nullset, df.filter(cond)))
+    return buckets
+
+
+def compat_join(left: DataFrame, right: DataFrame,
+                left_nullable=(), right_nullable=(),
+                how: str = "inner") -> DataFrame:
+    """Join two solution frames on their shared variables under SPARQL
+    §18.5 compatibility: a NULL cell on either side agrees with any
+    value and the merged solution adopts the bound one.
+
+    ``left_nullable`` / ``right_nullable`` name the shared variables
+    that may be NULL on that side (OPTIONAL-bound, absent from a union
+    branch, UNDEF-able VALUES, NULL-able BIND).  With both empty this
+    is exactly the plain equi-join on the shared variables.
+
+    ``how="left"`` implements the SPARQL leftjoin (OPTIONAL): left
+    rows with no compatible partner survive with NULLs for the
+    right-only variables.  The right side must be certain
+    (``right_nullable`` empty) — true for every call site, where the
+    right frame is a BGP match whose variables are all bound — because
+    per-bucket left joins would otherwise duplicate unmatched rows
+    across right buckets."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"compat_join how={how!r}")
+    right = drop_dup_companions(right, left.columns)
+    shared = [c for c in left.columns
+              if c in right.columns and not c.startswith(SHAPE_PREFIX)]
+    ln = sorted(set(left_nullable) & set(shared))
+    rn = sorted(set(right_nullable) & set(shared))
+    if how == "left" and rn:
+        raise ValueError("compat_join(how='left') needs a certain "
+                         f"right side; got nullable {rn}")
+    if not ln and not rn:
+        return left.join(right, shared, how)
+    if ln:
+        left = left.localCheckpoint(eager=True)
+    if rn:
+        right = right.localCheckpoint(eager=True)
+    right_only = [c for c in right.columns if c not in left.columns]
+    out = None
+    for lnull, lb in _null_mask_buckets(left, ln):
+        for rnull, rb in _null_mask_buckets(right, rn):
+            keys = [c for c in shared
+                    if c not in lnull and c not in rnull]
+            adopt = [c for c in shared if c not in keys]
+            r2 = rb
+            ren = {c: f"__cj_{c}" for c in adopt}
+            for c, t in ren.items():
+                r2 = r2.withColumnRenamed(c, t)
+            if keys:
+                j = lb.join(r2, keys, how)
+            elif how == "left":
+                # keyless left bucket: every right row is compatible;
+                # an empty right side keeps the left rows (NULL-padded)
+                j = lb.join(r2, F.lit(True), "left")
+            else:
+                j = lb.crossJoin(r2)
+            part = j.select(
+                *[(F.coalesce(F.col(c), F.col(ren[c])).alias(c)
+                   if c in ren else F.col(c))
+                  for c in left.columns],
+                *[F.col(c) for c in right_only])
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
+def compat_minus(sols: DataFrame, neg: DataFrame,
+                 left_nullable=()) -> DataFrame:
+    """SPARQL §8.3 MINUS tolerating possibly-unbound shared variables:
+    a solution is removed iff some ``neg`` row is compatible with it
+    AND their bound domains overlap.  Per left null-mask bucket the
+    overlapping domain is exactly the shared variables non-NULL in the
+    bucket (``neg`` is a BGP match — fully bound), so each bucket is
+    one duplicate-free left-anti join; a bucket whose shared variables
+    are all unbound has disjoint domains and is kept whole."""
+    shared = [c for c in sols.columns
+              if c in neg.columns and not c.startswith(SHAPE_PREFIX)]
+    if not shared:
+        return sols
+    ln = sorted(set(left_nullable) & set(shared))
+    if not ln:
+        return sols.join(neg.select(*shared).dropDuplicates(), shared,
+                         "left_anti")
+    sols = sols.localCheckpoint(eager=True)
+    out = None
+    for lnull, lb in _null_mask_buckets(sols, ln):
+        keys = [c for c in shared if c not in lnull]
+        part = lb if not keys else lb.join(
+            neg.select(*keys).dropDuplicates(), keys, "left_anti")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def compat_exists(sols: DataFrame, grp: DataFrame,
+                  left_nullable=(), negate: bool = False) -> DataFrame:
+    """SPARQL §8.1.1 FILTER (NOT) EXISTS tolerating possibly-unbound
+    shared variables: only BOUND bindings substitute into the inner
+    group — an unbound shared variable is FREE inside EXISTS.  Per
+    left null-mask bucket the substituted variables are the shared
+    ones non-NULL in the bucket, so each bucket is a semi/anti join on
+    those keys (projecting ``grp`` onto them leaves the free variables
+    unconstrained); a bucket with no bound shared variable degenerates
+    to the corpus-level does-the-group-match-at-all boolean."""
+    shared = [c for c in sols.columns
+              if c in grp.columns and not c.startswith(SHAPE_PREFIX)]
+    ln = sorted(set(left_nullable) & set(shared))
+    how = "left_anti" if negate else "left_semi"
+    if ln:
+        sols = sols.localCheckpoint(eager=True)
+    out = None
+    for lnull, lb in _null_mask_buckets(sols, ln):
+        keys = [c for c in shared if c not in lnull]
+        if keys:
+            part = lb.join(grp.select(*keys).dropDuplicates(), keys,
+                           how)
+        else:
+            flag = grp.limit(1).select(F.lit(1).alias("_k"))
+            part = (lb.withColumn("_k", F.lit(1))
+                    .join(F.broadcast(flag), "_k", how)
+                    .drop("_k"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def bgp_match(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               optional: list[tuple[str, str, str]] | None = None,
@@ -617,6 +780,10 @@ def _match(frame, positions, patterns, optional, filters,
         out = out.join(drop_dup_companions(df, out.columns),
                        sorted(vs & bound), "inner")
         bound |= vs
+    # required-pattern variables are certain (never NULL); variables a
+    # previous OPTIONAL bound may be NULL, and a later OPTIONAL joining
+    # on one needs §18.5 compatibility, not an equi-join
+    certain = set(bound)
     for grp in optional or []:
         if isinstance(grp, tuple):
             # back-compat shorthand: a bare pattern is a 1-pattern group
@@ -647,8 +814,13 @@ def _match(frame, positions, patterns, optional, filters,
             raise ValueError(
                 f"optional group {grp['patterns']} shares no variable "
                 f"with {sorted(bound)}")
-        out = out.join(drop_dup_companions(sub, out.columns),
-                       sorted(vs & bound), "left")
+        nullable = sorted((vs & bound) - certain)
+        if len(nullable) > COMPAT_MAX_NULLABLE:
+            raise ValueError(
+                f"OPTIONAL left-joining on {len(nullable)} possibly-"
+                f"unbound variables {nullable}: the null-mask "
+                f"decomposition is capped at {COMPAT_MAX_NULLABLE}")
+        out = compat_join(out, sub, left_nullable=nullable, how="left")
         bound |= vs
     for expr in filters or []:
         out = out.filter(F.expr(expr))

@@ -1469,18 +1469,20 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             # refuse rather than misplan it at lake scale
             raise SparqlUnsupported(
                 f"{what} shares no variables with its group")
-        risky = sorted(v for v in shared
-                       if v not in other_certain
-                       or v not in acc_certain)
-        if risky:
+        ln = sorted(v for v in shared if v not in acc_certain)
+        rn = sorted(v for v in shared if v not in other_certain)
+        if max(len(ln), len(rn)) > G.COMPAT_MAX_NULLABLE:
             raise SparqlUnsupported(
                 f"joining a {what} on possibly-unbound variable(s) "
-                f"{risky} (OPTIONAL/BIND-bound, UNDEF-able VALUES, or "
-                "absent from a union branch): SPARQL makes unbound "
-                "compatible with anything, which an equi-join cannot "
-                "express — bind the variable on both sides instead")
-        return sols.join(G.drop_dup_companions(other, sols.columns),
-                         shared, "inner")
+                f"{sorted(set(ln) | set(rn))}: the §18.5 null-mask "
+                "decomposition is capped at "
+                f"{G.COMPAT_MAX_NULLABLE} variables per side — bind "
+                "the variables in the sibling operands instead")
+        # §18.5 compatibility join: unbound agrees with anything and
+        # the merge adopts the bound side (null-mask decomposition
+        # into equi-joins; plain equi-join when both sides certain)
+        return G.compat_join(sols, other, left_nullable=ln,
+                             right_nullable=rn)
 
     def pattern_vars(patterns):
         vs = set()
@@ -1598,15 +1600,17 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                 raise SparqlUnsupported(
                     "OPTIONAL shares no variables with its group")
             risky = sorted(v for v in shared if v not in acc_certain)
-            if risky:
+            if len(risky) > G.COMPAT_MAX_NULLABLE:
                 raise SparqlUnsupported(
                     f"OPTIONAL left-joining on possibly-unbound "
-                    f"variable(s) {risky}: SPARQL makes unbound "
-                    "compatible with anything, which an equi-join "
-                    "cannot express — bind the variable in the "
-                    "sibling operands first")
-            sols = sols.join(G.drop_dup_companions(opt, sols.columns),
-                             shared, "left")
+                    f"variable(s) {risky}: the §18.5 null-mask "
+                    "decomposition is capped at "
+                    f"{G.COMPAT_MAX_NULLABLE} variables — bind them "
+                    "in the sibling operands first")
+            # §6.1 leftjoin under §18.5 compatibility (the optional
+            # side is a BGP match, so its variables are all certain)
+            sols = G.compat_join(sols, opt, left_nullable=risky,
+                                 how="left")
     if late:
         # a subquery-projected binding carries no shape (its
         # companions never leave the subquery): NULL companions keep
@@ -1616,44 +1620,37 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             sols = sols.filter(F.expr(e))
     for negate, patterns in g["exists"]:
         grp = G.bgp_match(t, patterns)
-        shared = sorted(set(sols.columns) & set(grp.columns))
+        shared = sorted(c for c in
+                        set(sols.columns) & set(grp.columns)
+                        if not c.startswith(G.SHAPE_PREFIX))
         risky = sorted(v for v in shared if v not in acc_certain)
-        if risky:
-            # §8.1.1 substitutes only BOUND variables into EXISTS; an
-            # unbound shared variable is FREE inside the pattern, which
-            # a semi/anti join on the column cannot express
+        if len(risky) > G.COMPAT_MAX_NULLABLE:
             raise SparqlUnsupported(
                 f"FILTER {'NOT ' if negate else ''}EXISTS sharing "
-                f"possibly-unbound variable(s) {risky} with its group "
-                "(unbound is free inside EXISTS, not a join key) — "
-                "bind the variable in the sibling operands first")
-        if shared:  # same join bgp_exists plans
-            sols = sols.join(grp.select(*shared).dropDuplicates(),
-                             shared, "left_anti" if negate
-                             else "left_semi")
-        else:
-            flag = grp.limit(1).select(F.lit(1).alias("_k"))
-            sols = (sols.withColumn("_k", F.lit(1))
-                    .join(F.broadcast(flag), "_k",
-                          "left_anti" if negate else "left_semi")
-                    .drop("_k"))
+                f"possibly-unbound variable(s) {risky}: the §8.1.1 "
+                "null-mask decomposition is capped at "
+                f"{G.COMPAT_MAX_NULLABLE} variables")
+        # §8.1.1: only BOUND variables substitute into EXISTS — an
+        # unbound shared variable is FREE inside the pattern (per
+        # left null-mask bucket, semi/anti join on the bound keys)
+        sols = G.compat_exists(sols, grp, left_nullable=risky,
+                               negate=negate)
     for patterns in g["minus"]:
         neg = G.bgp_match(t, patterns)
-        shared = sorted(set(sols.columns) & set(neg.columns))
+        shared = sorted(c for c in
+                        set(sols.columns) & set(neg.columns)
+                        if not c.startswith(G.SHAPE_PREFIX))
         if not shared:
             continue  # SPARQL: disjoint MINUS removes nothing
         risky = sorted(v for v in shared if v not in acc_certain)
-        if risky:
-            # §8.3 compatibility: an unbound cell agrees with any
-            # binding (and an all-unbound overlap means KEEP) — an
-            # anti-join on the NULL-able column gets both cases wrong
+        if len(risky) > G.COMPAT_MAX_NULLABLE:
             raise SparqlUnsupported(
-                f"MINUS sharing possibly-unbound variable(s) {risky} "
-                "with its group (unbound is compatible with anything "
-                "under §8.3, not an anti-join key) — bind the "
-                "variable in the sibling operands first")
-        sols = sols.join(neg.select(*shared).dropDuplicates(), shared,
-                         "left_anti")
+                f"MINUS sharing possibly-unbound variable(s) {risky}: "
+                "the §8.3 null-mask decomposition is capped at "
+                f"{G.COMPAT_MAX_NULLABLE} variables")
+        # §8.3: remove a solution iff a MINUS row is compatible AND
+        # their bound domains overlap (all-unbound overlap = keep)
+        sols = G.compat_minus(sols, neg, left_nullable=risky)
     for var, e, shp in g["binds"]:
         sols = G.bind(sols, var, e)
         # a whole-body term constructor stamps a KNOWN shape

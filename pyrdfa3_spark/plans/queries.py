@@ -1802,6 +1802,99 @@ ORDER BY n, k, v
 """
 
 
+def q_sparql_compat_optional(spark, sf_dir):
+    """§18.5 compatibility leftjoin: the second OPTIONAL is keyed on
+    ?com, which the FIRST optional bound (NULL for odd-region
+    nations).  An unbound ?com is compatible with EVERY solution of
+    the second group and the merge ADOPTS its binding — odd-region
+    nations fan out across all comment rows, even-region nations pin
+    their own region.  Plans as null-mask-decomposed equi-joins (the
+    keyless bucket a bounded broadcast nested loop), never a
+    cartesian product."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?com ?creg WHERE {{
+          ?n ex:memberOf ?r . ?n ex:name ?name .
+          OPTIONAL {{ ?r ex:comment ?com }}
+          OPTIONAL {{ ?creg ex:comment ?com }}
+        }}
+        ORDER BY ?n ?creg
+    """)
+
+
+SQL_SPARQL_COMPAT_OPTIONAL = """
+WITH com AS (
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS creg,
+         r_name AS com
+  FROM region WHERE r_regionkey % 2 = 0
+), base AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+         n_name AS name, r.r_name AS com0
+  FROM nation LEFT JOIN region r
+    ON n_regionkey = r.r_regionkey AND r.r_regionkey % 2 = 0
+)
+SELECT base.n, base.name,
+       COALESCE(base.com0, c.com) AS com, c.creg AS creg
+FROM base LEFT JOIN com c ON base.com0 IS NULL OR c.com = base.com0
+ORDER BY n, creg
+"""
+
+
+def q_sparql_compat_minus(spark, sf_dir):
+    """§8.3 MINUS with a possibly-unbound shared variable: solutions
+    whose ?com the OPTIONAL left NULL have DISJOINT domains with the
+    MINUS rows and are KEPT (an anti-join on the NULL-able column
+    would wrongly drop them); bound ?com rows anti-join away."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name WHERE {{
+          ?n ex:name ?name .
+          OPTIONAL {{ ?n ex:memberOf ?r . ?r ex:comment ?com }}
+          MINUS {{ ?reg ex:comment ?com . ?reg a ex:Region }}
+        }}
+        ORDER BY ?n
+    """)
+
+
+SQL_SPARQL_COMPAT_MINUS = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n, n_name AS name
+FROM nation WHERE n_regionkey % 2 = 1
+ORDER BY n
+"""
+
+
+def q_sparql_compat_exists(spark, sf_dir):
+    """§8.1.1 FILTER EXISTS with a possibly-unbound shared variable:
+    only BOUND bindings substitute into the group, so rows where
+    OPTIONAL left ?com NULL test the pattern with ?com FREE (true —
+    comments exist) and are KEPT; a semi-join on the NULL-able
+    column would silently drop every odd-region nation."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?com WHERE {{
+          ?n ex:memberOf ?r . ?n ex:name ?name .
+          OPTIONAL {{ ?r ex:comment ?com }}
+          FILTER EXISTS {{ ?creg ex:comment ?com . ?creg a ex:Region }}
+        }}
+        ORDER BY ?n
+    """)
+
+
+SQL_SPARQL_COMPAT_EXISTS = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name, r.r_name AS com
+FROM nation LEFT JOIN region r
+  ON n_regionkey = r.r_regionkey AND r.r_regionkey % 2 = 0
+ORDER BY n
+"""
+
+
 def q_sparql_values_trailing(spark, sf_dir):
     """Trailing VALUES (§10.2/§18.2.4.3): supplier counts per nation
     aggregate FIRST, then the post-query VALUES constrains the groups
@@ -4444,6 +4537,9 @@ QUERIES = {
     "sparql_project_expr": q_sparql_project_expr,
     "sparql_optional_group": q_sparql_optional_group,
     "sparql_union_join": q_sparql_union_join,
+    "sparql_compat_optional": q_sparql_compat_optional,
+    "sparql_compat_minus": q_sparql_compat_minus,
+    "sparql_compat_exists": q_sparql_compat_exists,
     "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_term_shape": q_sparql_term_shape,
     "sparql_kg_mint": q_sparql_kg_mint,
@@ -4594,6 +4690,9 @@ def oracles() -> dict[str, str]:
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_union_join": SQL_SPARQL_UNION_JOIN,
+        "sparql_compat_optional": SQL_SPARQL_COMPAT_OPTIONAL,
+        "sparql_compat_minus": SQL_SPARQL_COMPAT_MINUS,
+        "sparql_compat_exists": SQL_SPARQL_COMPAT_EXISTS,
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
         "sparql_kg_mint": SQL_SPARQL_KG_MINT,

@@ -146,14 +146,18 @@ def test_parse_errors(kg):
     with pytest.raises(SparqlUnsupported):
         parse("SELECT ?s WHERE { ?s (?v/p:b)+ ?o }")
     # UNION beside sibling patterns is compositional now — it parses;
-    # joining it on a possibly-unbound variable raises at solve time
+    # a possibly-unbound join variable solves under §18.5
+    # compatibility (an unbound ?x adopts the bound side's value)
     parse("""SELECT ?s WHERE {
         ?s p:a ?o . { ?s p:b ?x } UNION { ?s p:c ?x } }""")
-    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
-        sparql(kg, """SELECT ?s WHERE {
-            ?s p:name ?x .
-            { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
-            UNION { ?s p:age ?t } }""")
+    out = sorted(_rows(sparql(kg, """SELECT ?s WHERE {
+        ?s p:name ?x .
+        { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
+        UNION { ?s p:age ?t } }""")))
+    # branch 1 with x bound: (a knows b, x∈{Bob,Bobby}) never meets
+    # ?s p:name ?x (a's name is Ada); with x unbound (y=c has no
+    # name): s∈{b,c}, and only b has a name — both of b's names merge
+    assert out == [("b",), ("b",)]
     with pytest.raises(SparqlError, match="GROUP BY"):
         sparql(kg, """SELECT ?x ?n (COUNT(?n) AS ?c)
                       WHERE { ?x p:name ?n } GROUP BY ?x""")
@@ -1988,12 +1992,26 @@ def test_two_sibling_union_chains(kg):
     assert out == [("a",), ("b",), ("c",)]
 
 
-def test_union_join_on_possibly_unbound_raises(kg):
-    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
+def test_union_join_on_possibly_unbound_compat(kg):
+    """§18.5 compatibility join: ?x is bound in only part of the
+    union's solutions; unbound cells agree with anything and adopt
+    the bound side's value (null-mask decomposed equi-joins)."""
+    out = sorted(_rows(sparql(kg, """SELECT ?s WHERE {
+        ?s p:name ?x .
+        { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
+        UNION { ?s p:type ?t } }""")))
+    # x-bound union rows: (s=a, x∈{Bob,Bobby}) ∦ (a p:name Ada);
+    # x-unbound rows: branch-1 miss (s=b via y=c) + branch-2 rows
+    # (s∈{a,b}) — each joins every name of its subject
+    assert out == [("a",), ("b",), ("b",), ("b",), ("b",)]
+
+
+def test_compat_join_cap_still_raises(kg):
+    with pytest.raises(SparqlUnsupported, match="capped"):
         sparql(kg, """SELECT ?s WHERE {
-            ?s p:name ?x .
-            { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
-            UNION { ?s p:type ?t } }""").collect()
+            ?s p:knows ?x . ?s p:name ?y . ?s p:type ?z .
+            { ?s p:knows ?x . ?s p:name ?y . ?s p:type ?z }
+            UNION { ?s p:knows ?w } }""").collect()
 
 
 def test_values_only_group_and_values_beside_union(kg):
@@ -2020,27 +2038,64 @@ def test_minus_applies_to_union_solutions(kg):
     assert out == [("a",)]
 
 
-def test_union_undef_values_without_patterns_raises(kg):
-    with pytest.raises(SparqlUnsupported, match="UNDEF"):
-        sparql(kg, """SELECT ?s ?o WHERE {
-            ?s p:knows ?o . { VALUES (?s ?o) { ("a" UNDEF) } } }""")
+def test_union_undef_values_without_patterns(kg):
+    """A nested VALUES-only group with an UNDEF cell conjoins under
+    §18.5 compatibility: UNDEF constrains nothing."""
+    out = _rows(sparql(kg, """SELECT ?s ?o WHERE {
+        ?s p:knows ?o . { VALUES (?s ?o) { ("a" UNDEF) } } }"""))
+    assert out == [("a", "b")]
 
 
-def test_exists_on_possibly_unbound_shared_var_raises(kg):
-    """§8.1.1: an unbound shared variable is FREE inside EXISTS — a
-    semi-join on the column would silently drop compatible solutions,
-    so the shape refuses instead (review round-3 finding)."""
-    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
-        sparql(kg, """SELECT ?s WHERE {
-            { ?s p:name ?n } UNION { ?s p:knows ?o }
-            FILTER EXISTS { ?s p:knows ?o } }""")
+def test_exists_on_possibly_unbound_shared_var(kg):
+    """§8.1.1: only BOUND variables substitute into EXISTS — an
+    unbound shared ?o is FREE inside the pattern (per-bucket
+    semi-join on the bound keys only)."""
+    out = sorted(_rows(sparql(kg, """SELECT ?s WHERE {
+        { ?s p:name ?n } UNION { ?s p:knows ?o }
+        FILTER EXISTS { ?s p:knows ?o } }""")))
+    # o-bound rows (a,b),(b,c),(c,c) all ARE knows-edges; o-unbound
+    # name rows test only ?s p:knows ANY — true for a, b, and b
+    assert out == [("a",), ("a",), ("b",), ("b",), ("b",), ("c",)]
 
 
-def test_minus_on_possibly_unbound_shared_var_raises(kg):
-    with pytest.raises(SparqlUnsupported, match="possibly-unbound"):
-        sparql(kg, """SELECT ?s WHERE {
-            { ?s p:name ?n } UNION { ?s p:knows ?o }
-            MINUS { ?s p:knows ?o } }""")
+def test_minus_on_possibly_unbound_shared_var(kg):
+    """§8.3: a MINUS row removes a solution iff compatible AND the
+    bound domains overlap; an unbound ?o still overlaps on ?s."""
+    out = _rows(sparql(kg, """SELECT ?s WHERE {
+        { ?s p:name ?n } UNION { ?s p:knows ?o }
+        MINUS { ?s p:knows ?o } }"""))
+    # o-bound rows match a knows-edge exactly; o-unbound rows (names
+    # of a and b) are compatible with any edge sharing their ?s —
+    # and a, b both have outgoing edges — so everything is removed
+    assert out == []
+
+
+def test_minus_unbound_kept_when_no_overlapping_row(spark):
+    """The o-unbound bucket anti-joins on ?s alone: a subject with a
+    name but NO outgoing edge survives the MINUS."""
+    rows = [("a", "p:knows", "b"), ("a", "p:name", "Ada"),
+            ("z", "p:name", "Zoe")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """SELECT ?s WHERE {
+        { ?s p:name ?n } UNION { ?s p:knows ?o }
+        MINUS { ?s p:knows ?o } }""")))
+    assert out == [("z",)]
+
+
+def test_optional_chained_on_optional_bound_var(spark):
+    """A later OPTIONAL keyed on a variable an earlier OPTIONAL bound:
+    rows where the key is unbound are compatible with EVERY solution
+    of the later group and adopt its bindings (SPARQL leftjoin)."""
+    rows = [("s1", "p:r", "v1"), ("s2", "p:r", "v2"),
+            ("s1", "p:q", "y1"),
+            ("y1", "p:n", "w1"), ("k", "p:n", "w2")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """SELECT ?s ?y ?w WHERE {
+        ?s p:r ?v .
+        OPTIONAL { ?s p:q ?y }
+        OPTIONAL { ?y p:n ?w } }""")))
+    assert out == [("s1", "y1", "w1"),
+                   ("s2", "k", "w2"), ("s2", "y1", "w1")]
 
 
 def test_optional_beside_patternless_group(kg):
