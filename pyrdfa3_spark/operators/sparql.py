@@ -266,6 +266,16 @@ class _Parser:
         # compilation — BIND compares sql to its whole body to stamp
         # the target variable's shape
         self._last_ctor: tuple[str, tuple] | None = None
+        # aggregate calls lifted out of composite expressions
+        # ((SUM(?x)+1 AS ?y), HAVING(COUNT(*) > 2), ORDER BY
+        # SUM(?x)): each becomes a hidden ("agg", ...) item under a
+        # synthetic _aggsyn* alias the surrounding expression
+        # references; _parse_select slices off its own entries so
+        # subqueries scope independently
+        self._agg_synth: list[tuple] = []
+        # aggregates are legal only in SELECT items / HAVING /
+        # ORDER BY — an aggregate in FILTER or BIND is a parse error
+        self._agg_allowed = False
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -430,6 +440,10 @@ class _Parser:
             raise SparqlError(
                 "?__shape_* variable names are reserved for the "
                 "term-shape companion columns")
+        if v[1:].startswith("_aggsyn"):
+            raise SparqlError(
+                "?_aggsyn* variable names are reserved for lifted "
+                "aggregate expressions")
         return v[1:]
 
     _AGG = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -437,19 +451,33 @@ class _Parser:
     def select_item(self):
         if self.at("VAR"):
             return ("var", self.var())
+        # (expr AS ?v) — the expression grammar lifts any aggregate
+        # calls into hidden _aggsyn* items, so (SUM(?x) AS ?y) and
+        # composite forms ((SUM(?x) + 1 AS ?y), (SUM(?x)/COUNT(?y)
+        # AS ?avg)) parse the same way
         self.eat("OP", "(")
-        k, fn = self.peek()
-        if not (k == "NAME" and fn.upper() in self._AGG
-                and self.peek(1) == ("OP", "(")):
-            # (expr AS ?v) projection expression — same translation
-            # the FILTER/BIND grammar uses
+        before = len(self._agg_synth)
+        prev, self._agg_allowed = self._agg_allowed, True
+        try:
             e = self.expr()
-            self.eat("KW", "AS")
-            alias = self.var()
-            self.eat("OP", ")")
-            return ("expr", e, alias)
-        self.next()
-        fn = fn.upper()
+        finally:
+            self._agg_allowed = prev
+        self.eat("KW", "AS")
+        alias = self.var()
+        self.eat("OP", ")")
+        new = self._agg_synth[before:]
+        if len(new) == 1 and e == new[0][4]:
+            # the whole expression IS one aggregate: project it under
+            # the user's alias directly, no synthetic column
+            del self._agg_synth[before:]
+            _, fn, distinct, arg, _a, sep = new[0]
+            return ("agg", fn, distinct, arg, alias, sep)
+        return ("expr", e, alias)
+
+    def _agg_call(self, fn: str):
+        """The argument list of an aggregate call, cursor past the
+        function name: ``(DISTINCT? expr)`` with COUNT(*) and the
+        GROUP_CONCAT separator."""
         self.eat("OP", "(")
         distinct = self.take("KW", "DISTINCT")
         if self.take("OP", "*"):
@@ -459,8 +487,13 @@ class _Parser:
             arg = "*"
         else:
             # full expression argument (SUM(?a * ?b), COUNT(STRLEN(?n))
-            # ...) — a lone ?v translates to its bare column name
-            arg = self.expr()
+            # ...) — a lone ?v translates to its bare column name;
+            # aggregates never nest (§18.2.4.4)
+            prev, self._agg_allowed = self._agg_allowed, False
+            try:
+                arg = self.expr()
+            finally:
+                self._agg_allowed = prev
         sep = " "
         if fn == "GROUP_CONCAT" and self.take("OP", ";"):
             k, v = self.next()  # SEPARATOR
@@ -469,15 +502,7 @@ class _Parser:
             self.eat("OP", "=")
             sep = _unquote(self.eat("STRING"))
         self.eat("OP", ")")
-        if not self.at("KW", "AS"):
-            raise SparqlUnsupported(
-                "composite aggregate expressions ((SUM(?x) + 1 AS ?y))"
-                " — alias the aggregate first, then extend: "
-                "(SUM(?x) AS ?t) (?t + 1 AS ?y)")
-        self.eat("KW", "AS")
-        alias = self.var()
-        self.eat("OP", ")")
-        return ("agg", fn, distinct, arg, alias, sep)
+        return distinct, arg, sep
 
     # -- expressions (FILTER / BIND / HAVING) -> Spark SQL ----------------
     _FUNCS = {
@@ -741,6 +766,25 @@ class _Parser:
             self.eat("OP", ")")
             self.shape_vars.add(name)
             return _shape_fn_sql(fn, name)
+        if (k == "NAME" and v.upper() in self._AGG
+                and self.peek(1) == ("OP", "(")):
+            # aggregate inside an expression (composite projection,
+            # HAVING, ORDER BY): lift it into a hidden ("agg", ...)
+            # item and reference its synthetic alias — the expression
+            # then binds AFTER aggregation, where the alias is a
+            # plain column (§18.2.4.4 Extend over the aggregated
+            # sequence)
+            if not self._agg_allowed:
+                raise SparqlError(
+                    f"aggregate {v.upper()} is only legal in SELECT "
+                    "expressions, HAVING, or ORDER BY")
+            self.next()
+            fn = v.upper()
+            distinct, arg, sep = self._agg_call(fn)
+            alias = f"_aggsyn{len(self._agg_synth)}"
+            self._agg_synth.append(("agg", fn, distinct, arg, alias,
+                                    sep))
+            return alias
         if k == "NAME" and v.upper() in self._FUNCS:
             self.next()
             tmpl = self._FUNCS[v.upper()]
@@ -1073,6 +1117,11 @@ def _dataset_clause(p: _Parser) -> dict:
 
 
 def _parse_select(p: _Parser, subquery: bool = False) -> dict:
+    # lifted-aggregate scope: entries this SELECT's items / HAVING /
+    # ORDER BY push are sliced off at the end, so a nested subquery
+    # (whose recursion pops its own slice first) never leaks into the
+    # enclosing query's aggregation spec
+    synth_base = len(p._agg_synth)
     p.eat("KW", "SELECT")
     distinct = p.take("KW", "DISTINCT")
     if p.take("KW", "REDUCED"):
@@ -1101,12 +1150,17 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         while p.at("VAR"):
             group_by.append(p.var())
     if p.take("KW", "HAVING"):
-        # one or more bracketted constraints, conjoined (§18.2.4.4)
+        # one or more bracketted constraints, conjoined (§18.2.4.4);
+        # aggregate calls inside them lift into hidden agg items
         parts = []
-        while p.at("OP", "("):
-            p.eat("OP", "(")
-            parts.append(p.expr())
-            p.eat("OP", ")")
+        prev, p._agg_allowed = p._agg_allowed, True
+        try:
+            while p.at("OP", "("):
+                p.eat("OP", "(")
+                parts.append(p.expr())
+                p.eat("OP", ")")
+        finally:
+            p._agg_allowed = prev
         if not parts:
             raise SparqlError("HAVING needs a (constraint)")
         having = " AND ".join(f"({c})" for c in parts)
@@ -1116,7 +1170,10 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         #                  | Constraint | Var — plain variables stay
         # bare-string keys ("v"/"-v", the operator API), expressions
         # become ("asc"|"desc", sql) pairs so a leading minus in the
-        # expression can't masquerade as the DESC marker
+        # expression can't masquerade as the DESC marker; aggregate
+        # calls (legal when the query aggregates) lift into hidden
+        # agg items like SELECT expressions do
+        p._agg_allowed = True
         while True:
             if p.at("KW", "DESC") or p.at("KW", "ASC"):
                 direction = p.next()[1].lower()
@@ -1138,6 +1195,7 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
                 order_by.append(("asc", p.expr()))
             else:
                 break
+        p._agg_allowed = False
         if not order_by:
             raise SparqlError("ORDER BY needs at least one condition")
     # LimitOffsetClauses: LIMIT and OFFSET in either order (§18.2.4)
@@ -1156,10 +1214,13 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
         # trailing VALUES (SPARQL §10.2): post-hoc constraint over the
         # whole solution sequence
         trailing_values = p._values()
+    agg_synth = p._agg_synth[synth_base:]
+    del p._agg_synth[synth_base:]
     return {"form": "select", "star": star, "items": items,
             "distinct": distinct, "where": where, "group_by": group_by,
             "having": having, "order_by": order_by, "limit": limit,
-            "offset": offset, "values": trailing_values, **ds}
+            "offset": offset, "values": trailing_values,
+            "agg_synth": agg_synth, **ds}
 
 
 # ------------------------------------------------------------------ #
@@ -1379,7 +1440,8 @@ def _subquery_certain(q: dict) -> set[str]:
     aliases stay uncertain (an aggregate over an empty-ish group or a
     NULL-producing expression can come back unbound)."""
     inner = _certain_vars(q["where"])
-    if q.get("group_by") or any(it[0] == "agg" for it in q["items"]):
+    if (q.get("group_by") or q.get("agg_synth")
+            or any(it[0] == "agg" for it in q["items"])):
         # grouped query: only the group keys survive as plain columns,
         # and each output group has >=1 row, so certain keys stay certain
         return {k for k in q.get("group_by") or [] if k in inner}
@@ -1531,7 +1593,8 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         sq_certain = _subquery_certain(sq)
         sub = _solve_select(triples, sq)
         scalar = (not sq.get("group_by")
-                  and any(it[0] == "agg" for it in sq["items"]))
+                  and (sq.get("agg_synth")
+                       or any(it[0] == "agg" for it in sq["items"])))
         if scalar and sols is not None:
             # an ungrouped aggregate subquery yields EXACTLY one row
             # (possibly with unbound cells), so the full §18.5
@@ -1932,7 +1995,8 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     evaluated independently and its projected solutions joined with
     the enclosing group on the shared variables)."""
     sols = _solve_group(triples, q["where"])
-    aggs = [it for it in q["items"] if it[0] == "agg"]
+    aggs = ([it for it in q["items"] if it[0] == "agg"]
+            + list(q.get("agg_synth") or ()))
     plain = [it[1] for it in q["items"] if it[0] == "var"]
     exprs = [it for it in q["items"] if it[0] == "expr"]
     if aggs or q["group_by"]:

@@ -64,6 +64,35 @@ def test_aggregates_group_concat_having(kg):
     assert out == [(8,)]
 
 
+def test_composite_aggregate_expressions(kg):
+    """Aggregate calls inside expressions (§18.2.4.4): lifted into
+    hidden aggregate items, the expression binding after grouping."""
+    out = _rows(sparql(kg, """
+        SELECT ?x (COUNT(?n) + 1 AS ?c1)
+               (SUM(STRLEN(?n)) / COUNT(?n) AS ?avg)
+        WHERE { ?x p:name ?n } GROUP BY ?x ORDER BY ?x"""))
+    assert out == [("a", 2, 3.0), ("b", 3, 4.0)]
+    # ungrouped composite — one row
+    out = _rows(sparql(kg, "SELECT (COUNT(*) + 1 AS ?n) "
+                           "WHERE { ?s ?p ?o }"))
+    assert out == [(9,)]
+    # direct aggregate in HAVING (no pre-declared alias)
+    out = _rows(sparql(kg, """SELECT ?x WHERE { ?x p:name ?n }
+        GROUP BY ?x HAVING (COUNT(?n) > 1)"""))
+    assert out == [("b",)]
+    # aggregate as an ORDER BY key
+    out = _rows(sparql(kg, """SELECT ?x WHERE { ?x p:name ?n }
+        GROUP BY ?x ORDER BY DESC(COUNT(?n)) ?x"""))
+    assert out == [("b",), ("a",)]
+    # aggregates are illegal in FILTER / BIND
+    with pytest.raises(SparqlError, match="only legal"):
+        parse("""SELECT ?s WHERE { ?s p:name ?n .
+            FILTER(COUNT(?n) > 1) }""")
+    # the synthetic-alias namespace is reserved
+    with pytest.raises(SparqlError, match="reserved"):
+        parse("SELECT ?_aggsyn0 WHERE { ?_aggsyn0 p:name ?n }")
+
+
 def test_property_paths(kg):
     out = _rows(sparql(
         kg, "SELECT ?x ?z WHERE { ?x p:knows+ ?z } ORDER BY ?x ?z"))
@@ -1883,9 +1912,10 @@ def test_order_modifier_review_fixes(spark):
             ORDER BY DESC(?o)""").collect()
     with pytest.raises(SparqlError):
         parse("SELECT ?s WHERE { ?s <p> ?o } ORDER BY LIMIT 1")
-    with pytest.raises(SparqlUnsupported, match="alias the aggregate"):
-        parse("""SELECT ?s (SUM(?o) + 1 AS ?x)
-            WHERE { ?s <p:v> ?o } GROUP BY ?s""")
+    # composite aggregate projections lift into hidden agg items
+    out = sorted(_rows(sparql(t, """SELECT ?s (SUM(?o) + 1 AS ?x)
+        WHERE { ?s <p:v> ?o } GROUP BY ?s""")))
+    assert out == [("a", 11.0), ("b", 6.0)]
     from pyspark.sql import functions as F
     shaped = t.select(
         "subj", "pred", "obj",
