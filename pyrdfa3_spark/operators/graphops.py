@@ -575,6 +575,34 @@ def compat_join(left: DataFrame, right: DataFrame,
     return out
 
 
+def leftjoin_filter(sols: DataFrame, sub: DataFrame,
+                    left_nullable=(),
+                    filters: list[str] | None = None) -> DataFrame:
+    """SPARQL §6.1 leftjoin with the FILTER evaluated over the MERGED
+    solution (the filter may read variables bound outside the OPTIONAL
+    group): a matched row that fails the filter reverts to UNMATCHED —
+    the left row survives with NULLs for the group-only variables — it
+    does not disappear.
+
+    Shape: the left side is stamped with a row id and
+    localCheckpointed (ids frozen — re-reads see the same values),
+    the inner compatibility join + filter computes the surviving
+    matches, and one duplicate-free anti-join on the id restores the
+    left rows with no surviving partner.  Same shuffle count as a
+    plain left join plus one broadcastable id anti-join."""
+    sols = (sols.withColumn("__ljid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
+    merged = compat_join(sols, sub, left_nullable=left_nullable,
+                         how="inner")
+    for e in filters or []:
+        merged = merged.filter(F.expr(e))
+    unmatched = sols.join(
+        merged.select("__ljid").dropDuplicates(), "__ljid",
+        "left_anti")
+    return (merged.unionByName(unmatched, allowMissingColumns=True)
+            .drop("__ljid"))
+
+
 def compat_minus(sols: DataFrame, neg: DataFrame,
                  left_nullable=()) -> DataFrame:
     """SPARQL §8.3 MINUS tolerating possibly-unbound shared variables:
@@ -793,21 +821,29 @@ def _match(frame, positions, patterns, optional, filters,
                 "OPTIONAL group without triple patterns (an empty or "
                 "FILTER-only OPTIONAL binds nothing)")
         # a multi-pattern OPTIONAL matches as a UNIT (SPARQL left-join
-        # of the whole group), so the group solves internally first —
-        # inner joins + its own FILTERs (filters over group-visible
-        # variables applied pre-join are equivalent to the left-join
-        # condition) — and left-joins onto the solutions as one frame
+        # of the whole group), so the group solves internally first.
+        # FILTERs over group-visible variables apply pre-join (equal
+        # to the left-join condition); a filter READING an outer
+        # variable is §6.1's expression-over-the-merged-domain form
+        # and routes through leftjoin_filter instead
+        gvars = {term[1:] for pat in grp["patterns"] for term in pat
+                 if isinstance(term, str) and term.startswith("?")}
+        inner_f, outer_f = [], []
+        for e in grp.get("filters") or []:
+            if any(re.search(rf"\b{re.escape(v)}\b", e)
+                   for v in bound - gvars):
+                outer_f.append(e)
+            else:
+                inner_f.append(e)
         try:
             sub = _match(frame, positions, grp["patterns"], None,
-                         grp.get("filters"), shape)
+                         inner_f or None, shape)
         except AnalysisException as exc:
-            # an unresolved column means the filter references a
-            # variable bound only OUTSIDE the group — the left-join-
-            # condition-over-the-merged-domain form, outside the subset
+            # an unresolved column: the filter references a variable
+            # bound in NEITHER the group nor the outer operands
             raise ValueError(
-                "OPTIONAL FILTER may reference only the group's own "
-                "variables (outer-domain join conditions are outside "
-                f"the subset): {exc}") from exc
+                "OPTIONAL FILTER references an unknown variable: "
+                f"{exc}") from exc
         vs = {c for c in sub.columns
               if not c.startswith(SHAPE_PREFIX)}
         if not vs & bound:
@@ -820,7 +856,12 @@ def _match(frame, positions, patterns, optional, filters,
                 f"OPTIONAL left-joining on {len(nullable)} possibly-"
                 f"unbound variables {nullable}: the null-mask "
                 f"decomposition is capped at {COMPAT_MAX_NULLABLE}")
-        out = compat_join(out, sub, left_nullable=nullable, how="left")
+        if outer_f:
+            out = leftjoin_filter(out, sub, left_nullable=nullable,
+                                  filters=outer_f)
+        else:
+            out = compat_join(out, sub, left_nullable=nullable,
+                              how="left")
         bound |= vs
     for expr in filters or []:
         out = out.filter(F.expr(expr))

@@ -844,10 +844,10 @@ class _Parser:
                     g["optionals"].append({"patterns": sub["patterns"],
                                            "filters": sub["filters"]
                                            or None})
-                elif sub["filters"]:
-                    raise SparqlUnsupported(
-                        "FILTER-only OPTIONAL groups")
-                # else OPTIONAL {} joins the unit — a no-op
+                # else a FILTER-only or empty OPTIONAL is a no-op:
+                # §6.1 leftjoin against the unit solution keeps every
+                # left row whether the filter passes (via the filter
+                # branch) or fails (via Diff) — drop the group
             elif self.take("KW", "FILTER"):
                 if self.at("KW", "EXISTS") or (
                         self.at("KW", "NOT")
@@ -1639,22 +1639,19 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # sibling patterns exist
         for o in g["optionals"]:
             opt_vars = pattern_vars(o["patterns"])
+            # §6.1 leftjoin evaluates the filter over the MERGED
+            # solution: filters reading only group variables apply
+            # pre-join (equivalent), ones reading outer variables
+            # route through the id-restoring leftjoin_filter
+            inner_f, outer_f = [], []
             for e in o["filters"] or []:
                 outside = sorted(
                     v for v in set(sols.columns) - opt_vars
                     if not v.startswith(G.SHAPE_PREFIX)
                     and re.search(rf"\b{re.escape(v)}\b", e))
-                if outside:
-                    # §6.1 leftjoin evaluates the filter over the
-                    # MERGED solution; filtering the right side alone
-                    # is only equivalent when the filter reads no
-                    # group-side variables
-                    raise SparqlUnsupported(
-                        f"OPTIONAL FILTER reads group variable(s) "
-                        f"{outside} while the group has no sibling "
-                        "triple patterns")
+                (outer_f if outside else inner_f).append(e)
             opt = G.bgp_match(t, o["patterns"],
-                              filters=o["filters"] or None,
+                              filters=inner_f or None,
                               shape_vars=sv)
             shared = sorted(c for c in
                             set(sols.columns) & set(opt.columns)
@@ -1672,8 +1669,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                     "in the sibling operands first")
             # §6.1 leftjoin under §18.5 compatibility (the optional
             # side is a BGP match, so its variables are all certain)
-            sols = G.compat_join(sols, opt, left_nullable=risky,
-                                 how="left")
+            if outer_f:
+                sols = G.leftjoin_filter(sols, opt,
+                                         left_nullable=risky,
+                                         filters=outer_f)
+            else:
+                sols = G.compat_join(sols, opt, left_nullable=risky,
+                                     how="left")
     if late:
         # a subquery-projected binding carries no shape (its
         # companions never leave the subquery): NULL companions keep

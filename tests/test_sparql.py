@@ -1059,17 +1059,27 @@ def test_bnode_syntax_review_regressions(kg, spark):
         sparql(kg, "SELECT ?x ?_anon1 WHERE "
                    "{ ?x p:knows [ p:name ?_anon1 ] }")
 
-    # OPTIONAL {} is a no-op; FILTER-only OPTIONAL raises cleanly;
-    # an OPTIONAL FILTER over outer-only variables raises cleanly
+    # OPTIONAL {} and FILTER-only OPTIONAL are §6.1 no-ops (the unit
+    # solution keeps every left row whether the filter passes or not)
     assert sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
                       'OPTIONAL { } }').count() == 2
-    with pytest.raises(SparqlUnsupported):
-        sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
-                   'OPTIONAL { FILTER(1 > 0) } }')
-    with pytest.raises(ValueError, match="group's own variables"):
-        sparql(kg, "SELECT ?x ?y WHERE { ?x p:name ?n . "
-                   "OPTIONAL { ?x p:knows ?y . "
-                   "FILTER(STRLEN(?n) > 2) } }").collect()
+    assert sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
+                      'OPTIONAL { FILTER(1 > 0) } }').count() == 2
+    assert sparql(kg, 'SELECT ?x WHERE { ?x p:type "Person" . '
+                      'OPTIONAL { FILTER(1 > 2) } }').count() == 2
+
+
+def test_optional_filter_over_merged_domain(kg):
+    """§6.1: an OPTIONAL FILTER reading an outer variable evaluates
+    over the MERGED solution — a matched row that fails it reverts to
+    UNMATCHED (NULL bindings), it does not disappear."""
+    out = sorted(_rows(sparql(kg, """SELECT ?x ?y WHERE {
+        ?x p:name ?n .
+        OPTIONAL { ?x p:knows ?y . FILTER(STRLEN(?n) > 3) } }""")),
+        key=lambda r: (r[0], r[1] or ""))
+    # Ada(3) and Bob(3) fail the merged filter -> unmatched;
+    # Bobby(5) passes -> b's knows-edge to c survives
+    assert out == [("a", None), ("b", None), ("b", "c")]
 
 
 def test_turtle_bool_prefix_with_dot():
@@ -2145,11 +2155,12 @@ def test_optional_beside_patternless_group(kg):
         { VALUES ?s { "b" } }
         OPTIONAL { ?s p:name ?n FILTER(?n = "Bobby") } }""")), key=str)
     assert out == [("b", "Bobby")]
-    # ...but one reading group-side variables refuses
-    with pytest.raises(SparqlUnsupported, match="OPTIONAL FILTER"):
-        sparql(kg, """SELECT ?s ?n WHERE {
-            { VALUES (?s ?m) { ("b" "Bob") } }
-            OPTIONAL { ?s p:name ?n FILTER(?n = ?m) } }""")
+    # ...and one reading group-side variables evaluates over the
+    # merged solution (§6.1): only the name equal to ?m survives
+    out = _rows(sparql(kg, """SELECT ?s ?n WHERE {
+        { VALUES (?s ?m) { ("b" "Bob") } }
+        OPTIONAL { ?s p:name ?n FILTER(?n = ?m) } }"""))
+    assert out == [("b", "Bob")]
 
 
 def test_patternless_values_compat_join(kg):
