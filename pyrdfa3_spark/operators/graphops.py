@@ -576,7 +576,7 @@ def compat_join(left: DataFrame, right: DataFrame,
 
 
 def leftjoin_filter(sols: DataFrame, sub: DataFrame,
-                    left_nullable=(),
+                    left_nullable=(), right_nullable=(),
                     filters: list[str] | None = None) -> DataFrame:
     """SPARQL §6.1 leftjoin with the FILTER evaluated over the MERGED
     solution (the filter may read variables bound outside the OPTIONAL
@@ -593,7 +593,7 @@ def leftjoin_filter(sols: DataFrame, sub: DataFrame,
     sols = (sols.withColumn("__ljid", F.monotonically_increasing_id())
             .localCheckpoint(eager=True))
     merged = compat_join(sols, sub, left_nullable=left_nullable,
-                         how="inner")
+                         right_nullable=right_nullable, how="inner")
     for e in filters or []:
         merged = merged.filter(F.expr(e))
     unmatched = sols.join(
@@ -604,28 +604,37 @@ def leftjoin_filter(sols: DataFrame, sub: DataFrame,
 
 
 def compat_minus(sols: DataFrame, neg: DataFrame,
-                 left_nullable=()) -> DataFrame:
-    """SPARQL §8.3 MINUS tolerating possibly-unbound shared variables:
-    a solution is removed iff some ``neg`` row is compatible with it
-    AND their bound domains overlap.  Per left null-mask bucket the
-    overlapping domain is exactly the shared variables non-NULL in the
-    bucket (``neg`` is a BGP match — fully bound), so each bucket is
-    one duplicate-free left-anti join; a bucket whose shared variables
-    are all unbound has disjoint domains and is kept whole."""
+                 left_nullable=(), right_nullable=()) -> DataFrame:
+    """SPARQL §8.3 MINUS tolerating possibly-unbound shared variables
+    on either side: a solution is removed iff some ``neg`` row is
+    compatible with it AND their bound domains overlap.  Per
+    null-mask bucket pair the overlapping bound domain is exactly the
+    shared variables non-NULL on BOTH sides, so each pair is one
+    duplicate-free left-anti join (they chain — removal by any pair
+    removes); a pair with no commonly-bound shared variable has
+    disjoint domains and removes nothing."""
     shared = [c for c in sols.columns
               if c in neg.columns and not c.startswith(SHAPE_PREFIX)]
     if not shared:
         return sols
     ln = sorted(set(left_nullable) & set(shared))
-    if not ln:
+    rn = sorted(set(right_nullable) & set(shared))
+    if not ln and not rn:
         return sols.join(neg.select(*shared).dropDuplicates(), shared,
                          "left_anti")
-    sols = sols.localCheckpoint(eager=True)
+    if ln:
+        sols = sols.localCheckpoint(eager=True)
+    if rn:
+        neg = neg.localCheckpoint(eager=True)
     out = None
     for lnull, lb in _null_mask_buckets(sols, ln):
-        keys = [c for c in shared if c not in lnull]
-        part = lb if not keys else lb.join(
-            neg.select(*keys).dropDuplicates(), keys, "left_anti")
+        part = lb
+        for rnull, rb in _null_mask_buckets(neg, rn):
+            keys = [c for c in shared
+                    if c not in lnull and c not in rnull]
+            if keys:
+                part = part.join(rb.select(*keys).dropDuplicates(),
+                                 keys, "left_anti")
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -837,17 +837,24 @@ class _Parser:
                          gterm))
             elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
-                _require_simple(sub, "OPTIONAL", filters_ok=True)
-                # the group is a UNIT: its patterns must all match (and
-                # its FILTERs hold) for any of its bindings to survive
-                if sub["patterns"]:
-                    g["optionals"].append({"patterns": sub["patterns"],
-                                           "filters": sub["filters"]
-                                           or None})
-                # else a FILTER-only or empty OPTIONAL is a no-op:
-                # §6.1 leftjoin against the unit solution keeps every
-                # left row whether the filter passes (via the filter
-                # branch) or fails (via Diff) — drop the group
+                if _is_plain_group(sub):
+                    # the group is a UNIT of patterns (+ FILTERs) and
+                    # inlines into the matcher's left join
+                    if sub["patterns"]:
+                        g["optionals"].append(
+                            {"patterns": sub["patterns"],
+                             "filters": sub["filters"] or None})
+                    # else a FILTER-only or empty OPTIONAL is a no-op:
+                    # §6.1 leftjoin against the unit solution keeps
+                    # every left row whether the filter passes (via
+                    # the filter branch) or fails (via Diff)
+                else:
+                    # full-group OPTIONAL (nested OPTIONAL / BIND /
+                    # UNION / VALUES / subquery / GRAPH): solves
+                    # recursively and left-joins as a unit
+                    g["optionals"].append({"group": sub,
+                                           "patterns": [],
+                                           "filters": None})
             elif self.take("KW", "FILTER"):
                 if self.at("KW", "EXISTS") or (
                         self.at("KW", "NOT")
@@ -855,16 +862,26 @@ class _Parser:
                     negate = self.take("KW", "NOT")
                     self.eat("KW", "EXISTS")
                     sub = self.group()
-                    _require_simple(sub, "EXISTS", filters_ok=False)
-                    g["exists"].append((negate, sub["patterns"]))
+                    if _is_plain_group(sub) and not sub["filters"]:
+                        g["exists"].append((negate, sub["patterns"]))
+                    else:
+                        # full-group body — solved recursively at
+                        # execution (the solver guards §8.1.1's
+                        # substitution-scope restrictions there)
+                        g["exists"].append((negate, sub))
                 else:
                     self.eat("OP", "(")
                     g["filters"].append(self.expr())
                     self.eat("OP", ")")
             elif self.take("KW", "MINUS"):
                 sub = self.group()
-                _require_simple(sub, "MINUS", filters_ok=False)
-                g["minus"].append(sub["patterns"])
+                if _is_plain_group(sub) and not sub["filters"]:
+                    g["minus"].append(sub["patterns"])
+                else:
+                    # full-group body: §8.3 evaluates it WITHOUT the
+                    # outer bindings, so it solves recursively as its
+                    # own scope
+                    g["minus"].append(sub)
             elif self.take("KW", "BIND"):
                 self.eat("OP", "(")
                 self._last_ctor = None
@@ -978,6 +995,60 @@ class _Parser:
                 and (self.at("OP", ".") or self.at("OP", "}"))):
             return  # standalone [ .. ] subject: patterns already added
         self._predicate_list(subj, patterns)
+
+
+def _is_plain_group(group: dict) -> bool:
+    """True when the group is just triple patterns + FILTERs — the
+    shape the matcher inlines directly (OPTIONAL fast path, EXISTS /
+    MINUS semi-join operands)."""
+    return not (group["unions"] or group["optionals"] or group["minus"]
+                or group["exists"] or group["values"] or group["binds"]
+                or group["subqueries"] or group["graphs"])
+
+
+def _group_vars(g: dict) -> set[str]:
+    """Every variable the group COULD bind (certain or not) — the
+    complement is the outer-variable set when classifying a nested
+    group's filters.  Conservative in the right direction: a variable
+    missed here classifies its filter as outer-reading, which the
+    merged-domain evaluation still answers correctly."""
+    vs: set[str] = set()
+
+    def add(term):
+        if isinstance(term, str) and term.startswith("?"):
+            vs.add(term[1:])
+
+    for s, p, o in g["patterns"]:
+        add(s)
+        if isinstance(p, str):
+            add(p)
+        add(o)
+    for quad in g.get("graphs") or []:
+        for term in quad:
+            add(term)
+    for o in g["optionals"]:
+        if "group" in o:
+            vs |= _group_vars(o["group"])
+        else:
+            for pat in o["patterns"]:
+                for term in pat:
+                    if isinstance(term, str):
+                        add(term)
+    for var, _e, _shp in g["binds"]:
+        vs.add(var)
+    if g["values"] is not None:
+        vs |= set(g["values"][0])
+    for chain in g["unions"]:
+        for b in chain:
+            vs |= _group_vars(b)
+    for sq in g["subqueries"]:
+        if sq.get("star"):
+            vs |= _group_vars(sq["where"])
+        else:
+            for it in sq["items"]:
+                vs.add(it[1] if it[0] == "var"
+                       else (it[4] if it[0] == "agg" else it[2]))
+    return vs
 
 
 def _require_simple(group: dict, where: str, filters_ok: bool = True):
@@ -1239,6 +1310,15 @@ def _attach_shape(g: dict | None, shape_vars) -> None:
             _attach_shape(branch, shape_vars)
     for sq in g["subqueries"]:
         _attach_shape(sq["where"], shape_vars)
+    for o in g["optionals"]:
+        if isinstance(o, dict) and "group" in o:
+            _attach_shape(o["group"], shape_vars)
+    for _, body in g["exists"]:
+        if isinstance(body, dict):
+            _attach_shape(body, shape_vars)
+    for body in g["minus"]:
+        if isinstance(body, dict):
+            _attach_shape(body, shape_vars)
 
 
 def _tagged(term) -> bool:
@@ -1262,7 +1342,16 @@ def _group_has_graphs(g: dict) -> bool:
                 for sq in g.get("subqueries") or ())
             or any(_group_has_graphs(b)
                    for chain in g.get("unions") or ()
-                   for b in chain))
+                   for b in chain)
+            or any(_group_has_graphs(o["group"])
+                   for o in g.get("optionals") or ()
+                   if isinstance(o, dict) and "group" in o)
+            or any(_group_has_graphs(body)
+                   for _, body in g.get("exists") or ()
+                   if isinstance(body, dict))
+            or any(_group_has_graphs(body)
+                   for body in g.get("minus") or ()
+                   if isinstance(body, dict)))
 
 
 def _group_has_tagged(g: dict) -> bool:
@@ -1273,13 +1362,19 @@ def _group_has_tagged(g: dict) -> bool:
     if in_pats(g["patterns"]) or in_pats(g.get("graphs") or []):
         return True
     for o in g["optionals"]:
-        pats = [o] if isinstance(o, tuple) else o["patterns"]
-        if in_pats(pats):
+        if isinstance(o, dict) and "group" in o:
+            if _group_has_tagged(o["group"]):
+                return True
+        elif in_pats([o] if isinstance(o, tuple) else o["patterns"]):
             return True
-    if any(in_pats(pats) for _, pats in g["exists"]):
-        return True
-    if any(in_pats(pats) for pats in g["minus"]):
-        return True
+    for _, body in g["exists"]:
+        if (_group_has_tagged(body) if isinstance(body, dict)
+                else in_pats(body)):
+            return True
+    for body in g["minus"]:
+        if (_group_has_tagged(body) if isinstance(body, dict)
+                else in_pats(body)):
+            return True
     return any(_group_has_tagged(b)
                for chain in g["unions"] for b in chain)
 
@@ -1367,8 +1462,12 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
         g["patterns"] = rewrite(g["patterns"])
         g["optionals"] = [{**o, "patterns": rewrite(o["patterns"])}
                           for o in g["optionals"]]
-        g["minus"] = [rewrite(m) for m in g["minus"]]
-        g["exists"] = [(n, rewrite(e)) for n, e in g["exists"]]
+        # dict-shaped MINUS / EXISTS bodies are full groups that solve
+        # recursively — their own _solve_group expands their paths
+        g["minus"] = [rewrite(m) if isinstance(m, list) else m
+                      for m in g["minus"]]
+        g["exists"] = [(n, rewrite(e) if isinstance(e, list) else e)
+                       for n, e in g["exists"]]
     return work[0]
 
 
@@ -1465,6 +1564,26 @@ def _solve_union(triples: DataFrame, chain: list[dict]) -> DataFrame:
     return out
 
 
+def _reject_outer_filters(body: dict, outer_cols: set, what: str):
+    """A FILTER inside an EXISTS body reading an outer variable needs
+    §8.1.1 per-solution substitution INSIDE the expression — out of
+    scope for the semi-join translation, so it refuses (the nested
+    constructs' own filters hit the same wall as unresolved columns
+    at solve time: raise, never misanswer)."""
+    bvars = _group_vars(body)
+    for e in body["filters"]:
+        outside = sorted(v for v in outer_cols - bvars
+                         if not v.startswith(G.SHAPE_PREFIX)
+                         and re.search(rf"\b{re.escape(v)}\b", e))
+        if outside:
+            raise SparqlUnsupported(
+                f"{what} group FILTER reads outer variable(s) "
+                f"{outside}: §8.1.1 substitutes bindings inside the "
+                "expression, which the semi-join translation cannot "
+                "express — compare against a variable the group "
+                "itself binds")
+
+
 def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1480,7 +1599,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     if (not g["patterns"] and not g["subqueries"] and not g["graphs"]
             and not g["unions"] and g["values"] is None):
         raise SparqlUnsupported("empty WHERE group")
+    # a full-group OPTIONAL can't inline into the matcher, so its
+    # presence routes ALL optionals through the generic leftjoin loop
+    # (in syntactic order) and defers the group filters past it
+    complex_opt = any("group" in o for o in g["optionals"])
     late = bool(g["subqueries"] or g["graphs"] or g["unions"]
+                or complex_opt
                 or (g["values"] is not None and not g["patterns"]))
     # FILTER scope is the whole group (§18.2.2: filters apply at the
     # end of the group), so a filter mentioning a BIND-defined
@@ -1555,18 +1679,19 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         return vs
 
     sols = None
+    inline_opt = None if complex_opt else (g["optionals"] or None)
     if g["patterns"]:
         if g["values"] is not None:
             names, rows = g["values"]
             sols = G.bgp_values(t, g["patterns"], names, rows,
-                                optional=g["optionals"] or None,
+                                optional=inline_opt,
                                 filters=inline_filters,
                                 shape_vars=sv)
             acc_certain |= {n for i, n in enumerate(names)
                             if all(r[i] is not None for r in rows)}
         else:
             sols = G.bgp_match(t, g["patterns"],
-                               optional=g["optionals"] or None,
+                               optional=inline_opt,
                                filters=inline_filters,
                                shape_vars=sv)
         acc_certain |= pattern_vars(g["patterns"])
@@ -1632,27 +1757,52 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             usols = _solve_union(triples, chain)
             sols = conjoin(sols, usols, "UNION chain", chain_certain)
             acc_certain |= chain_certain
-    if g["optionals"] and not g["patterns"]:
+    if g["optionals"] and (not g["patterns"] or complex_opt):
         # OPTIONAL beside a pattern-less group (union-only, VALUES-
-        # only, subquery-only): left-join each optional unit onto the
-        # assembled solutions — the same leftjoin bgp_match plans when
-        # sibling patterns exist
+        # only, subquery-only), or any group with a full-group
+        # OPTIONAL: left-join each optional unit onto the assembled
+        # solutions in syntactic order
         for o in g["optionals"]:
-            opt_vars = pattern_vars(o["patterns"])
-            # §6.1 leftjoin evaluates the filter over the MERGED
-            # solution: filters reading only group variables apply
-            # pre-join (equivalent), ones reading outer variables
-            # route through the id-restoring leftjoin_filter
-            inner_f, outer_f = [], []
-            for e in o["filters"] or []:
-                outside = sorted(
-                    v for v in set(sols.columns) - opt_vars
-                    if not v.startswith(G.SHAPE_PREFIX)
-                    and re.search(rf"\b{re.escape(v)}\b", e))
-                (outer_f if outside else inner_f).append(e)
-            opt = G.bgp_match(t, o["patterns"],
-                              filters=inner_f or None,
-                              shape_vars=sv)
+            outer_f, opt_nullable = [], ()
+            if "group" in o:
+                # full-group body: its own top-level filters that
+                # read an OUTER variable are §6.1's merged-domain
+                # expression and lift out; the rest (and every nested
+                # construct) solve recursively as a unit
+                body = o["group"]
+                bvars = _group_vars(body)
+                inner_f = []
+                for e in body["filters"]:
+                    outside = sorted(
+                        v for v in set(sols.columns) - bvars
+                        if not v.startswith(G.SHAPE_PREFIX)
+                        and re.search(rf"\b{re.escape(v)}\b", e))
+                    (outer_f if outside else inner_f).append(e)
+                if outer_f:
+                    body = {**body, "filters": inner_f}
+                opt = _solve_group(triples, body)
+                o_certain = _certain_vars(body)
+                opt_nullable = sorted(
+                    c for c in opt.columns
+                    if not c.startswith(G.SHAPE_PREFIX)
+                    and c not in o_certain)
+            else:
+                opt_vars = pattern_vars(o["patterns"])
+                # §6.1 leftjoin evaluates the filter over the MERGED
+                # solution: filters reading only group variables
+                # apply pre-join (equivalent), ones reading outer
+                # variables route through the id-restoring
+                # leftjoin_filter
+                inner_f = []
+                for e in o["filters"] or []:
+                    outside = sorted(
+                        v for v in set(sols.columns) - opt_vars
+                        if not v.startswith(G.SHAPE_PREFIX)
+                        and re.search(rf"\b{re.escape(v)}\b", e))
+                    (outer_f if outside else inner_f).append(e)
+                opt = G.bgp_match(t, o["patterns"],
+                                  filters=inner_f or None,
+                                  shape_vars=sv)
             shared = sorted(c for c in
                             set(sols.columns) & set(opt.columns)
                             if not c.startswith(G.SHAPE_PREFIX))
@@ -1660,18 +1810,22 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                 raise SparqlUnsupported(
                     "OPTIONAL shares no variables with its group")
             risky = sorted(v for v in shared if v not in acc_certain)
-            if len(risky) > G.COMPAT_MAX_NULLABLE:
+            opt_risky = sorted(set(opt_nullable) & set(shared))
+            if max(len(risky), len(opt_risky)) > G.COMPAT_MAX_NULLABLE:
                 raise SparqlUnsupported(
                     f"OPTIONAL left-joining on possibly-unbound "
-                    f"variable(s) {risky}: the §18.5 null-mask "
-                    "decomposition is capped at "
+                    f"variable(s) {sorted(set(risky) | set(opt_risky))}"
+                    ": the §18.5 null-mask decomposition is capped at "
                     f"{G.COMPAT_MAX_NULLABLE} variables — bind them "
                     "in the sibling operands first")
-            # §6.1 leftjoin under §18.5 compatibility (the optional
-            # side is a BGP match, so its variables are all certain)
-            if outer_f:
+            # §6.1 leftjoin under §18.5 compatibility; the optional
+            # side may itself leave shared variables unbound (a
+            # nested OPTIONAL / partial union), which the
+            # id-restoring leftjoin handles
+            if outer_f or opt_risky:
                 sols = G.leftjoin_filter(sols, opt,
                                          left_nullable=risky,
+                                         right_nullable=opt_risky,
                                          filters=outer_f)
             else:
                 sols = G.compat_join(sols, opt, left_nullable=risky,
@@ -1683,12 +1837,37 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         sols = G.fill_null_companions(sols, sv)
         for e in pre_bind:
             sols = sols.filter(F.expr(e))
-    for negate, patterns in g["exists"]:
-        grp = G.bgp_match(t, patterns)
+    for negate, body in g["exists"]:
+        if isinstance(body, dict):
+            # full-group body: §8.1.1 substitutes the solution's
+            # BOUND bindings into the group — the shared-variable
+            # semi-join expresses that only when the group binds the
+            # shared variables in EVERY solution and its filters
+            # read no outer variables
+            _reject_outer_filters(body, set(sols.columns),
+                                  "FILTER EXISTS")
+            grp = _solve_group(triples, body)
+            grp_certain = _certain_vars(body)
+        else:
+            grp = G.bgp_match(t, body) if body else None
+            grp_certain = pattern_vars(body) if body else set()
+        if grp is None:
+            # EXISTS {} matches via the unit solution: always true
+            if negate:
+                sols = sols.limit(0)
+            continue
         shared = sorted(c for c in
                         set(sols.columns) & set(grp.columns)
                         if not c.startswith(G.SHAPE_PREFIX))
         risky = sorted(v for v in shared if v not in acc_certain)
+        grp_risky = sorted(v for v in shared if v not in grp_certain)
+        if grp_risky:
+            raise SparqlUnsupported(
+                f"FILTER {'NOT ' if negate else ''}EXISTS whose group "
+                f"may leave shared variable(s) {grp_risky} unbound "
+                "(an unbound group cell matches any substituted "
+                "binding — not a semi-join key); make the group bind "
+                "them in every branch")
         if len(risky) > G.COMPAT_MAX_NULLABLE:
             raise SparqlUnsupported(
                 f"FILTER {'NOT ' if negate else ''}EXISTS sharing "
@@ -1700,22 +1879,36 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # left null-mask bucket, semi/anti join on the bound keys)
         sols = G.compat_exists(sols, grp, left_nullable=risky,
                                negate=negate)
-    for patterns in g["minus"]:
-        neg = G.bgp_match(t, patterns)
+    for body in g["minus"]:
+        if isinstance(body, dict):
+            # §8.3 evaluates the MINUS group WITHOUT the outer
+            # bindings — it is its own scope, so it solves
+            # recursively; a filter inside referencing a variable the
+            # group never binds errors to false per SPARQL (the
+            # recursive solve raises on the unknown name instead of
+            # silently matching, same raise-not-misparse stance)
+            neg = _solve_group(triples, body)
+            neg_certain = _certain_vars(body)
+        else:
+            neg = G.bgp_match(t, body)
+            neg_certain = pattern_vars(body)
         shared = sorted(c for c in
                         set(sols.columns) & set(neg.columns)
                         if not c.startswith(G.SHAPE_PREFIX))
         if not shared:
             continue  # SPARQL: disjoint MINUS removes nothing
         risky = sorted(v for v in shared if v not in acc_certain)
-        if len(risky) > G.COMPAT_MAX_NULLABLE:
+        neg_risky = sorted(v for v in shared if v not in neg_certain)
+        if max(len(risky), len(neg_risky)) > G.COMPAT_MAX_NULLABLE:
             raise SparqlUnsupported(
-                f"MINUS sharing possibly-unbound variable(s) {risky}: "
-                "the §8.3 null-mask decomposition is capped at "
-                f"{G.COMPAT_MAX_NULLABLE} variables")
+                f"MINUS sharing possibly-unbound variable(s) "
+                f"{sorted(set(risky) | set(neg_risky))}: the §8.3 "
+                "null-mask decomposition is capped at "
+                f"{G.COMPAT_MAX_NULLABLE} variables per side")
         # §8.3: remove a solution iff a MINUS row is compatible AND
         # their bound domains overlap (all-unbound overlap = keep)
-        sols = G.compat_minus(sols, neg, left_nullable=risky)
+        sols = G.compat_minus(sols, neg, left_nullable=risky,
+                              right_nullable=neg_risky)
     for var, e, shp in g["binds"]:
         sols = G.bind(sols, var, e)
         # a whole-body term constructor stamps a KNOWN shape

@@ -331,10 +331,12 @@ def test_subquery_unsupported_shapes_raise(spark):
         sparql(t, """SELECT ?s WHERE {
             ?s <urn:p:age> ?a .
             { SELECT ?z WHERE { ?z <urn:p:knows> ?w } } }""")
-    with pytest.raises(SparqlUnsupported):  # subquery inside OPTIONAL
-        sparql(t, """SELECT ?s WHERE {
-            ?s <urn:p:age> ?a .
-            OPTIONAL { { SELECT ?s WHERE { ?s <urn:p:x> ?y } } } }""")
+    # subquery inside OPTIONAL solves as a full-group unit: the empty
+    # subquery leaves the left row unmatched, not dropped
+    out = _rows(sparql(t, """SELECT ?s WHERE {
+        ?s <urn:p:age> ?a .
+        OPTIONAL { { SELECT ?s WHERE { ?s <urn:p:x> ?y } } } }"""))
+    assert out == [("urn:a",)]
 
 
 def test_graph_clause(spark):
@@ -2161,6 +2163,93 @@ def test_optional_beside_patternless_group(kg):
         { VALUES (?s ?m) { ("b" "Bob") } }
         OPTIONAL { ?s p:name ?n FILTER(?n = ?m) } }"""))
     assert out == [("b", "Bob")]
+
+
+@pytest.fixture(scope="module")
+def chain_kg(spark):
+    rows = [("s1", "p:r", "v1"), ("s2", "p:r", "v2"),
+            ("s1", "p:q", "y1"),
+            ("y1", "p:n", "w1"), ("k", "p:n", "w2")]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_optional_full_group_nested(chain_kg):
+    """A full-group OPTIONAL is a UNIT solved recursively: the nested
+    OPTIONAL lives INSIDE the unit, so an outer miss leaves all its
+    variables unbound together (contrast with two sibling OPTIONALs,
+    where the second adopts bindings for unbound keys)."""
+    out = sorted(_rows(sparql(chain_kg, """SELECT ?s ?y ?w WHERE {
+        ?s p:r ?v .
+        OPTIONAL { ?s p:q ?y OPTIONAL { ?y p:n ?w } } }""")),
+        key=str)
+    assert out == [("s1", "y1", "w1"), ("s2", None, None)]
+
+
+def test_optional_full_group_bind_union_values(chain_kg):
+    # BIND inside OPTIONAL
+    out = sorted(_rows(sparql(chain_kg, """SELECT ?s ?z WHERE {
+        ?s p:r ?v .
+        OPTIONAL { ?s p:q ?y BIND(CONCAT(?y, "!") AS ?z) } }""")),
+        key=str)
+    assert out == [("s1", "y1!"), ("s2", None)]
+    # UNION inside OPTIONAL — the unit matches via either branch
+    out = sorted(_rows(sparql(chain_kg, """SELECT ?s ?y WHERE {
+        ?s p:r ?v .
+        OPTIONAL { { ?s p:q ?y } UNION { ?s p:r ?y } } }""")),
+        key=str)
+    assert out == [("s1", "v1"), ("s1", "y1"), ("s2", "v2")]
+    # VALUES inside OPTIONAL constrains the unit
+    out = sorted(_rows(sparql(chain_kg, """SELECT ?s ?y WHERE {
+        ?s p:r ?v .
+        OPTIONAL { ?s p:q ?y VALUES ?y { "nope" } } }""")), key=str)
+    assert out == [("s1", None), ("s2", None)]
+
+
+def test_exists_minus_full_group(spark):
+    rows = [("x1", "p:d", "c1"), ("x2", "p:d", "c9"),
+            ("x3", "p:d", "c3"),
+            ("x1", "p:a", "m"), ("x2", "p:b", "m"),
+            ("x1", "p:c", "c1")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    # EXISTS over a union body: kept iff either branch matches
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { { ?x p:a ?m } UNION { ?x p:b ?m } } }""")))
+    assert out == [("x1",), ("x2",)]
+    # NOT EXISTS over the same body
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE {
+        ?x p:d ?v .
+        FILTER NOT EXISTS { { ?x p:a ?m } UNION { ?x p:b ?m } } }""")))
+    assert out == [("x3",)]
+    # a body that may leave the shared variable unbound refuses
+    with pytest.raises(SparqlUnsupported, match="unbound"):
+        sparql(t, """SELECT ?x ?v WHERE {
+            ?x p:d ?v .
+            FILTER EXISTS { { ?x p:a ?v } UNION { ?x p:b ?m } } }""")
+    # a body FILTER reading an outer variable refuses (§8.1.1
+    # substitution inside expressions)
+    with pytest.raises(SparqlUnsupported, match="outer variable"):
+        sparql(t, """SELECT ?x ?v WHERE {
+            ?x p:d ?v .
+            FILTER EXISTS { ?x p:a ?m FILTER(?m = ?v) } }""")
+
+
+def test_minus_full_group_with_inner_optional(spark):
+    """§8.3 with a MINUS body that leaves a shared variable unbound
+    via its inner OPTIONAL: removal needs compatibility on the
+    commonly-bound domain only."""
+    rows = [("x1", "p:d", "c1"), ("x2", "p:d", "c9"),
+            ("x3", "p:d", "c3"),
+            ("x1", "p:a", "m"), ("x2", "p:a", "m"),
+            ("x1", "p:c", "c1")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        MINUS { ?x p:a ?m OPTIONAL { ?x p:c ?v } } }""")))
+    # x1: minus row (x1, m, c1) agrees on {x, v} -> removed;
+    # x2: minus row (x2, m, unbound v) agrees on {x} -> removed;
+    # x3: no minus row shares its ?x -> kept
+    assert out == [("x3", "c3")]
 
 
 def test_patternless_values_compat_join(kg):
