@@ -514,7 +514,8 @@ def _null_mask_buckets(df: DataFrame, risky: list[str]):
 
 def compat_join(left: DataFrame, right: DataFrame,
                 left_nullable=(), right_nullable=(),
-                how: str = "inner") -> DataFrame:
+                how: str = "inner",
+                _left_ready: bool = False) -> DataFrame:
     """Join two solution frames on their shared variables under SPARQL
     §18.5 compatibility: a NULL cell on either side agrees with any
     value and the merged solution adopts the bound one.
@@ -543,7 +544,10 @@ def compat_join(left: DataFrame, right: DataFrame,
                          f"right side; got nullable {rn}")
     if not ln and not rn:
         return left.join(right, shared, how)
-    if ln:
+    if ln and not _left_ready:
+        # _left_ready: the caller already checkpointed the frame
+        # (leftjoin_filter stamps + checkpoints it for the id
+        # restore) — don't materialize it a second time
         left = left.localCheckpoint(eager=True)
     if rn:
         right = right.localCheckpoint(eager=True)
@@ -593,7 +597,8 @@ def leftjoin_filter(sols: DataFrame, sub: DataFrame,
     sols = (sols.withColumn("__ljid", F.monotonically_increasing_id())
             .localCheckpoint(eager=True))
     merged = compat_join(sols, sub, left_nullable=left_nullable,
-                         right_nullable=right_nullable, how="inner")
+                         right_nullable=right_nullable, how="inner",
+                         _left_ready=True)
     for e in filters or []:
         merged = merged.filter(F.expr(e))
     unmatched = sols.join(

@@ -821,7 +821,24 @@ class _Parser:
         g = {"patterns": [], "optionals": [], "filters": [],
              "exists": [], "minus": [], "values": None, "binds": [],
              "unions": [], "subqueries": [], "graphs": []}
+        # operand-order ledger for the §18.2.2.6 guard below: the
+        # solver conjoins by KIND (join operands, then OPTIONAL/MINUS
+        # passes), which matches the spec's left-to-right translation
+        # only when no LATER binding operand introduces a variable an
+        # earlier OPTIONAL/MINUS touches — record (kind, vars,
+        # certain) per syntactic operand and refuse the reordering-
+        # sensitive shapes instead of misanswering them
+        seq: list[tuple] = []
+
+        def pat_vars(pats):
+            return {t[1:] for pat in pats for t in pat
+                    if isinstance(t, str) and t.startswith("?")}
+
         while not self.at("OP", "}"):
+            n_before = {k: len(g[k]) for k in
+                        ("patterns", "optionals", "minus", "unions",
+                         "subqueries", "graphs", "binds")}
+            values_before = g["values"]
             if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
                 self.eat("OP", "{")
                 g["subqueries"].append(_parse_select(self,
@@ -876,7 +893,10 @@ class _Parser:
             elif self.take("KW", "MINUS"):
                 sub = self.group()
                 if _is_plain_group(sub) and not sub["filters"]:
-                    g["minus"].append(sub["patterns"])
+                    # MINUS {} has disjoint domains with everything
+                    # and removes nothing (§8.3) — drop it
+                    if sub["patterns"]:
+                        g["minus"].append(sub["patterns"])
                 else:
                     # full-group body: §8.3 evaluates it WITHOUT the
                     # outer bindings, so it solves recursively as its
@@ -908,7 +928,72 @@ class _Parser:
             else:
                 self._triples_block(g["patterns"])
             self.take("OP", ".")
+            # ledger update: what did this iteration append?
+            new_pats = g["patterns"][n_before["patterns"]:]
+            if new_pats:
+                vs = pat_vars(new_pats)
+                seq.append(("join", vs, vs))
+            for quad in g["graphs"][n_before["graphs"]:]:
+                vs = {t[1:] for t in quad
+                      if isinstance(t, str) and t.startswith("?")}
+                seq.append(("join", vs, vs))
+            for chain in g["unions"][n_before["unions"]:]:
+                seq.append(("join",
+                            set().union(*[_group_vars(b)
+                                          for b in chain]),
+                            set.intersection(*[_certain_vars(b)
+                                               for b in chain])))
+            for sq in g["subqueries"][n_before["subqueries"]:]:
+                if sq.get("star"):
+                    allv = _group_vars(sq["where"])
+                else:
+                    allv = {it[1] if it[0] == "var"
+                            else (it[4] if it[0] == "agg" else it[2])
+                            for it in sq["items"]}
+                seq.append(("join", allv, _subquery_certain(sq)))
+            if g["values"] is not None and \
+                    g["values"] is not values_before:
+                names, rows = g["values"]
+                seq.append(("join", set(names),
+                            {n for i, n in enumerate(names)
+                             if rows and all(r[i] is not None
+                                             for r in rows)}))
+            for var, _e, _shp in g["binds"][n_before["binds"]:]:
+                seq.append(("join", {var}, set()))
+            for o in g["optionals"][n_before["optionals"]:]:
+                seq.append(("opt", _group_vars(o["group"])
+                            if "group" in o
+                            else pat_vars(o["patterns"])))
+            for body in g["minus"][n_before["minus"]:]:
+                seq.append(("minus", _group_vars(body)
+                            if isinstance(body, dict)
+                            else pat_vars(body)))
         self.eat("OP", "}")
+        # §18.2.2.6 guard: OPTIONAL and MINUS translate at their
+        # syntactic position, so a LATER binding operand introducing a
+        # variable the pass touches (beyond what was already certain
+        # when the pass applies) would be conjoined too early by the
+        # kind-bucketed solver — refuse the shape
+        certain_before: set = set()
+        for i, entry in enumerate(seq):
+            if entry[0] == "join":
+                certain_before |= entry[2]
+                continue
+            kind, vs_i = entry[0], entry[1]
+            later = set()
+            for e2 in seq[i + 1:]:
+                if e2[0] == "join":
+                    later |= e2[1]
+            clash = sorted((vs_i - certain_before) & later)
+            if clash:
+                raise SparqlUnsupported(
+                    f"{'OPTIONAL' if kind == 'opt' else 'MINUS'} "
+                    f"precedes an operand that binds shared "
+                    f"variable(s) {clash}: the solver applies "
+                    "OPTIONAL/MINUS after the group's joins, which "
+                    "matches §18.2.2.6 only when later operands add "
+                    "no variables the pass touches — reorder the "
+                    "query so the binding operand comes first")
         return g
 
     def _union_chain(self) -> list[dict]:
@@ -1681,19 +1766,27 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     sols = None
     inline_opt = None if complex_opt else (g["optionals"] or None)
     if g["patterns"]:
-        if g["values"] is not None:
-            names, rows = g["values"]
-            sols = G.bgp_values(t, g["patterns"], names, rows,
-                                optional=inline_opt,
-                                filters=inline_filters,
-                                shape_vars=sv)
-            acc_certain |= {n for i, n in enumerate(names)
-                            if all(r[i] is not None for r in rows)}
-        else:
-            sols = G.bgp_match(t, g["patterns"],
-                               optional=inline_opt,
-                               filters=inline_filters,
-                               shape_vars=sv)
+        try:
+            if g["values"] is not None:
+                names, rows = g["values"]
+                sols = G.bgp_values(t, g["patterns"], names, rows,
+                                    optional=inline_opt,
+                                    filters=inline_filters,
+                                    shape_vars=sv)
+                acc_certain |= {n for i, n in enumerate(names)
+                                if all(r[i] is not None for r in rows)}
+            else:
+                sols = G.bgp_match(t, g["patterns"],
+                                   optional=inline_opt,
+                                   filters=inline_filters,
+                                   shape_vars=sv)
+        except ValueError as exc:
+            if "capped" not in str(exc):
+                raise
+            # the matcher's decomposition cap is the same limit the
+            # front-end's own guards raise as SparqlUnsupported —
+            # surface one exception type for one unsupported shape
+            raise SparqlUnsupported(str(exc)) from exc
         acc_certain |= pattern_vars(g["patterns"])
     if g["graphs"]:
         qsrc = g.get("_quads", triples)
@@ -1768,9 +1861,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                 # full-group body: its own top-level filters that
                 # read an OUTER variable are §6.1's merged-domain
                 # expression and lift out; the rest (and every nested
-                # construct) solve recursively as a unit
+                # construct) solve recursively as a unit.  CERTAIN
+                # body bindings classify as inner — for a variable
+                # the body binds only optionally, the merged value
+                # adopts the outer binding where the body's is NULL,
+                # so such filters must evaluate over the merge
                 body = o["group"]
-                bvars = _group_vars(body)
+                bvars = _certain_vars(body)
                 inner_f = []
                 for e in body["filters"]:
                     outside = sorted(
@@ -1837,6 +1934,16 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         sols = G.fill_null_companions(sols, sv)
         for e in pre_bind:
             sols = sols.filter(F.expr(e))
+    # Extend (BIND) happens at its position INSIDE the group while
+    # FILTER — including FILTER (NOT) EXISTS — applies over the
+    # finished group (§18.2.2.2), so binds evaluate before the
+    # exists/minus passes; a NULL-producing bind stays unbound and
+    # the compatibility decompositions treat it as free
+    for var, e, shp in g["binds"]:
+        sols = G.bind(sols, var, e)
+        # a whole-body term constructor stamps a KNOWN shape
+        if shp is not None and sv and var in sv:
+            sols = G.set_shape_companions(sols, var, shp)
     for negate, body in g["exists"]:
         if isinstance(body, dict):
             # full-group body: §8.1.1 substitutes the solution's
@@ -1909,11 +2016,6 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # their bound domains overlap (all-unbound overlap = keep)
         sols = G.compat_minus(sols, neg, left_nullable=risky,
                               right_nullable=neg_risky)
-    for var, e, shp in g["binds"]:
-        sols = G.bind(sols, var, e)
-        # a whole-body term constructor stamps a KNOWN shape
-        if shp is not None and sv and var in sv:
-            sols = G.set_shape_companions(sols, var, shp)
     # other BIND-defined and VALUES-extension bindings: unknown shape
     sols = G.fill_null_companions(sols, sv)
     for e in post_bind:
@@ -1978,6 +2080,15 @@ def _attach_quads(g: dict | None, full: DataFrame) -> None:
             _attach_quads(branch, full)
     for sq in g["subqueries"]:
         _attach_quads(sq["where"], full)
+    for o in g["optionals"]:
+        if isinstance(o, dict) and "group" in o:
+            _attach_quads(o["group"], full)
+    for _, body in g["exists"]:
+        if isinstance(body, dict):
+            _attach_quads(body, full)
+    for body in g["minus"]:
+        if isinstance(body, dict):
+            _attach_quads(body, full)
 
 
 def sparql(triples: DataFrame, text: str) -> DataFrame:

@@ -2252,6 +2252,73 @@ def test_minus_full_group_with_inner_optional(spark):
     assert out == [("x3", "c3")]
 
 
+def test_review_r3_findings(spark):
+    """Round-3 review regressions."""
+    # 1: an OPTIONAL-body filter reading a variable the body binds
+    # only OPTIONALLY must evaluate over the §6.1 merge (where the
+    # outer binding adopts), not against the body's NULL
+    t = spark.createDataFrame(
+        [("s1", "p:a", "5"), ("s1", "p:c", "y1")],
+        ["subj", "pred", "obj"])
+    out = _rows(sparql(t, """SELECT ?s ?x ?y WHERE {
+        ?s p:a ?x .
+        OPTIONAL { ?s p:c ?y OPTIONAL { ?s p:b ?x }
+                   FILTER(?x > 0) } }"""))
+    assert out == [("s1", "5", "y1")]
+    # 3: MINUS {} removes nothing (§8.3 disjoint domains)
+    assert _rows(sparql(t, """SELECT ?s WHERE {
+        ?s p:a ?o MINUS { } }""")) == [("s1",)]
+    # 5: BIND-defined variables are visible to FILTER EXISTS (§18.2.2.2
+    # filters apply over the finished group, after Extend)
+    t2 = spark.createDataFrame(
+        [("a", "p:a", "1"), ("a", "p:b", "1!"),
+         ("b", "p:a", "5"), ("b", "p:b", "9!")],
+        ["subj", "pred", "obj"])
+    out = _rows(sparql(t2, """SELECT ?s WHERE {
+        ?s p:a ?x . BIND(CONCAT(?x, "!") AS ?y)
+        FILTER EXISTS { ?s p:b ?y } }"""))
+    assert out == [("a",)]
+    # 7: the matcher-path decomposition cap surfaces as
+    # SparqlUnsupported like every front-end cap
+    with pytest.raises(SparqlUnsupported, match="capped"):
+        sparql(t2, """SELECT ?s WHERE {
+            ?s p:a ?o
+            OPTIONAL { ?s p:b ?x . ?s p:c ?y . ?s p:d ?z }
+            OPTIONAL { ?x p:e ?q . ?y p:f ?q . ?z p:g ?q } }""")
+
+
+def test_operand_order_guard(kg):
+    """§18.2.2.6: OPTIONAL/MINUS preceding an operand that introduces
+    a variable the pass touches refuses instead of conjoining in the
+    wrong order."""
+    with pytest.raises(SparqlUnsupported, match="precedes"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:type ?x . OPTIONAL { ?s p:d ?y }
+            { ?s p:name ?y } UNION { ?s p:knows ?y } }""")
+    with pytest.raises(SparqlUnsupported, match="precedes"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:type ?x . MINUS { ?s p:knows ?y }
+            ?s p:name ?y }""")
+    # sharing only already-certain variables stays legal (commutes)
+    out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s WHERE {
+        ?s p:type ?x . OPTIONAL { ?s p:knows ?y }
+        ?s p:name ?n }""")))
+    assert out == [("a",), ("b",)]
+
+
+def test_graph_inside_optional_with_dataset(spark):
+    """GRAPH nested in a full-group OPTIONAL sees the full dataset
+    under FROM/FROM NAMED clauses (_quads rides into the body)."""
+    rows = [("a", "p:x", "1", "urn:g1"), ("a", "p:y", "2", "urn:g2")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+    out = _rows(sparql(t, """SELECT ?s ?v
+        FROM <urn:g1> FROM NAMED <urn:g2>
+        WHERE { ?s p:x ?o
+                OPTIONAL { GRAPH <urn:g2> { ?s p:y ?v }
+                           BIND(1 AS ?k) } }"""))
+    assert out == [("a", "2")]
+
+
 def test_patternless_values_compat_join(kg):
     """In-group VALUES with no sibling patterns routes through the
     full §18.5 compatibility join: UNDEF cells are legal and an
