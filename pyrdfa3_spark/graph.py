@@ -416,10 +416,11 @@ class SparkGraph:
         relative IRIs like ``<alpha>`` for plain strings."""
         df = self.df
         if "obj_is_iri" not in df.columns:
-            df = df.withColumn(
-                "obj_is_iri",
-                F.col("obj").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-                | F.col("obj").startswith("_:"))
+            # the one shared inference (graphops._lexical_is_iri) so
+            # the serializer facade and the SPARQL matcher can never
+            # diverge on what counts as a term
+            df = df.withColumn("obj_is_iri",
+                               G._lexical_is_iri(F.col("obj")))
         for c in ("obj_lang", "obj_datatype"):
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))

@@ -932,13 +932,13 @@ class _Parser:
             new_pats = g["patterns"][n_before["patterns"]:]
             if new_pats:
                 vs = pat_vars(new_pats)
-                seq.append(("join", vs, vs))
+                seq.append(("pats", vs, vs))
             for quad in g["graphs"][n_before["graphs"]:]:
                 vs = {t[1:] for t in quad
                       if isinstance(t, str) and t.startswith("?")}
-                seq.append(("join", vs, vs))
+                seq.append(("graph", vs, vs))
             for chain in g["unions"][n_before["unions"]:]:
-                seq.append(("join",
+                seq.append(("union",
                             set().union(*[_group_vars(b)
                                           for b in chain]),
                             set.intersection(*[_certain_vars(b)
@@ -950,50 +950,65 @@ class _Parser:
                     allv = {it[1] if it[0] == "var"
                             else (it[4] if it[0] == "agg" else it[2])
                             for it in sq["items"]}
-                seq.append(("join", allv, _subquery_certain(sq)))
+                seq.append(("subq", allv, _subquery_certain(sq)))
             if g["values"] is not None and \
                     g["values"] is not values_before:
                 names, rows = g["values"]
-                seq.append(("join", set(names),
+                seq.append(("values", set(names),
                             {n for i, n in enumerate(names)
                              if rows and all(r[i] is not None
                                              for r in rows)}))
             for var, _e, _shp in g["binds"][n_before["binds"]:]:
-                seq.append(("join", {var}, set()))
+                seq.append(("bind", {var}, set()))
             for o in g["optionals"][n_before["optionals"]:]:
-                seq.append(("opt", _group_vars(o["group"])
-                            if "group" in o
-                            else pat_vars(o["patterns"])))
+                vs = (_group_vars(o["group"]) if "group" in o
+                      else pat_vars(o["patterns"]))
+                seq.append(("opt", vs, set()))
             for body in g["minus"][n_before["minus"]:]:
-                seq.append(("minus", _group_vars(body)
-                            if isinstance(body, dict)
-                            else pat_vars(body)))
+                vs = (_group_vars(body) if isinstance(body, dict)
+                      else pat_vars(body))
+                seq.append(("minus", vs, set()))
         self.eat("OP", "}")
-        # §18.2.2.6 guard: OPTIONAL and MINUS translate at their
-        # syntactic position, so a LATER binding operand introducing a
-        # variable the pass touches (beyond what was already certain
-        # when the pass applies) would be conjoined too early by the
-        # kind-bucketed solver — refuse the shape
-        certain_before: set = set()
-        for i, entry in enumerate(seq):
-            if entry[0] == "join":
-                certain_before |= entry[2]
-                continue
-            kind, vs_i = entry[0], entry[1]
-            later = set()
-            for e2 in seq[i + 1:]:
-                if e2[0] == "join":
-                    later |= e2[1]
-            clash = sorted((vs_i - certain_before) & later)
-            if clash:
-                raise SparqlUnsupported(
-                    f"{'OPTIONAL' if kind == 'opt' else 'MINUS'} "
-                    f"precedes an operand that binds shared "
-                    f"variable(s) {clash}: the solver applies "
-                    "OPTIONAL/MINUS after the group's joins, which "
-                    "matches §18.2.2.6 only when later operands add "
-                    "no variables the pass touches — reorder the "
-                    "query so the binding operand comes first")
+        # §18.2.2.6 guard.  The solver executes operand KINDS in a
+        # fixed order, not syntactic order: with sibling patterns and
+        # only inline-able OPTIONALs the effective order is patterns →
+        # optionals → other joins → binds → minus; otherwise patterns →
+        # joins → optionals → binds → minus.  (FILTER EXISTS is
+        # absent: §18.2.2.2 applies filters over the finished group,
+        # which is where the solver runs them.)  Join operands commute
+        # (§18.5), so only pairs the solver executes in the OPPOSITE
+        # of their syntactic order can deviate — and only when they
+        # share a variable not already certain at the earlier operand.
+        # Refuse those instead of conjoining in the wrong order.
+        inline = bool(g["patterns"]) and not any(
+            "group" in o for o in g["optionals"])
+        slots = ({"pats": 0, "opt": 1, "graph": 2, "subq": 2,
+                  "union": 2, "values": 2, "bind": 3, "minus": 4}
+                 if inline else
+                 {"pats": 0, "graph": 1, "subq": 1, "union": 1,
+                  "values": 1, "opt": 2, "bind": 3, "minus": 4})
+        joins = {"pats", "graph", "subq", "union", "values"}
+        certain_at: list[set] = []
+        acc: set = set()
+        for kind, _vs, certain in seq:
+            certain_at.append(set(acc))
+            acc |= certain
+        for i, (kind_a, vars_a, _ca) in enumerate(seq):
+            for j in range(i + 1, len(seq)):
+                kind_b, vars_b, _cb = seq[j]
+                if kind_a in joins and kind_b in joins:
+                    continue  # joins commute
+                if slots[kind_b] >= slots[kind_a]:
+                    continue  # executes in syntactic order
+                clash = sorted((vars_a & vars_b) - certain_at[i])
+                if clash:
+                    raise SparqlUnsupported(
+                        f"a {kind_a.upper()} operand precedes a "
+                        f"{kind_b.upper()} operand sharing "
+                        f"variable(s) {clash}, but the solver "
+                        f"executes {kind_b.upper()} first — "
+                        "§18.2.2.6 is positional; reorder the query "
+                        "so the operands appear in execution order")
         return g
 
     def _union_chain(self) -> list[dict]:
@@ -1769,10 +1784,39 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         try:
             if g["values"] is not None:
                 names, rows = g["values"]
-                sols = G.bgp_values(t, g["patterns"], names, rows,
-                                    optional=inline_opt,
-                                    filters=inline_filters,
-                                    shape_vars=sv)
+                opt_vars = set()
+                for o in (inline_opt or []):
+                    opt_vars |= pattern_vars(o["patterns"])
+                nullable_shared = (set(names) & opt_vars
+                                   - pattern_vars(g["patterns"]))
+                if nullable_shared:
+                    # a VALUES variable an OPTIONAL may leave unbound
+                    # needs the §18.5 compatibility join (unbound
+                    # adopts the row's binding) — bgp_values'
+                    # defined-mask equi-join would drop the solution;
+                    # filters reading it must wait until after the
+                    # adoption (§18.2.2: filters at group end)
+                    held = [e for e in (inline_filters or [])
+                            if any(re.search(rf"\b{re.escape(v)}\b",
+                                             e)
+                                   for v in nullable_shared)]
+                    kept = [e for e in (inline_filters or [])
+                            if e not in held]
+                    sols = G.bgp_match(t, g["patterns"],
+                                       optional=inline_opt,
+                                       filters=kept or None,
+                                       shape_vars=sv)
+                    sols = _join_values(sols, names, rows)
+                    # VALUES-introduced bindings carry lexically-
+                    # inferred shapes (same posture as bgp_values)
+                    sols = G.ensure_shape_companions(sols, sv)
+                    for e in held:
+                        sols = sols.filter(F.expr(e))
+                else:
+                    sols = G.bgp_values(t, g["patterns"], names, rows,
+                                        optional=inline_opt,
+                                        filters=inline_filters,
+                                        shape_vars=sv)
                 acc_certain |= {n for i, n in enumerate(names)
                                 if all(r[i] is not None for r in rows)}
             else:
@@ -1838,6 +1882,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                 schema=", ".join(f"`{n}` string" for n in names))
         else:
             sols = _join_values(sols, names, rows)
+        # VALUES-introduced bindings carry lexically-inferred shapes —
+        # the same posture bgp_values stamps, so the term-shape
+        # builtins answer identically wherever the table appears
+        # (restricted to the VALUES names: other operands' unknown-
+        # shape bindings keep their NULL companions)
+        sols = G.ensure_shape_companions(
+            sols, [n for n in (sv or ()) if n in set(names)])
         acc_certain |= {n for i, n in enumerate(names)
                         if rows and all(r[i] is not None for r in rows)}
     if g["unions"]:
@@ -2176,6 +2227,14 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         sols = _solve_group(triples, g)
         if q.get("values") is not None:
             sols = _join_values(sols, *q["values"])
+            # a trailing-VALUES EXTENSION variable used as a template
+            # object arrives after the solver's companion fill —
+            # stamp lexically-inferred companions (the documented
+            # VALUES-binding posture) so instantiation never
+            # references a missing __shape_* column
+            if shaped:
+                sols = G.ensure_shape_companions(sols,
+                                                 frozenset(svars))
         # template blank nodes (explicit _:b / [..]) mint fresh per
         # solution (§16.2.1)
         sols, template, minted = _mint_template_bnodes(sols, template)
@@ -2356,6 +2415,11 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
                 "instead)")
         sols = G.solution_agg(sols, q["group_by"], spec,
                               having=q["having"])
+        if q.get("values"):
+            # §18.2.4.3 Values insertion precedes §18.2.4.4 Select
+            # expressions, so a projection expression may read a
+            # trailing-VALUES extension variable
+            sols = _join_values(sols, *q["values"])
         for _, e, alias in exprs:
             try:
                 sols = G.bind(sols, alias, e)
@@ -2375,6 +2439,13 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
     else:
         if q["having"]:
             raise SparqlError("HAVING without aggregation")
+        if q.get("values"):
+            # §18.2.4.3 before §18.2.4.4 (see the aggregated branch);
+            # extension bindings carry lexically-inferred shapes like
+            # every VALUES-introduced binding
+            sols = _join_values(sols, *q["values"])
+            sols = G.ensure_shape_companions(
+                sols, q["where"].get("_shape"))
         for _, e, alias in exprs:
             sols = G.bind(sols, alias, e)
         if q["star"]:
@@ -2393,14 +2464,6 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             # aliases interleave)
             project = [it[1] if it[0] == "var" else it[2]
                        for it in q["items"]]
-    if q.get("values"):
-        # SPARQL §18.2.4.3: the trailing VALUES joins AFTER grouping,
-        # aggregation and HAVING, before the solution modifiers; its
-        # extension variables are in scope, so SELECT * projects them
-        sols = _join_values(sols, *q["values"])
-        if q["star"]:
-            project += [n for n in q["values"][0]
-                        if n not in project]
     return G.select_solutions(
         sols, order_by=q["order_by"] or None, limit=q["limit"],
         offset=q["offset"] or 0, distinct=q["distinct"],

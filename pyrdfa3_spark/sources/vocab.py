@@ -62,7 +62,16 @@ def cached_vocab(spark: SparkSession, cache_dir: str, vocab_iri: str,
     if os.path.isdir(path):
         if os.path.isfile(meta_path):
             with open(meta_path) as fh:
-                expires = json.load(fh).get("expires")
+                meta = json.load(fh)
+            expires = meta.get("expires")
+            if expires is None and ttl_seconds is not None:
+                # the snapshot was written WITHOUT an expiry but this
+                # reader wants one: age it from its created stamp so
+                # a later TTL-enforcing deployment still refreshes
+                # (an unknown-age snapshot counts as expired)
+                created = meta.get("created")
+                expires = (t - 1 if created is None
+                           else created + ttl_seconds)
             if expires is None or t < expires:
                 return spark.read.parquet(path)
         elif ttl_seconds is None:

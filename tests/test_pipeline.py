@@ -212,3 +212,10 @@ def test_cached_vocab_ttl_refresh(spark, tmp_path):
     cached_vocab(spark, d, v2, loader, now=1000.0)
     cached_vocab(spark, d, v2, loader, now=10**12)
     assert calls.count(v2) == 1
+    # a snapshot written WITHOUT a ttl still ages when a later reader
+    # requests one, counting from its created stamp (1000): inside
+    # the window it serves, past it the loader re-runs
+    cached_vocab(spark, d, v2, loader, ttl_seconds=50, now=1040.0)
+    assert calls.count(v2) == 1
+    cached_vocab(spark, d, v2, loader, ttl_seconds=50, now=1051.0)
+    assert calls.count(v2) == 2

@@ -2288,17 +2288,29 @@ def test_review_r3_findings(spark):
 
 
 def test_operand_order_guard(kg):
-    """§18.2.2.6: OPTIONAL/MINUS preceding an operand that introduces
-    a variable the pass touches refuses instead of conjoining in the
-    wrong order."""
-    with pytest.raises(SparqlUnsupported, match="precedes"):
-        sparql(kg, """SELECT ?s WHERE {
-            ?s p:type ?x . OPTIONAL { ?s p:d ?y }
-            { ?s p:name ?y } UNION { ?s p:knows ?y } }""")
-    with pytest.raises(SparqlUnsupported, match="precedes"):
+    """§18.2.2.6 is positional: shapes the solver would execute in
+    the WRONG order refuse; shapes whose effective order matches the
+    syntax solve."""
+    # inline path: a simple OPTIONAL before a UNION executes
+    # optional-first — exactly the spec order — and the unbound ?y
+    # adopts the union bindings under §18.5
+    out = sorted(_rows(sparql(kg, """SELECT ?s WHERE {
+        ?s p:type ?x . OPTIONAL { ?s p:d ?y }
+        { ?s p:name ?y } UNION { ?s p:knows ?y } }""")))
+    assert out == [("a",), ("a",), ("b",), ("b",), ("b",)]
+    # MINUS before a later triples block that introduces ?y would
+    # execute AFTER it — refused
+    with pytest.raises(SparqlUnsupported, match="executes"):
         sparql(kg, """SELECT ?s WHERE {
             ?s p:type ?x . MINUS { ?s p:knows ?y }
             ?s p:name ?y }""")
+    # a COMPLEX optional before a UNION routes through the generic
+    # loop (union conjoins first) — refused
+    with pytest.raises(SparqlUnsupported, match="executes"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:type ?x .
+            OPTIONAL { ?s p:d ?y BIND(1 AS ?k) }
+            { ?s p:name ?y } UNION { ?s p:knows ?y } }""")
     # sharing only already-certain variables stays legal (commutes)
     out = sorted(_rows(sparql(kg, """SELECT DISTINCT ?s WHERE {
         ?s p:type ?x . OPTIONAL { ?s p:knows ?y }
@@ -2317,6 +2329,73 @@ def test_graph_inside_optional_with_dataset(spark):
                 OPTIONAL { GRAPH <urn:g2> { ?s p:y ?v }
                            BIND(1 AS ?k) } }"""))
     assert out == [("a", "2")]
+
+
+def test_review_r3_wave2_findings(spark):
+    """Second review wave over the round-3 diff."""
+    t = spark.createDataFrame(
+        [("a", "urn:p", "A"), ("b", "urn:p", "B"),
+         ("a", "urn:q", "x"), ("b", "urn:q", "y")],
+        ["subj", "pred", "obj"])
+    # 1: BIND-defined variables constrain EXISTS and MINUS (§18.2.2.2
+    # filters after Extend; MINUS after the binds it follows)
+    out = _rows(sparql(t, """SELECT ?s WHERE {
+        ?s <urn:p> ?o . BIND("x" AS ?v)
+        FILTER EXISTS { ?s <urn:q> ?v } }"""))
+    assert out == [("a",)]
+    out = _rows(sparql(t, """SELECT ?s WHERE {
+        ?s <urn:p> ?o . BIND("x" AS ?v)
+        MINUS { ?s <urn:q> ?v } }"""))
+    assert out == [("b",)]
+    # 2: in-group VALUES sharing an OPTIONAL-bound variable joins
+    # under §18.5 compatibility — the unbound solution adopts each
+    # row's binding instead of being dropped
+    t2 = spark.createDataFrame(
+        [("a", "urn:p", "A"), ("b", "urn:p", "B"),
+         ("a", "urn:q", "1")],
+        ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t2, """SELECT ?s ?o ?x WHERE {
+        ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?x }
+        VALUES ?x { "1" "2" } }""")))
+    assert out == [("a", "A", "1"), ("b", "B", "1"), ("b", "B", "2")]
+    # 4: a projection expression may read a trailing-VALUES extension
+    # variable (§18.2.4.3 Values before §18.2.4.4 Select expressions)
+    out = _rows(sparql(t2, """SELECT ?s (CONCAT(?v, "!") AS ?w)
+        WHERE { ?s <urn:p> ?o } VALUES ?v { "x" }"""))
+    assert sorted(out) == [("a", "x!"), ("b", "x!")]
+
+
+def test_review_r3_wave2_shaped(spark):
+    t = spark.createDataFrame(
+        [("a", "urn:p", "A", False, None, None)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_datatype string")
+    # 3: CONSTRUCT with a trailing-VALUES extension variable as a
+    # template object works on a shaped frame (lexically-inferred
+    # companions, not an unresolved-column crash)
+    out = sparql(t, """CONSTRUCT { ?s <urn:t> ?v }
+        WHERE { ?s <urn:p> ?o } VALUES ?v { "tagval" }""")
+    rows = [(r["subj"], r["pred"], r["obj"], r["obj_is_iri"])
+            for r in out.collect()]
+    assert rows == [("a", "urn:t", "tagval", False)]
+    # 5: VALUES bindings get the SAME lexically-inferred shape in the
+    # pattern-less nested form as in the sibling form
+    q1 = """SELECT ?s ?x WHERE { ?s <urn:p> ?o
+            VALUES (?o ?x) { ("A" "urn:u") } FILTER(ISIRI(?x)) }"""
+    q2 = """SELECT ?s ?x WHERE { ?s <urn:p> ?o .
+            { VALUES (?o ?x) { ("A" "urn:u") } } FILTER(ISIRI(?x)) }"""
+    assert _rows(sparql(t, q1)) == [("a", "urn:u")]
+    assert _rows(sparql(t, q2)) == [("a", "urn:u")]
+
+
+def test_operand_order_guard_values(kg):
+    """VALUES syntactically BEFORE an OPTIONAL it shares an uncertain
+    variable with refuses (the solver joins VALUES after inline
+    optionals), while the OPTIONAL-then-VALUES order solves."""
+    with pytest.raises(SparqlUnsupported, match="executes"):
+        sparql(kg, """SELECT ?s WHERE {
+            ?s p:type ?t . VALUES ?x { "b" }
+            OPTIONAL { ?s p:knows ?x } }""")
 
 
 def test_patternless_values_compat_join(kg):
