@@ -524,6 +524,7 @@ class _Parser:
         "SECONDS": "second({0})",
         "MD5": "md5({0})", "SHA1": "sha1({0})",
         "SHA256": "sha2({0}, 256)",
+        "SHA384": "sha2({0}, 384)", "SHA512": "sha2({0}, 512)",
         "ENCODE_FOR_URI": "url_encode({0})",
         # TZ of a dateTime literal's lexical form: trailing Z/offset,
         # '' when absent, per spec

@@ -64,6 +64,19 @@ def test_aggregates_group_concat_having(kg):
     assert out == [(8,)]
 
 
+def test_hash_builtins(kg):
+    import hashlib
+    out = _rows(sparql(kg, """SELECT (MD5(?n) AS ?h1)
+        (SHA1(?n) AS ?h2) (SHA256(?n) AS ?h3) (SHA384(?n) AS ?h4)
+        (SHA512(?n) AS ?h5) WHERE { ?x p:name "Ada" . ?x p:name ?n }"""))
+    b = b"Ada"
+    assert out == [(hashlib.md5(b).hexdigest(),
+                    hashlib.sha1(b).hexdigest(),
+                    hashlib.sha256(b).hexdigest(),
+                    hashlib.sha384(b).hexdigest(),
+                    hashlib.sha512(b).hexdigest())]
+
+
 def test_composite_aggregate_expressions(kg):
     """Aggregate calls inside expressions (§18.2.4.4): lifted into
     hidden aggregate items, the expression binding after grouping."""
