@@ -512,3 +512,27 @@ def test_conv_dedup_plan_shape(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "partial" in plan.lower() or "ObjectHashAggregate" in plan
+
+
+def test_compat_join_plan_no_cartesian(spark):
+    """The §18.5 compatibility machinery decomposes into equi-join
+    branches: a compat-heavy query (union-bound nullable variable
+    conjoined, then MINUS'd) must plan ZERO CartesianProducts — the
+    only non-equi branches are the all-unbound buckets, which appear
+    as bounded BroadcastNestedLoopJoins, never a shuffled cartesian."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    t = spark.createDataFrame(
+        [("s%d" % i, "p:knows" if i % 2 else "p:name",
+          "v%d" % i) for i in range(64)],
+        ["subj", "pred", "obj"])
+    out = sparql(t, """SELECT ?s WHERE {
+        ?s p:name ?x .
+        { ?s p:knows ?y . OPTIONAL { ?y p:name ?x } }
+        UNION { ?s p:type ?t }
+        MINUS { ?s p:knows ?x } }""")
+    simple = _plan(out, mode="simple")
+    assert "CartesianProduct" not in simple, simple
+    # every branch either hash-joins or is the bounded nested loop
+    assert ("BroadcastHashJoin" in simple
+            or "SortMergeJoin" in simple), simple
