@@ -433,6 +433,24 @@ def ensure_shape_companions(df: DataFrame, shape_vars) -> DataFrame:
     return df
 
 
+def repair_adopted_companions(df: DataFrame, shape_vars) -> DataFrame:
+    """After a §18.5 compatibility join ADOPTS a binding into a cell
+    whose companions were NULL (the unmatched-OPTIONAL shape), the
+    companions still say unknown — re-infer them lexically for rows
+    where the variable is bound but its shape companion is not.
+    Restricted by the caller to VALUES-introduced variables, whose
+    documented posture is lexical inference."""
+    for v in shape_vars or ():
+        iri, _lang, _dt = shape_names(v)
+        if v in df.columns and iri in df.columns:
+            df = df.withColumn(
+                iri,
+                F.when(F.col(iri).isNull() & F.col(v).isNotNull(),
+                       _lexical_is_iri(F.col(v)))
+                .otherwise(F.col(iri)))
+    return df
+
+
 def set_shape_companions(df: DataFrame, var: str,
                          shape: tuple) -> DataFrame:
     """Stamp a variable's companions with a KNOWN constant shape — a

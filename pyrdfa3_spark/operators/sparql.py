@@ -276,6 +276,9 @@ class _Parser:
         # aggregates are legal only in SELECT items / HAVING /
         # ORDER BY — an aggregate in FILTER or BIND is a parse error
         self._agg_allowed = False
+        # variables the most recent expression read (the BIND branch
+        # snapshots this for the operand-order ledger)
+        self._expr_vars: set[str] = set()
 
     # -- token plumbing ------------------------------------------------
     def peek(self, ahead: int = 0) -> tuple[str, str]:
@@ -666,6 +669,7 @@ class _Parser:
                 raise SparqlError(
                     "?__shape_* variable names are reserved for the "
                     "term-shape companion columns")
+            self._expr_vars.add(name)
             return name
         if k == "NUM":
             self.next()
@@ -906,7 +910,9 @@ class _Parser:
             elif self.take("KW", "BIND"):
                 self.eat("OP", "(")
                 self._last_ctor = None
+                self._expr_vars = set()
                 e = self.expr()
+                bind_reads = set(self._expr_vars)
                 # a term constructor (IRI / STRLANG / STRDT / UUID /
                 # BNODE / ...) as the WHOLE bind body stamps the
                 # target variable's term shape; nested uses lose it
@@ -960,7 +966,11 @@ class _Parser:
                              if rows and all(r[i] is not None
                                              for r in rows)}))
             for var, _e, _shp in g["binds"][n_before["binds"]:]:
-                seq.append(("bind", {var}, set()))
+                # the entry carries the TARGET and the expression's
+                # INPUT variables — Extend is positional for both (a
+                # later operand binding an input the bind read as
+                # unbound would change the extension)
+                seq.append(("bind", {var} | bind_reads, set()))
             for o in g["optionals"][n_before["optionals"]:]:
                 vs = (_group_vars(o["group"]) if "group" in o
                       else pat_vars(o["patterns"]))
@@ -989,11 +999,6 @@ class _Parser:
                  {"pats": 0, "graph": 1, "subq": 1, "union": 1,
                   "values": 1, "opt": 2, "bind": 3, "minus": 4})
         joins = {"pats", "graph", "subq", "union", "values"}
-        certain_at: list[set] = []
-        acc: set = set()
-        for kind, _vs, certain in seq:
-            certain_at.append(set(acc))
-            acc |= certain
         for i, (kind_a, vars_a, _ca) in enumerate(seq):
             for j in range(i + 1, len(seq)):
                 kind_b, vars_b, _cb = seq[j]
@@ -1001,7 +1006,19 @@ class _Parser:
                     continue  # joins commute
                 if slots[kind_b] >= slots[kind_a]:
                     continue  # executes in syntactic order
-                clash = sorted((vars_a & vars_b) - certain_at[i])
+                # the pair commutes when every shared variable is
+                # already certain at the earlier-EXECUTING member's
+                # run: supplied by join operands that precede the
+                # pair syntactically (k < j) and execute no later
+                # than B — joining on an everywhere-certain variable
+                # is order-free under §18.5
+                settled: set = set()
+                for k in range(j):
+                    kind_k, _vk, ck = seq[k]
+                    if (kind_k in joins
+                            and slots[kind_k] <= slots[kind_b]):
+                        settled |= ck
+                clash = sorted((vars_a & vars_b) - settled)
                 if clash:
                     raise SparqlUnsupported(
                         f"a {kind_a.upper()} operand precedes a "
@@ -1809,8 +1826,13 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                                        shape_vars=sv)
                     sols = _join_values(sols, names, rows)
                     # VALUES-introduced bindings carry lexically-
-                    # inferred shapes (same posture as bgp_values)
+                    # inferred shapes (same posture as bgp_values);
+                    # cells the compatibility join ADOPTED from a row
+                    # re-infer their stale NULL companions too
                     sols = G.ensure_shape_companions(sols, sv)
+                    sols = G.repair_adopted_companions(
+                        sols, [n for n in (sv or ())
+                               if n in set(names)])
                     for e in held:
                         sols = sols.filter(F.expr(e))
                 else:
@@ -1887,9 +1909,11 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         # the same posture bgp_values stamps, so the term-shape
         # builtins answer identically wherever the table appears
         # (restricted to the VALUES names: other operands' unknown-
-        # shape bindings keep their NULL companions)
-        sols = G.ensure_shape_companions(
-            sols, [n for n in (sv or ()) if n in set(names)])
+        # shape bindings keep their NULL companions); adopted cells
+        # re-infer stale NULL companions
+        tracked = [n for n in (sv or ()) if n in set(names)]
+        sols = G.ensure_shape_companions(sols, tracked)
+        sols = G.repair_adopted_companions(sols, tracked)
         acc_certain |= {n for i, n in enumerate(names)
                         if rows and all(r[i] is not None for r in rows)}
     if g["unions"]:
@@ -1930,7 +1954,7 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                 if outer_f:
                     body = {**body, "filters": inner_f}
                 opt = _solve_group(triples, body)
-                o_certain = _certain_vars(body)
+                o_certain = bvars  # filters don't affect certainty
                 opt_nullable = sorted(
                     c for c in opt.columns
                     if not c.startswith(G.SHAPE_PREFIX)
@@ -2236,6 +2260,9 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
             if shaped:
                 sols = G.ensure_shape_companions(sols,
                                                  frozenset(svars))
+                sols = G.repair_adopted_companions(
+                    sols, [n for n in svars
+                           if n in set(q["values"][0])])
         # template blank nodes (explicit _:b / [..]) mint fresh per
         # solution (§16.2.1)
         sols, template, minted = _mint_template_bnodes(sols, template)
@@ -2447,6 +2474,9 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
             sols = _join_values(sols, *q["values"])
             sols = G.ensure_shape_companions(
                 sols, q["where"].get("_shape"))
+            sols = G.repair_adopted_companions(
+                sols, [n for n in (q["where"].get("_shape") or ())
+                       if n in set(q["values"][0])])
         for _, e, alias in exprs:
             sols = G.bind(sols, alias, e)
         if q["star"]:

@@ -2401,6 +2401,37 @@ def test_review_r3_wave2_shaped(spark):
     assert _rows(sparql(t, q2)) == [("a", "urn:u")]
 
 
+def test_review_r3_wave3_findings(spark):
+    """Third review wave: guard precision + adopted-cell shapes."""
+    t = spark.createDataFrame(
+        [("a", "urn:p", "o1"), ("a", "urn:q", "z1")],
+        ["subj", "pred", "obj"])
+    # VALUES written before the patterns is idiomatic and commutes
+    # (the shared variable is certain via the patterns, which execute
+    # first regardless of syntax) — must NOT refuse
+    out = _rows(sparql(t, """SELECT ?s ?z WHERE {
+        VALUES ?s { "a" }
+        ?s <urn:p> ?o OPTIONAL { ?s <urn:q> ?z } }"""))
+    assert out == [("a", "z1")]
+    # a BIND reading a variable a LATER operand binds would extend
+    # with the wrong value — refused, not misanswered
+    with pytest.raises(SparqlUnsupported, match="executes"):
+        sparql(t, """SELECT ?s ?y WHERE {
+            ?s <urn:p> ?o . BIND(?x AS ?y) ?s <urn:q> ?x }""")
+    # a VALUES cell ADOPTED by an unmatched-OPTIONAL solution carries
+    # a lexically-inferred shape, not the stale NULL companion
+    t2 = spark.createDataFrame(
+        [("a", "urn:p", "A", False, None, None),
+         ("b", "urn:p", "B", False, None, None),
+         ("a", "urn:q", "urn:u", True, None, None)],
+        "subj string, pred string, obj string, obj_is_iri boolean, "
+        "obj_lang string, obj_datatype string")
+    out = sorted(_rows(sparql(t2, """SELECT ?s ?x WHERE {
+        ?s <urn:p> ?o . OPTIONAL { ?s <urn:q> ?x }
+        VALUES ?x { "urn:u" } FILTER(ISIRI(?x)) }""")))
+    assert out == [("a", "urn:u"), ("b", "urn:u")]
+
+
 def test_operand_order_guard_values(kg):
     """VALUES syntactically BEFORE an OPTIONAL it shares an uncertain
     variable with refuses (the solver joins VALUES after inline
