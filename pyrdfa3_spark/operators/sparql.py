@@ -66,9 +66,12 @@ compile them via ``F.expr``): ``&& || !``, comparisons, arithmetic,
 ``IN``, and the function set REGEX / STRSTARTS / STRENDS / CONTAINS /
 STRLEN / LCASE / UCASE / STR / BOUND / ABS / CEIL / FLOOR / ROUND /
 STRBEFORE / STRAFTER / SUBSTR / REPLACE / CONCAT / COALESCE / IF /
-YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS / MD5 / SHA1 / SHA256 /
-ENCODE_FOR_URI (variadics arity-checked; STRBEFORE/STRAFTER return ''
-on a missing needle per spec).  Term-shape builtins LANG /
+YEAR / MONTH / DAY / HOURS / MINUTES / SECONDS / TZ / TIMEZONE /
+MD5 / SHA1 / SHA256 / SHA384 / SHA512 / ENCODE_FOR_URI (variadics
+arity-checked; STRBEFORE/STRAFTER return '' on a missing needle per
+spec; TIMEZONE maps the lexical trailing zone to the canonical
+xsd:dayTimeDuration lexical, NULL — the spec's type error — when the
+value carries no zone).  Term-shape builtins LANG /
 LANGMATCHES / DATATYPE / ISIRI / ISURI / ISLITERAL / ISBLANK /
 ISNUMERIC are supported over plain variable arguments: the matcher
 binds each such variable with hidden ``__shape_*`` companion columns
@@ -757,6 +760,22 @@ class _Parser:
             sql = f"({lex})"
             self._last_ctor = (sql, shape)
             return sql
+        if k == "NAME" and v.upper() == "TIMEZONE":
+            # §17.4.5.7: the timezone as an xsd:dayTimeDuration.  The
+            # lexical term model reads the trailing Z/±HH:MM of the
+            # dateTime's lexical form; a zone-less value is the spec's
+            # type error, which compiles to NULL (FILTER drops the
+            # row, BIND leaves the target unbound — same posture as
+            # every other erroring builtin here).  As the whole BIND
+            # body it stamps the typed-literal shape, like STRDT.
+            self.next()
+            self.eat("OP", "(")
+            arg = self.expr()
+            self.eat("OP", ")")
+            sql = _timezone_sql(arg)
+            self._last_ctor = (
+                sql, (False, None, _XSD + "dayTimeDuration"))
+            return sql
         if k == "NAME" and v.upper() in _SHAPE_FNS:
             fn = v.upper()
             self.next()
@@ -1179,6 +1198,30 @@ def _require_simple(group: dict, where: str, filters_ok: bool = True):
                                 f"{where} groups")
 
 
+def _timezone_sql(arg: str) -> str:
+    """Compile TIMEZONE(expr) to a Spark SQL expression over the
+    dateTime LEXICAL form: trailing ``Z``/``±HH:MM`` becomes the
+    canonical ``xsd:dayTimeDuration`` lexical (``PT0S``, ``-PT5H``,
+    ``PT5H30M``); a zone-less lexical is NULL (the spec's type
+    error).  The same regexp family runs verbatim in DuckDB (RE2),
+    so oracles mirror it directly."""
+    zre = "'([+-])([0-9][0-9]):([0-9][0-9])$'"
+    sign = f"regexp_extract({arg}, {zre}, 1)"
+    hh = f"cast(regexp_extract({arg}, {zre}, 2) as int)"
+    mm = f"cast(regexp_extract({arg}, {zre}, 3) as int)"
+    return (
+        f"(CASE WHEN {arg} rlike 'Z$' THEN 'PT0S' "
+        f"WHEN {arg} rlike '[+-][0-9][0-9]:[0-9][0-9]$' THEN "
+        f"(CASE WHEN {hh} = 0 AND {mm} = 0 THEN 'PT0S' "
+        f"ELSE concat(CASE WHEN {sign} = '-' THEN '-' ELSE '' END, "
+        f"'PT', "
+        f"CASE WHEN {hh} > 0 THEN concat(cast({hh} as string), 'H') "
+        f"ELSE '' END, "
+        f"CASE WHEN {mm} > 0 THEN concat(cast({mm} as string), 'M') "
+        f"ELSE '' END) END) "
+        f"ELSE NULL END)")
+
+
 def _unquote(tok: str) -> str:
     """Decode SPARQL string escapes in one left-to-right pass, so an
     escaped backslash correctly consumes its backslash (``"C:\\\\user"``
@@ -1532,11 +1575,19 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
         else:
             inner = path[1] if isinstance(path[1], str) \
                 else materialize(path[1])
+            # text-surface closures use the doubling strategy: the
+            # query author can't pick per-call knobs here, and
+            # doubling's log2-depth rounds (2^20-deep graphs inside
+            # the default iteration budget) are the safe default for
+            # unknown-depth data; operator-level callers who know
+            # their graph is shallow keep semi-naive's smaller joins
             if kind == "plus":
-                edges = G.path_closure(work[0], inner, out_pred=name)
+                edges = G.path_closure(work[0], inner, out_pred=name,
+                                       strategy="doubling")
             elif kind == "star":
                 edges = G.path_zero_or_more(work[0], inner,
-                                            out_pred=name)
+                                            out_pred=name,
+                                            strategy="doubling")
             elif kind == "opt":
                 edges = G.path_zero_or_one(work[0], inner, name)
             elif kind == "inv":

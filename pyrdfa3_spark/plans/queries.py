@@ -2616,6 +2616,183 @@ FROM nation WHERE n_regionkey = 0
 """
 
 
+def q_sparql_path(spark, sf_dir):
+    """Property paths through the SPARQL *text* surface — sequence
+    (``locatedIn/memberOf``), alternation, and inverse (``^memberOf``)
+    nested inside it — over the geo KG.  Paths materialize as virtual
+    NUL-predicate edge sets unioned into the working frame
+    (operators/sparql.py::_expand_paths), so the BGP solver runs
+    unchanged; DISTINCT because path operators are duplicate-free per
+    §18.4 and the alternation's two branches could otherwise overlap."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT DISTINCT ?s ?label WHERE {{
+          ?s ex:locatedIn/ex:memberOf ?r .
+          ?r (ex:comment|^ex:memberOf/ex:name) ?label
+        }}
+    """)
+
+
+SQL_SPARQL_PATH = """
+WITH sup AS (
+  SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
+         n_regionkey AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+lab AS (
+  SELECT r_regionkey AS rk, r_name AS label
+  FROM region WHERE r_regionkey % 2 = 0
+  UNION ALL
+  SELECT n_regionkey, n_name FROM nation)
+SELECT DISTINCT sup.s AS s, lab.label AS label
+FROM sup JOIN lab ON sup.rk = lab.rk
+"""
+
+
+def q_sparql_path_closure(spark, sf_dir):
+    """A ``+`` closure through the SPARQL text surface over a
+    depth-25 ``ex:next`` chain (nation:k -> nation:k+1): the parser
+    hands the inner path to the semi-naive ``path_closure`` operator
+    (pointer-jumping iterations, localCheckpoint lineage truncation),
+    and the enclosing SELECT runs over the materialized virtual
+    edges.  The chain's closure has the closed form i<j, so the
+    oracle needs no recursive CTE."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    nation = _t(spark, sf_dir, "nation")
+    nxt = nation.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "next").alias("pred"),
+        F.concat(F.lit("nation:"),
+                 (F.col("n_nationkey") + 1).cast("string")).alias("obj"))
+    return sparql(nxt, f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?s ?o WHERE {{ ?s ex:next+ ?o }}
+    """)
+
+
+SQL_SPARQL_PATH_CLOSURE = """
+SELECT 'nation:' || CAST(a.n_nationkey AS VARCHAR) AS s,
+       'nation:' || CAST(b.n_nationkey AS VARCHAR) AS o
+FROM nation a JOIN nation b ON b.n_nationkey > a.n_nationkey
+"""
+
+
+def q_sparql_ask(spark, sf_dir):
+    """ASK through the text surface: a boolean single-row result
+    (rdflib's ``Graph.query('ASK ...')`` surface).  Plans as
+    ``LIMIT 1`` + count — the scan short-circuits on the first
+    matching solution, no full materialization."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        ASK {{ ?s ex:locatedIn ?n . ?n ex:name "FRANCE" }}
+    """)
+
+
+SQL_SPARQL_ASK = """
+SELECT EXISTS (
+  SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'FRANCE') AS result
+"""
+
+
+def q_sparql_agg_concat(spark, sf_dir):
+    """GROUP_CONCAT (with SEPARATOR and DISTINCT), SAMPLE, and
+    COUNT(DISTINCT) through the SPARQL text surface.  GROUP_CONCAT
+    sorts before joining (collect_set -> array_sort -> array_join) so
+    the result is deterministic and the oracle can mirror it with an
+    ordered string_agg; SAMPLE is the deterministic minimum."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?r (GROUP_CONCAT(DISTINCT ?name; SEPARATOR="|") AS ?names)
+               (SAMPLE(?name) AS ?one_name)
+               (COUNT(DISTINCT ?name) AS ?n_nations)
+        WHERE {{ ?n ex:name ?name . ?n ex:memberOf ?r }}
+        GROUP BY ?r
+    """)
+
+
+SQL_SPARQL_AGG_CONCAT = """
+SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS r,
+       string_agg(n_name, '|' ORDER BY n_name) AS names,
+       min(n_name) AS one_name,
+       CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_sparql_fn_datetime(spark, sf_dir):
+    """The dateTime builtins (TZ, TIMEZONE) over event-derived
+    dateTime LITERALS whose lexical forms cycle through the zone
+    spellings (Z, +05:30, -08:00, +00:00, zone-less).  TIMEZONE maps
+    the trailing zone to the canonical xsd:dayTimeDuration lexical
+    and NULLs the zone-less row (the spec's type error); TZ returns
+    the raw zone string ('' when absent).  Pure column algebra — one
+    scan, zero shuffle before the final agg-free projection."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    ev = _t(spark, sf_dir, "events")
+    zone = (F.when(F.col("event_id") % 5 == 0, F.lit("Z"))
+            .when(F.col("event_id") % 5 == 1, F.lit("+05:30"))
+            .when(F.col("event_id") % 5 == 2, F.lit("-08:00"))
+            .when(F.col("event_id") % 5 == 3, F.lit("+00:00"))
+            .otherwise(F.lit("")))
+    t = ev.select(
+        F.concat(F.lit("ev:"), F.col("event_id").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "at").alias("pred"),
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), zone)
+        .alias("obj"))
+    return sparql(t, f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?e ?tz (TIMEZONE(?t) AS ?dur)
+        WHERE {{ ?e ex:at ?t . BIND(TZ(?t) AS ?tz) }}
+    """)
+
+
+SQL_SPARQL_FN_DATETIME = """
+WITH t AS (
+  SELECT 'ev:' || CAST(event_id AS VARCHAR) AS e,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+         CASE event_id % 5 WHEN 0 THEN 'Z' WHEN 1 THEN '+05:30'
+              WHEN 2 THEN '-08:00' WHEN 3 THEN '+00:00'
+              ELSE '' END AS lex
+  FROM events)
+SELECT e,
+       regexp_extract(lex, '(Z|[+-][0-9][0-9]:[0-9][0-9])$', 1) AS tz,
+       CASE WHEN regexp_matches(lex, 'Z$') THEN 'PT0S'
+            WHEN regexp_matches(lex, '[+-][0-9][0-9]:[0-9][0-9]$') THEN
+              CASE WHEN CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 2) AS INT) = 0
+                    AND CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 3) AS INT) = 0
+                   THEN 'PT0S'
+                   ELSE
+              CASE WHEN regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 1) = '-'
+                   THEN '-' ELSE '' END || 'PT' ||
+              CASE WHEN CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 2) AS INT) > 0
+                   THEN CAST(CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 2) AS INT)
+                     AS VARCHAR) || 'H' ELSE '' END ||
+              CASE WHEN CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 3) AS INT) > 0
+                   THEN CAST(CAST(regexp_extract(lex,
+                     '([+-])([0-9][0-9]):([0-9][0-9])$', 3) AS INT)
+                     AS VARCHAR) || 'M' ELSE '' END
+              END
+            ELSE NULL END AS dur
+FROM t
+"""
+
+
 def q_bgp_values(spark, sf_dir):
     """SPARQL VALUES: an inline binding table constrains the solutions
     to three regions and extends them with a zone label; the
@@ -4543,15 +4720,25 @@ QUERIES = {
     "sparql_construct_group": q_sparql_construct_group,
     "sparql_graph": q_sparql_graph,
     "sparql_describe": q_sparql_describe,
-    "skolemize": q_skolemize,
+    "sparql_path": q_sparql_path,
+    "sparql_path_closure": q_sparql_path_closure,
+    "sparql_ask": q_sparql_ask,
+    "sparql_agg_concat": q_sparql_agg_concat,
+    "sparql_fn_datetime": q_sparql_fn_datetime,
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
-    "prototype_expand": q_prototype_expand,
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    # rows behind the 50-entry driver window: recorded
+    # driver-green in CORRECTNESS_r02 (prototype_expand,
+    # list_chain, minhash_signatures, ngram_jaccard) or
+    # covered by an in-window composite, and all still
+    # oracle-checked by scripts/check_oracles.py
+    "skolemize": q_skolemize,
+    "prototype_expand": q_prototype_expand,
     "list_chain": q_list_chain,
     "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     # serialize-only rows rotate behind the 50-entry
     # driver window: their roundtrip twins above cover
@@ -4702,6 +4889,11 @@ def oracles() -> dict[str, str]:
         "sparql_construct_group": SQL_SPARQL_CONSTRUCT_GROUP,
         "sparql_graph": SQL_SPARQL_GRAPH,
         "sparql_describe": SQL_SPARQL_DESCRIBE,
+        "sparql_path": SQL_SPARQL_PATH,
+        "sparql_path_closure": SQL_SPARQL_PATH_CLOSURE,
+        "sparql_ask": SQL_SPARQL_ASK,
+        "sparql_agg_concat": SQL_SPARQL_AGG_CONCAT,
+        "sparql_fn_datetime": SQL_SPARQL_FN_DATETIME,
         "bgp_match": SQL_BGP_MATCH,
         "bgp_optional": SQL_BGP_OPTIONAL,
         "graph_diff": SQL_GRAPH_DIFF,

@@ -2502,3 +2502,64 @@ def test_scalar_subquery_compat_join(kg):
         ?s p:type "Person" .
         { SELECT (COUNT(?x) AS ?c) WHERE { ?x p:knows ?y } } }""")))
     assert out == [("a", 3), ("b", 3)]
+
+
+def test_timezone_builtin(spark):
+    """TIMEZONE (§17.4.5.7): the trailing lexical zone maps to the
+    canonical xsd:dayTimeDuration lexical; a zone-less dateTime is the
+    spec's type error, compiled to NULL (unbound).  As the whole BIND
+    body it stamps the typed-literal shape, like STRDT."""
+    rows = [("e" + str(i), "p:at", lex) for i, lex in enumerate([
+        "2011-01-10T14:45:13Z",        # e0 -> PT0S
+        "2011-01-10T14:45:13-05:00",   # e1 -> -PT5H
+        "2011-01-10T14:45:13+05:30",   # e2 -> PT5H30M
+        "2011-01-10T14:45:13+00:00",   # e3 -> PT0S
+        "2011-01-10T14:45:13-00:30",   # e4 -> -PT30M
+        "2011-01-10T14:45:13",         # e5 -> type error (NULL)
+    ])]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = dict(_rows(sparql(t, """
+        SELECT ?e ?d WHERE { ?e p:at ?t . BIND(TIMEZONE(?t) AS ?d) }
+    """)))
+    assert out == {"e0": "PT0S", "e1": "-PT5H", "e2": "PT5H30M",
+                   "e3": "PT0S", "e4": "-PT30M", "e5": None}
+    # TZ twin: the raw zone string, '' when absent (never NULL)
+    tz = dict(_rows(sparql(t, """
+        SELECT ?e ?z WHERE { ?e p:at ?t . BIND(TZ(?t) AS ?z) }""")))
+    assert tz["e1"] == "-05:00" and tz["e5"] == ""
+    # constructor shape: the BIND target is a typed literal
+    shaped = _rows(sparql(t, """
+        SELECT ?e ?dt WHERE {
+          ?e p:at ?t . BIND(TIMEZONE(?t) AS ?d)
+          BIND(DATATYPE(?d) AS ?dt) FILTER(BOUND(?d))
+        } ORDER BY ?e LIMIT 1"""))
+    assert shaped == [
+        ("e0", "http://www.w3.org/2001/XMLSchema#dayTimeDuration")]
+    # FILTER propagation: the type error drops the row, per spec
+    kept = _rows(sparql(t, """
+        SELECT ?e WHERE { ?e p:at ?t FILTER(TIMEZONE(?t) = "PT0S") }
+        ORDER BY ?e"""))
+    assert kept == [("e0",), ("e3",)]
+
+
+def test_text_path_closure_deep_chain(spark):
+    """A 60-deep chain through the text surface's ``+``: the doubling
+    strategy closes it well inside the default iteration budget
+    (semi-naive's 20 rounds would refuse) — n*(n-1)/2 pairs."""
+    n = 60
+    t = spark.createDataFrame(
+        [(f"n{i}", "p:next", f"n{i+1}") for i in range(n - 1)],
+        ["subj", "pred", "obj"])
+    out = sparql(t, "SELECT ?s ?o WHERE { ?s p:next+ ?o }")
+    assert out.count() == n * (n - 1) // 2
+    star = sparql(t, "SELECT ?s ?o WHERE { ?s p:next* ?o }")
+    assert star.count() == n * (n - 1) // 2 + n  # + zero-length pairs
+
+
+def test_text_group_concat_separator_distinct(kg):
+    """GROUP_CONCAT with SEPARATOR and DISTINCT through the text
+    surface: sorted join, so the output is deterministic."""
+    out = sorted(_rows(sparql(kg, """
+        SELECT ?x (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?ns)
+        WHERE { ?x p:name ?n } GROUP BY ?x""")))
+    assert out == [("a", "Ada"), ("b", "Bob|Bobby")]
