@@ -175,3 +175,99 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 10
     assert out.select("fp").distinct().count() == 10
+
+
+def test_stream_near_dup_candidates_match_batch_buckets(spark, tmp_path):
+    """Streaming LSH candidates == the closed form over the batch
+    bucketing: per (band, bucket), every member except the first-seen
+    representative emits exactly one (rep, doc) row — including across
+    micro-batches, where the representative survives in the state
+    store and drop-2 arrivals link to the drop-1 rep."""
+    import datetime as dt
+
+    from pyrdfa3_spark.operators.dedup import _band_buckets
+    from pyrdfa3_spark.streaming.near_dup import (
+        near_dup_candidates_stream, stream_band_members,
+    )
+    from pyrdfa3_spark.streaming.stream_extract import run_to_completion
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def mk(i, text, minutes):
+        return (str(i), text, t0 + dt.timedelta(minutes=minutes))
+
+    fam_a = "the quick brown fox jumps over the lazy dog again and again"
+    fam_b = "completely different content about spark streaming state"
+    rows1 = [mk(1, fam_a, 0), mk(2, fam_a, 1), mk(3, fam_b, 2),
+             mk(4, "unique first-drop text with nothing shared", 3)]
+    rows2 = [mk(5, fam_a, 10), mk(6, fam_b, 11),
+             mk(7, "another unique text in the second drop", 12)]
+    schema = "doc_id string, text string, ts timestamp"
+    in_dir, out_dir, ckpt = (str(tmp_path / d)
+                             for d in ("in", "out", "ckpt"))
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        run_to_completion(near_dup_candidates_stream(stream), out_dir,
+                          ckpt)
+
+    drain(rows1)
+    drain(rows2)
+    streamed = {(r["band"], r["bucket"], r["rep_id"], r["doc_id"])
+                for r in spark.read.parquet(out_dir).collect()}
+
+    # closed form from the batch bucketing (identical md5/chunk
+    # algebra): per bucket, rep = earliest (ts, doc_id) member
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    members = stream_band_members(all_rows).collect()
+    order = {r[0]: i for i, r in enumerate(rows1 + rows2)}
+    buckets = {}
+    for r in members:
+        buckets.setdefault((r["band"], r["bucket"]), []).append(
+            r["doc_id"])
+    expected = set()
+    for (band, bucket), ids in buckets.items():
+        ids.sort(key=lambda d: order[d])
+        rep = ids[0]
+        expected |= {(band, bucket, rep, d) for d in ids[1:]}
+    assert streamed == expected
+    # the families actually collided (the test is not vacuous) and
+    # cross-batch state linked drop-2 docs to drop-1 representatives
+    assert any(r == "1" and d == "5" for _, _, r, d in streamed)
+    assert any(r == "3" and d == "6" for _, _, r, d in streamed)
+    # batch twin agreement: streaming buckets == batch _band_buckets
+    batch_members = {(r["doc_id"], r["band"], r["bucket"])
+                     for r in _band_buckets(
+                         all_rows.select(F.col("doc_id").cast("bigint")
+                                         .alias("doc_id"), "text"),
+                         k=5, n_hashes=8, bands=4).collect()}
+    stream_members = {(int(r["doc_id"]), r["band"], r["bucket"])
+                      for r in members}
+    assert stream_members == batch_members
+
+
+def test_stream_near_dup_drop(spark, tmp_path):
+    """Signature-level streaming dedup: one survivor per full-MinHash
+    family within the watermark."""
+    import datetime as dt
+
+    from pyrdfa3_spark.streaming.near_dup import near_dup_drop_stream
+    from pyrdfa3_spark.streaming.stream_extract import run_to_completion
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("1", "aaaa bbbb cccc dddd", t0),
+            ("2", "aaaa bbbb cccc dddd", t0 + dt.timedelta(minutes=1)),
+            ("3", "totally different words here", t0 +
+             dt.timedelta(minutes=2))]
+    schema = "doc_id string, text string, ts timestamp"
+    in_dir, out_dir, ckpt = (str(tmp_path / d)
+                             for d in ("nd_in", "nd_out", "nd_ckpt"))
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    run_to_completion(near_dup_drop_stream(stream), out_dir, ckpt)
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(out_dir).collect())
+    assert kept == ["1", "3"]
