@@ -536,3 +536,48 @@ def test_compat_join_plan_no_cartesian(spark):
     # every branch either hash-joins or is the bounded nested loop
     assert ("BroadcastHashJoin" in simple
             or "SortMergeJoin" in simple), simple
+
+
+def test_results_serializer_plans_scan_side(spark):
+    """Every SPARQL results serializer must be a single narrow
+    projection over the solutions frame: no shuffle, no Python
+    boundary, no join — result export at 100 TB runs at scan speed
+    (the 1-row header union adds a scan, never an Exchange)."""
+    from pyrdfa3_spark.operators.graphops import bgp_match
+    from pyrdfa3_spark.plans.results import (
+        to_results_csv, to_results_json_bindings, to_results_tsv,
+        to_results_xml_bindings,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    triples = df.selectExpr(
+        "concat('urn:n:', n_nationkey) AS subj",
+        "'urn:p:name' AS pred", "n_name AS obj",
+        "false AS obj_is_iri", "'en' AS obj_lang",
+        "CAST(NULL AS string) AS obj_datatype")
+    sols = bgp_match(triples, [("?s", "?p", "?o")], shape_vars={"o"})
+    for ser in (to_results_csv, to_results_tsv,
+                to_results_json_bindings, to_results_xml_bindings):
+        simple = _plan(ser(sols, columns=["s", "p", "o"]),
+                       mode="simple")
+        assert "Exchange" not in simple, (ser.__name__, simple)
+        assert "MapInArrow" not in simple and \
+            "MapInPandas" not in simple, (ser.__name__, simple)
+        assert "Join" not in simple, (ser.__name__, simple)
+
+
+def test_stream_signature_plan_in_row(spark):
+    """The streaming MinHash signature/banding stage is stateless
+    in-row algebra — run in batch mode it must show zero Exchange and
+    zero Python boundary (the same no-explode-no-shuffle shape the
+    batch signatures were rebuilt around in round 2)."""
+    import datetime as dt
+
+    from pyrdfa3_spark.streaming.near_dup import stream_band_members
+
+    docs = spark.createDataFrame(
+        [("1", "some text", dt.datetime(2026, 1, 1))],
+        "doc_id string, text string, ts timestamp")
+    simple = _plan(stream_band_members(docs), mode="simple")
+    assert "Exchange" not in simple, simple
+    assert "MapInArrow" not in simple and "MapInPandas" not in simple
