@@ -789,6 +789,19 @@ class RDFaProcessor:
         "property": "_term_curie_or_absuri", "role": "_term_curie_or_absuri",
     }
 
+    def _ctx_neutral(self, node: Node) -> bool:
+        """True when the element can neither change the evaluation
+        context nor emit anything on its own: no attributes at all
+        (so no RDFa attrs, no xml:base/lang/xmlns*/prefix/vocab, no
+        @role), not a tag the host transforms touch without attributes
+        (HTML5 <time> derives @datatype from its text, Atom <entry>
+        gains @typeof), and not an embedded rdf:RDF island (matched on
+        the tag alone under SVG/core hosts; <script> turtle islands
+        need a @type attribute, so attribute-free scripts are inert).
+        """
+        return (not node.attrs and node.tag not in ("time", "entry")
+                and not node.tag.endswith("RDF"))
+
     def get_uri(self, node: Node, ctx, attr: str):
         """Attribute -> IRI(s) dispatch (reference: pyRdfa/state.py:434-465)."""
         val = node.attrs.get(attr)
@@ -892,6 +905,20 @@ class RDFaProcessor:
     # ------------------------------------------------------------------ #
     def _node_1_1(self, node: Node, parent_object, ctx_in: EvalContext,
                   parent_incomplete: list):
+        if self._ctx_neutral(node):
+            # attribute-free element (the bulk of prose markup): every
+            # EvalContext field would inherit verbatim, no host
+            # transform / role / embedded-RDF path can fire (the tag
+            # guards in _ctx_neutral), and the element itself emits
+            # nothing — recurse with the PARENT context object instead
+            # of building a copy.  Safe because contexts are only
+            # mutated by the slow path of their OWN node (list_mapping
+            # reassignment), never by descendants, and ctx.new_list is
+            # read only by that same node's _materialize_lists.
+            for ch in node.element_children():
+                self._node_1_1(ch, parent_object, ctx_in,
+                               parent_incomplete)
+            return
         ctx = self._make_context(node, ctx_in)
         self._handle_role(node, ctx)
         if self._is_embedded_rdf(node, ctx):
@@ -1155,6 +1182,12 @@ class RDFaProcessor:
     # ------------------------------------------------------------------ #
     def _node_1_0(self, node: Node, parent_object, ctx_in: EvalContext,
                   parent_incomplete: list):
+        if self._ctx_neutral(node):
+            # same attribute-free fast path as _node_1_1 (see there)
+            for ch in node.element_children():
+                self._node_1_0(ch, parent_object, ctx_in,
+                               parent_incomplete)
+            return
         ctx = self._make_context(node, ctx_in)
         self._handle_role(node, ctx)
         if self._is_embedded_rdf(node, ctx):
