@@ -53,8 +53,13 @@ misparses — outside it):
   ``ADD|COPY|MOVE [SILENT] src TO dst`` (pure column ops on the quad
   frame — filter / relabel / pruned-slice anti-join, never a
   full-store shuffle), ``CREATE GRAPH`` (a no-op: graphs exist
-  exactly while they hold quads), and ``;``-separated operation
-  sequences (each may carry a fresh prologue).  On a quad frame the
+  exactly while they hold quads), ``LOAD [SILENT] <doc>
+  [INTO GRAPH <g>]`` (file paths / ``file://`` IRIs; format by
+  extension — N-Triples / N-Quads / JSON-LD-lines parse scan-side,
+  Turtle / TriG / RDF/XML as one document; set-semantics insert;
+  remote schemes raise — executors carry no network by design), and
+  ``;``-separated operation sequences (each may carry a fresh
+  prologue).  On a quad frame the
   default graph is the NULL graph rows; all set operations join
   null-safely via a sentinel key.  Functional semantics: the updated
   graph comes back as a new DataFrame — at lake scale the caller
@@ -227,7 +232,7 @@ _KEYWORDS = {
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
     "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
     "DEFAULT", "NAMED", "DROP", "CREATE", "ADD", "COPY", "MOVE", "TO",
-    "WITH", "SILENT", "FROM", "USING",
+    "WITH", "SILENT", "FROM", "USING", "LOAD", "INTO",
 }
 
 
@@ -2750,6 +2755,15 @@ def parse_update(text: str) -> list[dict]:
             p.eat("KW", "GRAPH")
             p.term(allow_var=False, allow_literal=False)
             ops.append({"op": "create"})
+        elif p.take("KW", "LOAD"):
+            silent = bool(p.take("KW", "SILENT"))
+            src = p.term(allow_var=False, allow_literal=False)
+            into = None
+            if p.take("KW", "INTO"):
+                p.eat("KW", "GRAPH")
+                into = p.term(allow_var=False, allow_literal=False)
+            ops.append({"op": "load", "src": src, "into": into,
+                        "silent": silent})
         elif (p.at("KW", "ADD") or p.at("KW", "COPY")
               or p.at("KW", "MOVE")):
             kind = p.next()[1].lower()
@@ -2937,6 +2951,154 @@ def _quad_minus(df: DataFrame, delta: DataFrame,
     return left.join(right, cond, "left_anti")
 
 
+def _set_insert(df: DataFrame, delta: DataFrame) -> DataFrame:
+    """Insert ``delta`` with RDF set semantics: re-adding an existing
+    triple is a NO-OP (rdflib semantics) — existing rows pass through
+    UNTOUCHED (their provenance survives; a delete-then-append would
+    replace them with NULL-provenance delta rows).  Zero corpus
+    shuffle: the matched keys are found with a map-side broadcast
+    semi-join (bounded by |delta| rows), then broadcast back to
+    anti-join the delta itself."""
+    from pyspark.sql import functions as F
+
+    key = _term_key(df, delta)
+    matched = (df.alias("_ins_l")
+               .join(F.broadcast(delta.select(*key).alias("_ins_r")),
+                     [F.col(f"_ins_l.{c}").eqNullSafe(
+                         F.col(f"_ins_r.{c}")) for c in key],
+                     "left_semi")
+               # dedup BEFORE broadcasting: a store carrying
+               # per-document provenance duplicates of one term key
+               # would otherwise broadcast one row per document —
+               # the distinct bounds the broadcast by |delta|, and
+               # its exchange shuffles only the matched rows, never
+               # the corpus (plan-guarded)
+               .select(*key).dropDuplicates())
+    fresh = delta.alias("_ins_d").join(
+        F.broadcast(matched.alias("_ins_m")),
+        [F.col(f"_ins_d.{c}").eqNullSafe(F.col(f"_ins_m.{c}"))
+         for c in key],
+        "left_anti")
+    return df.unionByName(fresh, allowMissingColumns=True)
+
+
+# LOAD source formats, by file extension: (reader kind, quads?)
+_LOAD_FORMATS = {
+    "nt": ("nt", False), "ntriples": ("nt", False),
+    "nq": ("nq", True), "nquads": ("nq", True),
+    "ttl": ("turtle", False), "turtle": ("turtle", False),
+    "trig": ("trig", True),
+    "rdf": ("rdfxml", False), "xml": ("rdfxml", False),
+    "owl": ("rdfxml", False),
+    "jsonld": ("jsonld", False), "json": ("jsonld", False),
+}
+
+
+def _load_document(spark, iri: str) -> tuple[DataFrame, bool]:
+    """Read the RDF document named by ``iri`` (file paths / ``file://``
+    IRIs only — executors carry no network by design, the lake twin of
+    the reference's live ``URIOpener`` fetch, pyRdfa/utils.py:44-95)
+    into a ``(subj, pred, obj, obj_is_iri, obj_lang, obj_datatype
+    [, graph])`` delta frame.  Format from the file extension (the
+    reference dispatches on media type the same way,
+    pyRdfa/host/__init__.py).  Raises :class:`SparqlError` on a
+    missing file, unsupported scheme/extension, or any ungrammatical
+    content (the raise-not-misparse discipline; ``LOAD SILENT``
+    converts the raise into a no-op).
+
+    Scale shape: N-Triples / N-Quads / JSON-LD-lines parse scan-side
+    (line-splittable, any size); the block formats (Turtle, TriG,
+    RDF/XML) parse as ONE document through the same Arrow-batched
+    reader the vocab pipeline uses — right for the dimension-sized
+    vocab/ontology documents LOAD exists for.
+
+    Returns ``(delta, has_graph_col)``.  Blank-node labels are
+    rewritten ``_:l<pathhash>...`` so repeated LOADs of distinct
+    documents can never collide with each other or with the store
+    (document-scoped labels, the extraction pipeline's skolemization
+    discipline)."""
+    import hashlib
+    import os
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    u = urlparse(iri)
+    if u.scheme == "file":
+        path = unquote(u.path)
+    elif u.scheme == "":
+        path = iri
+    else:
+        raise SparqlError(
+            f"LOAD {iri!r}: only file paths / file:// IRIs load "
+            "(executors carry no network by design — pre-fetch "
+            "remote documents into the lake)")
+    ext = path.rpartition(".")[2].lower()
+    fmt = _LOAD_FORMATS.get(ext)
+    if fmt is None:
+        raise SparqlError(
+            f"LOAD {iri!r}: unknown format extension {ext!r} "
+            f"(supported: {sorted(_LOAD_FORMATS)})")
+    if not os.path.exists(path):
+        raise SparqlError(f"LOAD {iri!r}: no such file {path!r}")
+    kind, has_graph = fmt
+    # deterministic per-source bnode scope (sha over the resolved path)
+    scope = hashlib.sha256(path.encode()).hexdigest()[:12]
+
+    def rescope(col):
+        return F.when(col.startswith("_:"),
+                      F.concat(F.lit(f"_:l{scope}"),
+                               F.substring(col, 3, 2 ** 30))
+                      ).otherwise(col)
+
+    if kind in ("nt", "nq"):
+        from pyrdfa3_spark.sources import ntriples as NTS
+        lines = spark.read.text(path)
+        bad = NTS.parse_errors(lines, col="value").limit(1).collect()
+        if bad:
+            raise SparqlError(
+                f"LOAD {iri!r}: ungrammatical statement "
+                f"{bad[0]['line'][:200]!r}")
+        if kind == "nq":
+            delta = NTS.parse_nquads(lines, col="value")
+        else:
+            # the shared error gate is quad-shaped; a 4-term line in a
+            # .nt file slips it but must not silently drop here
+            stray = (NTS.parse_nquads(lines, col="value")
+                     .filter(F.col("graph").isNotNull())
+                     .limit(1).collect())
+            if stray:
+                raise SparqlError(
+                    f"LOAD {iri!r}: N-Quads statement in an "
+                    f"N-Triples document (graph {stray[0]['graph']!r})")
+            delta = NTS.parse_ntriples(lines, col="value")
+    elif kind == "jsonld":
+        from pyrdfa3_spark.sources import jsonld as JLD
+        lines = spark.read.text(path)
+        bad = JLD.parse_errors(lines, col="value").limit(1).collect()
+        if bad:
+            raise SparqlError(
+                f"LOAD {iri!r}: unparsable JSON-LD line "
+                f"{bad[0]['line'][:200]!r}")
+        delta = JLD.parse_jsonld(lines, col="value")
+    else:  # block formats: one document, the rdfdocs reader
+        from pyrdfa3_spark.sources.rdfdocs import parse_rdf_documents
+        doc = (spark.read.text(path, wholetext=True)
+               .select(F.lit(0).cast("bigint").alias("doc_id"),
+                       F.col("value").alias("text")))
+        parsed = parse_rdf_documents(doc, fmt=kind, base=iri)
+        bad = (parsed.filter(F.col("error").isNotNull())
+               .limit(1).collect())
+        if bad:
+            raise SparqlError(f"LOAD {iri!r}: {bad[0]['error'][:300]}")
+        delta = parsed.drop("doc_id", "error")
+    delta = delta.withColumn("subj", rescope(F.col("subj")))
+    delta = delta.withColumn(
+        "obj", F.when(F.col("obj_is_iri"),
+                      rescope(F.col("obj"))).otherwise(F.col("obj")))
+    return delta, has_graph
+
+
 def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -2947,6 +3109,43 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
 
     if op["op"] == "create":
         return df
+    if op["op"] == "load":
+        if op["into"] is not None:
+            need_quads("LOAD .. INTO GRAPH")
+        try:
+            delta, delta_quads = _load_document(df.sparkSession,
+                                                op["src"])
+        except SparqlError:
+            if op["silent"]:
+                return df  # spec: SILENT converts failure to no-op
+            raise
+        if delta_quads and not quads:
+            need_quads(f"LOAD of a quad format ({op['src']!r})")
+        shape = [c for c in _SHAPE_COLS if c in df.columns]
+        if not shape:
+            # the DATA discipline: a tag a shapeless frame can't store
+            # must not silently become its plain lexical twin
+            tagged = (delta.filter(F.col("obj_lang").isNotNull()
+                                   | F.col("obj_datatype").isNotNull())
+                      .limit(1).collect())
+            if tagged:
+                raise SparqlUnsupported(
+                    f"LOAD {op['src']!r} carries tagged literals "
+                    f"(e.g. {tagged[0]['obj'][:80]!r}) — the store "
+                    "needs literal-shape columns (obj_is_iri/"
+                    "obj_lang/obj_datatype)")
+        if quads:
+            gval = op["into"]  # None = default graph, spec §3.1.3.4
+            delta = (delta.withColumn("graph",
+                                      F.lit(gval).cast("string"))
+                     if not delta_quads or gval is not None
+                     else delta)
+        elif delta_quads:  # unreachable (need_quads above); belt
+            delta = delta.drop("graph")
+        keep = (_TRIPLE_KEY + (["graph"] if quads else []) + shape)
+        # dedup AFTER the projection, like DATA: without shape columns
+        # an IRI <x> and a literal "x" collapse onto one lexical row
+        return _set_insert(df, delta.select(*keep).dropDuplicates())
     if op["op"] == "clear":
         kind, target = op["target"]
         if kind == "all" or (kind == "default" and not quads):
@@ -3016,32 +3215,7 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
                          *shape))
         if op["op"] == "delete_data":
             return _quad_minus(df, delta, broadcast_delta=True)
-        # INSERT DATA: re-adding an existing triple is a NO-OP (rdflib
-        # set semantics) — existing rows pass through UNTOUCHED (their
-        # provenance survives; the old delete-then-append replaced them
-        # with NULL-provenance delta rows).  Zero corpus shuffle: the
-        # matched keys are found with a map-side broadcast semi-join
-        # (bounded by |delta| rows), then broadcast back to anti-join
-        # the tiny delta itself.
-        key = _term_key(df, delta)
-        matched = (df.alias("_ins_l")
-                   .join(F.broadcast(delta.select(*key).alias("_ins_r")),
-                         [F.col(f"_ins_l.{c}").eqNullSafe(
-                             F.col(f"_ins_r.{c}")) for c in key],
-                         "left_semi")
-                   # dedup BEFORE broadcasting: a store carrying
-                   # per-document provenance duplicates of one term key
-                   # would otherwise broadcast one row per document —
-                   # the distinct bounds the broadcast by |delta|, and
-                   # its exchange shuffles only the matched rows, never
-                   # the corpus (plan-guarded)
-                   .select(*key).dropDuplicates())
-        fresh = delta.alias("_ins_d").join(
-            F.broadcast(matched.alias("_ins_m")),
-            [F.col(f"_ins_d.{c}").eqNullSafe(F.col(f"_ins_m.{c}"))
-             for c in key],
-            "left_anti")
-        return df.unionByName(fresh, allowMissingColumns=True)
+        return _set_insert(df, delta)
 
     # modify
     g = op["where"]

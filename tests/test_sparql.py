@@ -2563,3 +2563,137 @@ def test_text_group_concat_separator_distinct(kg):
         SELECT ?x (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?ns)
         WHERE { ?x p:name ?n } GROUP BY ?x""")))
     assert out == [("a", "Ada"), ("b", "Bob|Bobby")]
+
+
+# ------------------------------------------------------------------ #
+# SPARQL 1.1 UPDATE: LOAD
+# ------------------------------------------------------------------ #
+
+def _shaped(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+
+
+def test_update_load_ntriples(spark, tmp_path):
+    """LOAD of an N-Triples file: set-semantics insert, literal shape
+    preserved, per-source bnode rescope."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    nt = tmp_path / "dim.nt"
+    nt.write_text(
+        '<s1> <p> "lit"@en .\n'
+        '# comment\n'
+        '<s1> <p> <o1> .\n'
+        '_:b1 <p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        '<s2> <p> _:b1 .\n')
+    store = _shaped(spark, [("s1", "p", "o1", True, None, None),
+                            ("x", "p", "keep", False, None, None)])
+    out = update(store, f"LOAD <file://{nt}>")
+    rows = {(r.subj, r.pred, r.obj, r.obj_is_iri, r.obj_lang,
+             r.obj_datatype) for r in out.collect()}
+    assert ("s1", "p", "lit", False, "en", None) in rows
+    assert ("x", "p", "keep", False, None, None) in rows
+    # set semantics: <s1> <p> <o1> was already present
+    assert len(rows) == 2 + 3
+    # bnodes are rescoped per source document, subject AND object side
+    bsubj = [r for r in rows if r[0].startswith("_:l")]
+    bobj = [r for r in rows if r[3] and r[2].startswith("_:l")]
+    assert len(bsubj) == 1 and len(bobj) == 1
+    assert bsubj[0][0] == bobj[0][2]  # same label, same rescope
+
+    # loading the same file again adds nothing (RDF set semantics)
+    assert update(out, f"LOAD <{nt}>").count() == out.count()
+
+
+def test_update_load_turtle_into_graph(spark, tmp_path):
+    """Block-format LOAD INTO GRAPH on a quad store; prefixes resolve
+    inside the document, all triples land in the target graph."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    ttl = tmp_path / "vocab.ttl"
+    ttl.write_text(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:a ex:knows ex:b .\n"
+        'ex:a ex:name "Ada" .\n')
+    q = spark.createDataFrame(
+        [("s", "p", "o", None, True, None, None)],
+        "subj string, pred string, obj string, graph string, "
+        "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    out = update(q, f"LOAD <file://{ttl}> INTO GRAPH <urn:vocab>")
+    got = {(r.subj, r.pred, r.obj, r.graph) for r in out.collect()}
+    assert ("http://ex.org/a", "http://ex.org/knows",
+            "http://ex.org/b", "urn:vocab") in got
+    assert ("http://ex.org/a", "http://ex.org/name",
+            "Ada", "urn:vocab") in got
+    assert ("s", "p", "o", None) in got
+    # without INTO the default (NULL) graph receives the triples
+    dflt = update(q, f"LOAD <file://{ttl}>")
+    assert dflt.filter("graph IS NULL").count() == 3
+
+
+def test_update_load_failure_modes(spark, tmp_path):
+    """Missing file / remote scheme / unknown extension raise;
+    SILENT converts each to a no-op; INTO GRAPH needs a quad frame;
+    tagged literals refuse a shapeless store; quad lines refuse a
+    .nt document."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    store = _shaped(spark, [("s", "p", "o", True, None, None)])
+    plain = spark.createDataFrame([("s", "p", "o")],
+                                  ["subj", "pred", "obj"])
+
+    for bad in (f"LOAD <file://{tmp_path}/absent.nt>",
+                "LOAD <http://example.org/remote.nt>",
+                f"LOAD <file://{tmp_path}/absent.xyz>"):
+        with pytest.raises(SparqlError):
+            update(store, bad)
+        silent = bad.replace("LOAD ", "LOAD SILENT ")
+        assert update(store, silent).count() == 1  # no-op
+
+    with pytest.raises(SparqlError):  # INTO needs a quad frame
+        nt = tmp_path / "a.nt"
+        nt.write_text("<s> <p> <o> .\n")
+        update(store, f"LOAD <{nt}> INTO GRAPH <urn:g>")
+
+    tagged = tmp_path / "tagged.nt"
+    tagged.write_text('<s> <p> "x"@en .\n')
+    with pytest.raises(SparqlUnsupported):
+        update(plain, f"LOAD <{tagged}>")
+    plain_nt = tmp_path / "plain.nt"
+    plain_nt.write_text('<s> <p> "just lexical" .\n')
+    assert update(plain, f"LOAD <{plain_nt}>").count() == 2
+
+    quadline = tmp_path / "quads.nt"
+    quadline.write_text("<s> <p> <o> <urn:g> .\n")
+    with pytest.raises(SparqlError):
+        update(store, f"LOAD <{quadline}>")
+    # garbage object term is a parse error, not a silent drop
+    junk = tmp_path / "junk.nt"
+    junk.write_text("<s> <p> junk .\n")
+    with pytest.raises(SparqlError):
+        update(store, f"LOAD <{junk}>")
+
+
+def test_update_load_nquads_and_sequence(spark, tmp_path):
+    """LOAD of an N-Quads file onto a quad store keeps the document's
+    graph terms; INTO GRAPH overrides them; LOAD composes in
+    ';'-sequences."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    nq = tmp_path / "d.nq"
+    nq.write_text("<s1> <p> <o1> <urn:g1> .\n<s2> <p> <o2> .\n")
+    q = spark.createDataFrame(
+        [("x", "p", "y", None)],
+        "subj string, pred string, obj string, graph string")
+    out = update(q, f"LOAD <{nq}>")
+    got = {(r.subj, r.graph) for r in out.collect()}
+    assert ("s1", "urn:g1") in got and ("s2", None) in got
+    redirected = update(q, f"LOAD <{nq}> INTO GRAPH <urn:all>")
+    assert {r.graph for r in redirected.collect()} == {None, "urn:all"}
+    # quad format refuses a triple store
+    with pytest.raises(SparqlError):
+        update(q.drop("graph"), f"LOAD <{nq}>")
+    seq = update(q, f"CLEAR ALL ; LOAD <{nq}> ; "
+                    "DELETE DATA { GRAPH <urn:g1> { <s1> <p> <o1> } }")
+    assert {(r.subj, r.graph) for r in seq.collect()} == {("s2", None)}
