@@ -76,7 +76,12 @@ MD5 / SHA1 / SHA256 / SHA384 / SHA512 / ENCODE_FOR_URI (variadics
 arity-checked; STRBEFORE/STRAFTER return '' on a missing needle per
 spec; TIMEZONE maps the lexical trailing zone to the canonical
 xsd:dayTimeDuration lexical, NULL — the spec's type error — when the
-value carries no zone).  Term-shape builtins LANG /
+value carries no zone).  The §17.5 XPath constructor casts
+``xsd:integer / decimal / float / double / string / boolean /
+dateTime (expr)`` validate + canonicalize the lexical form (invalid
+lexicals are the XPath type error -> NULL -> unbound) and stamp the
+result's typed-literal shape; any OTHER IRI applied to arguments is
+a custom extension function and refuses.  Term-shape builtins LANG /
 LANGMATCHES / DATATYPE / ISIRI / ISURI / ISLITERAL / ISBLANK /
 ISNUMERIC are supported over plain variable arguments: the matcher
 binds each such variable with hidden ``__shape_*`` companion columns
@@ -691,6 +696,25 @@ class _Parser:
         if k == "IRI" or k == "PNAME":
             self.next()
             iri = v[1:-1] if k == "IRI" else self._expand_pname(v)
+            if self.at("OP", "("):
+                # iriOrFunction: an IRI applied to arguments is the
+                # §17.5 XPath constructor-function call (xsd:integer(
+                # ?x) ...); anything else is a custom extension
+                # function this engine honestly refuses rather than
+                # treating the IRI as a constant and misparsing
+                if iri in _XSD_CAST:
+                    self.eat("OP", "(")
+                    arg = self.expr()
+                    if self.take("OP", ","):
+                        raise SparqlError(
+                            f"<{iri}> takes 1 argument(s), got 2+")
+                    self.eat("OP", ")")
+                    sql, shape = _xsd_cast_sql(iri, arg)
+                    self._last_ctor = (sql, shape)
+                    return sql
+                raise SparqlUnsupported(
+                    f"extension function call <{iri}> (only the "
+                    "xsd:* constructor casts of §17.5 are built in)")
             return _sql_str(iri)
         if k == "NAME" and v.upper() == "REGEX":
             self.next()
@@ -1225,6 +1249,76 @@ def _timezone_sql(arg: str) -> str:
         f"CASE WHEN {mm} > 0 THEN concat(cast({mm} as string), 'M') "
         f"ELSE '' END) END) "
         f"ELSE NULL END)")
+
+
+# §17.5 XPath constructor functions (the SPARQL operator-mapping
+# table's cast set): target datatype -> lexical validation + canonical-
+# ization over the lexical term model.  All values here are STRINGS
+# (the store carries lexical forms); a failed cast is the XPath type
+# error, which compiles to NULL -> FILTER drops the row / BIND leaves
+# the target unbound, the same posture as every other erroring builtin.
+_XSD_CAST = frozenset(
+    _XSD + t for t in ("integer", "decimal", "float", "double",
+                       "string", "boolean", "dateTime"))
+
+_INT_LEX = "'^[+-]?[0-9]+$'"
+_DEC_LEX = "'^[+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)$'"
+_DBL_LEX = ("'^([+-]?([0-9]+([.][0-9]*)?|[.][0-9]+)"
+            "([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$'")
+_DT_LEX = ("'^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}"
+           "T[0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?"
+           "(Z|[+-][0-9]{2}:[0-9]{2})?$'")
+
+
+def _xsd_cast_sql(iri: str, arg: str) -> tuple[str, tuple]:
+    """Compile ``xsd:T(expr)`` to (sql, result term shape).  Numeric
+    results read back as canonical-ish lexical forms (sign/leading-
+    zero-stripped integers and decimals; float/double use the JVM's
+    shortest-round-trip rendering, e.g. ``100.0`` / ``1.0E20``, with
+    INF/NaN mapped to the XPath spellings — documented deviation from
+    strict XPath canonical mantissa-exponent form).  Out-of-range
+    integers/decimals (>38 digits) overflow to NULL via try_cast
+    rather than silently wrapping."""
+    t = iri[len(_XSD):]
+    if t == "string":
+        # the lexical form AS a simple literal (^^xsd:string IS the
+        # simple literal in this engine's shape model, like in terms)
+        return f"cast({arg} as string)", (False, None, None)
+    shape = (False, None, iri)
+    if t == "boolean":
+        body = ("CASE WHEN __c IN ('true', '1') THEN 'true' "
+                "WHEN __c IN ('false', '0') THEN 'false' "
+                "ELSE CAST(NULL AS STRING) END")
+    elif t == "integer":
+        # regex first: Spark's decimal cast ROUNDS '3.2' -> 3, but
+        # XPath's string->integer cast requires an integral lexical
+        body = (f"CASE WHEN __c RLIKE {_INT_LEX} "
+                "THEN cast(try_cast(__c AS DECIMAL(38,0)) AS STRING) "
+                "ELSE CAST(NULL AS STRING) END")
+    elif t == "decimal":
+        norm = "cast(try_cast(__c AS DECIMAL(38,18)) AS STRING)"
+        # strip the fixed-scale rendering's trailing zeros, then a
+        # bare trailing point ('3.200000..' -> '3.2', '3.000..' -> '3')
+        norm = (f"regexp_replace(regexp_replace({norm}, "
+                f"'([.][0-9]*?)0+$', '$1'), '[.]$', '')")
+        body = (f"CASE WHEN __c RLIKE {_DEC_LEX} THEN {norm} "
+                "ELSE CAST(NULL AS STRING) END")
+    elif t in ("float", "double"):
+        val = ("try_cast(CASE WHEN __c RLIKE '^[+-]?INF$' "
+               "THEN replace(__c, 'INF', 'Infinity') "
+               "ELSE __c END AS DOUBLE)")
+        out = (f"replace(cast({val} AS STRING), "
+               "'Infinity', 'INF')")
+        body = (f"CASE WHEN __c RLIKE {_DBL_LEX} THEN {out} "
+                "ELSE CAST(NULL AS STRING) END")
+    else:  # dateTime: validated pass-through of the lexical form
+        body = (f"CASE WHEN __c RLIKE {_DT_LEX} THEN __c "
+                "ELSE CAST(NULL AS STRING) END")
+    # the lambda binds the argument once (see _iri_fn_sql): CASE may
+    # read it several times without re-evaluating nondeterministic or
+    # expensive argument expressions
+    return (f"(transform(array(cast({arg} as string)), "
+            f"__c -> {body})[0])"), shape
 
 
 def _unquote(tok: str) -> str:

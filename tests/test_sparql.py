@@ -2697,3 +2697,92 @@ def test_update_load_nquads_and_sequence(spark, tmp_path):
     seq = update(q, f"CLEAR ALL ; LOAD <{nq}> ; "
                     "DELETE DATA { GRAPH <urn:g1> { <s1> <p> <o1> } }")
     assert {(r.subj, r.graph) for r in seq.collect()} == {("s2", None)}
+
+
+# ------------------------------------------------------------------ #
+# §17.5 XPath constructor functions (xsd:* casts)
+# ------------------------------------------------------------------ #
+
+def test_xsd_cast_integer_decimal(spark):
+    """xsd:integer / xsd:decimal over the lexical term model: valid
+    lexicals canonicalize (sign/zero-stripped), invalid ones are the
+    XPath type error -> NULL -> unbound."""
+    rows = [("e" + str(i), "p:v", lex) for i, lex in enumerate(
+        ["007", "-0", "3.2", "abc", "+42", ".5", "3.2000", "3.000"])]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = dict(_rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?e ?i WHERE { ?e p:v ?v . BIND(xsd:integer(?v) AS ?i) }
+    """)))
+    assert out == {"e0": "7", "e1": "0", "e2": None, "e3": None,
+                   "e4": "42", "e5": None, "e6": None, "e7": None}
+    dec = dict(_rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?e ?d WHERE { ?e p:v ?v . BIND(xsd:decimal(?v) AS ?d) }
+    """)))
+    assert dec == {"e0": "7", "e1": "0", "e2": "3.2", "e3": None,
+                   "e4": "42", "e5": "0.5", "e6": "3.2", "e7": "3"}
+    # constructor shape: DATATYPE reads the stamped result type
+    shaped = _rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?dt WHERE {
+          ?e p:v ?v . BIND(xsd:integer(?v) AS ?i)
+          BIND(DATATYPE(?i) AS ?dt) FILTER(BOUND(?i))
+        } LIMIT 1"""))
+    assert shaped == [("http://www.w3.org/2001/XMLSchema#integer",)]
+
+
+def test_xsd_cast_filter_comparison(spark):
+    """The FILTER use: a numeric cast makes the comparison numeric
+    (lexical '10' > '9' is false as strings, true through the cast);
+    an uncastable lexical is a type error and drops the row."""
+    t = spark.createDataFrame(
+        [("a", "p:age", "10"), ("b", "p:age", "9"),
+         ("c", "p:age", "n/a")], ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s p:age ?a
+          FILTER(xsd:integer(?a) >= 10) }""")))
+    assert out == [("a",)]
+    out = sorted(_rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s WHERE { ?s p:age ?a
+          FILTER(xsd:integer(?a) < 100) }""")))
+    assert out == [("a",), ("b",)]  # 'n/a' errors out, never matches
+
+
+def test_xsd_cast_boolean_double_datetime_string(spark):
+    """The remaining §17.5 casts: boolean lexical set, double incl.
+    INF/NaN spellings, dateTime validated pass-through, string as the
+    simple-literal identity."""
+    t = spark.createDataFrame([("e", "p:v", "x")], ["subj", "pred", "obj"])
+
+    def one(expr):
+        return _rows(sparql(t, f"""PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?r WHERE {{ ?e p:v ?v . BIND({expr} AS ?r) }}"""))[0][0]
+
+    assert one('xsd:boolean("1")') == "true"
+    assert one('xsd:boolean("false")') == "false"
+    assert one('xsd:boolean("yes")') is None
+    assert one('xsd:double("1e2")') == "100.0"
+    assert one('xsd:double("-INF")') == "-INF"
+    assert one('xsd:double("NaN")') == "NaN"
+    assert one('xsd:double("1.5e")') is None
+    assert one('xsd:float("2.5")') == "2.5"
+    assert one('xsd:dateTime("2011-01-10T14:45:13Z")') == \
+        "2011-01-10T14:45:13Z"
+    assert one('xsd:dateTime("2011-01-10")') is None
+    assert one('xsd:string(?v)') == "x"
+    # string result is the SIMPLE literal: DATATYPE reads xsd:string
+    # (RDF 1.1 simple-literal identity, same as the shape model)
+    got = _rows(sparql(t, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?dt WHERE { ?e p:v ?v . BIND(xsd:string(?v) AS ?s)
+                           BIND(DATATYPE(?s) AS ?dt) }"""))
+    assert got == [("http://www.w3.org/2001/XMLSchema#string",)]
+
+
+def test_extension_function_call_refuses(kg):
+    """An IRI applied to arguments that is NOT a §17.5 cast is a
+    custom extension function: honest refusal, never a misparse."""
+    with pytest.raises(SparqlUnsupported, match="extension function"):
+        sparql(kg, """SELECT ?s WHERE { ?s p:name ?n
+            FILTER(<http://ex.org/fn>(?n) > 1) }""")
+    with pytest.raises(SparqlError, match="argument"):
+        sparql(kg, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?s WHERE { ?s p:name ?n
+            FILTER(xsd:integer(?n, ?n) > 1) }""")
