@@ -24,4 +24,4 @@ Architecture (NOT a port):
 __version__ = "0.1.0"
 
 from pyrdfa3_spark.functions.constants import RDF, RDFA, XSD  # noqa: F401
-from pyrdfa3_spark.graph import SparkGraph  # noqa: F401
+from pyrdfa3_spark.graph import SparkDataset, SparkGraph  # noqa: F401

@@ -425,3 +425,239 @@ class SparkGraph:
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None).cast("string"))
         return df
+
+
+_QUAD_COLS = ("subj", "pred", "obj", "graph")
+
+
+class SparkDataset:
+    """rdflib ``Dataset`` / ``ConjunctiveGraph`` twin over a QUAD frame.
+
+    The reference's consumers keep per-document graphs side by side
+    (pyRdfa's output/processor graph split, and rdflib apps generally
+    work on ``Dataset``/``ConjunctiveGraph`` stores); this facade is
+    that surface over one ``(subj, pred, obj[, shape cols], graph)``
+    frame, where ``graph IS NULL`` marks the default graph — the same
+    layout every quad operator in this package uses, so a
+    graph-partitioned lake table prunes partitions on every
+    constant-graph access.
+
+    ``default_union`` picks the rdflib class being mirrored:
+    False (the default, like ``rdflib.Dataset``) scopes plain query
+    patterns to the default graph; True (``ConjunctiveGraph``) lets
+    them match the union of all graphs.  Everything is functional —
+    mutators return a NEW dataset (the lake's copy-on-write table
+    version), exactly like :class:`SparkGraph`.
+    """
+
+    def __init__(self, df: DataFrame, namespaces: dict | None = None,
+                 default_union: bool = False):
+        missing = [c for c in _PATTERN_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"quad frame lacks columns {missing}")
+        if "graph" not in df.columns:
+            # a plain triples frame IS a dataset holding only the
+            # default graph
+            df = df.withColumn("graph", F.lit(None).cast("string"))
+        self.df = df
+        self._ns = dict(namespaces or {})
+        self.default_union = bool(default_union)
+
+    def _derive(self, df: DataFrame) -> "SparkDataset":
+        return SparkDataset(df, self._ns, self.default_union)
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark, default_union: bool = False) -> "SparkDataset":
+        return cls(spark.createDataFrame(
+            [], "subj string, pred string, obj string, graph string"),
+            default_union=default_union)
+
+    # -- graph access ---------------------------------------------------
+
+    def graph(self, identifier: str | None = None) -> SparkGraph:
+        """rdflib ``Dataset.graph``: the named graph ``identifier`` (or
+        the default graph for ``None``) as a :class:`SparkGraph`.  One
+        scan-side equality/IS NULL filter — partition-pruned on a
+        graph-partitioned table.  The slice keeps the literal-shape
+        columns and the dataset's namespace bindings."""
+        cond = (F.col("graph").isNull() if identifier is None
+                else F.col("graph") == identifier)
+        return SparkGraph(self.df.filter(cond).drop("graph"), self._ns)
+
+    def default_graph(self) -> SparkGraph:
+        return self.graph(None)
+
+    def contexts(self) -> DataFrame:
+        """rdflib ``contexts()``: the named-graph identifiers as a
+        1-column ``graph`` frame (the default graph is always present
+        by construction, so only NAMED graphs are listed — rdflib's
+        Dataset behaves the same via its default-graph sentinel)."""
+        return (self.df.select("graph")
+                .filter(F.col("graph").isNotNull()).dropDuplicates())
+
+    def quads(self, pattern=(None, None, None, None)) -> DataFrame:
+        """``dataset.quads((s, p, o, g))`` with ``None`` wildcards on
+        the term positions; the GRAPH position additionally takes the
+        sentinel ``SparkDataset.DEFAULT`` to select only default-graph
+        rows (a bare ``None`` there is a wildcard, like rdflib)."""
+        out = self.df
+        for col, term in zip(_QUAD_COLS, pattern):
+            if term is self.DEFAULT:
+                out = out.filter(F.col(col).isNull())
+            elif term is not None:
+                out = out.filter(F.col(col) == term)
+        return out
+
+    #: quads() graph-position sentinel: "exactly the default graph"
+    DEFAULT = object()
+
+    def __contains__(self, statement) -> bool:
+        if len(statement) == 3:
+            statement = (*statement, None)
+        return not self.quads(statement).isEmpty()
+
+    def __len__(self) -> int:
+        """Distinct quads across all graphs (a triple present in two
+        graphs counts twice, matching rdflib's per-context counting).
+        A Spark action."""
+        return (self.df.select(*_QUAD_COLS).dropDuplicates().count())
+
+    # -- mutation (functional) -------------------------------------------
+
+    def add(self, quad) -> "SparkDataset":
+        s, p, o, g = quad
+        row = self.df.sparkSession.createDataFrame(
+            [(s, p, o, g)],
+            "subj string, pred string, obj string, graph string")
+        return self._derive(self.df.unionByName(
+            row, allowMissingColumns=True))
+
+    def remove(self, pattern) -> "SparkDataset":
+        """``None`` wildcards over (s, p, o, g); ``DEFAULT`` in the
+        graph position scopes the removal to the default graph.  An
+        anti-filter — zero shuffle."""
+        keep = None
+        for col, term in zip(_QUAD_COLS, pattern):
+            if term is self.DEFAULT:
+                c = F.col(col).isNotNull()
+            elif term is not None:
+                c = ~F.col(col).eqNullSafe(term)
+            else:
+                continue
+            keep = c if keep is None else keep | c
+        if keep is None:
+            return self._derive(self.df.filter(F.lit(False)))
+        return self._derive(self.df.filter(keep))
+
+    def add_graph(self, identifier: str,
+                  graph: SparkGraph) -> "SparkDataset":
+        """Union ``graph``'s triples in under ``identifier`` (rdflib's
+        ``add_graph`` + bulk ``addN`` in one step — the mutable
+        graph-handle idiom doesn't survive immutability, so the bulk
+        form IS the API)."""
+        labeled = graph.df.withColumn("graph", F.lit(identifier))
+        return self._derive(self.df.unionByName(
+            labeled, allowMissingColumns=True))
+
+    def remove_graph(self, identifier: str | None) -> "SparkDataset":
+        cond = (F.col("graph").isNotNull() if identifier is None
+                else ~F.col("graph").eqNullSafe(identifier))
+        return self._derive(self.df.filter(cond))
+
+    # -- namespaces -------------------------------------------------------
+
+    def bind(self, prefix: str, namespace: str) -> "SparkDataset":
+        return SparkDataset(self.df, {**self._ns, prefix: namespace},
+                            self.default_union)
+
+    def namespaces(self):
+        return list(self._ns.items())
+
+    # -- query / update ----------------------------------------------------
+
+    def query(self, text: str) -> DataFrame:
+        """SPARQL over the dataset: plain patterns scope per
+        ``default_union`` (rdflib Dataset vs ConjunctiveGraph posture);
+        GRAPH / FROM / FROM NAMED work either way."""
+        from pyrdfa3_spark.operators.sparql import sparql
+
+        return sparql(self.df, text,
+                      union_default=self.default_union)
+
+    def update(self, text: str) -> "SparkDataset":
+        """SPARQL 1.1 UPDATE over the quad store (GRAPH blocks, WITH,
+        USING, graph management CLEAR/DROP/ADD/COPY/MOVE/LOAD..INTO).
+        Functional — returns the next table version."""
+        from pyrdfa3_spark.operators.sparql import update as _update
+
+        return self._derive(_update(self.df, text))
+
+    # -- serialization -------------------------------------------------------
+
+    def serialize(self, format: str = "nquads") -> DataFrame:
+        """Quad sinks: ``nquads`` (line frame) or ``trig`` (block
+        frame, per-graph ``{ }`` groups).  Triple formats belong to the
+        per-graph facade: ``dataset.graph(g).serialize(...)``."""
+        from pyrdfa3_spark.plans import serialize as S
+
+        fmt = format.lower().replace("-", "")
+        df = SparkGraph(self.df, self._ns)._with_literal_shape()
+        if fmt == "nquads":
+            return S.to_nquads(df)
+        if fmt == "trig":
+            return S.to_trig(df)
+        raise ValueError(
+            f"unknown dataset serialization format {format!r} "
+            "(nquads/trig; use .graph(g).serialize() for triple "
+            "formats)")
+
+    def parse(self, source=None, format: str = "nquads",
+              data: str = None, into: str | None = None,
+              **kw) -> "SparkDataset":
+        """Read serialized RDF and merge it in (functional).  The quad
+        formats ``nquads``/``trig`` carry their own graph labels;
+        any :meth:`SparkGraph.parse` triple format lands in the
+        ``into`` graph (default: the default graph)."""
+        spark = self.df.sparkSession
+        fmt = format.lower().replace("-", "").replace("/", "")
+        if (source is None) == (data is None):
+            raise ValueError("parse needs exactly one of source/data")
+        if fmt == "nquads":
+            from pyrdfa3_spark.sources.ntriples import (parse_nquads,
+                                                        read_nquads)
+            if data is not None:
+                source = spark.createDataFrame(
+                    [(ln,) for ln in data.splitlines()],
+                    schema="line string")
+            parsed = (parse_nquads(source)
+                      if isinstance(source, DataFrame)
+                      else read_nquads(spark, source))
+        elif fmt == "trig":
+            from pyrdfa3_spark.sources.rdfdocs import (
+                parse_rdf_documents, triples_only)
+            if data is not None:
+                source = spark.createDataFrame([(0, data)],
+                                               ["doc_id", "text"])
+            elif not isinstance(source, DataFrame):
+                source = (spark.read.text(source, wholetext=True)
+                          .select(F.xxhash64(F.input_file_name())
+                                  .alias("doc_id"),
+                                  F.col("value").alias("text")))
+            parsed = triples_only(
+                parse_rdf_documents(source, fmt="trig")).drop("doc_id")
+        else:
+            # triple formats: reuse the graph facade's readers, then
+            # label the rows into the target graph
+            g = SparkGraph.empty(spark).parse(source=source,
+                                              format=format,
+                                              data=data, **kw)
+            parsed = g.df.withColumn("graph",
+                                     F.lit(into).cast("string"))
+            into = None  # already applied
+        if into is not None:
+            parsed = parsed.withColumn(
+                "graph", F.coalesce(F.col("graph"), F.lit(into)))
+        return self._derive(self.df.unionByName(
+            parsed, allowMissingColumns=True))

@@ -2317,14 +2317,23 @@ def _attach_quads(g: dict | None, full: DataFrame) -> None:
             _attach_quads(body, full)
 
 
-def sparql(triples: DataFrame, text: str) -> DataFrame:
+def sparql(triples: DataFrame, text: str, *,
+           union_default: bool = True) -> DataFrame:
     """Execute SPARQL text over a ``(subj, pred, obj)`` frame.
 
     SELECT returns one column per projected variable; ASK returns a
     1-row boolean ``result`` frame; CONSTRUCT/DESCRIBE return triple
     frames.  All laziness and plan shapes are the underlying
     operators'.
-    """
+
+    ``union_default`` picks the quad-frame posture when the query
+    carries no dataset clause: True (default) matches plain patterns
+    against the WHOLE store (rdflib ``ConjunctiveGraph``); False
+    matches them against only the NULL-graph rows while GRAPH still
+    ranges over every named graph (rdflib ``Dataset`` with
+    ``default_union=False``).  Ignored on plain triple frames; an
+    explicit FROM / FROM NAMED clause overrides it either way (§13.3:
+    the dataset clause DEFINES the dataset)."""
     from pyspark.sql import functions as F
 
     q = parse(text)
@@ -2336,6 +2345,16 @@ def sparql(triples: DataFrame, text: str) -> DataFrame:
         # shape columns (term-shape builtins and shaped CONSTRUCT/
         # DESCRIBE stay term-exact under FROM); GRAPH sees the full
         # dataset via the group dicts
+        triples = (full.filter(F.col("graph").isNull())
+                   .select("subj", "pred", "obj",
+                           *G.obj_shape_cols(full)))
+        _attach_quads(q.get("where"), full)
+    elif not union_default and "graph" in triples.columns:
+        # Dataset posture: plain patterns see the default graph only
+        # (one scan-side IS NULL filter — a graph-partitioned table
+        # prunes to the default partition); GRAPH keeps the whole
+        # store via the group dicts and ranges over its named rows
+        full = triples
         triples = (full.filter(F.col("graph").isNull())
                    .select("subj", "pred", "obj",
                            *G.obj_shape_cols(full)))

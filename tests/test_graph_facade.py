@@ -258,3 +258,119 @@ def test_namespaces_survive_functional_ops(spark):
     both = dict((g + h).namespaces())
     assert both["p"] == "http://p.example/"
     assert both["q"] == "http://q.example/"
+
+
+# ------------------------------------------------------------------ #
+# SparkDataset: the rdflib Dataset / ConjunctiveGraph twin
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    from pyrdfa3_spark.graph import SparkDataset
+    rows = [
+        ("s1", "p", "o1", True, None, None, None),        # default graph
+        ("s1", "p", "lit", False, "en", None, None),      # default graph
+        ("s2", "p", "o2", True, None, None, "g1"),
+        ("s2", "p", "o3", True, None, None, "g1"),
+        ("s3", "p", "o2", True, None, None, "g2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri boolean,"
+              " obj_lang string, obj_datatype string, graph string")
+    return SparkDataset(df)
+
+
+def test_dataset_graph_slices(ds):
+    assert ds.graph("g1").df.count() == 2
+    assert ds.default_graph().df.count() == 2
+    assert "graph" not in ds.graph("g1").df.columns
+    assert sorted(r.graph for r in ds.contexts().collect()) == \
+        ["g1", "g2"]
+    assert len(ds) == 5
+    assert ("s2", "p", "o2", "g1") in ds
+    assert ("s1", "p", "o1") in ds          # triple form: any graph
+    assert ("s1", "p", "o1", "g1") not in ds
+
+
+def test_dataset_quads_wildcards(ds):
+    from pyrdfa3_spark.graph import SparkDataset
+    assert ds.quads((None, None, "o2", None)).count() == 2
+    assert ds.quads((None, None, "o2", "g2")).count() == 1
+    # the DEFAULT sentinel selects exactly the default graph
+    assert ds.quads((None, None, None, SparkDataset.DEFAULT)).count() == 2
+
+
+def test_dataset_mutation_functional(ds):
+    d2 = ds.add(("x", "p", "y", "g3"))
+    assert len(d2) == 6 and len(ds) == 5
+    d3 = d2.remove((None, None, None, "g1"))
+    assert d3.contexts().count() == 2
+    d4 = ds.remove_graph("g2")
+    assert sorted(r.graph for r in d4.contexts().collect()) == ["g1"]
+    d5 = ds.remove_graph(None)        # drop the default graph
+    assert d5.default_graph().df.count() == 0
+    assert len(d5) == 3
+
+
+def test_dataset_add_graph(ds, spark):
+    from pyrdfa3_spark.graph import SparkGraph
+    g = SparkGraph(spark.createDataFrame(
+        [("a", "p", "b")], ["subj", "pred", "obj"]))
+    d2 = ds.add_graph("gnew", g)
+    assert d2.graph("gnew").df.count() == 1
+    assert ("a", "p", "b", "gnew") in d2
+
+
+def test_dataset_query_postures(ds):
+    # Dataset (strict): plain patterns see ONLY the default graph
+    strict = sorted(r.o for r in ds.query(
+        "SELECT ?o WHERE { ?s <p> ?o }").collect())
+    assert strict == ["lit", "o1"]
+    # ConjunctiveGraph (union): plain patterns see everything
+    from pyrdfa3_spark.graph import SparkDataset
+    union = SparkDataset(ds.df, default_union=True)
+    assert union.query("SELECT ?o WHERE { ?s <p> ?o }").count() == 5
+    # GRAPH works in both postures and ranges over named graphs only
+    got = sorted(tuple(r) for r in ds.query("""
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o } }""").collect())
+    assert got == [("g1", "s2"), ("g1", "s2"), ("g2", "s3")]
+    # an explicit FROM overrides the strict posture (13.3)
+    frm = sorted(r.s for r in ds.query("""
+        SELECT ?s FROM <g2> WHERE { ?s <p> ?o }""").collect())
+    assert frm == ["s3"]
+
+
+def test_dataset_update_and_serialize(ds):
+    d2 = ds.update(
+        'INSERT DATA { GRAPH <g9> { <n1> <p> "v" } }')
+    assert ("n1", "p", "v", "g9") in d2
+    nq = {r.line for r in ds.serialize("nquads").collect()}
+    assert '<s2> <p> <o2> <g1> .' in nq
+    assert '<s1> <p> "lit"@en .' in nq     # default graph: no 4th term
+    trig = "\n".join(r.block for r in ds.serialize("trig").collect())
+    assert "<g1> {" in trig
+    with pytest.raises(ValueError, match="nquads/trig"):
+        ds.serialize("turtle")
+
+
+def test_dataset_parse(ds, spark):
+    from pyrdfa3_spark.graph import SparkDataset
+    d = SparkDataset.empty(spark)
+    d = d.parse(data='<s> <p> <o> <g> .\n<s> <p> "x" .\n',
+                format="nquads")
+    assert ("s", "p", "o", "g") in d
+    from pyrdfa3_spark.graph import SparkDataset as DS
+    assert d.quads(("s", "p", "x", DS.DEFAULT)).count() == 1
+    # trig: graph labels come from the document
+    d2 = SparkDataset.empty(spark).parse(
+        data="@prefix e: <http://e/> .\ne:g { e:a e:p e:b . }",
+        format="trig")
+    assert ("http://e/a", "http://e/p", "http://e/b",
+            "http://e/g") in d2
+    # triple formats land in the `into` graph
+    d3 = SparkDataset.empty(spark).parse(
+        data="<a> <p> <b> .", format="nt", into="gX")
+    assert ("a", "p", "b", "gX") in d3
+    # bindings survive into the per-graph facade
+    d4 = d3.bind("ex", "http://e/")
+    assert d4.graph("gX").namespaces() == [("ex", "http://e/")]
