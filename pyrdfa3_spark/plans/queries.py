@@ -1707,6 +1707,89 @@ ORDER BY s
 """
 
 
+def q_sparql_dataset_strict(spark, sf_dir):
+    """The rdflib ``Dataset`` posture (``SparkDataset`` with
+    ``default_union=False``): with no dataset clause, the plain
+    pattern is scoped to the NULL-graph rows (the regions) while
+    GRAPH ranges over every named graph (the sharded nations) — under
+    the ConjunctiveGraph union posture the first branch would also
+    match all 25 nations.  The strict scope compiles to one scan-side
+    IS NULL filter, partition-prunable on a graph-partitioned table."""
+    from pyrdfa3_spark.graph import SparkDataset
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    quads = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.concat(F.lit("urn:g:"),
+                 (F.col("n_nationkey") % 3).cast("string"))
+        .alias("graph"),
+    ).unionByName(region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("r_name").alias("obj"),
+        F.lit(None).cast("string").alias("graph")))
+    return SparkDataset(quads).query(f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?s ?name ?g WHERE {{
+          {{ ?s ex:name ?name }}
+          UNION
+          {{ GRAPH ?g {{ ?s ex:name ?name }} }}
+        }} ORDER BY ?s ?g
+    """)
+
+
+SQL_SPARQL_DATASET_STRICT = """
+SELECT s, name, g FROM (
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS s,
+         r_name AS name, NULL AS g FROM region
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         n_name, 'urn:g:' || CAST(n_nationkey % 3 AS VARCHAR)
+  FROM nation
+) ORDER BY s, g
+"""
+
+
+def q_sparql_xsd_cast(spark, sf_dir):
+    """The §17.5 XPath constructor casts over the lexical term model:
+    zero-padded nation keys canonicalize through xsd:integer (a
+    numeric FILTER — lexically '012' > '9' is false as strings, true
+    through the cast) and xsd:decimal strips the padded lexical's
+    leading zeros; invalid lexicals would drop as XPath type errors.
+    Pure column algebra — no UDF, no shuffle beyond the sort."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    t = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "key").alias("pred"),
+        F.lpad(F.col("n_nationkey").cast("string"), 3, "0")
+        .alias("obj"))
+    return sparql(t, f"""
+        PREFIX ex: <{_EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s (xsd:integer(?k) AS ?ckey)
+               (xsd:decimal(CONCAT(?k, ".50")) AS ?half)
+        WHERE {{ ?s ex:key ?k FILTER(xsd:integer(?k) >= 10) }}
+        ORDER BY ?s
+    """)
+
+
+SQL_SPARQL_XSD_CAST = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS s,
+       CAST(n_nationkey AS VARCHAR) AS ckey,
+       CAST(n_nationkey AS VARCHAR) || '.5' AS half
+FROM nation WHERE n_nationkey >= 10
+ORDER BY s
+"""
+
+
 def q_sparql_project_expr(spark, sf_dir):
     """(expr AS ?v) projection expressions in the SELECT clause —
     computed columns without a BIND, translated like FILTER/BIND
@@ -4923,6 +5006,8 @@ QUERIES = {
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
     "hturtle_extract": q_hturtle_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
+    "sparql_dataset_strict": q_sparql_dataset_strict,
+    "sparql_xsd_cast": q_sparql_xsd_cast,
 }
 
 
@@ -4977,6 +5062,8 @@ def oracles() -> dict[str, str]:
         "sparql_update": SQL_SPARQL_UPDATE,
         "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
         "sparql_dataset": SQL_SPARQL_DATASET,
+        "sparql_dataset_strict": SQL_SPARQL_DATASET_STRICT,
+        "sparql_xsd_cast": SQL_SPARQL_XSD_CAST,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_union_join": SQL_SPARQL_UNION_JOIN,
