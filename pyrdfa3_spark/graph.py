@@ -97,6 +97,25 @@ class SparkGraph:
                 .select("obj").orderBy("obj").limit(2).collect())
         return rows[0]["obj"] if rows else None
 
+    def triples_choices(self, pattern) -> DataFrame:
+        """rdflib ``triples_choices``: exactly one position holds a
+        LIST of alternatives (the batched multi-predicate/multi-subject
+        lookup idiom, e.g. ``(None, [dc:title, foaf:name], None)``).
+        Compiles to one scan-side ``IN`` filter — a single pass where
+        per-alternative ``triples()`` calls would scan once each."""
+        lists = [i for i, t in enumerate(pattern) if isinstance(t, list)]
+        if len(lists) != 1:
+            raise ValueError(
+                "triples_choices takes exactly one list position, "
+                f"got {len(lists)}")
+        out = self.df
+        for col, term in zip(_PATTERN_COLS, pattern):
+            if isinstance(term, list):
+                out = out.filter(F.col(col).isin(term))
+            elif term is not None:
+                out = out.filter(F.col(col) == term)
+        return out
+
     def subject_objects(self, predicate=None) -> DataFrame:
         """rdflib ``subject_objects``: the (subj, obj) pairs of a
         predicate (lazy frame, like the other accessors)."""
@@ -533,6 +552,17 @@ class SparkDataset:
             "subj string, pred string, obj string, graph string")
         return self._derive(self.df.unionByName(
             row, allowMissingColumns=True))
+
+    def addN(self, quads) -> "SparkDataset":
+        """rdflib ``addN``: bulk-add quads — either a quad DataFrame
+        (the lake-scale path: a plain union, no driver materialization)
+        or a small driver-side iterable of ``(s, p, o, g)`` tuples."""
+        if not isinstance(quads, DataFrame):
+            quads = self.df.sparkSession.createDataFrame(
+                [tuple(q) for q in quads],
+                "subj string, pred string, obj string, graph string")
+        return self._derive(self.df.unionByName(
+            quads, allowMissingColumns=True))
 
     def remove(self, pattern) -> "SparkDataset":
         """``None`` wildcards over (s, p, o, g); ``DEFAULT`` in the

@@ -237,7 +237,7 @@ _KEYWORDS = {
     "DESC", "LIMIT", "OFFSET", "ASK", "CONSTRUCT", "DESCRIBE", "TRUE",
     "FALSE", "A", "GRAPH", "INSERT", "DELETE", "DATA", "CLEAR", "ALL",
     "DEFAULT", "NAMED", "DROP", "CREATE", "ADD", "COPY", "MOVE", "TO",
-    "WITH", "SILENT", "FROM", "USING", "LOAD", "INTO",
+    "WITH", "SILENT", "FROM", "USING", "LOAD", "INTO", "SERVICE",
 }
 
 
@@ -978,6 +978,12 @@ class _Parser:
                 # so the join folds here at parse time
                 g["values"] = (v if g["values"] is None
                                else _merge_values(g["values"], v))
+            elif self.at("KW", "SERVICE"):
+                raise SparqlUnsupported(
+                    "SERVICE (federated query — executors carry no "
+                    "network by design; materialize the remote graph "
+                    "into the lake and join it as a named graph "
+                    "instead)")
             elif self.at("OP", "{"):
                 g["unions"].append(self._union_chain())
             else:

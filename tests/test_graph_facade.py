@@ -374,3 +374,30 @@ def test_dataset_parse(ds, spark):
     # bindings survive into the per-graph facade
     d4 = d3.bind("ex", "http://e/")
     assert d4.graph("gX").namespaces() == [("ex", "http://e/")]
+
+
+def test_triples_choices(g):
+    out = g.triples_choices((None, ["p:name", "p:knows"], None))
+    assert out.count() == 6            # every row (incl. the dup)
+    out = g.triples_choices((["a", "b"], "p:knows", None))
+    assert sorted(r.obj for r in out.collect()) == ["b", "b", "c"]
+    with pytest.raises(ValueError, match="exactly one list"):
+        g.triples_choices((["a"], ["p:knows"], None))
+    with pytest.raises(ValueError, match="exactly one list"):
+        g.triples_choices(("a", "p:knows", None))
+
+
+def test_dataset_addn(ds, spark):
+    d2 = ds.addN([("q1", "p", "v1", "gq"), ("q2", "p", "v2", None)])
+    assert ("q1", "p", "v1", "gq") in d2 and len(d2) == 7
+    frame = spark.createDataFrame(
+        [("q3", "p", "v3", "gq")],
+        "subj string, pred string, obj string, graph string")
+    assert len(ds.addN(frame)) == 6
+
+
+def test_sparql_service_refuses(ds):
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported
+    with pytest.raises(SparqlUnsupported, match="SERVICE"):
+        ds.query("""SELECT ?s WHERE {
+            SERVICE <http://remote/> { ?s ?p ?o } }""")
