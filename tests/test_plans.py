@@ -581,3 +581,29 @@ def test_stream_signature_plan_in_row(spark):
     simple = _plan(stream_band_members(docs), mode="simple")
     assert "Exchange" not in simple, simple
     assert "MapInArrow" not in simple and "MapInPandas" not in simple
+
+
+def test_round3_sparql_surface_plans(spark, tmp_path):
+    """Plan guards for the round-3 additions: the strict Dataset
+    posture must push the graph IS NULL scope into the parquet scan
+    (partition-prunable), never add a join for the scoping; the §17.5
+    casts must stay pure column algebra (no Python boundary, no
+    join, no shuffle beyond the explicit ORDER BY)."""
+    from pyrdfa3_spark.graph import SparkDataset
+    from pyrdfa3_spark.plans.queries import q_sparql_xsd_cast
+
+    store = str(tmp_path / "quads")
+    spark.createDataFrame(
+        [("a", "p:name", "x", None), ("b", "p:name", "y", "urn:g:2")],
+        "subj string, pred string, obj string, graph string"
+    ).write.parquet(store)
+    ds = SparkDataset(spark.read.parquet(store))
+    plan = _plan(ds.query("SELECT ?s WHERE { ?s <p:name> ?n }"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("IsNull(graph)" in ln for ln in pushed), plan
+    assert "Join" not in plan, plan
+
+    plan = _plan(q_sparql_xsd_cast(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan \
+        and "FlatMapsInPandas" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
