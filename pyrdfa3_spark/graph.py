@@ -619,7 +619,12 @@ class SparkDataset:
     def update(self, text: str) -> "SparkDataset":
         """SPARQL 1.1 UPDATE over the quad store (GRAPH blocks, WITH,
         USING, graph management CLEAR/DROP/ADD/COPY/MOVE/LOAD..INTO).
-        Functional — returns the next table version."""
+        Functional — returns the next table version.  Documented
+        deviation: plain WHERE patterns keep the engine's union
+        posture regardless of ``default_union`` — scope an update's
+        match explicitly with WITH / USING / GRAPH (which the strict
+        posture's users do anyway; rdflib's own Dataset.update has
+        version-dependent scoping here)."""
         from pyrdfa3_spark.operators.sparql import update as _update
 
         return self._derive(_update(self.df, text))
