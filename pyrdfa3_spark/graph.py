@@ -493,6 +493,24 @@ class SparkDataset:
             [], "subj string, pred string, obj string, graph string"),
             default_union=default_union)
 
+    @classmethod
+    def from_transcripts(cls, transcripts: DataFrame,
+                         graph_prefix: str = "urn:conv:",
+                         repartition_to: Optional[int] = None,
+                         ) -> "SparkDataset":
+        """Run the RDFa extraction pipeline and materialize each
+        conversation's triples as its own NAMED graph
+        (``<graph_prefix><conv_id>``) — the north-star KG layout where
+        provenance is queryable with GRAPH and a per-conversation slice
+        is one partition-prunable filter.  A pure column stamp over
+        :meth:`SparkGraph.from_transcripts`'s plan: same single Arrow
+        boundary, no extra shuffle."""
+        from pyrdfa3_spark.plans.extract import extract_triples
+
+        t = extract_triples(transcripts, repartition_to)
+        return cls(t.withColumn(
+            "graph", F.concat(F.lit(graph_prefix), F.col("conv_id"))))
+
     # -- graph access ---------------------------------------------------
 
     def graph(self, identifier: str | None = None) -> SparkGraph:

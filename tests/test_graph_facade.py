@@ -401,3 +401,26 @@ def test_sparql_service_refuses(ds):
     with pytest.raises(SparqlUnsupported, match="SERVICE"):
         ds.query("""SELECT ?s WHERE {
             SERVICE <http://remote/> { ?s ?p ?o } }""")
+
+
+def test_dataset_from_transcripts(spark):
+    """Extraction materialized as per-conversation named graphs: the
+    north-star layout where GRAPH is the provenance axis."""
+    from pyrdfa3_spark.graph import SparkDataset
+    frag = ('<div vocab="http://schema.org/"><div typeof="Place">'
+            '<span property="name">{}</span></div></div>')
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", frag.format("Paris"), None),
+         ("c2", 0, "user", frag.format("Tokyo"), None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string")
+    ds = SparkDataset.from_transcripts(turns)
+    assert sorted(r.graph for r in ds.contexts().collect()) == \
+        ["urn:conv:c1", "urn:conv:c2"]
+    assert ds.graph("urn:conv:c1").triples(
+        (None, "http://schema.org/name", None)).count() == 1
+    # provenance is queryable through SPARQL GRAPH
+    got = sorted(tuple(r) for r in ds.query("""
+        SELECT ?g ?n WHERE {
+          GRAPH ?g { ?s <http://schema.org/name> ?n } }""").collect())
+    assert got == [("urn:conv:c1", "Paris"), ("urn:conv:c2", "Tokyo")]
