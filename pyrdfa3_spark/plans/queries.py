@@ -4207,6 +4207,45 @@ SELECT 'rx' || k, CAST(0 AS BIGINT), b || '#n' || k,
 """
 
 
+def q_kg_dataset_fixture(spark, sf_dir):
+    """The named-graph materialization of the north star: extraction
+    (real Arrow UDF) lands each conversation's triples in its own
+    named graph (``urn:conv:<conv_id>``) via
+    ``SparkDataset.from_transcripts`` — a pure column stamp, no extra
+    shuffle — and conversation provenance is then queryable through
+    SPARQL GRAPH.  Strict Dataset posture: the default graph is empty
+    by construction, GRAPH ranges over the per-conversation graphs."""
+    from pyrdfa3_spark.graph import SparkDataset
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    html = F.concat(
+        F.lit('<div about="#n'), k,
+        F.lit('" vocab="http://schema.org/">'
+              '<span property="name">'), F.col("n_name"),
+        F.lit('</span></div>'))
+    t = nation.select(
+        F.concat(F.lit("dg"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    ds = SparkDataset.from_transcripts(t)
+    return ds.query("""
+        SELECT ?g ?s ?name WHERE {
+          GRAPH ?g { ?s <http://schema.org/name> ?name }
+        } ORDER BY ?g""")
+
+
+SQL_KG_DATASET_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name FROM nation)
+SELECT 'urn:conv:dg' || k AS g,
+       'http://transcript.local/dg' || k || '/0#n' || k AS s,
+       n_name AS name
+FROM n ORDER BY g
+"""
+
+
 def q_rdfa_diagnostics_fixture(spark, sf_dir):
     """Processor-graph diagnostics through the real UDF over a
     deliberate-error corpus with deterministic warnings (G6's
@@ -5007,6 +5046,7 @@ QUERIES = {
     "hturtle_extract": q_hturtle_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
     "sparql_dataset_strict": q_sparql_dataset_strict,
+    "kg_dataset_fixture": q_kg_dataset_fixture,
     "sparql_xsd_cast": q_sparql_xsd_cast,
 }
 
@@ -5143,6 +5183,7 @@ def oracles() -> dict[str, str]:
         "vocab_usage_fixture": SQL_VOCAB_USAGE_FIXTURE,
         "prototype_fixture": SQL_PROTOTYPE_FIXTURE,
         "kg_pipeline_fixture": SQL_KG_PIPELINE_FIXTURE,
+        "kg_dataset_fixture": SQL_KG_DATASET_FIXTURE,
         "microdata_extract": SQL_MICRODATA_EXTRACT,
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_frame_sample": _sql_multimodal_frames(),
