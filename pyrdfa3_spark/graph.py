@@ -357,20 +357,27 @@ class SparkGraph:
 
     # -- query verbs -------------------------------------------------
 
-    def query(self, patterns, optional=None, filters=None) -> DataFrame:
+    def query(self, patterns, optional=None, filters=None,
+              initBindings: dict | None = None,
+              initNs: dict | None = None) -> DataFrame:
         """``rdflib Graph.query`` twin.  Accepts SPARQL *text* (a str —
         parsed and executed by :mod:`..operators.sparql`, covering
         SELECT/ASK/CONSTRUCT/DESCRIBE with paths, OPTIONAL, FILTER,
         UNION, MINUS, VALUES, BIND, aggregates and modifiers) or the
         parsed BGP form (a pattern list, handed straight to the
-        planner)."""
+        planner).  ``initBindings`` pre-binds variables (a one-row
+        VALUES injection, broadcast bag-joined); ``initNs`` pre-seeds
+        prefixes — both rdflib-named, text queries only."""
         if isinstance(patterns, str):
             if optional is not None or filters is not None:
                 raise ValueError("text queries carry OPTIONAL/FILTER "
                                  "inline")
             from pyrdfa3_spark.operators.sparql import sparql
 
-            return sparql(self.df, patterns)
+            return sparql(self.df, patterns,
+                          init_bindings=initBindings, init_ns=initNs)
+        if initBindings is not None or initNs is not None:
+            raise ValueError("initBindings/initNs apply to text queries")
         return G.bgp_match(self.df, patterns, optional=optional,
                            filters=filters)
 
@@ -625,14 +632,17 @@ class SparkDataset:
 
     # -- query / update ----------------------------------------------------
 
-    def query(self, text: str) -> DataFrame:
+    def query(self, text: str, initBindings: dict | None = None,
+              initNs: dict | None = None) -> DataFrame:
         """SPARQL over the dataset: plain patterns scope per
         ``default_union`` (rdflib Dataset vs ConjunctiveGraph posture);
-        GRAPH / FROM / FROM NAMED work either way."""
+        GRAPH / FROM / FROM NAMED work either way.  ``initBindings`` /
+        ``initNs`` as on :meth:`SparkGraph.query`."""
         from pyrdfa3_spark.operators.sparql import sparql
 
         return sparql(self.df, text,
-                      union_default=self.default_union)
+                      union_default=self.default_union,
+                      init_bindings=initBindings, init_ns=initNs)
 
     def update(self, text: str) -> "SparkDataset":
         """SPARQL 1.1 UPDATE over the quad store (GRAPH blocks, WITH,

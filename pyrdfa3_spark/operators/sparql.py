@@ -1373,9 +1373,14 @@ def _prologue(p: _Parser) -> None:
                    else pname.partition(":")[0]] = iri
 
 
-def parse(text: str) -> dict:
-    """Parse SPARQL text into the executable query description."""
+def parse(text: str, init_ns: dict | None = None) -> dict:
+    """Parse SPARQL text into the executable query description.
+    ``init_ns`` pre-seeds prefix bindings (rdflib's ``initNs``); an
+    in-query PREFIX declaration for the same prefix wins, like
+    rdflib's."""
     p = _Parser(text)
+    if init_ns:
+        p.prefixes.update({str(k): str(v) for k, v in init_ns.items()})
     _prologue(p)
     k, v = p.peek()
     if v == "SELECT":
@@ -2324,7 +2329,9 @@ def _attach_quads(g: dict | None, full: DataFrame) -> None:
 
 
 def sparql(triples: DataFrame, text: str, *,
-           union_default: bool = True) -> DataFrame:
+           union_default: bool = True,
+           init_bindings: dict | None = None,
+           init_ns: dict | None = None) -> DataFrame:
     """Execute SPARQL text over a ``(subj, pred, obj)`` frame.
 
     SELECT returns one column per projected variable; ASK returns a
@@ -2339,10 +2346,34 @@ def sparql(triples: DataFrame, text: str, *,
     ranges over every named graph (rdflib ``Dataset`` with
     ``default_union=False``).  Ignored on plain triple frames; an
     explicit FROM / FROM NAMED clause overrides it either way (§13.3:
-    the dataset clause DEFINES the dataset)."""
+    the dataset clause DEFINES the dataset).
+
+    ``init_bindings`` (rdflib's) pre-binds variables before solving —
+    injected as a one-row VALUES table into the outer group, so it
+    composes with everything the group grammar supports and joins
+    with the same broadcast bag semantics as written VALUES (the
+    binding table is lexical: pass term strings; ``None`` = UNDEF).
+    ``init_ns`` pre-seeds prefixes (see :func:`parse`)."""
     from pyspark.sql import functions as F
 
-    q = parse(text)
+    q = parse(text, init_ns)
+    if init_bindings:
+        w = q.get("where")
+        if not w:
+            raise SparqlError(
+                "initBindings need a query form with a WHERE group")
+        names = []
+        for n in init_bindings:
+            n = str(n).lstrip("?")
+            if not _BARE_NAME.fullmatch(n) or n.startswith("_anon") \
+                    or n.startswith(G.SHAPE_PREFIX):
+                raise SparqlError(f"unmappable initBindings name {n!r}")
+            names.append(n)
+        row = tuple(None if v is None else str(v)
+                    for v in init_bindings.values())
+        vals = (names, [row])
+        w["values"] = (vals if w["values"] is None
+                       else _merge_values(w["values"], vals))
     _attach_shape(q.get("where"), q.get("shape_vars"))
     if q.get("from") or q.get("from_named"):
         full = _apply_dataset(triples, q)

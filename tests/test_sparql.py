@@ -2786,3 +2786,49 @@ def test_extension_function_call_refuses(kg):
         sparql(kg, """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
             SELECT ?s WHERE { ?s p:name ?n
             FILTER(xsd:integer(?n, ?n) > 1) }""")
+
+
+# ------------------------------------------------------------------ #
+# rdflib initBindings / initNs
+# ------------------------------------------------------------------ #
+
+def test_init_bindings_and_ns(kg):
+    """initBindings injects a one-row VALUES table (composes with the
+    group and constrains like a written VALUES); initNs pre-seeds
+    prefixes, with an in-query PREFIX for the same prefix winning."""
+    out = sorted(_rows(sparql(kg, "SELECT ?x ?n WHERE { ?x p:name ?n }",
+                              init_bindings={"x": "b"})))
+    assert out == [("b", "Bob"), ("b", "Bobby")]
+    # ?-prefixed names and extension variables both work
+    out = sorted(_rows(sparql(
+        kg, "SELECT ?x ?tag WHERE { ?x p:type \"Person\" }",
+        init_bindings={"?x": "a", "tag": "seed"})))
+    assert out == [("a", "seed")]
+    # None = UNDEF constrains nothing
+    assert sparql(kg, "SELECT ?x WHERE { ?x p:type \"Person\" }",
+                  init_bindings={"x": None}).count() == 2
+    # initNs: the query text itself carries no PREFIX
+    got = sorted(_rows(sparql(
+        kg, "SELECT ?n WHERE { ?x ex:name ?n }",
+        init_ns={"ex": "p:"})))
+    assert got == [("Ada",), ("Bob",), ("Bobby",)]
+    # an in-query declaration for the same prefix wins
+    got = sparql(kg, 'PREFIX ex: <urn:other:> '
+                     'SELECT ?n WHERE { ?x ex:name ?n }',
+                 init_ns={"ex": "p:"})
+    assert got.count() == 0
+    with pytest.raises(SparqlError, match="unmappable"):
+        sparql(kg, "SELECT ?x WHERE { ?x p:name ?n }",
+               init_bindings={"bad name": "v"})
+
+
+def test_init_bindings_facades(kg, spark):
+    from pyrdfa3_spark.graph import SparkDataset, SparkGraph
+    g = SparkGraph(kg)
+    assert g.query("SELECT ?n WHERE { ?x p:name ?n }",
+                   initBindings={"x": "a"}).collect()[0].n == "Ada"
+    with pytest.raises(ValueError, match="text queries"):
+        g.query([("?x", "p:name", "?n")], initBindings={"x": "a"})
+    d = SparkDataset(kg)   # triples frame -> all rows default graph
+    assert d.query("SELECT ?n WHERE { ?x p:name ?n }",
+                   initBindings={"x": "b"}).count() == 2
