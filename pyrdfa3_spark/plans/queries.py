@@ -4907,6 +4907,7 @@ QUERIES = {
     "rdfa_vocab_expand": q_rdfa_vocab_expand,
     "hturtle_fixture": q_hturtle_fixture,
     "kg_pipeline_fixture": q_kg_pipeline_fixture,
+    "kg_dataset_fixture": q_kg_dataset_fixture,
     "microdata_extract": q_microdata_extract,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -4943,7 +4944,6 @@ QUERIES = {
     "sparql_agg_concat": q_sparql_agg_concat,
     "sparql_fn_datetime": q_sparql_fn_datetime,
     "sparql_results_csv": q_sparql_results_csv,
-    "sparql_results_tsv": q_sparql_results_tsv,
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -5045,8 +5045,8 @@ QUERIES = {
     "rdfa_vocab_usage": q_rdfa_vocab_usage,
     "hturtle_extract": q_hturtle_extract,
     "rdfa_diagnostics": q_rdfa_diagnostics,
+    "sparql_results_tsv": q_sparql_results_tsv,
     "sparql_dataset_strict": q_sparql_dataset_strict,
-    "kg_dataset_fixture": q_kg_dataset_fixture,
     "sparql_xsd_cast": q_sparql_xsd_cast,
 }
 
