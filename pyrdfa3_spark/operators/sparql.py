@@ -460,6 +460,10 @@ class _Parser:
             raise SparqlError(
                 "?_aggsyn* variable names are reserved for lifted "
                 "aggregate expressions")
+        if v[1:].startswith("_grpkey"):
+            raise SparqlError(
+                "?_grpkey* variable names are reserved for anonymous "
+                "GROUP BY expression keys")
         return v[1:]
 
     _AGG = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -1487,10 +1491,39 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     having = None
     order_by: list[str] = []
     limit = offset = None
+    group_binds: list[tuple[str, str]] = []
     if p.take("KW", "GROUP"):
         p.eat("KW", "BY")
-        while p.at("VAR"):
-            group_by.append(p.var())
+        # GroupCondition ::= Var | '(' Expression ('AS' Var)? ')'
+        #                  | BuiltInCall | FunctionCall  (§18.2.4: the
+        # expression binds on each solution BEFORE grouping; with AS
+        # the key is projectable, without it the key is anonymous —
+        # a hidden alias the final projection never emits)
+        gsyn = 0
+        while True:
+            if p.at("VAR"):
+                group_by.append(p.var())
+                continue
+            if p.at("OP", "("):
+                p.eat("OP", "(")
+                e = p.expr()
+                if p.take("KW", "AS"):
+                    v = p.var()
+                else:
+                    gsyn += 1
+                    v = f"_grpkey{gsyn}"
+                p.eat("OP", ")")
+            elif (p.at("NAME") or p.at("IRI")
+                  or p.at("PNAME")) and p.peek(1) == ("OP", "("):
+                e = p.expr()
+                gsyn += 1
+                v = f"_grpkey{gsyn}"
+            else:
+                break
+            group_binds.append((v, e))
+            group_by.append(v)
+        if not group_by:
+            raise SparqlError("GROUP BY needs at least one condition")
     if p.take("KW", "HAVING"):
         # one or more bracketted constraints, conjoined (§18.2.4.4);
         # aggregate calls inside them lift into hidden agg items
@@ -1560,7 +1593,8 @@ def _parse_select(p: _Parser, subquery: bool = False) -> dict:
     del p._agg_synth[synth_base:]
     return {"form": "select", "star": star, "items": items,
             "distinct": distinct, "where": where, "group_by": group_by,
-            "having": having, "order_by": order_by, "limit": limit,
+            "group_binds": group_binds, "having": having,
+            "order_by": order_by, "limit": limit,
             "offset": offset, "values": trailing_values,
             "agg_synth": agg_synth, **ds}
 
@@ -2615,6 +2649,15 @@ def _solve_select(triples: DataFrame, q: dict) -> DataFrame:
         if stray:
             raise SparqlError(
                 f"SELECT variables {stray} not in GROUP BY")
+        # GROUP BY expression conditions bind on each solution BEFORE
+        # grouping (§18.2.4 Group(exprlist, P)); aggregate arguments
+        # and HAVING may then read the AS-named keys like any column
+        for v, e in q.get("group_binds") or ():
+            if v in sols.columns:
+                raise SparqlError(
+                    f"GROUP BY (.. AS ?{v}) rebinds a variable "
+                    "already in scope")
+            sols = G.bind(sols, v, e)
         spec = {}
         synth = 0
         for _, fn, distinct, arg, alias, sep in aggs:

@@ -2832,3 +2832,44 @@ def test_init_bindings_facades(kg, spark):
     d = SparkDataset(kg)   # triples frame -> all rows default graph
     assert d.query("SELECT ?n WHERE { ?x p:name ?n }",
                    initBindings={"x": "b"}).count() == 2
+
+
+def test_group_by_expression_conditions(kg):
+    """§18.2.4 GROUP BY expression conditions: (expr AS ?v) binds the
+    key pre-grouping and the key is projectable; a bare builtin call
+    groups anonymously; SELECT of a non-key variable still errors."""
+    out = sorted(_rows(sparql(kg, """
+        SELECT ?ini (COUNT(?n) AS ?c) WHERE { ?x p:name ?n }
+        GROUP BY (SUBSTR(?n, 1, 1) AS ?ini) ORDER BY ?ini""")))
+    assert out == [("A", 1), ("B", 2)]
+    # anonymous builtin-call condition: groups by STRLEN without
+    # naming it; only aggregates are projectable
+    out = sorted(_rows(sparql(kg, """
+        SELECT (COUNT(?n) AS ?c) WHERE { ?x p:name ?n }
+        GROUP BY STRLEN(?n)""")))
+    assert sorted(r[0] for r in out) == [1, 2]  # len 5: Bobby; len 3: Ada+Bob
+    # the AS key feeds HAVING and aggregate arguments
+    out = _rows(sparql(kg, """
+        SELECT ?ini (GROUP_CONCAT(?n; SEPARATOR=",") AS ?ns)
+        WHERE { ?x p:name ?n }
+        GROUP BY (SUBSTR(?n, 1, 1) AS ?ini)
+        HAVING (COUNT(?ini) > 1)"""))
+    assert out == [("B", "Bob,Bobby")]
+    # mixed var + expression conditions
+    out = sorted(_rows(sparql(kg, """
+        SELECT ?x ?ini (COUNT(?n) AS ?c) WHERE { ?x p:name ?n }
+        GROUP BY ?x (SUBSTR(?n, 1, 1) AS ?ini)""")))
+    assert out == [("a", "A", 1), ("b", "B", 2)]
+    with pytest.raises(SparqlError, match="not in GROUP BY"):
+        sparql(kg, """SELECT ?n WHERE { ?x p:name ?n }
+                      GROUP BY STRLEN(?n)""")
+    with pytest.raises(SparqlError, match="rebinds"):
+        sparql(kg, """SELECT ?n (COUNT(?x) AS ?c)
+                      WHERE { ?x p:name ?n }
+                      GROUP BY (UCASE(?n) AS ?n)""")
+    with pytest.raises(SparqlError, match="at least one"):
+        sparql(kg, "SELECT ?x WHERE { ?x p:name ?n } GROUP BY")
+    with pytest.raises(SparqlError, match="reserved"):
+        sparql(kg, """SELECT (COUNT(?x) AS ?c)
+                      WHERE { ?x p:name ?n }
+                      GROUP BY (UCASE(?n) AS ?_grpkey1)""")
