@@ -1199,6 +1199,48 @@ def path_negated(triples: DataFrame, preds: list[str],
             .dropDuplicates())
 
 
+def path_negated_set(triples: DataFrame, fwd: list[str],
+                     inv: list[str], out_pred: str) -> DataFrame:
+    """SPARQL §9.1 negated property set WITH inverse members:
+    ``!(p1|..|^q1|..)`` matches (x, y) when a FORWARD edge x->y has a
+    predicate outside {p1..}, or a REVERSE edge y->x has a predicate
+    outside {q1..} — each edge direction is excluded against its own
+    set, the spec's NPS translation.  Two NOT-IN scans of the same
+    frame plus a projection flip — zero joins; flipped rows' objects
+    are original subjects (IRI-or-bnode by the data model), stamped
+    accordingly when shape columns ride along.  Set semantics over
+    full rows, like :func:`path_negated` (a pair reached through two
+    distinct object TERMS stays two solutions)."""
+    if not fwd and not inv:
+        raise ValueError("path_negated_set needs a nonempty "
+                         "exclusion set")
+    base = triples.filter(~F.col("pred").startswith(_VIRTUAL_PRED))
+    shape = obj_shape_cols(triples)
+    parts = []
+    if fwd:
+        parts.append(
+            base.filter(~F.col("pred").isin(fwd))
+            .select("subj", F.lit(out_pred).alias("pred"), "obj",
+                    *shape))
+    if inv:
+        flipped = (base.filter(~F.col("pred").isin(inv))
+                   .select(F.col("obj").alias("subj"),
+                           F.lit(out_pred).alias("pred"),
+                           F.col("subj").alias("obj")))
+        if shape:
+            flipped = (flipped
+                       .withColumn("obj_is_iri", F.lit(True))
+                       .withColumn("obj_lang",
+                                   F.lit(None).cast("string"))
+                       .withColumn("obj_datatype",
+                                   F.lit(None).cast("string")))
+        parts.append(flipped)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
 def graph_terms(triples: DataFrame) -> DataFrame:
     """All RDF terms appearing in subject or object position — the
     domain SPARQL gives zero-length property paths.  One column

@@ -389,13 +389,31 @@ class _Parser:
                     "blank-node existentials")
             return ("pred", "?" + name)
         if self.take("OP", "!"):
-            self.eat("OP", "(")
-            preds = [self.term(allow_var=False, allow_literal=False)]
-            while self.take("OP", "|"):
-                preds.append(self.term(allow_var=False,
-                                       allow_literal=False))
-            self.eat("OP", ")")
-            return ("neg", preds)
+            # PathNegatedPropertySet: '!' (PathOneInPropertySet |
+            # '(' members? ')') — members are iri or ^iri (§9.1:
+            # inverse members exclude against the REVERSE direction)
+            fwd: list[str] = []
+            inv: list[str] = []
+
+            def member():
+                (inv if self.take("OP", "^") else fwd).append(
+                    self.term(allow_var=False, allow_literal=False))
+
+            if self.take("OP", "("):
+                if not self.at("OP", ")"):
+                    member()
+                    while self.take("OP", "|"):
+                        member()
+                self.eat("OP", ")")
+                if not fwd and not inv:
+                    raise SparqlUnsupported(
+                        "the empty negated property set !() (matches "
+                        "ANY edge — use a variable predicate instead)")
+            else:
+                member()  # paren-less !iri / !^iri
+            if inv:
+                return ("neg2", (fwd, inv))
+            return ("neg", fwd)
         if self.take("OP", "("):
             p = self.path()
             self.eat("OP", ")")
@@ -1710,7 +1728,11 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
         # NUL-prefixed: no IRI, CURIE or literal can contain \x00, so
         # the reserved namespace can never shadow a real predicate
         name = f"\x00path{counter[0]}"
-        if kind in ("seq", "alt", "neg"):
+        if kind == "neg2":
+            fwd, inv = path[1]
+            edges = G.path_negated_set(work[0], list(fwd), list(inv),
+                                       name)
+        elif kind in ("seq", "alt", "neg"):
             ops = [p if isinstance(p, str) else materialize(p)
                    for p in path[1]]
             fn = G.path_seq if kind == "seq" else (
@@ -1749,6 +1771,8 @@ def _expand_paths(triples: DataFrame, groups: list[dict],
             return True
         if p[0] in ("seq", "alt", "neg"):
             return any(has_closure(x) for x in p[1])
+        if p[0] == "neg2":  # members are plain terms by the grammar
+            return False
         return has_closure(p[1])  # inv
 
     def rewrite(patterns):

@@ -2873,3 +2873,32 @@ def test_group_by_expression_conditions(kg):
         sparql(kg, """SELECT (COUNT(?x) AS ?c)
                       WHERE { ?x p:name ?n }
                       GROUP BY (UCASE(?n) AS ?_grpkey1)""")
+
+
+def test_negated_property_set_inverse_members(spark):
+    """§9.1 NPS with inverse members: !(p|^q) unions the forward
+    edges outside {p} with the REVERSED edges outside {q}; the
+    paren-less !iri / !^iri forms parse; !() refuses."""
+    t = spark.createDataFrame(
+        [("a", "p:knows", "b"), ("a", "p:hates", "c"),
+         ("d", "p:likes", "a")], ["subj", "pred", "obj"])
+    # forward-only exclusion, paren-less
+    out = sorted(_rows(sparql(t, "SELECT ?o WHERE { <a> !p:knows ?o }")))
+    assert out == [("c",)]
+    # inverse-only member: edges INTO the subject, excluded vs {q}
+    out = sorted(_rows(sparql(t, "SELECT ?o WHERE { <a> !(^p:hates) ?o }")))
+    assert out == [("d",)]            # d -likes-> a survives, reversed
+    # mixed: forward edges not knows, plus reverse edges not hates
+    out = sorted(_rows(sparql(
+        t, "SELECT ?o WHERE { <a> !(p:knows|^p:hates) ?o }")))
+    assert out == [("c",), ("d",)]
+    # excluding the only incoming predicate empties the inverse side
+    out = sorted(_rows(sparql(
+        t, "SELECT ?o WHERE { <a> !(p:knows|p:hates|^p:likes) ?o }")))
+    assert out == []
+    # composes with operators: zero-or-one over a mixed NPS
+    out = sorted(_rows(sparql(
+        t, "SELECT ?o WHERE { <a> !(p:knows|^p:hates)? ?o }")))
+    assert ("a",) in out and ("c",) in out and ("d",) in out
+    with pytest.raises(SparqlUnsupported, match="empty negated"):
+        sparql(t, "SELECT ?o WHERE { <a> !() ?o }")
