@@ -1755,6 +1755,31 @@ SELECT s, name, g FROM (
 """
 
 
+def q_sparql_group_expr(spark, sf_dir):
+    """GROUP BY expression conditions (§18.2.4 Group(exprlist, P)):
+    nation names grouped by a computed key via
+    (SUBSTR(?name,8,1) AS ?ini — the synthetic names' first index
+    digit, 10 groups) — the key binds on each solution
+    BEFORE grouping and projects by its AS name.  Partial-agg groupBy
+    on the computed key; no extra shuffle beyond the aggregation."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?ini (COUNT(?name) AS ?n) WHERE {{
+          ?x ex:memberOf ?r ; ex:name ?name .
+        }}
+        GROUP BY (SUBSTR(?name, 8, 1) AS ?ini)
+        ORDER BY ?ini
+    """)
+
+
+SQL_SPARQL_GROUP_EXPR = """
+SELECT substr(n_name, 8, 1) AS ini, COUNT(*) AS n
+FROM nation GROUP BY ini ORDER BY ini
+"""
+
+
 def q_sparql_xsd_cast(spark, sf_dir):
     """The §17.5 XPath constructor casts over the lexical term model:
     zero-padded nation keys canonicalize through xsd:integer (a
@@ -5048,6 +5073,7 @@ QUERIES = {
     "sparql_results_tsv": q_sparql_results_tsv,
     "sparql_dataset_strict": q_sparql_dataset_strict,
     "sparql_xsd_cast": q_sparql_xsd_cast,
+    "sparql_group_expr": q_sparql_group_expr,
 }
 
 
@@ -5104,6 +5130,7 @@ def oracles() -> dict[str, str]:
         "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_dataset_strict": SQL_SPARQL_DATASET_STRICT,
         "sparql_xsd_cast": SQL_SPARQL_XSD_CAST,
+        "sparql_group_expr": SQL_SPARQL_GROUP_EXPR,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_union_join": SQL_SPARQL_UNION_JOIN,
