@@ -1780,6 +1780,53 @@ FROM nation GROUP BY ini ORDER BY ini
 """
 
 
+def q_sparql_nps_inverse(spark, sf_dir):
+    """§9.1 negated property set with an inverse member over the geo
+    KG: forward edges excluded against {locatedIn, name} union the
+    REVERSED edges excluded against {memberOf} — two NOT-IN scans of
+    one frame plus a projection flip, zero joins, set semantics."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?s ?o WHERE {{
+          ?s !(ex:locatedIn|ex:name|^ex:memberOf) ?o
+        }} ORDER BY ?s ?o
+    """)
+
+
+SQL_SPARQL_NPS_INVERSE = """
+WITH g AS (
+  SELECT 'sup:' || CAST(s_suppkey AS VARCHAR) AS s,
+         'http://example.org/locatedIn' AS p,
+         'nation:' || CAST(s_nationkey AS VARCHAR) AS o FROM supplier
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/memberOf',
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'http://example.org/name', n_name FROM nation
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.org/Region' FROM region
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://example.org/comment', r_name FROM region
+  WHERE r_regionkey % 2 = 0
+)
+SELECT DISTINCT s, o FROM (
+  SELECT s, o FROM g
+  WHERE p NOT IN ('http://example.org/locatedIn',
+                  'http://example.org/name')
+  UNION ALL
+  SELECT o AS s, s AS o FROM g
+  WHERE p <> 'http://example.org/memberOf'
+) ORDER BY s, o
+"""
+
+
 def q_sparql_xsd_cast(spark, sf_dir):
     """The §17.5 XPath constructor casts over the lexical term model:
     zero-padded nation keys canonicalize through xsd:integer (a
@@ -5074,6 +5121,7 @@ QUERIES = {
     "sparql_dataset_strict": q_sparql_dataset_strict,
     "sparql_xsd_cast": q_sparql_xsd_cast,
     "sparql_group_expr": q_sparql_group_expr,
+    "sparql_nps_inverse": q_sparql_nps_inverse,
 }
 
 
@@ -5131,6 +5179,7 @@ def oracles() -> dict[str, str]:
         "sparql_dataset_strict": SQL_SPARQL_DATASET_STRICT,
         "sparql_xsd_cast": SQL_SPARQL_XSD_CAST,
         "sparql_group_expr": SQL_SPARQL_GROUP_EXPR,
+        "sparql_nps_inverse": SQL_SPARQL_NPS_INVERSE,
         "sparql_project_expr": SQL_SPARQL_PROJECT_EXPR,
         "sparql_optional_group": SQL_SPARQL_OPTIONAL_GROUP,
         "sparql_union_join": SQL_SPARQL_UNION_JOIN,
