@@ -161,14 +161,36 @@ class SparkGraph:
     def remove(self, pattern) -> "SparkGraph":
         """rdflib ``remove`` with ``None`` wildcards — an anti-filter,
         zero shuffle."""
-        keep = None
+        match = None
         for col, term in zip(_PATTERN_COLS, pattern):
             if term is not None:
-                c = F.col(col) != term
-                keep = c if keep is None else keep & c
-        if keep is None:      # remove((None,None,None)) clears all
+                c = F.col(col) == term
+                match = c if match is None else match & c
+        if match is None:     # remove((None,None,None)) clears all
             return SparkGraph(self.df.filter(F.lit(False)), self._ns)
-        return SparkGraph(self.df.filter(keep), self._ns)
+        # keep rows NOT matching the whole pattern (a row matches only
+        # when every bound position agrees — negating that is an OR of
+        # inequalities, not the AND a per-position filter chain builds)
+        return SparkGraph(self.df.filter(~match), self._ns)
+
+    def set(self, triple) -> "SparkGraph":
+        """rdflib ``Graph.set``: assert a functional value — remove
+        every existing ``(s, p, *)`` statement, then add the new one.
+        Same one-pass anti-filter + 1-row union as remove/add; the
+        rdflib twin raises on wildcard subject/predicate and so do we."""
+        s, p, o = triple
+        if s is None or p is None:
+            raise ValueError("Graph.set needs a concrete subject "
+                             "and predicate")
+        return self.remove((s, p, None)).add((s, p, o))
+
+    def cbd(self, resource: str, max_hops: int = 10) -> "SparkGraph":
+        """rdflib ``Graph.cbd``: the Concise Bounded Description of one
+        resource — its statements plus, recursively, the full
+        descriptions of every bnode object (rdflib/extras/describer
+        semantics).  Same distributed frontier walk DESCRIBE uses
+        (broadcast frontier, depth-guarded), single-node entry point."""
+        return self.describe([resource], max_hops=max_hops)
 
     def parse(self, source=None, format: str = "nt", data: str = None,
               context: dict | None = None) -> "SparkGraph":

@@ -174,6 +174,97 @@ def minhash_lsh_bucket_stats(docs: DataFrame, k: int = 5, n_hashes: int = 8,
                           dropped.alias("dropped_pairs"))
 
 
+def incremental_exact_dups(corpus: DataFrame,
+                           batch: DataFrame) -> DataFrame:
+    """Exact dedup of a NEW ingest batch against an EXISTING corpus —
+    the continuous-ingestion path: the corpus was already deduped, so
+    re-pairing it with itself (what :func:`exact_duplicates` over the
+    union would do) is wasted work that grows with corpus size, not
+    batch size.
+
+    Scale shape (batch ≪ corpus by contract): the batch's fingerprint
+    set broadcasts INTO the corpus scan as a semi-filter, so the 100 TB
+    side is scanned once, never shuffled — only colliding corpus rows
+    (bounded by the batch size) reach the aggregation.  Output one row
+    per duplicate batch doc: (doc_id, dup_of, source) where ``source``
+    is 'corpus' (fingerprint already in the corpus; ``dup_of`` = the
+    corpus keeper, its minimum doc_id) or 'batch' (first seen earlier
+    in this batch; ``dup_of`` = the batch's minimum doc_id for the
+    fingerprint).  Non-duplicate batch rows are absent — the caller
+    appends exactly those to the corpus."""
+    def fp(df):
+        return df.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                         F.md5(_normalized()).alias("fp"))
+
+    bfp = fp(batch).localCheckpoint(eager=True)
+    hits = (fp(corpus)
+            .join(F.broadcast(bfp.select("fp").dropDuplicates()), "fp")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("corpus_keep")))
+    bmin = bfp.groupBy("fp").agg(F.min("doc_id").alias("batch_min"))
+    return (bfp
+            .join(F.broadcast(hits), "fp", "left")
+            .join(F.broadcast(bmin), "fp")
+            .withColumn("dup_of", F.coalesce(
+                F.col("corpus_keep"),
+                F.when(F.col("batch_min") < F.col("doc_id"),
+                       F.col("batch_min"))))
+            .filter(F.col("dup_of").isNotNull())
+            .select("doc_id",
+                    F.col("dup_of").cast("bigint").alias("dup_of"),
+                    F.when(F.col("corpus_keep").isNotNull(),
+                           F.lit("corpus")).otherwise(F.lit("batch"))
+                    .alias("source")))
+
+
+def incremental_lsh_candidates(corpus: DataFrame, batch: DataFrame,
+                               k: int = 5, n_hashes: int = 8,
+                               bands: int = 4,
+                               max_bucket: int = 512) -> DataFrame:
+    """Near-dup candidate generation for a NEW ingest batch against an
+    EXISTING (already-deduped) corpus: candidate pairs must touch the
+    batch, so corpus-corpus pairs — the quadratic bulk of a naive
+    union+LSH rerun — are never generated.
+
+    Scale shape: the batch's band-bucket keys broadcast into the corpus
+    membership as a semi-filter (the corpus side is scanned, never
+    shuffled beyond the surviving ≤|batch buckets| rows); oversized
+    corpus buckets star-link each batch member to the bucket's corpus
+    keeper (minimum doc_id) instead of fanning out, mirroring
+    :func:`_capped_bucket_pairs`.  Output (doc_a, doc_b, pair_kind):
+    'corpus' pairs carry (corpus doc, batch doc), 'batch' pairs are
+    within-batch with doc_a < doc_b.  Feed through
+    :func:`ngram_jaccard` over the unioned doc frame to verify."""
+    keys = ["band", "bucket"]
+    bmem = _band_buckets(batch, k, n_hashes, bands) \
+        .localCheckpoint(eager=True)
+    bkeys = bmem.select(*keys).dropDuplicates()
+    cmem = (_band_buckets(corpus, k, n_hashes, bands)
+            .join(F.broadcast(bkeys), keys)
+            .localCheckpoint(eager=True))
+    stats = (cmem.groupBy(*keys)
+             .agg(F.count("*").alias("n"),
+                  F.min("doc_id").alias("rep")))
+    small = stats.filter(F.col("n") <= max_bucket).select(*keys)
+    big = stats.filter(F.col("n") > max_bucket).select(*keys, "rep")
+    cross_small = (cmem.join(small, keys)
+                   .select(*keys, F.col("doc_id").alias("doc_a"))
+                   .join(bmem.select(*keys,
+                                     F.col("doc_id").alias("doc_b")),
+                         keys)
+                   .select("doc_a", "doc_b"))
+    cross_big = (bmem.join(big, keys)
+                 .select(F.col("rep").alias("doc_a"),
+                         F.col("doc_id").alias("doc_b")))
+    cross = (cross_small.unionByName(cross_big)
+             .withColumn("pair_kind", F.lit("corpus")))
+    within = (_capped_bucket_pairs(bmem, keys, "doc_id",
+                                   "doc_a", "doc_b", max_bucket)
+              .select("doc_a", "doc_b")
+              .withColumn("pair_kind", F.lit("batch")))
+    return cross.unionByName(within).dropDuplicates()
+
+
 def _shingle_arrays(docs: DataFrame, k: int = 5):
     """(doc_id, sharr): the distinct shingle set per doc as one array
     row — the pre-explode form of :func:`_shingles`."""

@@ -557,6 +557,127 @@ SELECT doc_a, doc_b FROM pairs
 )
 
 
+# --------------------------------------------------------------------- #
+# incremental (ingest-batch vs existing-corpus) dedup
+# --------------------------------------------------------------------- #
+# The gate's batch is synthesized deterministically FROM the corpus so
+# every outcome class is exercised: exact corpus dups (+1e6 ids),
+# modified near-misses (+2e6), and a within-batch dup pair absent from
+# the corpus (+3e6/+4e6, shared novel tail).  The oracle rebuilds the
+# identical batch in SQL.
+
+def _incremental_batch(docs: DataFrame) -> DataFrame:
+    d = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "text")
+    did = F.col("doc_id")
+    a = (d.filter(did % 5 == 0)
+         .select((did + 1000000).alias("doc_id"), "text"))
+    b = (d.filter(did % 7 == 3)
+         .select((did + 2000000).alias("doc_id"),
+                 F.concat(F.col("text"),
+                          F.lit(" incremental novel tail")).alias("text")))
+    twin = F.concat(F.col("text"), F.lit(" twin tail")).alias("text")
+    c1 = (d.filter(did % 11 == 5)
+          .select((did + 3000000).alias("doc_id"), twin))
+    c2 = (d.filter(did % 11 == 5)
+          .select((did + 4000000).alias("doc_id"), twin))
+    return a.unionByName(b).unionByName(c1).unionByName(c2)
+
+
+_SQL_INCR_BATCH = """
+corpus AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' incremental novel tail'
+  FROM corpus WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' twin tail'
+  FROM corpus WHERE doc_id % 11 = 5
+  UNION ALL
+  SELECT doc_id + 4000000, text || ' twin tail'
+  FROM corpus WHERE doc_id % 11 = 5)"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_exact_dups(docs, _incremental_batch(docs))
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {_SQL_INCR_BATCH},
+bfp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM batch),
+cfp AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM corpus),
+hits AS (SELECT fp, min(doc_id) AS corpus_keep FROM cfp
+         WHERE fp IN (SELECT fp FROM bfp) GROUP BY fp),
+bmin AS (SELECT fp, min(doc_id) AS batch_min FROM bfp GROUP BY fp)
+SELECT b.doc_id,
+       CAST(COALESCE(h.corpus_keep,
+            CASE WHEN m.batch_min < b.doc_id THEN m.batch_min END)
+            AS BIGINT) AS dup_of,
+       CASE WHEN h.corpus_keep IS NOT NULL
+            THEN 'corpus' ELSE 'batch' END AS source
+FROM bfp b LEFT JOIN hits h USING (fp) JOIN bmin m USING (fp)
+WHERE COALESCE(h.corpus_keep,
+      CASE WHEN m.batch_min < b.doc_id THEN m.batch_min END) IS NOT NULL
+"""
+
+
+def q_near_dup_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_lsh_candidates(docs, _incremental_batch(docs),
+                                        k=5, n_hashes=8, bands=4)
+
+
+def _sql_side_bb(src: str, out: str) -> str:
+    """Shingle -> minhash-signature -> band-bucket membership CTEs for
+    one side of the incremental join (same chunk/band algebra as the
+    single-corpus oracle)."""
+    return f"""
+{out}d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+           FROM {src}),
+{out}sh AS (SELECT DISTINCT doc_id, substr(norm, CAST(i AS INT), 5)
+                   AS shingle
+            FROM {out}d,
+                 unnest(generate_series(1, greatest(length(norm) - 4, 1)))
+                 AS t(i)),
+{out}hh AS (SELECT doc_id, sha256(shingle) AS d FROM {out}sh),
+{out}sig AS (SELECT doc_id, {_SQL_MINHASH_AGGS} FROM {out}hh
+             GROUP BY doc_id),
+{out}bb AS ({" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+    f"CAST(h{2 * b + 1} AS VARCHAR)) AS bucket FROM {out}sig"
+    for b in range(4))})"""
+
+
+SQL_NEAR_DUP_INCREMENTAL = f"""
+WITH {_SQL_INCR_BATCH},{_sql_side_bb("corpus", "c")},{_sql_side_bb("batch", "b")},
+st AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+       FROM cbb GROUP BY band, bucket),
+bst AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+        FROM bbb GROUP BY band, bucket HAVING count(*) > 1)
+SELECT DISTINCT doc_a, doc_b, pair_kind FROM (
+  SELECT c.doc_id AS doc_a, b.doc_id AS doc_b, 'corpus' AS pair_kind
+  FROM cbb c JOIN bbb b ON c.band = b.band AND c.bucket = b.bucket
+  JOIN st ON st.band = c.band AND st.bucket = c.bucket AND st.n <= 512
+  UNION ALL
+  SELECT st.rep, b.doc_id, 'corpus'
+  FROM bbb b JOIN st ON st.band = b.band AND st.bucket = b.bucket
+                    AND st.n > 512
+  UNION ALL
+  SELECT l.doc_id, r.doc_id, 'batch'
+  FROM bbb l JOIN bbb r ON l.band = r.band AND l.bucket = r.bucket
+                       AND l.doc_id < r.doc_id
+  JOIN bst ON bst.band = l.band AND bst.bucket = l.bucket
+          AND bst.n <= 512
+  UNION ALL
+  SELECT bst.rep, m.doc_id, 'batch'
+  FROM bbb m JOIN bst ON bst.band = m.band AND bst.bucket = m.bucket
+                     AND bst.n > 512 AND m.doc_id <> bst.rep)
+"""
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -5063,6 +5184,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
     "classifier_score": q_classifier_score,
     "lm_perplexity": q_lm_perplexity,
@@ -5146,6 +5269,8 @@ def oracles() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "duplicate_spans": SQL_DUPLICATE_SPANS,

@@ -56,6 +56,27 @@ def test_add_remove_and_set_ops(spark, g):
     assert len(g * other) == 1
 
 
+def test_set_replaces_functional_value(g):
+    g2 = g.set(("b", "p:name", "Robert"))
+    assert {r["obj"] for r in g2.objects("b", "p:name").collect()} \
+        == {"Robert"}                       # both old values gone
+    assert ("a", "p:name", "Ada") in g2     # other subjects untouched
+    assert ("b", "p:name", "Bob") in g      # immutability
+    with pytest.raises(ValueError):
+        g.set((None, "p:name", "x"))
+
+
+def test_cbd_follows_bnode_objects(spark):
+    g = SparkGraph(spark.createDataFrame(
+        [("e:a", "p:addr", "_:n1"), ("_:n1", "p:city", "Oslo"),
+         ("e:a", "p:name", "Ada"), ("e:b", "p:name", "Bob")],
+        ["subj", "pred", "obj"]))
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in g.cbd("e:a").df.collect()}
+    assert got == {("e:a", "p:addr", "_:n1"), ("_:n1", "p:city", "Oslo"),
+                   ("e:a", "p:name", "Ada")}
+
+
 def test_query_verbs_and_serialize(g):
     sols = g.query([("?x", "p:knows", "?y"), ("?y", "p:name", "?n")])
     assert {(r["x"], r["n"]) for r in sols.collect()} \

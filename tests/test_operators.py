@@ -133,6 +133,62 @@ def test_minhash_finds_near_dups(spark, dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_incremental_exact_dups(spark, dup_docs):
+    from pyrdfa3_spark.operators.dedup import incremental_exact_dups
+
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the green forest tonight"),  # = corpus 0
+         (11, "a genuinely new document that exists nowhere else yet"),
+         (12, "twin content only inside this ingest batch today"),
+         (13, "twin content only inside this ingest batch today")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["dup_of"], r["source"])
+           for r in incremental_exact_dups(dup_docs, batch).collect()}
+    # 10 dups corpus keeper 0; 13 dups batch keeper 12; 11 and 12 absent
+    assert out == {10: (0, "corpus"), 13: (12, "batch")}
+
+
+def test_incremental_lsh_no_corpus_corpus_pairs(spark, dup_docs):
+    from pyrdfa3_spark.operators.dedup import incremental_lsh_candidates
+
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the green forest tonight")],
+        ["doc_id", "text"])
+    rows = incremental_lsh_candidates(dup_docs, batch, k=5, n_hashes=8,
+                                      bands=4).collect()
+    # every pair touches the batch; corpus docs 0/1/4 are mutual dups
+    # but must NOT pair with each other here
+    assert all(r["doc_b"] == 10 and r["pair_kind"] == "corpus"
+               for r in rows)
+    assert {r["doc_a"] for r in rows} >= {0, 1, 4}
+    assert not any(r["doc_a"] == 3 for r in rows)
+
+
+def test_incremental_lsh_star_links_big_corpus_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from pyrdfa3_spark.operators.dedup import incremental_lsh_candidates
+
+    boiler = ("the same boilerplate footer text appears on every page "
+              "of this crawled site")
+    corpus = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    batch = spark.createDataFrame(
+        [(100_000, boiler), (100_001, boiler)], ["doc_id", "text"])
+    rows = incremental_lsh_candidates(corpus, batch, k=5, n_hashes=8,
+                                      bands=4, max_bucket=64).collect()
+    cross = {(r["doc_a"], r["doc_b"]) for r in rows
+             if r["pair_kind"] == "corpus"}
+    within = {(r["doc_a"], r["doc_b"]) for r in rows
+              if r["pair_kind"] == "batch"}
+    # oversized corpus bucket: each batch doc links to the corpus
+    # keeper only, never to all 1000 members
+    assert cross == {(0, 100_000), (0, 100_001)}
+    assert within == {(100_000, 100_001)}
+
+
 def test_minhash_degenerate_bucket_capped(spark):
     """10k identical docs land in one bucket per band; the cap must
     star-link them (N-1 pairs to the min doc_id) instead of exploding
