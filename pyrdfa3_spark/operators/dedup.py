@@ -265,6 +265,54 @@ def incremental_lsh_candidates(corpus: DataFrame, batch: DataFrame,
     return cross.unionByName(within).dropDuplicates()
 
 
+def incremental_dedup_decision(corpus: DataFrame, batch: DataFrame,
+                               k: int = 5, n_hashes: int = 8,
+                               bands: int = 4, max_bucket: int = 512,
+                               jaccard_threshold: float = 0.8
+                               ) -> DataFrame:
+    """The composed continuous-ingestion flow: incremental LSH
+    candidates -> exact n-gram Jaccard verify -> connected-components
+    keeper decision, reported for the BATCH docs only.
+
+    Scale shape: every candidate pair touches the batch (see
+    :func:`incremental_lsh_candidates`), and the verify stage's shingle
+    computation runs over ONLY the docs named by some candidate — the
+    candidate id set (bounded by batch-driven pair counts, not corpus
+    size) broadcasts into both doc scans, so the 100 TB corpus is
+    scanned but never re-shingled wholesale.  Keeper = the component's
+    minimum doc_id (corpus ids precede batch ids under monotonic ingest
+    ids, so corpus survivors win).  Output one row per batch doc in a
+    confirmed cluster: (doc_id, keep_id, is_dup)."""
+    from pyrdfa3_spark.operators.entity_link import sameas_canonical_map
+
+    cands = (incremental_lsh_candidates(batch=batch, corpus=corpus,
+                                        k=k, n_hashes=n_hashes,
+                                        bands=bands,
+                                        max_bucket=max_bucket)
+             .select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))
+    ids = (cands.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+           .dropDuplicates())
+    touched = (corpus.select(F.col("doc_id").cast("bigint")
+                             .alias("doc_id"), "text")
+               .unionByName(batch.select(F.col("doc_id").cast("bigint")
+                                         .alias("doc_id"), "text"))
+               .join(F.broadcast(ids), "doc_id"))
+    verified = (ngram_jaccard(touched, cands, k)
+                .filter(F.col("jaccard") >= jaccard_threshold))
+    canon = sameas_canonical_map(
+        verified.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst")))
+    bids = batch.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    return (canon.select(F.col("node").cast("bigint").alias("doc_id"),
+                         F.col("canon").cast("bigint").alias("keep_id"))
+            .join(bids, "doc_id")
+            .select("doc_id", "keep_id",
+                    (F.col("keep_id") != F.col("doc_id"))
+                    .alias("is_dup")))
+
+
 def _shingle_arrays(docs: DataFrame, k: int = 5):
     """(doc_id, sharr): the distinct shingle set per doc as one array
     row — the pre-explode form of :func:`_shingles`."""

@@ -678,6 +678,63 @@ SELECT DISTINCT doc_a, doc_b, pair_kind FROM (
 """
 
 
+def q_incremental_dedup_decision(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.incremental_dedup_decision(docs, _incremental_batch(docs),
+                                        k=5, n_hashes=8, bands=4,
+                                        jaccard_threshold=0.8)
+
+
+SQL_INCREMENTAL_DECISION = f"""
+WITH RECURSIVE {_SQL_INCR_BATCH},{_sql_side_bb("corpus", "c")},{_sql_side_bb("batch", "b")},
+st AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+       FROM cbb GROUP BY band, bucket),
+bst AS (SELECT band, bucket, count(*) AS n, min(doc_id) AS rep
+        FROM bbb GROUP BY band, bucket HAVING count(*) > 1),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT c.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM cbb c JOIN bbb b ON c.band = b.band AND c.bucket = b.bucket
+  JOIN st ON st.band = c.band AND st.bucket = c.bucket AND st.n <= 512
+  UNION ALL
+  SELECT st.rep, b.doc_id
+  FROM bbb b JOIN st ON st.band = b.band AND st.bucket = b.bucket
+                    AND st.n > 512
+  UNION ALL
+  SELECT l.doc_id, r.doc_id
+  FROM bbb l JOIN bbb r ON l.band = r.band AND l.bucket = r.bucket
+                       AND l.doc_id < r.doc_id
+  JOIN bst ON bst.band = l.band AND bst.bucket = l.bucket
+          AND bst.n <= 512
+  UNION ALL
+  SELECT bst.rep, m.doc_id
+  FROM bbb m JOIN bst ON bst.band = m.band AND bst.bucket = m.bucket
+                     AND bst.n > 512 AND m.doc_id <> bst.rep)),
+allsh AS (SELECT * FROM csh UNION ALL SELECT * FROM bsh),
+counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+           FROM allsh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+          FROM cand p JOIN allsh a ON a.doc_id = p.doc_a
+                      JOIN allsh b ON b.doc_id = p.doc_b
+                               AND b.shingle = a.shingle
+          GROUP BY p.doc_a, p.doc_b),
+confirmed AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
+               JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE round(i.n_common / (ca.n_sh + cb.n_sh - i.n_common), 4) >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM confirmed
+          UNION SELECT doc_b, doc_a FROM confirmed),
+reach AS (SELECT a AS node, b AS other FROM edges
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a)
+SELECT node AS doc_id,
+       least(node, min(other)) AS keep_id,
+       node <> least(node, min(other)) AS is_dup
+FROM reach WHERE node IN (SELECT doc_id FROM batch)
+GROUP BY node
+"""
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"), bits=32)
 
@@ -5186,6 +5243,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
+    "incremental_dedup_decision": q_incremental_dedup_decision,
     "dsir_weights": q_dsir_weights,
     "classifier_score": q_classifier_score,
     "lm_perplexity": q_lm_perplexity,
@@ -5271,6 +5329,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
+        "incremental_dedup_decision": SQL_INCREMENTAL_DECISION,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "duplicate_spans": SQL_DUPLICATE_SPANS,

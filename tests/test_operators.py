@@ -166,6 +166,28 @@ def test_incremental_lsh_no_corpus_corpus_pairs(spark, dup_docs):
     assert not any(r["doc_a"] == 3 for r in rows)
 
 
+def test_incremental_dedup_decision(spark, dup_docs):
+    from pyrdfa3_spark.operators.dedup import incremental_dedup_decision
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the green forest tonight")
+    batch = spark.createDataFrame(
+        [(10, base),                                         # corpus dup
+         (11, "a genuinely new document that exists nowhere else yet "
+              "with enough words to shingle on its own terms"),
+         (12, "twin content only inside this ingest batch today with "
+              "plenty of repeated shingle material to verify"),
+         (13, "twin content only inside this ingest batch today with "
+              "plenty of repeated shingle material to verify")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in incremental_dedup_decision(dup_docs, batch).collect()}
+    assert out[10] == (0, True)          # dropped for the corpus keeper
+    assert out[12] == (12, False)        # batch twin keeper survives
+    assert out[13] == (12, True)
+    assert 11 not in out                 # genuinely new: no cluster row
+
+
 def test_incremental_lsh_star_links_big_corpus_bucket(spark):
     from pyspark.sql import functions as F
 
