@@ -5193,10 +5193,15 @@ QUERIES = {
     "sparql_ask": q_sparql_ask,
     "sparql_agg_concat": q_sparql_agg_concat,
     "sparql_fn_datetime": q_sparql_fn_datetime,
-    "sparql_results_csv": q_sparql_results_csv,
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    # round-3c headliner: the composed continuous-ingestion dedup
+    # (incremental LSH -> Jaccard verify -> CC keeper) — in-window so
+    # the driver gate records it; its stage queries dedup_incremental /
+    # near_dup_incremental sit behind the window, oracle-checked by
+    # scripts/check_oracles.py at both sfs
+    "incremental_dedup_decision": q_incremental_dedup_decision,
     # rows behind the 50-entry driver window: recorded
     # driver-green in CORRECTNESS_r02 (prototype_expand,
     # list_chain, minhash_signatures, ngram_jaccard),
@@ -5204,6 +5209,7 @@ QUERIES = {
     # (dedup_global_triples, curie_resolve, skolemize), or
     # covered by an in-window composite — and all still
     # oracle-checked by scripts/check_oracles.py
+    "sparql_results_csv": q_sparql_results_csv,
     "sparql_results_json": q_sparql_results_json,
     "dedup_global_triples": q_dedup_global_triples,
     "curie_resolve": q_curie_resolve,
@@ -5243,7 +5249,6 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
-    "incremental_dedup_decision": q_incremental_dedup_decision,
     "dsir_weights": q_dsir_weights,
     "classifier_score": q_classifier_score,
     "lm_perplexity": q_lm_perplexity,
