@@ -110,11 +110,14 @@ def _cluster_extract_only(n_executors: int):
     from pyrdfa3_spark.session import build_session
     from pyrdfa3_spark.sources.transcripts import synth_transcripts
 
-    zip_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "dist", "pyrdfa3_spark.zip")
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(repo_root, "dist", "pyrdfa3_spark.zip")
     if not os.path.exists(zip_path):
-        subprocess.run(["sh", os.path.join(os.path.dirname(zip_path),
-                                           "..", "scripts", "package.sh")],
+        # NOTE: the script path must not route through dist/.. — on a
+        # fresh checkout dist/ doesn't exist yet and the kernel refuses
+        # to resolve ".." through a missing component (sh exit 2)
+        subprocess.run(["sh", os.path.join(repo_root, "scripts",
+                                           "package.sh")],
                        check=True, capture_output=True)
     spark = build_session(
         master=f"local-cluster[{n_executors},8,6144]",
