@@ -895,7 +895,8 @@ class _Parser:
         self.eat("OP", "{")
         g = {"patterns": [], "optionals": [], "filters": [],
              "exists": [], "minus": [], "values": None, "binds": [],
-             "unions": [], "subqueries": [], "graphs": []}
+             "unions": [], "subqueries": [], "graphs": [],
+             "graph_scoped": []}
         # operand-order ledger for the §18.2.2.6 guard below: the
         # solver conjoins by KIND (join operands, then OPTIONAL/MINUS
         # passes), which matches the spec's left-to-right translation
@@ -912,7 +913,8 @@ class _Parser:
         while not self.at("OP", "}"):
             n_before = {k: len(g[k]) for k in
                         ("patterns", "optionals", "minus", "unions",
-                         "subqueries", "graphs", "binds")}
+                         "subqueries", "graphs", "graph_scoped",
+                         "binds")}
             values_before = g["values"]
             if self.at("OP", "{") and self.peek(1) == ("KW", "SELECT"):
                 self.eat("OP", "{")
@@ -922,11 +924,61 @@ class _Parser:
             elif self.take("KW", "GRAPH"):
                 gterm = self.term(allow_literal=False)
                 sub = self.group()
-                _require_simple(sub, "GRAPH", filters_ok=False)
-                for s, path, o in sub["patterns"]:
-                    g["graphs"].append(
-                        (s, _unwrap_pred(path, "GRAPH groups"), o,
-                         gterm))
+                no_paths = all(
+                    not isinstance(p, tuple) or p[0] == "pred"
+                    for _s, p, _o in sub["patterns"])
+                plain = _is_plain_group(sub) and no_paths
+                if plain and not sub["filters"]:
+                    # plain quad patterns: inline into the shared
+                    # quad matcher (also the shape update data blocks
+                    # and templates consume)
+                    for s, path, o in sub["patterns"]:
+                        g["graphs"].append(
+                            (s, _unwrap_pred(path, "GRAPH groups"), o,
+                             gterm))
+                elif gterm.startswith("?"):
+                    if not plain:
+                        raise SparqlUnsupported(
+                            "a non-plain group under GRAPH ?var "
+                            "(OPTIONAL/UNION/BIND/paths inside GRAPH "
+                            "need a constant graph IRI; with a "
+                            "variable, keep the group to triple "
+                            "patterns + FILTERs)")
+                    # patterns + FILTERs: the filters scope to the
+                    # GRAPH group (§18.2.2: applied at its group's
+                    # end), and group-end-of-parent is equivalent
+                    # exactly when every variable they read is bound
+                    # by the group's own patterns (a join constrains
+                    # shared variables to equal values; an OUTER-only
+                    # variable would be unbound -> type error -> drop
+                    # in the inner scope, so hoisting would change
+                    # the answer — refuse that shape)
+                    own = pat_vars(sub["patterns"]) | {gterm[1:]}
+                    allowed = set(own)
+                    for v in own:
+                        allowed.update(G.shape_names(v))
+                    for e in sub["filters"]:
+                        refs = G._sql_column_refs(e)
+                        if not refs <= allowed:
+                            raise SparqlUnsupported(
+                                f"GRAPH group FILTER reads outer "
+                                f"variable(s) {sorted(refs - allowed)}"
+                                ": an unbound variable is a type "
+                                "error inside the group's scope; "
+                                "move the FILTER to the outer group "
+                                "if outer bindings are intended")
+                    for s, path, o in sub["patterns"]:
+                        g["graphs"].append(
+                            (s, _unwrap_pred(path, "GRAPH groups"), o,
+                             gterm))
+                    g["filters"].extend(sub["filters"])
+                else:
+                    # constant graph IRI + any full group: the group
+                    # solves recursively against the frame scoped to
+                    # that one named graph (property paths, OPTIONAL,
+                    # UNION, VALUES, BIND, subqueries, nested GRAPH
+                    # all legal — the whole solver is reused)
+                    g["graph_scoped"].append((gterm, sub))
             elif self.take("KW", "OPTIONAL"):
                 sub = self.group()
                 if _is_plain_group(sub):
@@ -1020,6 +1072,10 @@ class _Parser:
                 vs = {t[1:] for t in quad
                       if isinstance(t, str) and t.startswith("?")}
                 seq.append(("graph", vs, vs))
+            for _giri, sub in \
+                    g["graph_scoped"][n_before["graph_scoped"]:]:
+                seq.append(("graphscoped", _group_vars(sub),
+                            _certain_vars(sub)))
             for chain in g["unions"][n_before["unions"]:]:
                 seq.append(("union",
                             set().union(*[_group_vars(b)
@@ -1069,12 +1125,15 @@ class _Parser:
         # Refuse those instead of conjoining in the wrong order.
         inline = bool(g["patterns"]) and not any(
             "group" in o for o in g["optionals"])
-        slots = ({"pats": 0, "opt": 1, "graph": 2, "subq": 2,
-                  "union": 2, "values": 2, "bind": 3, "minus": 4}
+        slots = ({"pats": 0, "opt": 1, "graph": 2, "graphscoped": 2,
+                  "subq": 2, "union": 2, "values": 2, "bind": 3,
+                  "minus": 4}
                  if inline else
-                 {"pats": 0, "graph": 1, "subq": 1, "union": 1,
-                  "values": 1, "opt": 2, "bind": 3, "minus": 4})
-        joins = {"pats", "graph", "subq", "union", "values"}
+                 {"pats": 0, "graph": 1, "graphscoped": 1, "subq": 1,
+                  "union": 1, "values": 1, "opt": 2, "bind": 3,
+                  "minus": 4})
+        joins = {"pats", "graph", "graphscoped", "subq", "union",
+                 "values"}
         for i, (kind_a, vars_a, _ca) in enumerate(seq):
             for j in range(i + 1, len(seq)):
                 kind_b, vars_b, _cb = seq[j]
@@ -1197,7 +1256,8 @@ def _is_plain_group(group: dict) -> bool:
     MINUS semi-join operands)."""
     return not (group["unions"] or group["optionals"] or group["minus"]
                 or group["exists"] or group["values"] or group["binds"]
-                or group["subqueries"] or group["graphs"])
+                or group["subqueries"] or group["graphs"]
+                or group.get("graph_scoped"))
 
 
 def _group_vars(g: dict) -> set[str]:
@@ -1220,6 +1280,8 @@ def _group_vars(g: dict) -> set[str]:
     for quad in g.get("graphs") or []:
         for term in quad:
             add(term)
+    for _giri, sub in g.get("graph_scoped") or []:
+        vs |= _group_vars(sub)
     for o in g["optionals"]:
         if "group" in o:
             vs |= _group_vars(o["group"])
@@ -1249,6 +1311,7 @@ def _require_simple(group: dict, where: str, filters_ok: bool = True):
     bad = (group["unions"] or group["optionals"] or group["minus"]
            or group["exists"] or group["values"] or group["binds"]
            or group["subqueries"] or group["graphs"]
+           or group.get("graph_scoped")
            or (group["filters"] and not filters_ok))
     if bad:
         raise SparqlUnsupported(f"only plain triple patterns inside "
@@ -1628,6 +1691,8 @@ def _attach_shape(g: dict | None, shape_vars) -> None:
     if g is None or not shape_vars:
         return
     g["_shape"] = shape_vars
+    for _giri, sub in g.get("graph_scoped") or ():
+        _attach_shape(sub, shape_vars)
     for chain in g["unions"]:
         for branch in chain:
             _attach_shape(branch, shape_vars)
@@ -1659,7 +1724,7 @@ def _group_has_graphs(g: dict) -> bool:
     the graph column, so a nested GRAPH would otherwise fail with a
     misleading 'needs a quad frame' diagnosis on a genuine quad
     store)."""
-    if g.get("graphs"):
+    if g.get("graphs") or g.get("graph_scoped"):
         return True
     return (any(_group_has_graphs(sq["where"])
                 for sq in g.get("subqueries") or ())
@@ -1683,6 +1748,9 @@ def _group_has_tagged(g: dict) -> bool:
                    if isinstance(t, str))
 
     if in_pats(g["patterns"]) or in_pats(g.get("graphs") or []):
+        return True
+    if any(_group_has_tagged(sub)
+           for _giri, sub in g.get("graph_scoped") or ()):
         return True
     for o in g["optionals"]:
         if isinstance(o, dict) and "group" in o:
@@ -1857,6 +1925,8 @@ def _certain_vars(g: dict) -> set[str]:
     for s, p, o, gt in g.get("graphs") or []:
         for term in (s, p, o, gt):
             add(term)
+    for _giri, sub in g.get("graph_scoped") or []:
+        vs |= _certain_vars(sub)
     if g["values"] is not None:
         names, rows = g["values"]
         for i, n in enumerate(names):
@@ -1934,13 +2004,15 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             "obj_datatype); match the plain lexical form instead")
     t = _expand_paths(triples, [g], keep_shape=keep_shape)
     if (not g["patterns"] and not g["subqueries"] and not g["graphs"]
-            and not g["unions"] and g["values"] is None):
+            and not g.get("graph_scoped") and not g["unions"]
+            and g["values"] is None):
         raise SparqlUnsupported("empty WHERE group")
     # a full-group OPTIONAL can't inline into the matcher, so its
     # presence routes ALL optionals through the generic leftjoin loop
     # (in syntactic order) and defers the group filters past it
     complex_opt = any("group" in o for o in g["optionals"])
-    late = bool(g["subqueries"] or g["graphs"] or g["unions"]
+    late = bool(g["subqueries"] or g["graphs"]
+                or g.get("graph_scoped") or g["unions"]
                 or complex_opt
                 or (g["values"] is not None and not g["patterns"]))
     # FILTER scope is the whole group (§18.2.2: filters apply at the
@@ -2093,6 +2165,26 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                                          shape_vars=sv),
                        "GRAPH group", gq_certain)
         acc_certain |= gq_certain
+    for giri, sub in g.get("graph_scoped") or ():
+        # GRAPH <iri> { full group }: the group solves recursively
+        # against the store scoped to that ONE named graph — paths,
+        # OPTIONAL, UNION, BIND, VALUES, subqueries and nested GRAPH
+        # (which re-ranges over the full dataset via ``_quads``) all
+        # reuse the ordinary solver; the scope filter is a scan-side
+        # partition-prunable predicate on the graph column
+        qsrc = g.get("_quads", triples)
+        if "graph" not in qsrc.columns:
+            raise SparqlUnsupported(
+                "GRAPH clause needs a quad frame (no 'graph' column)")
+        scoped = (qsrc.filter(F.col("graph") == F.lit(giri))
+                  .select("subj", "pred", "obj",
+                          *(G.obj_shape_cols(qsrc) if keep_shape
+                            else [])))
+        sub.setdefault("_quads", qsrc)
+        gs_certain = _certain_vars(sub)
+        sols = conjoin(sols, _solve_group(scoped, sub),
+                       "GRAPH group", gs_certain)
+        acc_certain |= gs_certain
     for sq in g["subqueries"]:
         sq_certain = _subquery_certain(sq)
         sub = _solve_select(triples, sq)
@@ -2370,6 +2462,8 @@ def _attach_quads(g: dict | None, full: DataFrame) -> None:
     if g is None:
         return
     g["_quads"] = full
+    for _giri, sub in g.get("graph_scoped") or ():
+        _attach_quads(sub, full)
     for chain in g["unions"]:
         for branch in chain:
             _attach_quads(branch, full)
@@ -2886,7 +2980,7 @@ def _data_quads(g: dict, what: str,
     ``g["graphs"]``; bare statements are default-graph (None)."""
     bad = (g["unions"] or g["optionals"] or g["minus"] or g["exists"]
            or g["values"] or g["binds"] or g["subqueries"]
-           or g["filters"])
+           or g["filters"] or g.get("graph_scoped"))
     if bad:
         raise SparqlUnsupported(f"only ground triples (optionally in "
                                 f"GRAPH blocks) inside {what}")

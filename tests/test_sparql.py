@@ -390,6 +390,58 @@ def test_graph_clause(spark):
         sparql(tri, "SELECT ?s WHERE { GRAPH ?g { ?s <urn:p:age> ?v } }")
 
 
+def test_graph_scoped_full_group(spark):
+    """GRAPH <iri> { full group }: the group solves recursively against
+    the one named graph — OPTIONAL, FILTER, UNION, property paths and
+    nested GRAPH all legal under a constant graph IRI."""
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlUnsupported, sparql
+
+    rows = [("a", "p:knows", "b", "g1"), ("b", "p:knows", "c", "g1"),
+            ("a", "p:name", "Ada", "g2"), ("b", "p:name", "Bob", "g2"),
+            ("c", "p:name", "Cy", "g2"), ("a", "p:age", "41", "g2"),
+            ("x", "p:top", "a", None)]
+    q = spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+
+    # OPTIONAL + FILTER under a constant graph
+    got = sparql(q, """SELECT ?s ?n ?a WHERE {
+        GRAPH <g2> { ?s p:name ?n OPTIONAL { ?s p:age ?a }
+                     FILTER(STRLEN(?n) >= 3) } }""")
+    assert sorted(map(tuple, got.collect())) == [
+        ("a", "Ada", "41"), ("b", "Bob", None)]
+
+    # property-path closure scoped to one graph (g2's edges invisible)
+    got = sparql(q, "SELECT ?x ?y WHERE { GRAPH <g1> { ?x p:knows+ ?y } }")
+    assert sorted(map(tuple, got.collect())) == [
+        ("a", "b"), ("a", "c"), ("b", "c")]
+
+    # UNION inside the scope, conjoined with an outer (default) pattern
+    got = sparql(q, """SELECT ?s ?v WHERE {
+        ?x p:top ?s .
+        GRAPH <g2> { { ?s p:name ?v } UNION { ?s p:age ?v } } }""",
+        union_default=False)
+    assert sorted(map(tuple, got.collect())) == [("a", "41"), ("a", "Ada")]
+
+    # nested GRAPH re-ranges over the full dataset from inside a scope
+    got = sparql(q, """SELECT ?s ?n WHERE {
+        GRAPH <g1> { ?s p:knows ?y GRAPH <g2> { ?s p:name ?n } } }""")
+    assert sorted(map(tuple, got.collect())) == [("a", "Ada"), ("b", "Bob")]
+
+    # GRAPH ?var keeps patterns+FILTERs (hoisted), refuses full groups
+    got = sparql(q, """SELECT ?g ?s WHERE {
+        GRAPH ?g { ?s p:name ?n FILTER(?n = "Bob") } }""")
+    assert sorted(map(tuple, got.collect())) == [("g2", "b")]
+    with pytest.raises(SparqlUnsupported, match="GRAPH .var"):
+        sparql(q, """SELECT ?s WHERE {
+            GRAPH ?g { ?s p:name ?n OPTIONAL { ?s p:age ?a } } }""")
+    # a GRAPH-group FILTER reading an outer-only variable would change
+    # meaning if hoisted (unbound -> type error inside the scope)
+    with pytest.raises(SparqlUnsupported, match="outer"):
+        sparql(q, """SELECT ?s WHERE {
+            ?s p:age ?a GRAPH ?g { ?s p:name ?n FILTER(?a = "41") } }""")
+
+
 def test_describe_variable_form(spark):
     """DESCRIBE ?x WHERE {...}: the solution set picks the resources,
     bnode objects recurse into the description; unbound variables
