@@ -177,3 +177,80 @@ def link_mentions(docs: DataFrame, entities: DataFrame) -> DataFrame:
                   mentions.mention == entities.name)
             .groupBy("doc_id", "entity_id", "mention")
             .agg(F.count("*").cast("bigint").alias("n_mentions")))
+
+
+def candidate_entities(mentions: DataFrame,
+                       aliases: DataFrame) -> DataFrame:
+    """Candidate generation: mentions ``(doc_id, mention[, context])``
+    against an alias dimension ``(alias, entity_id)`` — MANY-to-many
+    (an ambiguous alias yields one candidate row per entity it may
+    denote).  Output: mention rows fanned out per candidate entity.
+
+    Scale shape: the alias table is a dimension — broadcast hash join,
+    the corpus side never shuffles.  Normalization mirrors
+    :func:`link_mentions` (lower+trim) so the two stages compose."""
+    m = mentions.withColumn("mention", _norm_mention(F.col("mention")))
+    a = aliases.select(_norm_mention(F.col("alias")).alias("alias"),
+                       F.col("entity_id").cast("bigint")
+                       .alias("entity_id"))
+    # a["alias"] (attribute access would hit DataFrame.alias, the method)
+    return (m.join(F.broadcast(a), m["mention"] == a["alias"])
+            .drop("alias"))
+
+
+def disambiguate(mentions: DataFrame, aliases: DataFrame,
+                 priors: DataFrame | None = None,
+                 profiles: DataFrame | None = None) -> DataFrame:
+    """Entity disambiguation: candidate generation -> scoring ->
+    per-mention argmax — the classic entity-linking pipeline over an
+    ambiguous alias table.
+
+    * ``aliases (alias, entity_id)``: many-to-many candidate dim.
+    * ``priors (entity_id, prior)``: integer popularity prior (e.g.
+      :func:`pyrdfa3_spark.operators.graphops.pagerank`'s quantized
+      rank, or corpus frequency); missing/absent -> 1.
+    * ``profiles (entity_id, tokens array<string>)``: optional entity
+      context profile; when given AND ``mentions`` carries a
+      ``context array<string>`` column, each candidate's score is
+      ``prior * (1 + |context ∩ tokens|)`` — the overlap count is
+      computed in-row (``array_intersect``), no extra shuffle.
+    * winner per ``(doc_id, mention)``: highest score, ties broken by
+      smallest ``entity_id`` — ONE hash aggregation via ``min_by``
+      over a ``(-score, entity_id)`` struct; no window, fully
+      map-side-combinable, deterministic under any partitioning.
+
+    All scoring is integer arithmetic, so results are reproducible
+    bit-for-bit across engines and partitionings.  Output:
+    ``(doc_id, mention, entity_id, score)``.
+    """
+    cand = candidate_entities(mentions, aliases)
+    if priors is not None:
+        p = priors.select(F.col("entity_id").cast("bigint")
+                          .alias("entity_id"),
+                          F.col("prior").cast("bigint").alias("prior"))
+        cand = (cand.join(F.broadcast(p), "entity_id", "left")
+                .withColumn("prior", F.coalesce("prior", F.lit(1))))
+    else:
+        cand = cand.withColumn("prior", F.lit(1).cast("bigint"))
+    if profiles is not None and "context" in cand.columns:
+        prof = profiles.select(F.col("entity_id").cast("bigint")
+                               .alias("entity_id"),
+                               F.col("tokens").alias("_prof"))
+        cand = (cand.join(F.broadcast(prof), "entity_id", "left")
+                .withColumn(
+                    "_overlap",
+                    F.when(F.col("_prof").isNull(), F.lit(0)).otherwise(
+                        F.size(F.array_intersect(
+                            F.col("context"), F.col("_prof")))))
+                .drop("_prof"))
+    else:
+        cand = cand.withColumn("_overlap", F.lit(0))
+    score = (F.col("prior")
+             * (F.lit(1) + F.col("_overlap").cast("bigint")))
+    scored = cand.withColumn("score", score.cast("bigint"))
+    key = F.struct((-F.col("score")).alias("negscore"),
+                   F.col("entity_id"))
+    return (scored
+            .groupBy("doc_id", "mention")
+            .agg(F.min_by("entity_id", key).alias("entity_id"),
+                 F.max("score").alias("score")))

@@ -4404,6 +4404,64 @@ GROUP BY t.doc_id, l.entity_id, t.mention
 """
 
 
+def q_entity_disambiguate(spark, sf_dir):
+    """Entity disambiguation over an AMBIGUOUS alias table: each
+    lexicon entity is reachable by its full name and by its 4-char
+    prefix (prefixes collide across entities), the corpus-frequency
+    prior breaks the ambiguity, smallest entity_id breaks score ties.
+    Pure integer scoring -> bit-reproducible; winner per (doc, mention)
+    via one min_by hash aggregation (no window)."""
+    from pyrdfa3_spark.operators.entity_link import (
+        build_lexicon, disambiguate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = build_lexicon(docs, top_n=30)
+    aliases = (lex.select(F.col("name").alias("alias"), "entity_id")
+               .unionByName(
+                   lex.select(F.substring("name", 1, 4).alias("alias"),
+                              "entity_id"))
+               .dropDuplicates())
+    priors = lex.select("entity_id", F.col("freq").alias("prior"))
+    mentions = (docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+        .alias("mention"))
+        .filter(F.col("mention") != ""))
+    return disambiguate(mentions, aliases, priors=priors)
+
+
+SQL_ENTITY_DISAMBIGUATE = """
+WITH toks AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, tok AS mention
+  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       unnest(regexp_split_to_array(t, '\\s+')) AS u(tok)
+  WHERE tok <> ''),
+lex AS (
+  SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, mention)
+         AS BIGINT) AS entity_id,
+         mention AS name, CAST(count(*) AS BIGINT) AS freq
+  FROM toks GROUP BY mention
+  ORDER BY count(*) DESC, mention LIMIT 30),
+aliases AS (
+  SELECT DISTINCT alias, entity_id FROM (
+    SELECT name AS alias, entity_id FROM lex
+    UNION ALL SELECT substr(name, 1, 4), entity_id FROM lex)),
+scored AS (
+  SELECT t.doc_id, t.mention, a.entity_id, l.freq AS score
+  FROM toks t JOIN aliases a ON t.mention = a.alias
+  JOIN lex l ON l.entity_id = a.entity_id),
+win AS (
+  SELECT doc_id, mention, entity_id, score,
+         row_number() OVER (PARTITION BY doc_id, mention
+                            ORDER BY score DESC, entity_id) AS rn
+  FROM scored)
+SELECT doc_id, mention, CAST(entity_id AS BIGINT) AS entity_id,
+       CAST(score AS BIGINT) AS score
+FROM win WHERE rn = 1
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Explicit hot-key salting: lineitem joined to a small dim on
     l_returnflag (3 distinct values = pathological skew); result must
@@ -5342,6 +5400,7 @@ QUERIES = {
     "salted_join": q_salted_join,
     "entity_canonicalize": q_entity_canonicalize,
     "entity_link": q_entity_link,
+    "entity_disambiguate": q_entity_disambiguate,
     "sessionize": q_sessionize,
     "graph_metrics": q_graph_metrics,
     "graph_metrics_fixture": q_graph_metrics_fixture,
@@ -5485,6 +5544,7 @@ def oracles() -> dict[str, str]:
         "salted_join": SQL_SALTED_JOIN,
         "entity_canonicalize": SQL_ENTITY_CANONICALIZE,
         "entity_link": SQL_ENTITY_LINK,
+        "entity_disambiguate": SQL_ENTITY_DISAMBIGUATE,
         "sessionize": SQL_SESSIONIZE,
         "rdfa_extract_fixture": SQL_RDFA_EXTRACT_FIXTURE,
         "rdfa_diagnostics_fixture": SQL_RDFA_DIAGNOSTICS_FIXTURE,

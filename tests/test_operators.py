@@ -1561,6 +1561,65 @@ def test_pagerank_matches_python(spark):
         assert abs(out[v] - ranks[v]) < 1e-9, (v, out[v], ranks[v])
 
 
+def test_disambiguate_prior_and_ties(spark):
+    """Candidate fan-out over an ambiguous alias table; the prior
+    picks the winner, smallest entity_id breaks exact score ties,
+    missing priors default to 1."""
+    from pyrdfa3_spark.operators.entity_link import disambiguate
+
+    mentions = spark.createDataFrame(
+        [(1, "Paris"), (1, "sol"), (2, "PARIS "), (2, "unknown")],
+        ["doc_id", "mention"])
+    aliases = spark.createDataFrame(
+        [("paris", 10), ("paris", 20),     # ambiguous city/person
+         ("sol", 30), ("sol", 31),         # tie (equal priors)
+         ("unknown", 40)],
+        ["alias", "entity_id"])
+    priors = spark.createDataFrame(
+        [(10, 7), (20, 99), (30, 5), (31, 5)],  # 40 missing -> 1
+        ["entity_id", "prior"])
+    out = {(r["doc_id"], r["mention"]): (r["entity_id"], r["score"])
+           for r in disambiguate(mentions, aliases, priors).collect()}
+    assert out[(1, "paris")] == (20, 99)   # prior wins
+    assert out[(2, "paris")] == (20, 99)   # normalization matched
+    assert out[(1, "sol")] == (30, 5)      # tie -> smaller entity_id
+    assert out[(2, "unknown")] == (40, 1)  # absent prior defaults
+
+
+def test_disambiguate_context_overlap(spark):
+    """With entity profiles and a mention context, the score becomes
+    prior * (1 + |context ∩ profile|) — cross-checked against a pure
+    python scorer."""
+    from pyrdfa3_spark.operators.entity_link import disambiguate
+
+    mentions = spark.createDataFrame(
+        [(1, "jaguar", ["engine", "speed", "car"]),
+         (2, "jaguar", ["jungle", "prey"])],
+        ["doc_id", "mention", "context"])
+    aliases = spark.createDataFrame(
+        [("jaguar", 1), ("jaguar", 2)], ["alias", "entity_id"])
+    priors = spark.createDataFrame(
+        [(1, 4), (2, 3)], ["entity_id", "prior"])   # 1 = car, 2 = cat
+    profiles = spark.createDataFrame(
+        [(1, ["car", "engine", "brand"]), (2, ["cat", "jungle", "prey"])],
+        ["entity_id", "tokens"])
+    out = {(r["doc_id"], r["mention"]): (r["entity_id"], r["score"])
+           for r in disambiguate(mentions, aliases, priors,
+                                 profiles).collect()}
+
+    # python cross-check of the integer scoring
+    prior = {1: 4, 2: 3}
+    prof = {1: {"car", "engine", "brand"}, 2: {"cat", "jungle", "prey"}}
+    ctx = {1: {"engine", "speed", "car"}, 2: {"jungle", "prey"}}
+    for doc in (1, 2):
+        scores = {e: prior[e] * (1 + len(ctx[doc] & prof[e]))
+                  for e in (1, 2)}
+        best = min(sorted(scores), key=lambda e: (-scores[e], e))
+        assert out[(doc, "jaguar")] == (best, scores[best]), (doc, out)
+    assert out[(1, "jaguar")][0] == 1      # car context -> car entity
+    assert out[(2, "jaguar")][0] == 2      # jungle context -> the cat
+
+
 def test_ask_short_circuit_and_false(spark, kg_triples):
     from pyrdfa3_spark.operators.graphops import ask
 

@@ -77,6 +77,21 @@ def test_entity_link_plan_no_global_window(spark):
     assert "TakeOrderedAndProject" in simple, simple
 
 
+def test_entity_disambiguate_plan_shape(spark):
+    """Disambiguation winner-per-mention must be ONE min_by hash
+    aggregation (map-side combinable), never a ranking window over the
+    candidate fan-out; alias + prior dims stay broadcast so the corpus
+    side never shuffles for the joins."""
+    from pyrdfa3_spark.plans.queries import q_entity_disambiguate
+
+    df = q_entity_disambiguate(spark, "/root/testdata/sf0.001")
+    simple = _plan(df, mode="simple")
+    # lexicon top-n contributes TakeOrderedAndProject; no window at all
+    assert "Window" not in simple, simple
+    assert "BroadcastHashJoin" in simple, simple
+    assert "CartesianProduct" not in simple, simple
+
+
 def test_minhash_plan_no_cartesian_no_double_scan(spark):
     from pyrdfa3_spark.operators.dedup import minhash_lsh_candidates
 
