@@ -96,6 +96,10 @@ def _capped_bucket_pairs(members: DataFrame, keys: list[str], id_col: str,
     so NOTHING ever materializes an O(bucket) row: the old
     ``collect_set`` shape built the full member array before any cap
     could apply, which is itself the OOM at a 10^9-member bucket.
+    (A cap-bounded collect_list + in-row i<j expansion was also
+    measured: it saves one membership shuffle but loses to the join's
+    codegen on pair emission, and the O(Σn²) cost either way is the
+    cross-band dedup of the PAIRS, which both shapes share.)
     The membership frame is ``localCheckpoint(eager=True)``-ed across
     its three consumers: the signature lineage runs exactly once, AQE
     plans the self-join from REAL materialized sizes, and — unlike an
