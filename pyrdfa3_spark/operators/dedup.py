@@ -374,6 +374,32 @@ def dedup_decision(docs: DataFrame, k: int = 5, n_hashes: int = 8,
         (F.col("node") != F.col("canon")).alias("is_dup"))
 
 
+def _span_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): the normalized word-token array per document —
+    the shared tokenization of the span-dedup family."""
+    toks = F.filter(F.split(_normalized(), " "), lambda t: t != "")
+    return (_scale_out(docs)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    toks.alias("toks")))
+
+
+def _span_occurrences(docs: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, span_hash): every ``window``-token run, hashed —
+    windows built IN-ROW (one transform, md5 per window); the only
+    explode is the per-position row the cross-document groupBy needs."""
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.size("toks") - (window - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(
+        " ", *[F.element_at("toks", (i + F.lit(j)).cast("int"))
+               for j in range(window)])))
+    return (_span_tokens(docs)
+            .filter(F.size("toks") >= window)
+            .select("doc_id", F.posexplode(grams).alias("p", "span_hash"))
+            .select("doc_id",
+                    (F.col("p") + 1).cast("bigint").alias("pos"),
+                    "span_hash"))
+
+
 def duplicate_spans(docs: DataFrame, window: int = 8,
                     min_occurrences: int = 2) -> DataFrame:
     """Exact duplicate token-window spans across the corpus — the
@@ -403,18 +429,7 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
     distribute on DataFrames; fixed windows at 100 TB are the standard
     approximation and catch every duplicate run ≥ ``window`` tokens.
     """
-    toks = F.filter(F.split(_normalized(), " "), lambda t: t != "")
-    idx = F.sequence(F.lit(1),
-                     F.greatest(F.size("toks") - (window - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(
-        " ", *[F.element_at("toks", (i + F.lit(j)).cast("int"))
-               for j in range(window)])))
-    occ = (_scale_out(docs)
-           .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                   toks.alias("toks"))
-           .filter(F.size("toks") >= window)
-           .select("doc_id", F.posexplode(grams).alias("p", "span_hash"))
-           .select("doc_id", (F.col("p") + 1).alias("pos"), "span_hash"))
+    occ = _span_occurrences(docs, window)
     # struct min = lexicographic (doc_id, pos) — overflow-free arg-min,
     # still a map-side-partial aggregate
     return (occ.groupBy("span_hash")
@@ -425,6 +440,74 @@ def duplicate_spans(docs: DataFrame, window: int = 8,
             .select("span_hash", "n_occurrences", "n_docs",
                     F.col("_keep.doc_id").cast("bigint").alias("keep_doc"),
                     F.col("_keep.pos").cast("bigint").alias("keep_pos")))
+
+
+def remove_duplicate_spans(docs: DataFrame, window: int = 8,
+                           min_occurrences: int = 2) -> DataFrame:
+    """CUT the duplicated spans :func:`duplicate_spans` detects and
+    reassemble cleaned documents — the transformation half of
+    exact-substring dedup (Lee et al. 2022; Dolma's paragraph/span
+    dedup): every occurrence of a ``min_occurrences``+-repeated
+    ``window``-token run is removed EXCEPT the corpus-wide first
+    (lexicographic minimum ``(doc_id, pos)``), overlapping cut windows
+    union naturally, and each document's surviving tokens rejoin in
+    order.
+
+    Output: ``(doc_id, clean_text, n_kept, n_removed)`` over the
+    NORMALIZED token stream (lowercased, whitespace-collapsed — the
+    same normalization the detector hashes; a byte-exact splice of the
+    original text would need the un-normalized offsets, which exact
+    dedup pipelines typically discard anyway).
+
+    Scale shape: everything is linear in token count — the occurrence
+    index is rebuilt rather than pinned (at corpus scale an O(tokens)
+    cache is not pinnable), cut positions expand to covered positions
+    in-row, the cut itself is a LEFT ANTI equi-join on
+    ``(doc_id, pos)``, and reassembly is one groupBy whose collected
+    struct list is bounded by the document's own length (the same
+    memory class as the document text).  No windows, no self-joins,
+    no quadratic in-row membership scans.
+    """
+    occ = _span_occurrences(docs, window)
+    keep = (occ.groupBy("span_hash")
+            .agg(F.count("*").alias("n"),
+                 F.min(F.struct("doc_id", "pos")).alias("_keep"))
+            .filter(F.col("n") >= min_occurrences)
+            .select("span_hash",
+                    F.col("_keep.doc_id").alias("_kd"),
+                    F.col("_keep.pos").alias("_kp")))
+    drops = (occ.join(keep, "span_hash")
+             .filter((F.col("doc_id") != F.col("_kd"))
+                     | (F.col("pos") != F.col("_kp")))
+             .select("doc_id", "pos"))
+    covered = (drops
+               .select("doc_id",
+                       F.explode(F.sequence(
+                           F.col("pos"),
+                           F.col("pos") + (window - 1))).alias("pos"))
+               .dropDuplicates())
+    base = _span_tokens(docs).filter(F.size("toks") > 0)
+    tok_rows = (base
+                .select("doc_id", F.posexplode("toks").alias("p", "tok"))
+                .select("doc_id",
+                        (F.col("p") + 1).cast("bigint").alias("pos"),
+                        "tok"))
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("pos", "tok"))).alias("arr"))
+               .select("doc_id",
+                       F.concat_ws(" ", F.transform(
+                           "arr", lambda x: x["tok"])).alias("clean_text"),
+                       F.size("arr").cast("bigint").alias("n_kept")))
+    return (base.select("doc_id",
+                        F.size("toks").cast("bigint").alias("_n"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+                    .alias("n_removed")))
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, k: int = 5) -> DataFrame:

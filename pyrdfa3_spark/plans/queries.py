@@ -860,6 +860,52 @@ FROM g JOIN k ON k.span_hash = g.span_hash AND k.rn = 1
 """
 
 
+def q_remove_duplicate_spans(spark, sf_dir):
+    """The CUT half of exact-substring dedup: every non-first
+    occurrence of a repeated 8-token window is removed and the
+    surviving (normalized) tokens reassemble per document."""
+    return D.remove_duplicate_spans(_t(spark, sf_dir, "documents"),
+                                    window=8, min_occurrences=2)
+
+
+SQL_REMOVE_DUPLICATE_SPANS = f"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     regexp_split_to_array({_NORM_SQL}, ' ') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(
+                 list_slice(t, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))
+                 AS span_hash
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8),
+g AS (SELECT span_hash FROM w GROUP BY span_hash HAVING count(*) >= 2),
+k AS (SELECT span_hash, doc_id AS keep_doc, pos AS keep_pos,
+             row_number() OVER (PARTITION BY span_hash
+                                ORDER BY doc_id, pos) AS rn
+      FROM w),
+drops AS (SELECT w.doc_id, w.pos
+          FROM w JOIN g USING (span_hash)
+          JOIN k ON k.span_hash = w.span_hash AND k.rn = 1
+          WHERE NOT (w.doc_id = k.keep_doc AND w.pos = k.keep_pos)),
+cov AS (SELECT DISTINCT doc_id, pos + o AS pos
+        FROM drops, unnest(generate_series(0, 7)) AS u(o)),
+tok_rows AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    t[CAST(i AS INT)] AS tok
+             FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+kept AS (SELECT tr.doc_id, tr.pos, tr.tok
+         FROM tok_rows tr LEFT JOIN cov
+           ON cov.doc_id = tr.doc_id AND cov.pos = tr.pos
+         WHERE cov.doc_id IS NULL),
+re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              CAST(count(*) AS BIGINT) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(re.clean_text, '') AS clean_text,
+       coalesce(re.n_kept, 0) AS n_kept,
+       CAST(len(t.t) AS BIGINT) - coalesce(re.n_kept, 0) AS n_removed
+FROM toks t LEFT JOIN re USING (doc_id)
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights toward a deterministic pseudo-target
     domain (every 10th document) — the hashed-n-gram log-likelihood
@@ -5329,6 +5375,7 @@ QUERIES = {
     "jsonld_serialize": q_jsonld_serialize,
     "dedup_decision": q_dedup_decision,
     "duplicate_spans": q_duplicate_spans,
+    "remove_duplicate_spans": q_remove_duplicate_spans,
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "token_count": q_token_count,
@@ -5442,6 +5489,7 @@ def oracles() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "minhash_lsh_candidates": SQL_MINHASH_LSH,
         "duplicate_spans": SQL_DUPLICATE_SPANS,
+        "remove_duplicate_spans": SQL_REMOVE_DUPLICATE_SPANS,
         "dsir_weights": _sql_dsir_weights(),
         "classifier_score": _sql_classifier_score(),
         "lm_perplexity": _sql_lm_perplexity(),

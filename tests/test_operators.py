@@ -979,6 +979,52 @@ def test_duplicate_spans_matches_python(spark):
     assert expected  # the fixture genuinely exercises duplicates
 
 
+def test_remove_duplicate_spans_matches_python(spark):
+    """The cut half, cross-checked against a brute-force model: every
+    non-first occurrence of a repeated window is masked over
+    [pos, pos+window), overlaps union, survivors rejoin in order; the
+    corpus-first occurrence keeps its text."""
+    import re
+    from collections import defaultdict
+
+    from pyrdfa3_spark.operators.dedup import remove_duplicate_spans
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "intro words the quick brown fox tail",   # repeats doc 1's run
+        3: "the quick brown fox",                    # the whole doc repeats
+        4: "unique content with no repeats at all",
+        5: "   ",                                    # whitespace-only: drops
+    }
+    W = 4
+    tok = {d: [t for t in re.sub(r"\s+", " ", s.lower()).strip()
+               .split(" ") if t] for d, s in texts.items()}
+    occ = defaultdict(list)
+    for d, ts in tok.items():
+        for i in range(len(ts) - W + 1):
+            occ[" ".join(ts[i:i + W])].append((d, i + 1))
+    expected = {}
+    cut = defaultdict(set)
+    for ps in occ.values():
+        if len(ps) >= 2:
+            for d, p in sorted(ps)[1:]:
+                cut[d].update(range(p, p + W))
+    for d, ts in tok.items():
+        if not ts:
+            continue
+        keep = [t for i, t in enumerate(ts, 1) if i not in cut[d]]
+        expected[d] = (" ".join(keep), len(keep), len(ts) - len(keep))
+
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in remove_duplicate_spans(docs, window=W).collect()}
+    assert got == expected
+    assert got[4] == (texts[4], 7, 0)        # untouched doc passes through
+    assert got[3] == ("", 0, 4)              # fully-duplicated doc empties
+    assert 5 not in got                      # token-less doc contributes no row
+    assert any(n > 0 for _t, _k, n in got.values())
+
+
 def test_duplicate_spans_keeper_survives_huge_doc_ids(spark):
     """doc ids past 2^33 — where the old packed ``doc_id*10^9 + pos``
     key overflowed int64 and silently elected the wrong keeper — must
