@@ -374,6 +374,41 @@ def dedup_decision(docs: DataFrame, k: int = 5, n_hashes: int = 8,
         (F.col("node") != F.col("canon")).alias("is_dup"))
 
 
+def elect_keeper(decision: DataFrame, scores: DataFrame) -> DataFrame:
+    """Re-elect each near-dup cluster's keeper by QUALITY instead of
+    by minimum id — what production curation actually does (keep the
+    longest / highest-scoring member of a duplicate cluster, drop the
+    rest).  ``decision``: :func:`dedup_decision` output
+    ``(doc_id, keep_id, is_dup)`` where ``keep_id`` doubles as the
+    cluster label; ``scores``: ``(doc_id, score)`` — any orderable
+    numeric (doc length, classifier quality, ...).  The winner is the
+    highest score, ties broken by smallest doc_id; members without a
+    score row rank below every scored member (score -> NULL sorts
+    last inside the min_by struct via a coalesce to the minimum).
+
+    Output: same shape as ``decision`` with the re-elected keeper.
+
+    Scale shape: one equi-join to attach scores and ONE ``min_by``
+    hash aggregation per cluster (map-side combinable, no window),
+    then one join to restamp members — clusters are never collected.
+    """
+    members = decision.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("keep_id").cast("bigint").alias("_cluster"))
+    s = scores.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("score").cast("double").alias("_score"))
+    scored = (members.join(s, "doc_id", "left")
+              .withColumn("_score", F.coalesce(
+                  "_score", F.lit(float("-inf")))))
+    best = (scored.groupBy("_cluster")
+            .agg(F.min_by("doc_id",
+                          F.struct((-F.col("_score")).alias("neg"),
+                                   F.col("doc_id"))).alias("keep_id")))
+    return (members.join(best, "_cluster")
+            .select("doc_id", "keep_id",
+                    (F.col("doc_id") != F.col("keep_id")).alias("is_dup")))
+
+
 def _span_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, toks): the normalized word-token array per document —
     the shared tokenization of the span-dedup family."""

@@ -828,6 +828,36 @@ FROM reach GROUP BY node
 )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keeper election over the composed dedup decision:
+    each near-dup cluster keeps its LONGEST member (n_chars as the
+    quality score; ties -> smallest doc_id) instead of the minimum id —
+    the FineWeb/RefinedWeb-style 'keep the best duplicate' policy."""
+    docs = _t(spark, sf_dir, "documents")
+    decision = D.dedup_decision(docs, jaccard_threshold=0.7)
+    scores = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                         F.col("n_chars").alias("score"))
+    return D.elect_keeper(decision, scores)
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH base AS ({{dedup_sql}}),
+s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars AS DOUBLE) AS score FROM documents),
+best AS (
+  SELECT cluster, doc_id AS keep_id FROM (
+    SELECT b.keep_id AS cluster, b.doc_id,
+           row_number() OVER (PARTITION BY b.keep_id
+                              ORDER BY coalesce(s.score,
+                                  CAST('-inf' AS DOUBLE)) DESC,
+                                       b.doc_id) AS rn
+    FROM base b LEFT JOIN s ON s.doc_id = b.doc_id)
+  WHERE rn = 1)
+SELECT b.doc_id, best.keep_id, b.doc_id <> best.keep_id AS is_dup
+FROM base b JOIN best ON best.cluster = b.keep_id
+""".format(dedup_sql=SQL_DEDUP_DECISION)
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact duplicate token-window spans (Lee et al. 2022-style
     substring dedup at fixed window length) — catches the repeated
@@ -5374,6 +5404,7 @@ QUERIES = {
     "trig_serialize": q_trig_serialize,
     "jsonld_serialize": q_jsonld_serialize,
     "dedup_decision": q_dedup_decision,
+    "dedup_keep_best": q_dedup_keep_best,
     "duplicate_spans": q_duplicate_spans,
     "remove_duplicate_spans": q_remove_duplicate_spans,
     "cosine_topk": q_cosine_topk,
@@ -5500,6 +5531,7 @@ def oracles() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_decision": SQL_DEDUP_DECISION,
+        "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "cosine_topk": SQL_COSINE_TOPK,
         "lsh_cosine_candidates": _sql_lsh_cosine(),
         "embedding_near_dups": _sql_embedding_near_dups(0.3),

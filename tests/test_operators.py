@@ -979,6 +979,25 @@ def test_duplicate_spans_matches_python(spark):
     assert expected  # the fixture genuinely exercises duplicates
 
 
+def test_elect_keeper_quality_and_ties(spark):
+    """Keeper re-election by score: highest score wins, ties break to
+    the smallest doc_id, unscored members lose to any scored one, and
+    the is_dup flags restamp consistently."""
+    from pyrdfa3_spark.operators.dedup import elect_keeper
+
+    decision = spark.createDataFrame(
+        [(1, 1, False), (2, 1, True), (3, 1, True),   # cluster 1
+         (7, 7, False), (9, 7, True)],                # cluster 7
+        ["doc_id", "keep_id", "is_dup"])
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 50.0), (3, 50.0), (9, 1.0)],  # 7 unscored
+        ["doc_id", "score"])
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in elect_keeper(decision, scores).collect()}
+    assert out == {1: (2, True), 2: (2, False), 3: (2, True),
+                   7: (9, True), 9: (9, False)}
+
+
 def test_remove_duplicate_spans_matches_python(spark):
     """The cut half, cross-checked against a brute-force model: every
     non-first occurrence of a repeated window is masked over

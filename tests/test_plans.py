@@ -185,6 +185,15 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
     assert "Window" not in simple and "Join" not in simple, simple
     assert "partial" in _plan(duplicate_spans(docs)).lower()
 
+    from pyrdfa3_spark.operators.dedup import remove_duplicate_spans
+
+    simple = _plan(remove_duplicate_spans(docs), mode="simple")
+    # the cut is a LEFT ANTI equi-join; no ranking window, no
+    # cartesian, and reassembly is an ordinary hash aggregate
+    assert "LeftAnti" in simple, simple
+    assert "Window" not in simple, simple
+    assert "CartesianProduct" not in simple, simple
+
     plan = _plan(dsir_weights(docs.filter("doc_id % 10 != 0"),
                               docs.filter("doc_id % 10 = 0")))
     assert "BroadcastHashJoin" in plan, plan
