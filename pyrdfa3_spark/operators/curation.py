@@ -91,6 +91,54 @@ def domain_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
     return _ranked_topk(counted, "domain", top_n)
 
 
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+
+def canonical_url(col) -> F.Column:
+    """Canonical form of a URL column — the normalization CCNet/Dolma-
+    style pipelines dedupe provenance on: fragment dropped, scheme
+    dropped, host lowercased with leading ``www.`` and default ports
+    (:80/:443) stripped, trailing path slashes stripped, and query
+    params with tracking keys (``utm_*``, ``fbclid``, ``gclid``,
+    ``ref``) removed with the survivors SORTED (byte order) so
+    param-order variants collapse.  Pure column algebra (regex + array
+    ops), reproducible in the DuckDB oracle."""
+    u = F.regexp_replace(col, "#.*", "")
+    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    base = F.regexp_extract(u, r"^[^?]*", 0)
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    host = F.regexp_extract(base, r"^[^/]*", 0)
+    path = F.substr(base, F.length(host) + F.lit(1))
+    host = F.regexp_replace(F.lower(host), r"^www\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    path = F.regexp_replace(path, "/+$", "")
+    params = F.array_join(F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(_TRACKING_PARAM_RE))), "&")
+    return F.concat(host, path,
+                    F.when(params == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), params)))
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level dedup decision: documents whose provenance URLs
+    canonicalize identically are duplicates; each group keeps its
+    minimum doc_id.  Output one row per duplicated canonical URL:
+    ``(canonical_url, n_docs, keep_id)`` — the same contract as
+    :func:`pyrdfa3_spark.operators.dedup.dedup_exact`, keyed on
+    provenance instead of content.
+
+    Scale shape: canonicalization is in-row column algebra; the
+    decision is ONE hash groupBy with map-side partial min/count."""
+    return (docs
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    canonical_url(F.col(url_col)).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
 def _hash32(col) -> F.Column:
     """Portable deterministic 32-bit hash (md5 prefix as integer) —
     reproducible bit-for-bit in the DuckDB oracle via a hex-digit

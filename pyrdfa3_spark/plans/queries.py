@@ -936,6 +936,84 @@ FROM toks t LEFT JOIN re USING (doc_id)
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """Provenance-URL dedup over deterministically-synthesized
+    adversarial variants: three of every four docs carry the SAME page
+    behind scheme/case/www/default-port/trailing-slash/tracking-param/
+    fragment/param-order noise; canonicalization must collapse exactly
+    those (keep = min doc_id)."""
+    from pyrdfa3_spark.operators.curation import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("doc_id") / 4).cast("bigint")
+    h = (b % 7).cast("string")
+    bs = b.cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+               F.lit("https://WWW.Example"), h, F.lit(".com/path/"),
+               bs, F.lit("/?utm_source=feed&x=1")))
+           .when(v == 1, F.concat(
+               F.lit("http://example"), h, F.lit(".com/path/"),
+               bs, F.lit("?x=1")))
+           .when(v == 2, F.concat(
+               F.lit("https://example"), h, F.lit(".com:443/path/"),
+               bs, F.lit("?x=1&utm_campaign=a#frag")))
+           .otherwise(F.concat(
+               F.lit("https://example"), h, F.lit(".com/other/"),
+               F.col("doc_id").cast("string"))))
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://WWW.Example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                  || '.com/path/' || CAST(doc_id // 4 AS VARCHAR)
+                  || '/?utm_source=feed&x=1'
+      WHEN 1 THEN 'http://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                  || '.com/path/' || CAST(doc_id // 4 AS VARCHAR) || '?x=1'
+      WHEN 2 THEN 'https://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                  || '.com:443/path/' || CAST(doc_id // 4 AS VARCHAR)
+                  || '?x=1&utm_campaign=a#frag'
+      ELSE 'https://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
+           || '.com/other/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents),
+s1 AS (SELECT doc_id,
+              regexp_replace(regexp_replace(url, '#.*', ''),
+                             '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u2
+       FROM u),
+s2 AS (SELECT doc_id, regexp_extract(u2, '^[^?]*') AS base,
+              regexp_extract(u2, '\\?(.*)$', 1) AS query
+       FROM s1),
+s3 AS (SELECT doc_id,
+              regexp_extract(base, '^[^/]*') AS host,
+              substr(base,
+                     length(regexp_extract(base, '^[^/]*')) + 1) AS path,
+              query
+       FROM s2),
+s4 AS (SELECT doc_id, host, path,
+              array_to_string(list_sort(list_filter(
+                  string_split(query, '&'),
+                  p -> NOT regexp_matches(
+                      p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
+                  '&') AS params
+       FROM s3),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(host), '^www\\.', ''),
+                        ':(80|443)$', '')
+         || regexp_replace(path, '/+$', '')
+         || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+         AS canonical_url
+  FROM s4)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights toward a deterministic pseudo-target
     domain (every 10th document) — the hashed-n-gram log-likelihood
@@ -5428,6 +5506,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "url_dedup": q_url_dedup,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
@@ -5514,6 +5593,7 @@ def oracles() -> dict[str, str]:
         "lang_id": _sql_lang_id(),
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "url_dedup": SQL_URL_DEDUP,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
         "incremental_dedup_decision": SQL_INCREMENTAL_DECISION,

@@ -979,6 +979,49 @@ def test_duplicate_spans_matches_python(spark):
     assert expected  # the fixture genuinely exercises duplicates
 
 
+def test_canonical_url_variants(spark):
+    """Scheme/case/www/default-port/trailing-slash/fragment/tracking-
+    param/param-order noise all collapses; distinct pages stay
+    distinct; path case is preserved (paths are case-sensitive)."""
+    from pyrdfa3_spark.operators.curation import canonical_url
+
+    import pyspark.sql.functions as F
+    urls = [
+        "https://WWW.Example.com/Path/a/?utm_source=f&x=1",
+        "http://example.com/Path/a?x=1",
+        "https://example.com:443/Path/a?x=1&utm_campaign=z#frag",
+        "https://example.com/Path/a?b=2&x=1",   # extra param: distinct
+        "https://example.com/path/a?x=1",       # path case: distinct
+        "https://example.com:8080/Path/a?x=1",  # non-default port kept
+        "https://example.com",                  # bare host
+        "https://example.com/?ref=rss",         # only tracking params
+        "https://example.com/Path/a?x=1&b=2",   # order-normalized dup of b=2&x=1
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r[0] for r in
+           df.select(canonical_url(F.col("url"))).collect()]
+    assert got[0] == got[1] == got[2] == "example.com/Path/a?x=1"
+    assert got[3] == "example.com/Path/a?b=2&x=1"
+    assert got[8] == got[3]                      # param order collapsed
+    assert got[4] == "example.com/path/a?x=1"
+    assert got[5] == "example.com:8080/Path/a?x=1"
+    assert got[6] == "example.com"
+    assert got[7] == "example.com"               # tracking-only query drops
+
+
+def test_url_dedup_groups(spark):
+    from pyrdfa3_spark.operators.curation import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://www.a.com/x/"), (2, "http://a.com/x"),
+         (3, "https://a.com/x?utm_source=s"), (4, "https://b.com/y")],
+        ["doc_id", "url"])
+    rows = url_dedup(docs).collect()
+    assert len(rows) == 1
+    assert (rows[0]["canonical_url"], rows[0]["n_docs"],
+            rows[0]["keep_id"]) == ("a.com/x", 3, 1)
+
+
 def test_elect_keeper_quality_and_ties(spark):
     """Keeper re-election by score: highest score wins, ties break to
     the smallest doc_id, unscored members lose to any scored one, and
