@@ -27,6 +27,7 @@ one UDF call.  Cross-document global dedup, when wanted, is the separate
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from collections.abc import Iterator
 from typing import Optional
@@ -278,3 +279,65 @@ def write_triples(triples: DataFrame, path: str, buckets: int = 16) -> None:
      .option("compression", "zstd")
      .partitionBy("conv_bucket")
      .parquet(path))
+
+
+def compact_triples(spark, path: str, max_files: int = 4,
+                    target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction for a :func:`write_triples` /
+    ``run_bucketed`` table: incremental per-bucket appends accumulate
+    many small parquet files, and at 100 TB the scan's task count (and
+    the namenode/manifest pressure) grows with FILE count, not data
+    size.  Each partition holding more than ``max_files`` data files is
+    rewritten into ``ceil(bytes / target_bytes)`` files, re-sorted by
+    ``(subj, pred)`` so the min/max-statistics pruning
+    :func:`write_triples` established survives compaction.
+
+    The rewrite is verify-then-swap per partition: the compacted copy
+    lands in a sibling temp directory, its row count must equal the
+    original's, and only then does a directory rename replace the old
+    partition — a failed compaction leaves the table untouched.  In
+    production this is exactly Iceberg's ``rewrite_data_files``
+    (snapshot-isolated); the directory swap emulates it in the
+    catalog-less sandbox.  Lineage manifests (``_lineage/``) describe
+    bucket INPUT fingerprints, which compaction does not change.
+
+    Returns {partition: {files_before, files_after, rows}}.
+    """
+    import math
+    import shutil
+
+    report = {}
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not (d.startswith("conv_bucket=") and os.path.isdir(full)):
+            continue
+        files = [f for f in os.listdir(full)
+                 if f.endswith(".parquet") and not f.startswith(".")]
+        if len(files) <= max_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(full, f))
+                    for f in files)
+        n_out = max(1, math.ceil(total / target_bytes))
+        df = spark.read.parquet(full)
+        n_before = df.count()
+        tmp = full + ".compacting"
+        if os.path.isdir(tmp):            # crashed prior attempt
+            shutil.rmtree(tmp)
+        (df.coalesce(n_out)
+         .sortWithinPartitions("subj", "pred")
+         .write.mode("overwrite")
+         .option("compression", "zstd")
+         .parquet(tmp))
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction of {full} would change row count "
+                f"({n_before} -> {n_after}); partition left untouched")
+        shutil.rmtree(full)
+        os.rename(tmp, full)
+        report[d] = {"files_before": len(files),
+                     "files_after": len([f for f in os.listdir(full)
+                                         if f.endswith(".parquet")]),
+                     "rows": n_before}
+    return report
