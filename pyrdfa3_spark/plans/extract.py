@@ -300,6 +300,10 @@ def compact_triples(spark, path: str, max_files: int = 4,
     (snapshot-isolated); the directory swap emulates it in the
     catalog-less sandbox.  Lineage manifests (``_lineage/``) describe
     bucket INPUT fingerprints, which compaction does not change.
+    For bin-level grouping over a 100 TB file listing, feed the
+    listing through :func:`pyrdfa3_spark.plans.maintenance.
+    compaction_plan` (distributed binpack planning) and execute one
+    group per rewrite instead of whole partitions.
 
     Returns {partition: {files_before, files_after, rows}}.
     """
