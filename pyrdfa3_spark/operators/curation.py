@@ -139,6 +139,53 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+def clean_corpus(docs: DataFrame, url_col: str | None = None,
+                 span_window: int = 8, min_occurrences: int = 2,
+                 min_tokens: int = 5) -> DataFrame:
+    """The composed cleaning pipeline a pre-training corpus runs, in
+    one plan: provenance-URL dedup (optional) -> exact content dedup ->
+    cross-corpus duplicate-span removal -> post-clean length floor.
+    Each dedup stage keeps its group's minimum doc_id; the span stage
+    rewrites the survivors' text (normalized tokens, see
+    :func:`pyrdfa3_spark.operators.dedup.remove_duplicate_spans`).
+
+    Output: ``(doc_id, clean_text, n_kept, n_removed)`` — one row per
+    surviving document.
+
+    Scale shape: the two dedup stages are map-side-partial groupBys
+    joined back on their group key (no windows); the span stage is the
+    linear cut pipeline; nothing collects, nothing broadcasts the
+    corpus side."""
+    from pyrdfa3_spark.operators.dedup import (
+        _normalized, remove_duplicate_spans,
+    )
+
+    d = docs
+    if url_col is not None:
+        canon = d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            canonical_url(F.col(url_col)).alias("_k"))
+        keep = canon.groupBy("_k").agg(F.min("doc_id").alias("_keep"))
+        survivors = (canon.join(keep, "_k")
+                     .filter(F.col("doc_id") == F.col("_keep"))
+                     .select("doc_id"))
+        d = d.join(survivors,
+                   d["doc_id"].cast("bigint") == survivors["doc_id"],
+                   "left_semi")
+    fp = d.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  F.md5(_normalized()).alias("_k"))
+    keep = fp.groupBy("_k").agg(F.min("doc_id").alias("_keep"))
+    survivors = (fp.join(keep, "_k")
+                 .filter(F.col("doc_id") == F.col("_keep"))
+                 .select("doc_id"))
+    d = d.join(survivors,
+               d["doc_id"].cast("bigint") == survivors["doc_id"],
+               "left_semi")
+    cleaned = remove_duplicate_spans(d, window=span_window,
+                                     min_occurrences=min_occurrences)
+    return cleaned.filter(F.col("n_kept") >= min_tokens)
+
+
 def _hash32(col) -> F.Column:
     """Portable deterministic 32-bit hash (md5 prefix as integer) —
     reproducible bit-for-bit in the DuckDB oracle via a hex-digit

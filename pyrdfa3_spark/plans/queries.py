@@ -898,10 +898,14 @@ def q_remove_duplicate_spans(spark, sf_dir):
                                     window=8, min_occurrences=2)
 
 
-SQL_REMOVE_DUPLICATE_SPANS = f"""
+def _sql_remove_spans(src: str = "documents") -> str:
+    """The duplicate-span CUT as one self-contained SELECT (own WITH)
+    over any ``(doc_id, text)`` source — shared by the standalone
+    oracle and the composed cleaning pipeline's."""
+    return f"""
 WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
                      regexp_split_to_array({_NORM_SQL}, ' ') AS t
-              FROM documents WHERE length(trim(text)) > 0),
+              FROM {src} WHERE length(trim(text)) > 0),
 w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
              md5(array_to_string(
                  list_slice(t, CAST(i AS INT), CAST(i + 7 AS INT)), ' '))
@@ -936,6 +940,32 @@ FROM toks t LEFT JOIN re USING (doc_id)
 """
 
 
+SQL_REMOVE_DUPLICATE_SPANS = _sql_remove_spans()
+
+
+def _synth_url_col() -> F.Column:
+    """Deterministic adversarial provenance URL per doc_id: three of
+    every four docs are the SAME page behind scheme/case/www/default-
+    port/trailing-slash/tracking-param/fragment noise (SQL twin:
+    ``_SQL_URL_CASE``)."""
+    b = F.floor(F.col("doc_id") / 4).cast("bigint")
+    h = (b % 7).cast("string")
+    bs = b.cast("string")
+    v = F.col("doc_id") % 4
+    return (F.when(v == 0, F.concat(
+                F.lit("https://WWW.Example"), h, F.lit(".com/path/"),
+                bs, F.lit("/?utm_source=feed&x=1")))
+            .when(v == 1, F.concat(
+                F.lit("http://example"), h, F.lit(".com/path/"),
+                bs, F.lit("?x=1")))
+            .when(v == 2, F.concat(
+                F.lit("https://example"), h, F.lit(".com:443/path/"),
+                bs, F.lit("?x=1&utm_campaign=a#frag")))
+            .otherwise(F.concat(
+                F.lit("https://example"), h, F.lit(".com/other/"),
+                F.col("doc_id").cast("string"))))
+
+
 def q_url_dedup(spark, sf_dir):
     """Provenance-URL dedup over deterministically-synthesized
     adversarial variants: three of every four docs carry the SAME page
@@ -945,29 +975,26 @@ def q_url_dedup(spark, sf_dir):
     from pyrdfa3_spark.operators.curation import url_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    b = F.floor(F.col("doc_id") / 4).cast("bigint")
-    h = (b % 7).cast("string")
-    bs = b.cast("string")
-    v = F.col("doc_id") % 4
-    url = (F.when(v == 0, F.concat(
-               F.lit("https://WWW.Example"), h, F.lit(".com/path/"),
-               bs, F.lit("/?utm_source=feed&x=1")))
-           .when(v == 1, F.concat(
-               F.lit("http://example"), h, F.lit(".com/path/"),
-               bs, F.lit("?x=1")))
-           .when(v == 2, F.concat(
-               F.lit("https://example"), h, F.lit(".com:443/path/"),
-               bs, F.lit("?x=1&utm_campaign=a#frag")))
-           .otherwise(F.concat(
-               F.lit("https://example"), h, F.lit(".com/other/"),
-               F.col("doc_id").cast("string"))))
-    return url_dedup(docs.select("doc_id", url.alias("url")))
+    return url_dedup(docs.select("doc_id",
+                                 _synth_url_col().alias("url")))
 
 
-SQL_URL_DEDUP = """
-WITH u AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-    CASE CAST(doc_id % 4 AS INT)
+def q_clean_corpus(spark, sf_dir):
+    """The composed cleaning flagship: provenance-URL dedup -> exact
+    content dedup -> duplicate-span removal -> post-clean length floor,
+    in one plan over the synthesized-URL corpus."""
+    from pyrdfa3_spark.operators.curation import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return clean_corpus(docs.withColumn("url", _synth_url_col()),
+                        url_col="url", min_tokens=5)
+
+
+# SQL_CLEAN_CORPUS is defined below, after the shared URL-canon SQL
+# pieces it embeds (_SQL_URL_CASE / _SQL_URL_CANON_STAGES)
+
+
+_SQL_URL_CASE = """CASE CAST(doc_id % 4 AS INT)
       WHEN 0 THEN 'https://WWW.Example' || CAST((doc_id // 4) % 7 AS VARCHAR)
                   || '.com/path/' || CAST(doc_id // 4 AS VARCHAR)
                   || '/?utm_source=feed&x=1'
@@ -978,8 +1005,12 @@ WITH u AS (
                   || '?x=1&utm_campaign=a#frag'
       ELSE 'https://example' || CAST((doc_id // 4) % 7 AS VARCHAR)
            || '.com/other/' || CAST(doc_id AS VARCHAR)
-    END AS url
-  FROM documents),
+    END"""
+
+# canonicalization CTE chain over a `u (doc_id, url)` CTE -> `canon
+# (doc_id, canonical_url)`; shared by the standalone URL-dedup oracle
+# and the composed cleaning pipeline's
+_SQL_URL_CANON_STAGES = """
 s1 AS (SELECT doc_id,
               regexp_replace(regexp_replace(url, '#.*', ''),
                              '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u2
@@ -1007,10 +1038,38 @@ canon AS (
          || regexp_replace(path, '/+$', '')
          || CASE WHEN params <> '' THEN '?' || params ELSE '' END
          AS canonical_url
-  FROM s4)
+  FROM s4)"""
+
+SQL_URL_DEDUP = f"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_URL_CASE} AS url
+  FROM documents),{_SQL_URL_CANON_STAGES}
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_id
 FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+SQL_CLEAN_CORPUS = f"""
+WITH u AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SQL_URL_CASE} AS url
+  FROM documents),{_SQL_URL_CANON_STAGES},
+urlkeep AS (SELECT canonical_url, min(doc_id) AS keep
+            FROM canon GROUP BY canonical_url),
+s_url AS (SELECT d.doc_id, d.text
+          FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                FROM documents) d
+          JOIN canon c ON c.doc_id = d.doc_id
+          JOIN urlkeep k ON k.canonical_url = c.canonical_url
+          WHERE d.doc_id = k.keep),
+fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fpk FROM s_url),
+fkeep AS (SELECT fpk, min(doc_id) AS keep FROM fp GROUP BY fpk),
+survivors AS (SELECT s.doc_id, s.text
+              FROM s_url s JOIN fp ON fp.doc_id = s.doc_id
+              JOIN fkeep k ON k.fpk = fp.fpk
+              WHERE s.doc_id = k.keep),
+spans AS ({_sql_remove_spans("survivors")})
+SELECT doc_id, clean_text, n_kept, n_removed
+FROM spans WHERE n_kept >= 5
 """
 
 
@@ -5507,6 +5566,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "url_dedup": q_url_dedup,
+    "clean_corpus": q_clean_corpus,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
@@ -5594,6 +5654,7 @@ def oracles() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_dedup": SQL_URL_DEDUP,
+        "clean_corpus": SQL_CLEAN_CORPUS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,
         "incremental_dedup_decision": SQL_INCREMENTAL_DECISION,

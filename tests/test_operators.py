@@ -1016,6 +1016,35 @@ def test_duplicate_spans_matches_python(spark):
     assert expected  # the fixture genuinely exercises duplicates
 
 
+def test_clean_corpus_stage_composition(spark):
+    """URL losers drop before content dedup, exact dupes drop before
+    the span stage, the span cut runs over survivors only, and the
+    length floor prunes what the cut hollowed out."""
+    from pyrdfa3_spark.operators.curation import clean_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "https://www.a.com/x/", "alpha beta gamma delta one two"),
+         (2, "http://a.com/x", "totally different text here now ok"),
+         (3, "https://b.com/y", "alpha beta gamma delta one two"),
+         (4, "https://c.com/z", "alpha beta gamma delta one two"),
+         (5, "https://d.com/w", "alpha beta gamma delta xx yy zz qq")],
+        ["doc_id", "url", "text"])
+    # URL stage: 2 loses to 1 (same page) -> its unique text never
+    # competes again.  Exact stage: 1/3/4 identical -> keep 1.
+    # Span stage (window 4): doc 5 repeats doc 1's leading run -> cut.
+    out = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+           for r in clean_corpus(docs, url_col="url", span_window=4,
+                                 min_tokens=3).collect()}
+    assert set(out) == {1, 5}
+    assert out[1] == ("alpha beta gamma delta one two", 6, 0)
+    assert out[5] == ("xx yy zz qq", 4, 4)
+    # with a higher floor, the hollowed-out doc 5 drops too
+    out2 = {r["doc_id"] for r in
+            clean_corpus(docs, url_col="url", span_window=4,
+                         min_tokens=5).collect()}
+    assert out2 == {1}
+
+
 def test_canonical_url_variants(spark):
     """Scheme/case/www/default-port/trailing-slash/fragment/tracking-
     param/param-order noise all collapses; distinct pages stay
