@@ -5493,7 +5493,11 @@ QUERIES = {
     "sparql_compat_optional": q_sparql_compat_optional,
     "sparql_compat_minus": q_sparql_compat_minus,
     "sparql_compat_exists": q_sparql_compat_exists,
-    "sparql_values_trailing": q_sparql_values_trailing,
+    # round-3d: the composed cleaning flagship (URL dedup -> exact
+    # dedup -> span removal -> length floor) — in-window; displaces
+    # sparql_values_trailing behind the window (trailing VALUES stays
+    # covered by the pytest suite and the bgp_values oracle checks)
+    "clean_corpus": q_clean_corpus,
     "sparql_term_shape": q_sparql_term_shape,
     "sparql_kg_mint": q_sparql_kg_mint,
     "sparql_construct_group": q_sparql_construct_group,
@@ -5525,6 +5529,7 @@ QUERIES = {
     # covered by an in-window composite — and all still
     # oracle-checked by scripts/check_oracles.py
     "sparql_agg_concat": q_sparql_agg_concat,
+    "sparql_values_trailing": q_sparql_values_trailing,
     "sparql_results_csv": q_sparql_results_csv,
     "sparql_results_json": q_sparql_results_json,
     "dedup_global_triples": q_dedup_global_triples,
@@ -5566,7 +5571,6 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "url_dedup": q_url_dedup,
-    "clean_corpus": q_clean_corpus,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
