@@ -333,7 +333,12 @@ def rdf_list_chain(items: DataFrame, origin_col: str = "origin",
     Plan shape: ONE window pass — the three output kinds (rdf:first,
     rdf:rest, list anchor) are emitted as an in-row struct array and
     exploded, instead of a 3-way union of projections that would plan
-    the window's shuffle+sort three times.
+    the window's shuffle+sort three times.  (A windowless
+    groupBy+collect_list+in-row-chain variant was A/B-measured 3x
+    slower at sf0.1: element_at over a lazily-computed heads array
+    re-evaluates the skolem sha2 per access — quadratic in list
+    length — while the window's partition sort is cheap on
+    short-list-heavy data.)
     """
     from pyspark.sql import Window
 
