@@ -565,6 +565,50 @@ def test_nested_property_paths(spark):
         sparql(t, "SELECT ?s WHERE { ?s (?v)+ ?o }")
 
 
+def test_exotic_property_paths(spark):
+    """Grammar/semantics corners: 'a' inside paths and negated sets,
+    inverse-of-sequence, inverse applied to a modified step, double
+    inverse, mixed-direction negated sets, ?-in-sequence."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [("a", "p:knows", "b"), ("b", "p:knows", "c"),
+            ("a", "p:name", "Ada"), ("b", "p:name", "Bob"),
+            ("c", "p:likes", "a"), ("a", rdf_type, "Person")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    def run(text):
+        return sorted(map(tuple, sparql(t, text).collect()))
+
+    # inverse of a parenthesized sequence
+    assert run('SELECT ?x WHERE { "c" ^(p:knows/p:knows) ?x }') == [
+        ("a",)]
+    # closure over an alternative
+    assert run('SELECT DISTINCT ?z WHERE { "a" (p:knows|p:likes)+ ?z }'
+               ) == [("a",), ("b",), ("c",)]
+    # zero-or-one step inside a sequence
+    assert run('SELECT DISTINCT ?n WHERE { "a" p:knows?/p:name ?n }'
+               ) == [("Ada",), ("Bob",)]
+    # 'a' keyword as a path step, in a sequence, and in a negated set
+    assert run('SELECT ?t WHERE { "a" a ?t }') == [("Person",)]
+    assert run('SELECT ?t WHERE { "b" ^p:knows/a ?t }') == [("Person",)]
+    assert run('SELECT ?o WHERE { "a" !(a|p:name) ?o }') == [("b",)]
+    # mixed forward/inverse negated set: every edge at "a" excluded
+    assert run('SELECT ?o WHERE '
+               '{ "a" !(^p:likes|p:knows|p:name|a) ?o }') == []
+    # inverse applied to a modified step ^p* ≡ (^p)*
+    assert run('SELECT DISTINCT ?z WHERE { "c" ^p:knows* ?z }') == [
+        ("a",), ("b",), ("c",)]
+    assert run('SELECT DISTINCT ?z WHERE { "c" (^p:knows)+ ?z }') == [
+        ("a",), ("b",)]
+    # double inverse cancels
+    assert run('SELECT ?z WHERE { "a" ^(^p:knows) ?z }') == [("b",)]
+    # zero-length star binds ?x to itself on both-var patterns
+    assert run('SELECT ?x ?z WHERE '
+               '{ ?x p:knows* ?z . ?x p:name "Ada" }') == [
+        ("a", "a"), ("a", "b"), ("a", "c")]
+
+
 # ------------------------------------------------------------------ #
 # SPARQL 1.1 UPDATE
 # ------------------------------------------------------------------ #
