@@ -136,8 +136,14 @@ class SparkGraph:
 
     def __len__(self) -> int:
         """Number of distinct triples (rdflib Graphs are sets; the
-        frame may carry per-document duplicates).  A Spark action."""
-        return (self.df.select(*_PATTERN_COLS).dropDuplicates().count())
+        frame may carry per-document duplicates).  On literal-shaped
+        frames distinctness includes the shape columns — rdflib counts
+        ``"3"`` and ``"3"^^xsd:integer`` as two triples.  A Spark
+        action."""
+        cols = list(_PATTERN_COLS) + [
+            c for c in G.TRIPLE_KEY if c not in _PATTERN_COLS
+            and c in self.df.columns]
+        return self.df.select(*cols).dropDuplicates().count()
 
     def iter_triples(self, limit: int = 10_000) -> Iterator[tuple]:
         """Explicitly bounded driver-side iteration — the honest stand-
@@ -288,6 +294,26 @@ class SparkGraph:
         (broadcastable, like subtraction)."""
         return SparkGraph(G.intersect_graphs(self.df, other.df),
                           {**other._ns, **self._ns})
+
+    def __xor__(self, other: "SparkGraph") -> "SparkGraph":
+        """Symmetric difference — triples in exactly one graph
+        (rdflib ``Graph.__xor__``): two broadcastable anti-joins."""
+        return SparkGraph(G.xor_graphs(self.df, other.df),
+                          {**other._ns, **self._ns})
+
+    def qname(self, uri: str) -> str:
+        """rdflib ``NamespaceManager.compute_qname`` convenience:
+        shorten ``uri`` against the bound prefixes (longest namespace
+        wins, like the turtle sink's prefix table); returns the URI
+        unchanged when no binding covers it."""
+        best = ""
+        out = uri
+        for prefix, ns in self._ns.items():
+            if uri.startswith(ns) and len(ns) > len(best):
+                local = uri[len(ns):]
+                if local and all(c not in local for c in "/#?"):
+                    best, out = ns, f"{prefix}:{local}"
+        return out
 
     def items(self, head: str, max_length: int = 100) -> DataFrame:
         """rdflib ``Graph.items`` twin: the members of the rdf:List
@@ -587,8 +613,12 @@ class SparkDataset:
     def __len__(self) -> int:
         """Distinct quads across all graphs (a triple present in two
         graphs counts twice, matching rdflib's per-context counting).
-        A Spark action."""
-        return (self.df.select(*_QUAD_COLS).dropDuplicates().count())
+        On literal-shaped frames distinctness includes the shape
+        columns, like :meth:`SparkGraph.__len__`.  A Spark action."""
+        cols = list(_QUAD_COLS) + [
+            c for c in G.TRIPLE_KEY if c not in _QUAD_COLS
+            and c in self.df.columns]
+        return self.df.select(*cols).dropDuplicates().count()
 
     # -- mutation (functional) -------------------------------------------
 

@@ -126,6 +126,17 @@ def intersect_graphs(triples: DataFrame, other: DataFrame) -> DataFrame:
     return _triple_key_join(triples, other, "left_semi")
 
 
+def xor_graphs(triples: DataFrame, other: DataFrame) -> DataFrame:
+    """Symmetric difference on the triple key — rdflib's
+    ``Graph.__xor__``: triples in exactly one of the two graphs.
+    Two anti-joins (each broadcastable when its right side is small)
+    unioned; no extra dedup pass — each side is already key-distinct
+    in a set-semantics graph, and the two sides are disjoint by
+    construction."""
+    return union_graphs(_triple_key_join(triples, other, "left_anti"),
+                        _triple_key_join(other, triples, "left_anti"))
+
+
 def union_graphs(*graphs: DataFrame) -> DataFrame:
     """Graph merge (E15/G3; reference: pyRdfa/__init__.py:483-487)."""
     out = graphs[0]

@@ -54,6 +54,41 @@ def test_add_remove_and_set_ops(spark, g):
     assert len(g + other) == 6
     assert len(g - other) == 4
     assert len(g * other) == 1
+    # symmetric difference: (g - other) ∪ (other - g)
+    xor = g ^ other
+    assert len(xor) == 5
+    assert ("x", "p:knows", "y") in xor
+    assert ("a", "p:knows", "b") not in xor
+    assert len(g ^ g) == 0
+
+
+def test_len_and_xor_are_shape_aware(spark):
+    """On literal-shaped frames, ``"3"`` and ``"3"^^xsd:integer`` are
+    DISTINCT triples (rdflib counts two) — len() and ^ must not
+    collapse them onto the bare 3-tuple."""
+    base = SparkGraph(spark.createDataFrame(
+        [("a", "p:knows", "b")], ["subj", "pred", "obj"]))
+    sh = SparkGraph(base._with_literal_shape())
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    typed = sh.update(
+        f'INSERT DATA {{ <a> <p:age> "3"^^<{xsd_int}> }}')
+    plain = sh.update('INSERT DATA { <a> <p:age> "3" }')
+    assert len(typed) == 2 and len(plain) == 2
+    both = typed + plain
+    assert len(both) == 3          # typed and plain "3" both counted
+    assert len(typed ^ plain) == 2  # each exclusive to one side
+
+
+def test_qname_shortens_bound_prefixes(spark):
+    g = (SparkGraph.empty(spark)
+         .bind("foaf", "http://xmlns.com/foaf/0.1/")
+         .bind("ex", "http://example.org/ns#"))
+    assert g.qname("http://xmlns.com/foaf/0.1/name") == "foaf:name"
+    assert g.qname("http://example.org/ns#Thing") == "ex:Thing"
+    # no binding, or a local part that crosses a path boundary → as-is
+    assert g.qname("http://other.org/x") == "http://other.org/x"
+    assert (g.qname("http://xmlns.com/foaf/0.1/a/b")
+            == "http://xmlns.com/foaf/0.1/a/b")
 
 
 def test_set_replaces_functional_value(g):
