@@ -64,21 +64,26 @@ def minhash_signatures(docs: DataFrame, k: int = 5,
     if n_hashes > 8:
         raise ValueError("sha256 yields at most 8 independent 32-bit chunks")
 
-    def chunk(d, j):
-        return F.conv(F.substring(d, 1 + 8 * j, 8), 16, 10).cast("bigint")
-
-    init = F.array(*[F.lit(1 << 33).cast("bigint")] * n_hashes)  # > uint32
+    # sha2 hex is fixed-width lowercase, so LEXICOGRAPHIC min on the
+    # 8-char chunk equals numeric min — the running minimum runs on
+    # plain string comparisons and the base-16 parse (conv) happens
+    # once per DOCUMENT per chunk instead of once per shingle per
+    # chunk (measured 0.69 -> 0.59 s at sf0.1; an array_min-per-chunk
+    # variant measured 0.65 s). Values are bit-identical either way.
+    init = F.array(*[F.lit("g")] * n_hashes)  # 'g' sorts after any hex
     digs = F.transform(F.col("sharr"), lambda s: F.sha2(s, 256))
     sig = F.aggregate(
         F.col("dig"), init,
         lambda acc, d: F.zip_with(
-            acc, F.array(*[chunk(d, j) for j in range(n_hashes)]),
+            acc, F.array(*[F.substring(d, 1 + 8 * j, 8)
+                           for j in range(n_hashes)]),
             lambda a, b: F.least(a, b)))
     return (_shingle_arrays(_scale_out(docs), k)
             .select("doc_id", digs.alias("dig"))
             .select("doc_id", sig.alias("sig"))
             .select("doc_id",
-                    *[F.element_at("sig", j + 1).alias(f"h{j}")
+                    *[F.conv(F.element_at("sig", j + 1), 16, 10)
+                      .cast("bigint").alias(f"h{j}")
                       for j in range(n_hashes)]))
 
 
