@@ -139,6 +139,61 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+def paragraph_dedup(docs: DataFrame, delim: str = r"\n{2,}",
+                    min_docs: int = 2,
+                    joiner: str = "\n\n") -> DataFrame:
+    """CCNet-style paragraph-level boilerplate removal: split each
+    document into paragraphs on ``delim`` (a regex), drop every
+    paragraph whose NORMALIZED form (lower + trim) appears in at least
+    ``min_docs`` distinct documents — nav bars, cookie banners, legal
+    footers — and reassemble the survivors in original order with
+    ``joiner``.  Docs whose paragraphs are all boilerplate survive
+    with empty text (the caller's length floor decides their fate).
+
+    Output: ``(doc_id, clean_text, n_paras, n_removed)`` — one row per
+    input document; ``n_paras`` counts non-blank paragraphs.
+
+    Scale shape: one posexplode fan-out (bounded by text length), ONE
+    md5-keyed groupBy with map-side partial aggregation for the
+    document-frequency pass, a hash anti-join back on the digest (the
+    hot-paragraph side is the small one but never needs to broadcast),
+    and a per-document ``collect_list`` whose arrays are doc-sized by
+    construction.  No windows, no driver materialization."""
+    paras = (docs
+             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.posexplode(F.split(F.col("text"), delim))
+                     .alias("pos", "para"))
+             .withColumn("norm", F.lower(F.trim(F.col("para"))))
+             .filter(F.length("norm") > 0)
+             .withColumn("phash", F.md5(F.col("norm"))))
+    hot = (paras.select("phash", "doc_id").dropDuplicates()
+           .groupBy("phash")
+           .agg(F.count("*").alias("df"))
+           .filter(F.col("df") >= min_docs)
+           .select("phash"))
+    kept = paras.join(hot, "phash", "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "para"))),
+                            lambda s: s["para"]),
+                        joiner).alias("clean_text"),
+                    F.count("*").cast("bigint").alias("n_kept")))
+    counts = (paras.groupBy("doc_id")
+              .agg(F.count("*").cast("bigint").alias("n_paras")))
+    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .join(counts, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_paras", F.lit(0)).cast("bigint")
+                    .alias("n_paras"),
+                    (F.coalesce("n_paras", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).cast("bigint")
+                    .alias("n_removed")))
+
+
 def clean_corpus(docs: DataFrame, url_col: str | None = None,
                  span_window: int = 8, min_occurrences: int = 2,
                  min_tokens: int = 5) -> DataFrame:

@@ -979,6 +979,19 @@ def q_url_dedup(spark, sf_dir):
                                  _synth_url_col().alias("url")))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph boilerplate removal over the documents
+    table.  The synthetic corpus is single-line word streams, so the
+    paragraph delimiter here is the literal ``' the '`` token — it
+    yields several segments per document with real cross-document
+    repeats; production calls use the blank-line default."""
+    from pyrdfa3_spark.operators.curation import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, delim=" the ", min_docs=2,
+                           joiner=" | ")
+
+
 def q_clean_corpus(spark, sf_dir):
     """The composed cleaning flagship: provenance-URL dedup -> exact
     content dedup -> duplicate-span removal -> post-clean length floor,
@@ -1047,6 +1060,42 @@ WITH u AS (
 SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
        min(doc_id) AS keep_id
 FROM canon GROUP BY canonical_url HAVING count(*) > 1
+"""
+
+SQL_PARAGRAPH_DEDUP = """
+WITH split AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(text, ' the ') AS arr
+  FROM documents),
+paras AS (
+  SELECT doc_id,
+         unnest(arr) AS para,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM split),
+norm AS (
+  SELECT doc_id, pos, para, md5(lower(trim(para))) AS phash
+  FROM paras WHERE len(trim(para)) > 0),
+hot AS (
+  SELECT phash FROM (
+    SELECT phash, count(DISTINCT doc_id) AS df FROM norm GROUP BY phash)
+  WHERE df >= 2),
+kept AS (
+  SELECT * FROM norm WHERE phash NOT IN (SELECT phash FROM hot)),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, ' | ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+counts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+  FROM norm GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(c.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(coalesce(c.n_paras, 0) - coalesce(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN counts c USING (doc_id)
 """
 
 SQL_CLEAN_CORPUS = f"""
@@ -5571,6 +5620,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "url_dedup": q_url_dedup,
+    "paragraph_dedup": q_paragraph_dedup,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
@@ -5658,6 +5708,7 @@ def oracles() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_dedup": SQL_URL_DEDUP,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "clean_corpus": SQL_CLEAN_CORPUS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,

@@ -1088,6 +1088,29 @@ def test_url_dedup_groups(spark):
             rows[0]["keep_id"]) == ("a.com/x", 3, 1)
 
 
+def test_paragraph_dedup_blank_line_default(spark):
+    """CCNet-style paragraph removal on the blank-line default:
+    the shared footer (case-insensitively normalized) is dropped
+    everywhere, unique paragraphs survive in order with original
+    case, and an all-boilerplate doc survives with empty text."""
+    from pyrdfa3_spark.operators.curation import paragraph_dedup
+
+    footer = "Cookie notice: we use cookies."
+    docs = spark.createDataFrame(
+        [(1, f"Alpha body one.\n\n{footer}\n\nAlpha body two."),
+         (2, f"Beta body.\n\n{footer.upper()}"),
+         (3, footer),                     # all boilerplate
+         (4, "Gamma only.\n\n\n\nGamma two.")],  # multi-blank delim
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "Alpha body one.\n\nAlpha body two."
+    assert (out[1]["n_paras"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "Beta body."
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    assert out[4]["clean_text"] == "Gamma only.\n\nGamma two."
+    assert out[4]["n_removed"] == 0
+
+
 def test_elect_keeper_quality_and_ties(spark):
     """Keeper re-election by score: highest score wins, ties break to
     the smallest doc_id, unscored members lose to any scored one, and
