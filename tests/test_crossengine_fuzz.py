@@ -100,6 +100,16 @@ def test_fuzz_dedup_oracles(fuzz_env):
     _compare(D.exact_duplicates(sdf), con, Q.SQL_DEDUP_EXACT, ["fp"])
 
 
+def test_fuzz_paragraph_dedup_oracle(fuzz_env):
+    from pyrdfa3_spark.operators import curation as C
+    from pyrdfa3_spark.plans import queries as Q
+
+    sdf, con = fuzz_env
+    _compare(C.paragraph_dedup(sdf, delim=" the ", min_docs=2,
+                               joiner=" | "),
+             con, Q.SQL_PARAGRAPH_DEDUP, ["doc_id"])
+
+
 def test_fuzz_training_mix_oracles(fuzz_env):
     from pyrdfa3_spark.operators import curation as C
     from pyrdfa3_spark.plans import queries as Q
