@@ -40,12 +40,31 @@ class SparkGraph:
     empty (:meth:`empty`) and build up with :meth:`add`.
     """
 
-    def __init__(self, df: DataFrame, namespaces: dict | None = None):
+    def __init__(self, df: DataFrame, namespaces: dict | None = None,
+                 distinct: bool = False):
         missing = [c for c in _PATTERN_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"triples frame lacks columns {missing}")
         self.df = df
         self._ns = dict(namespaces or {})
+        #: caller's promise that the frame is already triple-distinct:
+        #: the query verbs then skip their set-semantics dedup shuffle
+        #: (the scale path for pipeline-materialized graph tables)
+        self._distinct = distinct
+
+    def _set_frame(self) -> DataFrame:
+        """The RDF SET the query verbs evaluate over: rdflib stores are
+        sets, and this frame may carry duplicate rows (``add`` of an
+        existing triple, per-document extraction overlap) — solution
+        multiplicity and aggregates must not see them twice.  One
+        shape-aware dropDuplicates, skipped when the constructor
+        promised distinctness."""
+        if self._distinct:
+            return self.df
+        key = list(_PATTERN_COLS) + [
+            c for c in G.TRIPLE_KEY if c not in _PATTERN_COLS
+            and c in self.df.columns]
+        return self.df.dropDuplicates(key)
 
     # -- construction ------------------------------------------------
 
@@ -422,12 +441,12 @@ class SparkGraph:
                                  "inline")
             from pyrdfa3_spark.operators.sparql import sparql
 
-            return sparql(self.df, patterns,
+            return sparql(self._set_frame(), patterns,
                           init_bindings=initBindings, init_ns=initNs)
         if initBindings is not None or initNs is not None:
             raise ValueError("initBindings/initNs apply to text queries")
-        return G.bgp_match(self.df, patterns, optional=optional,
-                           filters=filters)
+        return G.bgp_match(self._set_frame(), patterns,
+                           optional=optional, filters=filters)
 
     def update(self, text: str) -> "SparkGraph":
         """``rdflib Graph.update`` twin: SPARQL 1.1 UPDATE text
@@ -440,15 +459,15 @@ class SparkGraph:
         return SparkGraph(_update(self.df, text), self._ns)
 
     def ask(self, patterns, filters=None) -> bool:
-        return G.ask(self.df, patterns,
+        return G.ask(self._set_frame(), patterns,
                      filters=filters).collect()[0]["result"]
 
     def construct(self, patterns, template, **kw) -> "SparkGraph":
-        return SparkGraph(G.construct(self.df, patterns, template,
-                                      **kw), self._ns)
+        return SparkGraph(G.construct(self._set_frame(), patterns,
+                                      template, **kw), self._ns)
 
     def describe(self, nodes, max_hops: int = 10) -> "SparkGraph":
-        return SparkGraph(G.describe(self.df, nodes,
+        return SparkGraph(G.describe(self._set_frame(), nodes,
                                      max_hops=max_hops), self._ns)
 
     # -- serialization ----------------------------------------------
@@ -525,7 +544,7 @@ class SparkDataset:
     """
 
     def __init__(self, df: DataFrame, namespaces: dict | None = None,
-                 default_union: bool = False):
+                 default_union: bool = False, distinct: bool = False):
         missing = [c for c in _PATTERN_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"quad frame lacks columns {missing}")
@@ -536,9 +555,24 @@ class SparkDataset:
         self.df = df
         self._ns = dict(namespaces or {})
         self.default_union = bool(default_union)
+        #: caller's promise that the frame is already quad-distinct —
+        #: see :meth:`SparkGraph._set_frame`
+        self._distinct = distinct
 
     def _derive(self, df: DataFrame) -> "SparkDataset":
         return SparkDataset(df, self._ns, self.default_union)
+
+    def _set_frame(self) -> DataFrame:
+        """The RDF dataset as a SET of quads (rdflib stores are sets;
+        this frame may carry duplicate rows) — one shape-aware
+        dropDuplicates before query evaluation, skipped when the
+        constructor promised distinctness."""
+        if self._distinct:
+            return self.df
+        key = list(_QUAD_COLS) + [
+            c for c in G.TRIPLE_KEY if c not in _QUAD_COLS
+            and c in self.df.columns]
+        return self.df.dropDuplicates(key)
 
     # -- construction --------------------------------------------------
 
@@ -563,8 +597,12 @@ class SparkDataset:
         from pyrdfa3_spark.plans.extract import extract_triples
 
         t = extract_triples(transcripts, repartition_to)
+        # extraction dedups per document and each conversation is its
+        # own graph, so the quad frame is distinct by construction —
+        # the query verbs skip their set-semantics dedup shuffle
         return cls(t.withColumn(
-            "graph", F.concat(F.lit(graph_prefix), F.col("conv_id"))))
+            "graph", F.concat(F.lit(graph_prefix), F.col("conv_id"))),
+            distinct=True)
 
     # -- graph access ---------------------------------------------------
 
@@ -692,7 +730,7 @@ class SparkDataset:
         ``initNs`` as on :meth:`SparkGraph.query`."""
         from pyrdfa3_spark.operators.sparql import sparql
 
-        return sparql(self.df, text,
+        return sparql(self._set_frame(), text,
                       union_default=self.default_union,
                       init_bindings=initBindings, init_ns=initNs)
 

@@ -3,8 +3,9 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
-from pyrdfa3_spark.graph import SparkGraph
+from pyrdfa3_spark.graph import SparkDataset, SparkGraph
 
 
 @pytest.fixture(scope="module")
@@ -60,6 +61,28 @@ def test_add_remove_and_set_ops(spark, g):
     assert ("x", "p:knows", "y") in xor
     assert ("a", "p:knows", "b") not in xor
     assert len(g ^ g) == 0
+
+
+def test_query_verbs_evaluate_the_set(spark):
+    """rdflib stores are SETS: duplicate frame rows (add() of an
+    existing triple, per-doc extraction overlap) must not inflate
+    solution multiplicity or aggregates on the facade's query verbs;
+    ``distinct=True`` is the caller's promise that skips the dedup."""
+    dup = SparkGraph(spark.createDataFrame(
+        [("a", "p:v", "1"), ("a", "p:v", "2"), ("a", "p:v", "2")],
+        ["subj", "pred", "obj"]))
+    q = "SELECT (COUNT(?v) AS ?c) WHERE { ?s <p:v> ?v }"
+    assert dup.query(q).collect()[0]["c"] == 2
+    # add() of an existing triple is a no-op in the query's eyes
+    re_added = dup.add(("a", "p:v", "1"))
+    assert re_added.query(q).collect()[0]["c"] == 2
+    # the promise keeps the raw frame (bag) — caller's responsibility
+    bag = SparkGraph(dup.df, distinct=True)
+    assert bag.query(q).collect()[0]["c"] == 3
+
+    ds = SparkDataset(dup.df.withColumn(
+        "graph", F.lit(None).cast("string")), default_union=True)
+    assert ds.query(q).collect()[0]["c"] == 2
 
 
 def test_len_and_xor_are_shape_aware(spark):
