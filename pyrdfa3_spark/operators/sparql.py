@@ -92,6 +92,17 @@ expression over them; variables bound only behind a subquery
 projection or a property-path object have no (or unknown) shape and
 the builtin returns NULL — row filtered, never misclassified.
 
+Numeric model (documented deviation): operands live as lexical
+strings and arithmetic — including SUM/AVG aggregation — goes through
+Spark's string->double coercion, so ``SUM`` over xsd:integer operands
+returns a double (``8.0``) where rdflib would return an xsd:integer
+``8``.  Values are equal under numeric comparison; only the
+datatype/rendering differs.  Callers needing integral rendering wrap
+the aggregate in the decimal constructor — ``(xsd:decimal(SUM(?x))
+AS ?s)`` canonicalizes ``6.0`` to ``6`` (``xsd:integer`` follows the
+strict string->integer lexical rule, so over a double-rendered sum
+it is the XPath type error -> NULL).
+
 Scale note: parsing is driver-side string work on a query of bytes;
 every execution decision (join order, broadcast, path closure) is the
 underlying operator's — this module adds no plan shape of its own.
