@@ -31,6 +31,16 @@ from pyrdfa3_spark.operators import graphops as G
 _PATTERN_COLS = ("subj", "pred", "obj")
 
 
+def _data_lines(data: str) -> list[tuple[str]]:
+    """Split an in-memory document the way the distributed text scan
+    does: on ``\\n`` only, tolerating ``\\r\\n``.  ``str.splitlines``
+    would ALSO split on form feed / U+2028 / U+0085 etc., silently
+    breaking statements whose literals carry those characters raw
+    (grammar-legal in N-Triples)."""
+    return [(ln[:-1] if ln.endswith("\r") else ln,)
+            for ln in data.split("\n")]
+
+
 class SparkGraph:
     """A (possibly huge) RDF graph backed by a triples DataFrame.
 
@@ -236,11 +246,11 @@ class SparkGraph:
         if data is not None:
             if fmt in ("nt", "ntriples"):
                 source = spark.createDataFrame(
-                    [(ln,) for ln in data.splitlines()],
+                    _data_lines(data),
                     schema="line string")  # explicit: data may be ''
             elif fmt == "jsonld":
                 source = spark.createDataFrame(
-                    [(ln,) for ln in data.splitlines()],
+                    _data_lines(data),
                     schema="jsonld string")
             else:
                 source = spark.createDataFrame([(0, data)],
@@ -782,7 +792,7 @@ class SparkDataset:
                                                         read_nquads)
             if data is not None:
                 source = spark.createDataFrame(
-                    [(ln,) for ln in data.splitlines()],
+                    _data_lines(data),
                     schema="line string")
             parsed = (parse_nquads(source)
                       if isinstance(source, DataFrame)

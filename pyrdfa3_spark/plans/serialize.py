@@ -332,21 +332,42 @@ def write_jsonld(triples: DataFrame, path: str,
 # own xmlns declaration so no global prefix table is needed.  Like
 # rdflib's serializer, predicates whose IRI does not end in an XML-name
 # local part cannot be expressed in RDF/XML — those rows are dropped
-# (count them with ``rdfxml_unserializable`` before exporting).
+# (count them with ``rdfxml_unserializable`` before exporting).  Rows
+# whose terms carry characters XML 1.0 forbids outright (C0 controls
+# other than tab/LF/CR — unrepresentable even as character references)
+# are dropped under the same contract: one poisoned literal must not
+# invalidate the whole exported document.  Audit everything the export
+# will drop with ``rdfxml_unserializable_rows``.
 # --------------------------------------------------------------------------
 
 _LOCALNAME_RE = r"([A-Za-z_][A-Za-z0-9_.\-]*)$"
+
+# XML 1.0 Char excludes these outright; no escape can carry them
+_XML_ILLEGAL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+
+def _xml_expressible(triples: DataFrame):
+    """Boolean column: RDF/XML can carry this row at all."""
+    ok = F.regexp_extract("pred", _LOCALNAME_RE, 1) != ""
+    for c in ("subj", "pred", "obj"):
+        ok = ok & ~F.col(c).rlike(_XML_ILLEGAL_RE)
+    return ok
 
 
 def _xml_escape_text(col):
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     out = F.replace(out, F.lit(">"), F.lit("&gt;"))
-    return out
+    # a raw CR would be normalized to LF by every conforming XML
+    # parser (XML 1.0 §2.11) — only a character reference survives
+    return F.replace(out, F.lit("\r"), F.lit("&#13;"))
 
 
 def _xml_escape_attr(col):
-    return F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+    out = F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+    # attribute-value normalization (§3.3.3) maps raw LF/tab to spaces
+    out = F.replace(out, F.lit("\n"), F.lit("&#10;"))
+    return F.replace(out, F.lit("\t"), F.lit("&#9;"))
 
 
 def rdfxml_unserializable(triples: DataFrame) -> DataFrame:
@@ -356,6 +377,12 @@ def rdfxml_unserializable(triples: DataFrame) -> DataFrame:
             .select("pred").distinct())
 
 
+def rdfxml_unserializable_rows(triples: DataFrame) -> DataFrame:
+    """Every row :func:`to_rdfxml` will drop — inexpressible predicate
+    OR a term carrying an XML-1.0-illegal character."""
+    return triples.filter(~_xml_expressible(triples))
+
+
 def to_rdfxml(triples: DataFrame) -> DataFrame:
     """triples -> one row per subject, column ``block`` holding an
     <rdf:Description> element; wrap with :func:`rdfxml_header` /
@@ -363,7 +390,7 @@ def to_rdfxml(triples: DataFrame) -> DataFrame:
     local = F.regexp_extract("pred", _LOCALNAME_RE, 1)
     ns = F.expr(f"substring(pred, 1, length(pred) - "
                 f"length(regexp_extract(pred, '{_LOCALNAME_RE}', 1)))")
-    df = triples.filter(local != "")
+    df = triples.filter(_xml_expressible(triples))
     is_bnode_obj = F.col("obj").startswith("_:")
     obj_attr = F.when(
         ~F.col("obj_is_iri"),

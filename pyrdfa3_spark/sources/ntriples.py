@@ -6,9 +6,9 @@ loads serialized graphs back, pyRdfa/rdfs/cache.py); at lake scale the
 interchange files are line-oriented N-Triples/N-Quads, which makes the
 parse *perfectly distributable*: each line is one statement, so the
 whole reader is scan-side column algebra — one anchored regex per
-line, a handful of literal ``replace`` calls for ECHAR unescaping — no
-Python, no shuffle, whole-stage codegen end to end.  A 100 TB dump
-parses at scan speed with filter/column pushdown intact.
+line, a split/transform/rejoin for ECHAR unescaping — no Python, no
+shuffle, whole-stage codegen end to end.  A 100 TB dump parses at
+scan speed with filter/column pushdown intact.
 
 Contract:
   * statements must be one-per-line (the grammar's canonical form and
@@ -50,16 +50,23 @@ _NQ_RE = rf"^\s*{_TERM_S}\s+<([^>]*)>\s+{_TERM_O}{_GRAPH}\s*\.\s*$"
 _LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9\-]*))?' \
           r"(?:\^\^<([^>]*)>)?$"
 
-_SENTINEL = "\x00"  # stands in for a literal backslash during unescape
-
-
 def _unescape(col):
-    out = F.replace(col, F.lit("\\\\"), F.lit(_SENTINEL))
-    out = F.replace(out, F.lit('\\"'), F.lit('"'))
-    out = F.replace(out, F.lit("\\n"), F.lit("\n"))
-    out = F.replace(out, F.lit("\\r"), F.lit("\r"))
-    out = F.replace(out, F.lit("\\t"), F.lit("\t"))
-    return F.replace(out, F.lit(_SENTINEL), F.lit("\\"))
+    """ECHAR unescape without a sentinel character: split the lexical
+    form on the two-char escaped-backslash sequence, unescape the
+    single-char escapes inside each fragment, and rejoin with a literal
+    backslash.  (The previous implementation parked escaped backslashes
+    on a NUL sentinel, which CORRUPTED literals genuinely containing a
+    raw NUL — grammar-legal in N-Triples — by rewriting that NUL to a
+    backslash.)"""
+    def one(p):
+        p = F.replace(p, F.lit('\\"'), F.lit('"'))
+        p = F.replace(p, F.lit("\\n"), F.lit("\n"))
+        p = F.replace(p, F.lit("\\r"), F.lit("\r"))
+        p = F.replace(p, F.lit("\\t"), F.lit("\t"))
+        return p
+
+    return F.array_join(
+        F.transform(F.split(col, r"\\\\", -1), one), "\\")
 
 
 def _strip_iri(col):

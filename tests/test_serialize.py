@@ -458,3 +458,51 @@ def test_jsonld_compact_roundtrip_and_errors(spark):
     assert sorted(r["line"] for r in errs.collect()) == [
         "not json", '{"no":"id"}']
     assert parse_jsonld_compact(junk, {"p": "urn:p:"}).count() == 1
+
+
+def test_adversarial_literal_roundtrips(spark):
+    """Escape-corner fuzz pinned: raw NUL (the old unescape sentinel),
+    form feed (a str.splitlines boundary), CR (XML parsers normalize
+    raw CR to LF), trailing/double backslashes, astral unicode.  Every
+    format either round-trips the literal exactly or — RDF/XML on
+    XML-1.0-illegal characters — drops the row into the documented
+    ``rdfxml_unserializable_rows`` channel, never poisoning the rest
+    of the document."""
+    import re
+
+    from pyrdfa3_spark.graph import SparkGraph
+    from pyrdfa3_spark.plans.serialize import (
+        RDFXML_FOOTER, RDFXML_HEADER, rdfxml_unserializable_rows,
+    )
+
+    lits = ["plain", 'with "quotes"', "back\\slash", "trailing\\",
+            "tab\tand\nnewline\rcr", "null\x00char", "\x0c formfeed",
+            "unicode é中\U0001F600", "both\"'\\", "\\\\double",
+            "end\\t", "\rstart", "&amp; <tag>"]
+    rows = [(f"http://ex.org/s{i}", "http://ex.org/p", lit,
+             False, None if i % 3 else "en", None)
+            for i, lit in enumerate(lits)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_iri "
+              "boolean, obj_lang string, obj_datatype string")
+    g = SparkGraph(df)
+
+    def key_set(sg):
+        return {(r["subj"], r["pred"], r["obj"], bool(r["obj_is_iri"]),
+                 r["obj_lang"], r["obj_datatype"])
+                for r in sg.df.collect()}
+
+    orig = key_set(g)
+    for fmt in ("nt", "turtle", "json-ld"):
+        text = "\n".join(r[0] for r in g.serialize(fmt).collect())
+        got = key_set(SparkGraph.empty(spark).parse(data=text, format=fmt))
+        assert got == orig, fmt
+
+    illegal = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    xml_ok = {t for t in orig if not illegal.search(t[2])}
+    text = (RDFXML_HEADER + "\n"
+            + "\n".join(r[0] for r in g.serialize("xml").collect())
+            + "\n" + RDFXML_FOOTER)
+    got = key_set(SparkGraph.empty(spark).parse(data=text, format="xml"))
+    assert got == xml_ok
+    assert rdfxml_unserializable_rows(df).count() == len(orig) - len(xml_ok)
