@@ -43,8 +43,13 @@ _TOKEN = re.compile(r"""
     | (?P<punct>[;,.\[\](){}])
     | (?P<a>\ba\b)
     | (?P<bnode>_:[\w.-]+)
-    | (?P<pname>[A-Za-z0-9][\w.-]*?:[\w./#%+-]*|:[\w./#%+-]*)
+    | (?P<pname>[A-Za-z0-9][\w.-]*?:(?:[\w./#%+-]|\\[_~.!$&'()*+,;=/?\#@%-])*
+               |:(?:[\w./#%+-]|\\[_~.!$&'()*+,;=/?\#@%-])*)
 """, re.X)
+
+# Turtle 1.1 PN_LOCAL_ESC: backslash-escapable punctuation in the
+# local part of a prefixed name (ex:with\~tilde)
+_PN_LOCAL_ESC = re.compile(r"\\([_~.!$&'()*+,;=/?#@%-])")
 
 _ESCAPES = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\",
             "b": "\b", "f": "\f", "'": "'"}
@@ -204,7 +209,7 @@ class TurtleParser:
         prefix, _, local = val.partition(":")
         if prefix not in self.prefixes:
             raise TurtleError(f"undefined prefix {prefix!r}")
-        return self.prefixes[prefix] + local
+        return self.prefixes[prefix] + _PN_LOCAL_ESC.sub(r"\1", local)
 
     def _term(self, subject: bool = False):
         kind, val = self._next()

@@ -506,3 +506,19 @@ def test_adversarial_literal_roundtrips(spark):
     got = key_set(SparkGraph.empty(spark).parse(data=text, format="xml"))
     assert got == xml_ok
     assert rdfxml_unserializable_rows(df).count() == len(orig) - len(xml_ok)
+
+
+def test_turtle_pn_local_esc(spark):
+    """Turtle 1.1 PN_LOCAL_ESC: backslash-escaped punctuation in
+    prefixed-name local parts resolves with the escape stripped."""
+    from pyrdfa3_spark.functions.turtle import parse_turtle
+
+    doc = ("@prefix ex: <http://ex.org/> .\n"
+           "ex:s ex:p ex:with\\~tilde .\n"
+           "ex:s2 ex:p ex:a\\,b\;c .\n")
+    got = {(s, p, o) for s, p, o in parse_turtle(doc)}
+    assert got == {
+        ("http://ex.org/s", "http://ex.org/p",
+         "http://ex.org/with~tilde"),
+        ("http://ex.org/s2", "http://ex.org/p", "http://ex.org/a,b;c"),
+    }
