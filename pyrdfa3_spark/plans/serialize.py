@@ -212,6 +212,11 @@ def _json_str(col):
     out = F.replace(out, F.lit("\n"), F.lit("\\n"))
     out = F.replace(out, F.lit("\r"), F.lit("\\r"))
     out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    # JSON (RFC 8259) forbids RAW control characters in strings — the
+    # remaining C0 controls must go out as \uXXXX or the emitted
+    # document is unparseable by strict parsers
+    for cp in (*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20)):
+        out = F.replace(out, F.lit(chr(cp)), F.lit(f"\\u{cp:04x}"))
     return F.concat(F.lit('"'), out, F.lit('"'))
 
 

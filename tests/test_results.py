@@ -153,3 +153,17 @@ def test_results_text_query_surface(spark):
         ['urn:a,"x,y"']
     assert _lines(to_results_tsv(s).where("ord = 1")) == \
         ['<urn:a>\t"x,y"']
+
+
+def test_results_json_escapes_control_chars(spark):
+    """RFC 8259: raw C0 controls are forbidden in JSON strings — a
+    literal carrying form feed / NUL must emit as \\uXXXX and the
+    binding line must satisfy a STRICT parser."""
+    import json
+
+    from pyrdfa3_spark.plans.results import to_results_json_bindings
+
+    sols = spark.createDataFrame([("ctl\x0c\x00\x01x",)], ["v"])
+    line = to_results_json_bindings(sols).collect()[0]["line"]
+    parsed = json.loads(line)
+    assert parsed["v"]["value"] == "ctl\x0c\x00\x01x"
