@@ -1043,8 +1043,8 @@ def construct(triples: DataFrame,
 
 def construct_solutions(sols: DataFrame,
                         template: list[tuple[str, str, str]],
-                        obj_shapes: list[tuple] | None = None
-                        ) -> DataFrame:
+                        obj_shapes: list[tuple] | None = None,
+                        graphs: list | None = None) -> DataFrame:
     """The instantiation half of :func:`construct`: explode every
     ``template`` (s, p, o) per solution row (``?var`` positions
     substitute bindings, NULL-binding rows are skipped per the
@@ -1052,6 +1052,13 @@ def construct_solutions(sols: DataFrame,
     callers holding an already-solved frame (e.g. SPARQL UPDATE
     instantiating both a DELETE and an INSERT template from ONE WHERE
     match) don't re-run the pattern join per template.
+
+    ``graphs`` (one entry per template entry, SPARQL UPDATE's
+    QuadPattern instantiation) additionally emits a ``graph`` column:
+    each entry is ``None`` (the default graph — a NULL cell), a
+    constant graph IRI, or a ``?var`` whose per-row binding supplies
+    the target — an UNBOUND graph variable instantiates nothing for
+    that row, like any other template position.
 
     ``obj_shapes`` (one entry per template entry) additionally emits
     the literal-shape columns — SPARQL UPDATE and shaped CONSTRUCT use
@@ -1071,10 +1078,23 @@ def construct_solutions(sols: DataFrame,
 
     if obj_shapes is not None and len(obj_shapes) != len(template):
         raise ValueError("obj_shapes must align with template")
+    if graphs is not None and len(graphs) != len(template):
+        raise ValueError("graphs must align with template")
 
     def fields(i, s, p, o):
-        out = [term(s).alias("subj"), term(p).alias("pred"),
+        subj = term(s)
+        if graphs is not None and str(graphs[i]).startswith("?"):
+            # unbound graph binding -> no instantiation for this row:
+            # poison the subject so the incomplete-row filter drops it
+            subj = F.when(F.col(str(graphs[i])[1:]).isNotNull(), subj)
+        out = [subj.alias("subj"), term(p).alias("pred"),
                term(o).alias("obj")]
+        if graphs is not None:
+            gt = graphs[i]
+            gcol = (F.col(str(gt)[1:]).cast("string")
+                    if str(gt).startswith("?")
+                    else F.lit(gt).cast("string"))
+            out.append(gcol.alias("graph"))
         if obj_shapes is not None:
             if obj_shapes[i] == "binding":
                 iri, lang, dt = shape_names(str(o)[1:])
@@ -1096,9 +1116,10 @@ def construct_solutions(sols: DataFrame,
                         .alias("obj_datatype")]
         return out
 
-    cols = ["subj", "pred", "obj"] + (
-        ["obj_is_iri", "obj_lang", "obj_datatype"]
-        if obj_shapes is not None else [])
+    cols = (["subj", "pred", "obj"]
+            + (["graph"] if graphs is not None else [])
+            + (["obj_is_iri", "obj_lang", "obj_datatype"]
+               if obj_shapes is not None else []))
     rows = F.array(*[F.struct(*fields(i, s, p, o))
                      for i, (s, p, o) in enumerate(template)])
     out = (sols.select(F.explode(rows).alias("t"))

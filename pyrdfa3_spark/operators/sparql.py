@@ -48,7 +48,10 @@ misparses — outside it):
   call sites): ``INSERT DATA`` / ``DELETE DATA`` (ground triples,
   optionally in ``GRAPH <g> {..}`` blocks on a quad frame),
   ``DELETE WHERE {..}``, ``[WITH <g>] DELETE {tmpl} INSERT {tmpl}
-  WHERE {..}`` (either clause optional), the graph-management verbs
+  WHERE {..}`` (either clause optional; templates and DELETE WHERE
+  take QuadPatterns — ``GRAPH <iri>|?var { .. }`` blocks target
+  constant or solution-bound graphs, overriding WITH; an unbound
+  graph variable instantiates nothing), the graph-management verbs
   ``CLEAR|DROP [SILENT] ALL|DEFAULT|NAMED|GRAPH <g>``,
   ``ADD|COPY|MOVE [SILENT] src TO dst`` (pure column ops on the quad
   frame — filter / relabel / pruned-slice anti-join, never a
@@ -2907,7 +2910,7 @@ def _template_shapes(template: list[tuple],
              else "binding" if str(o).startswith("?")
              else (_term_is_iri(o), getattr(o, "lang", None),
                    getattr(o, "dt", None)))
-            for _s, _p, o in template]
+            for _s, _p, o, *_gt in template]
 
 
 def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
@@ -2926,7 +2929,7 @@ def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
 
     minted: dict[str, str] = {}
     out = []
-    for s, p, o in template:
+    for s, p, o, *gterm in template:  # 3-tuples (CONSTRUCT) or quads
         row = []
         for pos, t in zip("spo", (s, p, o)):
             ts = str(t)
@@ -2946,8 +2949,46 @@ def _mint_template_bnodes(sols: DataFrame, template: list[tuple]
                 row.append("?" + minted[ts])
             else:
                 row.append(t)
-        out.append(tuple(row))
+        out.append((*row, *gterm))
     return sols, out, frozenset(minted.values())
+
+
+def _template_quads(g: dict, what: str,
+                    allow_anon: bool = False,
+                    forbid_labels: bool = False
+                    ) -> list[tuple[str, str, str, object]]:
+    """A modify template group as (s, p, o, graph) rows — the SPARQL
+    1.1 QuadPattern shape: bare patterns carry graph ``None`` (the
+    WITH/default graph at instantiation), ``GRAPH <g>|?g { plain
+    patterns }`` blocks carry their constant IRI or variable.  The
+    same bnode/anon rules as :func:`_plain_patterns` apply to every
+    entry; non-plain GRAPH groups (OPTIONAL/UNION/paths inside the
+    block) stay refused — templates are ground-or-variable quads."""
+    if g.get("graph_scoped"):
+        raise SparqlUnsupported(
+            f"only plain triple patterns inside {what} GRAPH blocks")
+    quad_entries = g.get("graphs") or []
+    flat = {**g, "graphs": []}
+    out = [(s, p, o, None)
+           for s, p, o in _plain_patterns(flat, what,
+                                          allow_anon=allow_anon,
+                                          forbid_labels=forbid_labels)]
+    for s, path, o, gterm in quad_entries:
+        row = (s, _unwrap_pred(path, what), o)
+        if not allow_anon and any(
+                str(t).startswith("?_anon") for t in row):
+            raise SparqlError(
+                f"[..] blank nodes in {what} (the grammar forbids "
+                "blank nodes in delete templates — there is no "
+                "fresh label to delete)")
+        if forbid_labels and any(
+                str(t).startswith("_:") for t in row):
+            raise SparqlError(
+                f"blank node labels in {what} (the grammar forbids "
+                "blank nodes in delete templates; match the node "
+                "with a variable instead)")
+        out.append((*row, gterm))
+    return out
 
 
 def _plain_patterns(g: dict, what: str,
@@ -3098,16 +3139,16 @@ def parse_update(text: str) -> list[dict]:
         elif p.take("KW", "WITH"):
             scope = p.term(allow_var=False, allow_literal=False)
             if p.take("KW", "DELETE"):
-                tpl_del = _plain_patterns(p.group(), "DELETE templates",
+                tpl_del = _template_quads(p.group(), "DELETE templates",
                                           forbid_labels=True)
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
-                    tpl_ins = _plain_patterns(p.group(),
+                    tpl_ins = _template_quads(p.group(),
                                               "INSERT templates",
                                               allow_anon=True)
             elif p.take("KW", "INSERT"):
                 tpl_del = None
-                tpl_ins = _plain_patterns(p.group(), "INSERT templates",
+                tpl_ins = _template_quads(p.group(), "INSERT templates",
                                           allow_anon=True)
             else:
                 raise SparqlError(
@@ -3124,7 +3165,7 @@ def parse_update(text: str) -> list[dict]:
                             "quads": _data_quads(p.group(),
                                                  "INSERT DATA")})
             else:
-                tpl = _plain_patterns(p.group(), "INSERT templates",
+                tpl = _template_quads(p.group(), "INSERT templates",
                                       allow_anon=True)
                 using, unamed = _using_clause(p)
                 p.eat("KW", "WHERE")
@@ -3142,19 +3183,23 @@ def parse_update(text: str) -> list[dict]:
                 # DELETE WHERE {..}: the pattern group doubles as the
                 # delete template (SPARQL 1.1 §3.1.3.2)
                 g = p.group()
-                tpl = _plain_patterns(g, "DELETE WHERE",
+                tpl = _template_quads(g, "DELETE WHERE",
                                       allow_anon=True,
                                       forbid_labels=True)
                 ops.append({"op": "modify", "delete": tpl,
                             "insert": None,
-                            "where": {**g, "patterns": tpl},
+                            "where": {**g,
+                                      "patterns": [t[:3] for t in tpl
+                                                   if t[3] is None],
+                                      "graphs": [t for t in tpl
+                                                 if t[3] is not None]},
                             "with": None})
             else:
-                tpl_del = _plain_patterns(p.group(), "DELETE templates",
+                tpl_del = _template_quads(p.group(), "DELETE templates",
                                           forbid_labels=True)
                 tpl_ins = None
                 if p.take("KW", "INSERT"):
-                    tpl_ins = _plain_patterns(p.group(),
+                    tpl_ins = _template_quads(p.group(),
                                               "INSERT templates",
                                               allow_anon=True)
                 using, unamed = _using_clause(p)
@@ -3546,10 +3591,13 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
         need_quads("WITH <graph>")
     if _group_has_graphs(g):
         need_quads("GRAPH inside DELETE/INSERT WHERE")
+    if any(t[3] is not None for tmpl in (op["delete"], op["insert"])
+           for t in tmpl or []):
+        need_quads("GRAPH inside DELETE/INSERT templates")
     if "obj_is_iri" not in df.columns:
         if _group_has_tagged(g) or any(
                 _tagged(o) for tmpl in (op["delete"], op["insert"])
-                for _s, _p, o in tmpl or []):
+                for _s, _p, o, _g in tmpl or []):
             # same refusal as DATA: a tag a shapeless frame can't
             # store/match must not silently become the plain twin
             raise SparqlUnsupported(
@@ -3593,9 +3641,9 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     # every template object variable needs shape companions — except
     # INSERT-template ?_anon* slots, which mint fresh bnodes below and
     # are never bindings (a DELETE WHERE [..] anon IS a binding)
-    tvars = (({str(o)[1:] for _s, _p, o in op["delete"] or []
+    tvars = (({str(o)[1:] for _s, _p, o, _gt in op["delete"] or []
                if str(o).startswith("?")}
-              | {str(o)[1:] for _s, _p, o in op["insert"] or []
+              | {str(o)[1:] for _s, _p, o, _gt in op["insert"] or []
                  if str(o).startswith("?")
                  and not str(o).startswith("?_anon")})
              if "obj_is_iri" in df.columns else set())
@@ -3643,10 +3691,17 @@ def _apply_update(df: DataFrame, op: dict, quads: bool) -> DataFrame:
     def derived(template, with_shape, frame, minted=frozenset()):
         shapes = (_template_shapes(template, minted)
                   if with_shape else None)
-        out = G.construct_solutions(frame, template, obj_shapes=shapes)
+        triples_tpl = [t[:3] for t in template]
         if quads:
-            out = out.withColumn("graph",
-                                 F.lit(scope_graph).cast("string"))
+            # per-entry targets: a GRAPH block wins over WITH; bare
+            # entries land in the WITH graph (default when absent)
+            out = G.construct_solutions(
+                frame, triples_tpl, obj_shapes=shapes,
+                graphs=[t[3] if t[3] is not None else scope_graph
+                        for t in template])
+        else:
+            out = G.construct_solutions(frame, triples_tpl,
+                                        obj_shapes=shapes)
         return out
 
     out = df

@@ -2998,3 +2998,59 @@ def test_negated_property_set_inverse_members(spark):
     assert ("a",) in out and ("c",) in out and ("d",) in out
     with pytest.raises(SparqlUnsupported, match="empty negated"):
         sparql(t, "SELECT ?o WHERE { <a> !() ?o }")
+
+
+def test_update_quad_templates(spark):
+    """SPARQL 1.1 QuadPattern templates: GRAPH blocks inside
+    DELETE/INSERT templates and DELETE WHERE — constant and variable
+    graph targets, GRAPH overriding WITH, unbound graph vars
+    instantiating nothing."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    quads = [("a", "p:v", "1", None), ("b", "p:v", "2", "g1"),
+             ("c", "p:v", "3", "g2")]
+    kg = spark.createDataFrame(quads, ["subj", "pred", "obj", "graph"])
+
+    def rows(df):
+        return sorted(tuple("" if x is None else x for x in r)
+                      for r in df.collect())
+
+    # DELETE WHERE over every named graph; the default graph survives
+    assert rows(update(kg, "DELETE WHERE { GRAPH ?g { ?s <p:v> ?o } }")
+                ) == [("a", "p:v", "1", "")]
+    # variable-graph INSERT lands one row per matched source graph
+    out = rows(update(kg, 'INSERT { GRAPH ?g { ?s <p:new> "y" } } '
+                          "WHERE { GRAPH ?g { ?s <p:v> ?o } }"))
+    assert ("b", "p:new", "y", "g1") in out
+    assert ("c", "p:new", "y", "g2") in out
+    # constant cross-graph move via one modify
+    out = rows(update(kg, "DELETE { GRAPH <g1> { ?s <p:v> ?o } } "
+                          "INSERT { GRAPH <g2> { ?s <p:v> ?o } } "
+                          "WHERE { GRAPH <g1> { ?s <p:v> ?o } }"))
+    assert out == [("a", "p:v", "1", ""), ("b", "p:v", "2", "g2"),
+                   ("c", "p:v", "3", "g2")]
+    # a GRAPH block in the template overrides WITH
+    out = rows(update(kg, "WITH <g1> DELETE { ?s <p:v> ?o } "
+                          "INSERT { GRAPH <gx> { ?s <p:v> ?o } } "
+                          "WHERE { ?s <p:v> ?o }"))
+    assert ("b", "p:v", "2", "gx") in out
+    # bare-insert from a GRAPH match targets the default graph
+    out = rows(update(kg, "INSERT { ?s <p:copy> ?o } "
+                          "WHERE { GRAPH <g1> { ?s <p:v> ?o } }"))
+    assert ("b", "p:copy", "2", "") in out
+    # an UNBOUND graph variable instantiates nothing for that
+    # solution; bound rows still insert (plain update WHERE patterns
+    # match the default graph, so both VALUES rows join s="a")
+    out = rows(update(kg, 'INSERT { GRAPH ?g { ?s <p:m> "z" } } '
+                          "WHERE { ?s <p:v> ?o . "
+                          'VALUES (?s ?g) { ("a" "gv") ("a" UNDEF) } }'))
+    assert [r for r in out if r[1] == "p:m"] == [("a", "p:m", "z", "gv")]
+    # a triple frame (no graph column) refuses template GRAPH blocks
+    trip = spark.createDataFrame([("a", "p:v", "1")],
+                                 ["subj", "pred", "obj"])
+    import pytest
+
+    from pyrdfa3_spark.operators.sparql import SparqlError
+    with pytest.raises(SparqlError, match="quad frame"):
+        update(trip, 'INSERT { GRAPH <g> { ?s <p:x> "1" } } '
+                     "WHERE { ?s <p:v> ?o }")
