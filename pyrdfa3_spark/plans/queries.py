@@ -2108,6 +2108,58 @@ SELECT subj, pred, obj, graph FROM g ORDER BY subj, pred, obj, graph
 """
 
 
+def q_sparql_update_quadtpl(spark, sf_dir):
+    """QuadPattern templates (SPARQL 1.1 §3.1.3): a variable-graph
+    INSERT fans a tag into every source graph, a constant cross-graph
+    DELETE/INSERT moves one shard, and a variable-graph DELETE WHERE
+    sweeps the tags back out — the final state is the shard move
+    alone, in closed form for the oracle."""
+    from pyrdfa3_spark.operators.sparql import update
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    quads = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.concat(F.lit("urn:g:"),
+                 (F.col("n_nationkey") % 3).cast("string"))
+        .alias("graph"),
+    ).unionByName(region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+        .alias("subj"),
+        F.lit(_EX + "name").alias("pred"),
+        F.col("r_name").alias("obj"),
+        F.lit(None).cast("string").alias("graph")))
+    g = update(quads, f"""
+        PREFIX ex: <{_EX}>
+        INSERT {{ GRAPH ?g {{ ?s ex:tag "dup" }} }}
+          WHERE {{ GRAPH ?g {{ ?s ex:name ?n }} }} ;
+        DELETE {{ GRAPH <urn:g:1> {{ ?s ex:name ?n }} }}
+        INSERT {{ GRAPH <urn:g:9> {{ ?s ex:name ?n }} }}
+          WHERE {{ GRAPH <urn:g:1> {{ ?s ex:name ?n }} }} ;
+        DELETE WHERE {{ GRAPH ?g {{ ?s ex:tag ?t }} }}
+    """)
+    return g.orderBy("subj", "pred", "obj", "graph")
+
+
+SQL_SPARQL_UPDATE_QUADTPL = """
+WITH g AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://example.org/name' AS pred, n_name AS obj,
+         CASE WHEN n_nationkey % 3 = 1 THEN 'urn:g:9'
+              ELSE 'urn:g:' || CAST(n_nationkey % 3 AS VARCHAR)
+         END AS graph
+  FROM nation
+  UNION ALL
+  SELECT 'region:' || CAST(r_regionkey AS VARCHAR),
+         'http://example.org/name', r_name, NULL FROM region
+)
+SELECT subj, pred, obj, graph FROM g ORDER BY subj, pred, obj, graph
+"""
+
+
 def q_sparql_dataset(spark, sf_dir):
     """FROM dataset clauses (SPARQL §13.2): the active default graph is
     the merge of the two FROM graphs, and STRICTLY nothing else — the
@@ -5535,6 +5587,7 @@ QUERIES = {
     "sparql_subquery": q_sparql_subquery,
     "sparql_update": q_sparql_update,
     "sparql_update_graphs": q_sparql_update_graphs,
+    "sparql_update_quadtpl": q_sparql_update_quadtpl,
     "sparql_dataset": q_sparql_dataset,
     "sparql_project_expr": q_sparql_project_expr,
     "sparql_optional_group": q_sparql_optional_group,
@@ -5744,6 +5797,7 @@ def oracles() -> dict[str, str]:
         "sparql_subquery": SQL_SPARQL_SUBQUERY,
         "sparql_update": SQL_SPARQL_UPDATE,
         "sparql_update_graphs": SQL_SPARQL_UPDATE_GRAPHS,
+        "sparql_update_quadtpl": SQL_SPARQL_UPDATE_QUADTPL,
         "sparql_dataset": SQL_SPARQL_DATASET,
         "sparql_dataset_strict": SQL_SPARQL_DATASET_STRICT,
         "sparql_xsd_cast": SQL_SPARQL_XSD_CAST,
