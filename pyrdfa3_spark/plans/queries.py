@@ -5612,7 +5612,6 @@ QUERIES = {
     "sparql_describe": q_sparql_describe,
     "sparql_path": q_sparql_path,
     "sparql_path_closure": q_sparql_path_closure,
-    "sparql_ask": q_sparql_ask,
     "sparql_fn_datetime": q_sparql_fn_datetime,
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
@@ -5623,6 +5622,7 @@ QUERIES = {
     # near_dup_incremental sit behind the window, oracle-checked by
     # scripts/check_oracles.py at both sfs
     "incremental_dedup_decision": q_incremental_dedup_decision,
+    "sparql_ask": q_sparql_ask,
     # rows behind the 50-entry driver window: recorded
     # driver-green in CORRECTNESS_r02 (prototype_expand,
     # list_chain, minhash_signatures, ngram_jaccard),
