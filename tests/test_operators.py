@@ -2183,3 +2183,29 @@ def test_classifier_score_matches_python(spark):
     want = {i: score(t) for i, t in docs.items()}
     want[4] = round(1.0 / (1.0 + math.exp(-BIAS)), 4)  # featureless
     assert got == want
+
+
+def test_checkpoint_crash_before_manifest_is_idempotent(spark, tmp_path):
+    """The crash window between a bucket's parquet write and its
+    manifest write: the resumed run must reprocess that bucket (the
+    manifest is the ONLY completion signal) and the atomic overwrite
+    must leave identical output — no dup rows, no partial state."""
+    import os
+
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+    from pyrdfa3_spark.streaming.checkpoint import run_bucketed
+
+    t = synth_transcripts(spark, n_conv=10, turns_per_conv=10,
+                          skew_factor=2)
+    out = str(tmp_path / "ckpt")
+    run_bucketed(t, out, n_buckets=2)
+    before = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out, "conv_bucket=1")).collect()))
+    # simulate the crash: output exists, manifest lost
+    os.remove(os.path.join(out, "_lineage", "bucket-1.json"))
+    m = run_bucketed(t, out, n_buckets=2)
+    assert m["processed_buckets"] == [1]
+    assert m["skipped_buckets"] == [0]
+    after = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out, "conv_bucket=1")).collect()))
+    assert after == before
