@@ -134,6 +134,28 @@ def test_itemref_borrows_properties():
          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", S + "Thing")}
 
 
+def test_itemref_chain_through_nested_items_terminates():
+    """An itemref whose referenced subtree holds a nested itemscope
+    that itself carries an itemref (a reference CHAIN, including a
+    mutual A<->B shape) must terminate and emit each borrowed
+    property once per item."""
+    doc = ('<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#A" itemref="pb"></div>'
+           '<div itemscope itemtype="http://schema.org/Person" '
+           'itemid="#B" itemref="pa"></div>'
+           '<span id="pa" itemprop="name">Alice</span>'
+           '<span id="pb" itemprop="friend" itemscope '
+           'itemtype="http://schema.org/Person" itemref="pa"></span>')
+    out = _md(doc)
+    # B borrows name via #pa; the nested friend item borrows it too
+    assert ("http://ex.org/doc#B", S + "name",
+            Literal("Alice", None, None)) in out
+    friends = [t[2] for t in out
+               if t[0] == "http://ex.org/doc#A" and t[1] == S + "friend"]
+    assert len(friends) == 1
+    assert (friends[0], S + "name", Literal("Alice", None, None)) in out
+
+
 def test_itemref_nested_item_in_reference():
     doc = ('<div itemscope itemtype="http://schema.org/Person" '
            'itemid="#p2" itemref="addr"></div>'
