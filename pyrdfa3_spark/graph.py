@@ -74,6 +74,10 @@ class SparkGraph:
         key = list(_PATTERN_COLS) + [
             c for c in G.TRIPLE_KEY if c not in _PATTERN_COLS
             and c in self.df.columns]
+        if "graph" in self.df.columns:
+            # a quad-carrying frame keeps per-graph rows distinct —
+            # rdflib's ConjunctiveGraph yields per-context duplicates
+            key.append("graph")
         return self.df.dropDuplicates(key)
 
     # -- construction ------------------------------------------------
@@ -516,8 +520,10 @@ class SparkGraph:
         from bare (s, p, o) rows infer them lexically: an object with
         an IRI scheme (or a bnode label) is a term, anything else is a
         plain literal — the all-IRI default would emit invalid
-        relative IRIs like ``<alpha>`` for plain strings."""
-        df = self.df
+        relative IRIs like ``<alpha>`` for plain strings.  Runs over
+        the RDF SET (:meth:`_set_frame`): rdflib serializes each
+        triple once however many duplicate rows the frame carries."""
+        df = self._set_frame()
         if "obj_is_iri" not in df.columns:
             # the one shared inference (graphops._lexical_is_iri) so
             # the serializer facade and the SPARQL matcher can never
@@ -766,7 +772,10 @@ class SparkDataset:
         from pyrdfa3_spark.plans import serialize as S
 
         fmt = format.lower().replace("-", "")
-        df = SparkGraph(self.df, self._ns)._with_literal_shape()
+        # quad-set dedup happens here (this dataset's promise passes
+        # through); the inner facade then only infers shape columns
+        df = SparkGraph(self._set_frame(), self._ns,
+                        distinct=True)._with_literal_shape()
         if fmt == "nquads":
             return S.to_nquads(df)
         if fmt == "trig":

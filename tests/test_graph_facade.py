@@ -503,3 +503,18 @@ def test_dataset_from_transcripts(spark):
         SELECT ?g ?n WHERE {
           GRAPH ?g { ?s <http://schema.org/name> ?n } }""").collect())
     assert got == [("urn:conv:c1", "Paris"), ("urn:conv:c2", "Tokyo")]
+
+
+def test_serialize_emits_the_set(spark):
+    """Serializers emit each triple/quad ONCE however many duplicate
+    rows the frame carries (rdflib serializes the set); per-graph
+    copies stay distinct in quad formats."""
+    g = SparkGraph(spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "x")], ["subj", "pred", "obj"]))
+    assert [r[0] for r in g.serialize("nt").collect()] == [
+        '<a> <p> "x" .']
+    ds = SparkDataset(spark.createDataFrame(
+        [("a", "p", "x", "g1"), ("a", "p", "x", "g1"),
+         ("a", "p", "x", "g2")], ["subj", "pred", "obj", "graph"]))
+    assert sorted(r[0] for r in ds.serialize("nquads").collect()) == [
+        '<a> <p> "x" <g1> .', '<a> <p> "x" <g2> .']
