@@ -3045,6 +3045,22 @@ def test_update_quad_templates(spark):
                           "WHERE { ?s <p:v> ?o . "
                           'VALUES (?s ?g) { ("a" "gv") ("a" UNDEF) } }'))
     assert [r for r in out if r[1] == "p:m"] == [("a", "p:m", "z", "gv")]
+    # [..] inside a GRAPH template block mints per solution, into the
+    # block's graph; the leaf rides on the same minted node
+    kg1 = spark.createDataFrame([("a", "p:v", "1", "g1")],
+                                ["subj", "pred", "obj", "graph"])
+    out = rows(update(kg1, 'INSERT { GRAPH <g2> { ?s <p:anon> '
+                           '[ <p:x> "1" ] } } '
+                           "WHERE { GRAPH <g1> { ?s <p:v> ?o } }"))
+    anon = [r for r in out if r[1] == "p:anon"]
+    leaf = [r for r in out if r[1] == "p:x"]
+    assert len(anon) == 1 and anon[0][3] == "g2"
+    assert leaf == [(anon[0][2], "p:x", "1", "g2")]
+    # DELETE templates refuse [..] even inside GRAPH blocks
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="blank nodes in DELETE"):
+        update(kg1, "DELETE { GRAPH <g1> { ?s <p:v> [ ] } } "
+                    "WHERE { GRAPH <g1> { ?s <p:v> ?o } }")
     # a triple frame (no graph column) refuses template GRAPH blocks
     trip = spark.createDataFrame([("a", "p:v", "1")],
                                  ["subj", "pred", "obj"])
