@@ -139,6 +139,44 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
             .filter(F.col("n_docs") > 1))
 
 
+# Latin accent fold: the pre-composed Latin-1 + Latin-Extended-A
+# letters a corpus meets most; char-for-char so Spark's and DuckDB's
+# translate() agree byte-exactly (full Unicode NFKC needs ICU — out of
+# column-algebra scope, documented)
+_ACCENTS = ("áàâäãåāăąÁÀÂÄÃÅĀĂĄçćčĉċÇĆČĈĊďđĎĐéèêëēĕėęěÉÈÊËĒĔĖĘĚ"
+            "ĝğġģĜĞĠĢĥħĤĦíìîïĩīĭįıÍÌÎÏĨĪĬĮĵĴķĶĺļľłĹĻĽŁñńņňÑŃŅŇ"
+            "óòôöõōŏőøÓÒÔÖÕŌŎŐØŕŗřŔŖŘśŝşšŚŜŞŠţťŧŢŤŦúùûüũūŭůűų"
+            "ÚÙÛÜŨŪŬŮŰŲŵŴýÿŷÝŸŶźżžŹŻŽ")
+_FOLDED = ("aaaaaaaaaAAAAAAAAAcccccCCCCCddDDeeeeeeeeeEEEEEEEEE"
+           "ggggGGGGhhHHiiiiiiiiiIIIIIIIIjJkKllllLLLLnnnnNNNN"
+           "oooooooooOOOOOOOOOrrrRRRssssSSSStttTTTuuuuuuuuuu"
+           "UUUUUUUUUUwWyyyYYYzzzZZZ")
+assert len(_ACCENTS) == len(_FOLDED)
+
+
+def normalize_text(docs: DataFrame, lowercase: bool = True,
+                   accent_fold: bool = True,
+                   collapse_ws: bool = True) -> DataFrame:
+    """Corpus text normalization — the standard pre-tokenization pass
+    (casefold, Latin accent fold, whitespace collapse) every
+    training-data pipeline runs before dedup/quality stages.  Pure
+    in-row column algebra (lower/translate/regexp_replace): a narrow
+    map with zero shuffle at any scale.
+
+    Output: ``(doc_id, norm_text)`` — one row per input document."""
+    c = F.col("text")
+    if lowercase:
+        c = F.lower(c)
+    if accent_fold:
+        # the table carries both cases; after lower() the uppercase
+        # entries simply never match
+        c = F.translate(c, _ACCENTS, _FOLDED)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       c.alias("norm_text"))
+
+
 def paragraph_dedup(docs: DataFrame, delim: str = r"\n{2,}",
                     min_docs: int = 2,
                     joiner: str = "\n\n") -> DataFrame:

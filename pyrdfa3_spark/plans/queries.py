@@ -979,6 +979,32 @@ def q_url_dedup(spark, sf_dir):
                                  _synth_url_col().alias("url")))
 
 
+def q_normalize_text(spark, sf_dir):
+    """Text normalization over a deterministically accent-injected
+    corpus: uppercase the synthetic text and map its vowels onto
+    pre-composed accents, then run the normalization pass (casefold,
+    accent fold, whitespace collapse) — the oracle replays the same
+    injection + fold in DuckDB with the identical translate table."""
+    from pyrdfa3_spark.operators.curation import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    accented = docs.withColumn(
+        "text", F.translate(F.upper(F.col("text")), "AEIOU", "ÁÉÍÓÜ"))
+    return normalize_text(accented)
+
+
+def _sql_normalize_text() -> str:
+    from pyrdfa3_spark.operators.curation import _ACCENTS, _FOLDED
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       trim(regexp_replace(
+           translate(lower(translate(upper(text), 'AEIOU', 'ÁÉÍÓÜ')),
+                     '{_ACCENTS}', '{_FOLDED}'),
+           '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style paragraph boilerplate removal over the documents
     table.  The synthetic corpus is single-line word streams, so the
@@ -5674,6 +5700,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "url_dedup": q_url_dedup,
     "paragraph_dedup": q_paragraph_dedup,
+    "normalize_text": q_normalize_text,
     "dedup_incremental": q_dedup_incremental,
     "near_dup_incremental": q_near_dup_incremental,
     "dsir_weights": q_dsir_weights,
@@ -5762,6 +5789,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "url_dedup": SQL_URL_DEDUP,
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "normalize_text": _sql_normalize_text(),
         "clean_corpus": SQL_CLEAN_CORPUS,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "near_dup_incremental": SQL_NEAR_DUP_INCREMENTAL,

@@ -2209,3 +2209,23 @@ def test_checkpoint_crash_before_manifest_is_idempotent(spark, tmp_path):
     after = sorted(map(tuple, spark.read.parquet(
         os.path.join(out, "conv_bucket=1")).collect()))
     assert after == before
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    from pyrdfa3_spark.operators.curation import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "  Élan\tVITAL\n\nœuvre  señor Ølaf  "),
+         (2, "plain ascii")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(docs).collect()}
+    # œ is a ligature, not a composed accent — documented out of the
+    # char-for-char table's scope
+    assert out[1] == "elan vital œuvre senor olaf"
+    assert out[2] == "plain ascii"
+    # knobs off = passthrough
+    raw = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(docs, lowercase=False,
+                                   accent_fold=False,
+                                   collapse_ws=False).collect()}
+    assert raw[1] == "  Élan\tVITAL\n\nœuvre  señor Ølaf  "
