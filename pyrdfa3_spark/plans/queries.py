@@ -1772,6 +1772,46 @@ FROM events GROUP BY event_type
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join: events against 90-minute maintenance
+    windows opening every 4 hours — the range-join shape.  The
+    operator tiles time into 1-hour buckets and equi-joins on the
+    bucket (each window explodes to 2-3 bucket rows), then applies
+    the exact boundary filter: one hash shuffle, NO broadcast nested
+    loop / cartesian anywhere.  The oracle is DuckDB's native theta
+    join over the same synthesized windows."""
+    from pyrdfa3_spark.operators.joins import interval_join
+
+    base_ms = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    iv = spark.range(200).select(
+        F.col("id").cast("bigint").alias("window_id"),
+        F.timestamp_millis(F.lit(base_ms)
+                           + F.col("id") * 14_400_000).alias("start"),
+        F.timestamp_millis(F.lit(base_ms) + F.col("id") * 14_400_000
+                           + 5_400_000).alias("end"))
+    out = interval_join(ev, iv, bucket_ms=3_600_000)
+    return (out.select(F.col("event_id").cast("bigint")
+                       .alias("event_id"), "window_id")
+            .orderBy("event_id", "window_id"))
+
+
+SQL_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT CAST(i AS BIGINT) AS window_id,
+         to_timestamp((1704067200000 + i * 14400000) / 1000)
+           AS w_start,
+         to_timestamp((1704067200000 + i * 14400000 + 5400000) / 1000)
+           AS w_end
+  FROM range(200) t(i)
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, iv.window_id
+FROM events e JOIN iv
+  ON e.ts >= CAST(w_start AS TIMESTAMP) AND e.ts < CAST(w_end AS TIMESTAMP)
+ORDER BY event_id, window_id
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Point-in-time enrichment: every click event carries the latest
     at-or-before error value for its user (asof_join's union+window
@@ -5687,6 +5727,7 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "repetition_metrics": q_repetition_metrics,
     "asof_enrich": q_asof_enrich,
+    "interval_join": q_interval_join,
     "event_rollup": q_event_rollup,
     "event_quantiles": q_event_quantiles,
     "pack_sequences": q_pack_sequences,
@@ -5776,6 +5817,7 @@ def oracles() -> dict[str, str]:
         "corpus_filter": _sql_corpus_filter(),
         "repetition_metrics": SQL_REPETITION_METRICS,
         "asof_enrich": SQL_ASOF_ENRICH,
+        "interval_join": SQL_INTERVAL_JOIN,
         "event_rollup": SQL_EVENT_ROLLUP,
         "event_quantiles": SQL_EVENT_QUANTILES,
         "pack_sequences": SQL_PACK_SEQUENCES,

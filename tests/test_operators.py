@@ -2229,3 +2229,42 @@ def test_normalize_text_folds_and_collapses(spark):
                                    accent_fold=False,
                                    collapse_ws=False).collect()}
     assert raw[1] == "  Élan\tVITAL\n\nœuvre  señor Ølaf  "
+
+
+def test_interval_join_semantics_plan_and_guard(spark):
+    """Point-in-interval join: inclusive start / exclusive end, key
+    matching, an equi-join plan (no nested loop / cartesian), and the
+    fan-out guard raising on an interval wider than the bucket cap."""
+    import contextlib
+    import io
+
+    import pytest
+
+    from pyrdfa3_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:00"),
+         (2, "k", "2024-01-01 01:30:00"),
+         (3, "k", "2024-01-01 02:00:00"),     # end-exclusive: out
+         (4, "other", "2024-01-01 01:00:00")],  # key mismatch: out
+        ["pid", "key", "ts"])
+    iv = spark.createDataFrame(
+        [(10, "k", "2024-01-01 00:00:00", "2024-01-01 02:00:00")],
+        ["iid", "key", "start", "end"])
+    out = interval_join(pts, iv, on="key")
+    assert sorted((r["pid"], r["iid"]) for r in out.collect()) == [
+        (1, 10), (2, 10)]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+    big = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2030-01-01 00:00:00")],
+        ["iid", "start", "end"])
+    with pytest.raises(Exception, match="interval_join"):
+        interval_join(pts.drop("key"), big,
+                      max_buckets_per_interval=10).count()
