@@ -610,3 +610,85 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
             .select("doc_id", hs.alias("hs"))
             .select("doc_id", votes.alias("v"))
             .select("doc_id", sig.alias("simhash")))
+
+
+def prefix_similarity_join(docs: DataFrame, threshold: float = 0.8,
+                           max_bucket: int = 100_000) -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via prefix
+    filtering (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin
+    family) — the deterministic complement to the MinHash-LSH path:
+    no probabilistic misses, every pair with ``jaccard >= threshold``
+    over distinct whitespace tokens is returned, ``doc_a < doc_b``.
+
+    Why it is exact: order all tokens globally by ascending document
+    frequency (ties by token text); a document whose token set has
+    size ``s`` keeps only its first ``s - ceil(t*s) + 1`` tokens as
+    its *prefix*.  For any pair with Jaccard >= t the intersection
+    size ``i`` satisfies ``i >= t*max(|x|,|y|)``; the FIRST common
+    token (in global order) is preceded in each document only by
+    tokens private to it — at most ``|x| - i <= |x| - ceil(t*|x|)``
+    of them — so it lands inside BOTH prefixes and the candidate
+    equi-join on prefix tokens cannot miss the pair.
+
+    Scale shape: the all-pairs problem becomes (1) one partial-agg
+    groupBy for document frequencies, (2) one equi-join tagging each
+    token row with its df, (3) a per-doc in-row sort (doc-bounded
+    arrays, no window), (4) a self-EQUI-join on prefix tokens only —
+    rare by construction, since frequent tokens sort to the suffix —
+    with the length filter ``min >= t*max`` cutting candidates before
+    verification, and (5) an in-row ``array_intersect`` verify after
+    two id-keyed joins (the :func:`ngram_jaccard` shape).  No window,
+    no cartesian, no LSH bands.  A prefix token shared by more than
+    ``max_bucket`` documents raises (pick a higher threshold or
+    pre-filter stopwords) rather than silently exploding the
+    candidate join — the no-silent-caps rule.
+    """
+    toks_expr = F.filter(F.array_distinct(F.split(_normalized(), " ")),
+                         lambda x: x != "")
+    toks_arr = (_scale_out(docs)
+                .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                        toks_expr.alias("toks"))
+                .filter(F.size("toks") > 0))
+    tok_rows = toks_arr.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tok_rows.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (tok_rows.join(dfreq, "tok")
+               .groupBy("doc_id")
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("df", "tok"))).alias("ord")))
+    sz = F.size("ord")
+    plen = (sz - F.ceil(F.lit(float(threshold)) * sz) + 1).cast("int")
+    pre = (ordered
+           .select("doc_id", sz.alias("sz"),
+                   F.slice("ord", F.lit(1), plen).alias("pre"))
+           .select("doc_id", "sz", F.explode("pre").alias("p"))
+           .select("doc_id", "sz", F.col("p.tok").alias("tok")))
+    if max_bucket is not None:
+        bstats = pre.groupBy("tok").agg(F.count("*").alias("bn"))
+        guard = F.when(
+            F.col("bn") > max_bucket,
+            F.raise_error(F.lit(
+                "prefix_similarity_join: a prefix token is shared by "
+                f"more than {max_bucket} documents - raise the "
+                "threshold or stopword-filter the corpus (silently "
+                "exploding the candidate join would be the scale "
+                "bug)"))).otherwise(F.col("bn"))
+        pre = pre.join(bstats, "tok").filter(guard > 0).drop("bn")
+    a = pre.select(F.col("tok"), F.col("doc_id").alias("doc_a"),
+                   F.col("sz").alias("pre_sa"))
+    b = pre.select(F.col("tok"), F.col("doc_id").alias("doc_b"),
+                   F.col("sz").alias("pre_sb"))
+    cands = (a.join(b, "tok")
+             .filter((F.col("doc_a") < F.col("doc_b"))
+                     & (F.least("pre_sa", "pre_sb")
+                        >= threshold * F.greatest("pre_sa", "pre_sb")))
+             .select("doc_a", "doc_b").dropDuplicates())
+    ta = toks_arr.select(F.col("doc_id").alias("doc_a"),
+                         F.col("toks").alias("arr_a"))
+    tb = toks_arr.select(F.col("doc_id").alias("doc_b"),
+                         F.col("toks").alias("arr_b"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jacc = n_common / (F.size("arr_a") + F.size("arr_b") - n_common)
+    return (cands.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b", jacc.alias("j"))
+            .filter(F.col("j") >= threshold)
+            .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard")))

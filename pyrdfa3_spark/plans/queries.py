@@ -791,6 +791,40 @@ FROM inter i JOIN counts ca ON ca.doc_id = i.doc_a
 )
 
 
+def q_prefix_similarity(spark, sf_dir):
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    deterministic alternative to the LSH candidate path.  The oracle
+    is the brute-force all-shared-token ground truth, NOT a mirror of
+    the prefix algorithm, so a green hash proves the prefix filter
+    loses no pair.  Runs on the ``doc_id % 10`` corpus slice: the
+    ground-truth oracle is quadratic in shared-token pairs and must
+    stay cheap at sf0.1 (the operator itself is the scale path)."""
+    from pyrdfa3_spark.operators.dedup import prefix_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return prefix_similarity_join(docs, threshold=0.5)
+
+
+SQL_PREFIX_SIMILARITY = f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+           FROM documents WHERE doc_id % 10 = 0),
+toks AS (SELECT DISTINCT doc_id, tok
+         FROM d, unnest(string_split(norm, ' ')) AS t(tok)
+         WHERE tok <> ''),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+          FROM toks GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS nc
+          FROM toks a JOIN toks b ON b.tok = a.tok AND b.doc_id > a.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.nc / (sa.sz + sb.sz - i.nc), 4) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.nc / (sa.sz + sb.sz - i.nc) >= 0.5
+"""
+
+
 def q_dedup_decision(spark, sf_dir):
     """Full dedup flow end-state: LSH -> Jaccard verify -> connected
     components -> keep-min decision (threshold 0.7 keeps the synthetic
@@ -5707,6 +5741,7 @@ QUERIES = {
     "list_chain": q_list_chain,
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
+    "prefix_similarity": q_prefix_similarity,
     # serialize-only rows rotate behind the 50-entry
     # driver window: their roundtrip twins above cover
     # the serialize path and stay recorded
@@ -5849,6 +5884,7 @@ def oracles() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "prefix_similarity": SQL_PREFIX_SIMILARITY,
         "dedup_decision": SQL_DEDUP_DECISION,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "cosine_topk": SQL_COSINE_TOPK,

@@ -2268,3 +2268,55 @@ def test_interval_join_semantics_plan_and_guard(spark):
     with pytest.raises(Exception, match="interval_join"):
         interval_join(pts.drop("key"), big,
                       max_buckets_per_interval=10).count()
+
+
+def test_prefix_similarity_join_exact_plan_and_guard(spark):
+    """Prefix-filter similarity join: output equals the brute-force
+    all-pairs Jaccard ground truth (the prefix filter may not lose a
+    pair — including pairs whose shared tokens are all FREQUENT, the
+    adversarial case for prefix ordering), threshold boundary is
+    inclusive, the plan stays equi-join-only, and the prefix-bucket
+    guard raises instead of exploding."""
+    import contextlib
+    import io
+    import itertools
+
+    from pyrdfa3_spark.operators.dedup import prefix_similarity_join
+
+    # docs engineered so some near-pairs share only high-df tokens
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta gamma delta",          # J(1,2)=1.0 all-common
+        3: "alpha beta gamma epsilon",        # J(1,3)=3/5=0.6
+        4: "alpha beta zeta eta theta",       # J(1,4)=2/7
+        5: "alpha beta",                      # frequent-only pair vs 6
+        6: "alpha beta",                      # J(5,6)=1.0
+        7: "iota kappa",                      # isolated
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"])
+
+    def jacc(a, b):
+        sa, sb = set(texts[a].split()), set(texts[b].split())
+        return len(sa & sb) / len(sa | sb)
+
+    for thr in (0.5, 0.6, 1.0):
+        want = {(a, b, round(jacc(a, b), 4))
+                for a, b in itertools.combinations(sorted(texts), 2)
+                if jacc(a, b) >= thr}
+        got = {(r["doc_a"], r["doc_b"], r["jaccard"])
+               for r in prefix_similarity_join(docs, threshold=thr)
+               .collect()}
+        assert got == want, thr
+
+    out = prefix_similarity_join(docs, threshold=0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+    assert "Window" not in plan
+
+    with pytest.raises(Exception, match="prefix_similarity_join"):
+        prefix_similarity_join(docs, threshold=0.5, max_bucket=1).count()
