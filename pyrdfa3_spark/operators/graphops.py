@@ -1982,3 +1982,44 @@ def wl_fingerprint(triples: DataFrame, rounds: int = 3) -> DataFrame:
     return canon.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triples"),
         F.sum(h).cast("decimal(38,0)").alias("fp"))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over undirected (src, dst) edges — the cheap community
+    signal curation pipelines use to group related entities when full
+    modularity optimization is overkill.
+
+    Deterministic formulation (no random visit order): every node
+    starts labelled with itself; each round every node adopts the most
+    frequent label among its neighbours, ties broken by the
+    lexicographically smallest label; all nodes update simultaneously.
+    Returns (node, label) after ``rounds`` rounds for every endpoint
+    of the edge list.
+
+    Scale shape per round: one equi-join carrying labels onto edges
+    (hash-partitioned on the join key every round, so AQE reuses the
+    exchange) and two partially-aggregated groupBys — (node, label)
+    frequency, then per-node argmax via ``min_by`` over a
+    ``(-count, label)`` struct (no ranking window; a hub's fan-in
+    collapses map-side).  The label frame is ``localCheckpoint``ed
+    per round (flat lineage, same discipline as :func:`pagerank`).
+    """
+    e = (edges.select("src", "dst")
+         .unionByName(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+         .filter(F.col("src") != F.col("dst"))
+         .dropDuplicates().localCheckpoint(eager=True))
+    labels = (e.select(F.col("src").alias("node")).dropDuplicates()
+              .withColumn("lab", F.col("node")))
+    for _ in range(rounds):
+        nb = (e.join(labels.withColumnRenamed("node", "src"), "src")
+              .select(F.col("dst").alias("node"), "lab"))
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min_by(
+                      "lab", F.struct((-F.col("c")).alias("nc"),
+                                      F.col("lab").alias("lab")))
+                      .alias("lab"))
+                  .localCheckpoint(eager=True))
+    return labels.select("node", F.col("lab").alias("label"))

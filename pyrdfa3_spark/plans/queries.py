@@ -3833,6 +3833,71 @@ SELECT node, round(rank, 9) AS rank FROM pr{_PR_ITERS}""")
 
 SQL_PAGERANK = _sql_pagerank()
 
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation over a 200-node
+    community-structured graph from customer keys: rings of 20 nodes
+    per block plus intra-block chords (i<->i+5) and one weak
+    cross-block link per block — communities should largely respect
+    the blocks.  Cross-checked label-by-label against a round-for-
+    round unrolled SQL oracle (max-count-then-min-label argmax
+    expressed as two aggregates + a join; the operator's min_by over
+    a (-count, label) struct is the same ordering)."""
+    from pyrdfa3_spark.operators.graphops import label_propagation
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+
+    def n(expr):
+        return F.concat(F.lit("n"), expr.cast("string"))
+
+    ring = (customer.filter(i % 20 != 19)
+            .select(n(i).alias("src"), n(i + 1).alias("dst")))
+    chord = (customer.filter(i % 20 < 15)
+             .select(n(i).alias("src"), n(i + 5).alias("dst")))
+    cross = (customer.filter(i % 20 == 0)
+             .select(n(i).alias("src"),
+                     n((i + 20) % _PR_MOD).alias("dst")))
+    edges = ring.unionByName(chord).unionByName(cross)
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+def _sql_label_propagation() -> str:
+    parts = [f"""
+WITH raw AS (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+e0 AS (
+  SELECT 'n' || CAST(i AS VARCHAR) AS src,
+         'n' || CAST(i + 1 AS VARCHAR) AS dst FROM raw WHERE i % 20 <> 19
+  UNION ALL
+  SELECT 'n' || CAST(i AS VARCHAR), 'n' || CAST(i + 5 AS VARCHAR)
+  FROM raw WHERE i % 20 < 15
+  UNION ALL
+  SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i + 20) % {_PR_MOD} AS VARCHAR)
+  FROM raw WHERE i % 20 = 0),
+ed AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM e0
+         UNION ALL SELECT dst AS src, src AS dst FROM e0)
+       WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+nb{r} AS (SELECT e.dst AS node, l.lab
+          FROM ed e JOIN l{r - 1} l ON l.node = e.src),
+c{r} AS (SELECT node, lab, count(*) AS c FROM nb{r} GROUP BY node, lab),
+m{r} AS (SELECT node, max(c) AS mc FROM c{r} GROUP BY node),
+l{r} AS (SELECT c.node, min(c.lab) AS lab
+         FROM c{r} c JOIN m{r} m ON m.node = c.node AND c.c = m.mc
+         GROUP BY c.node)""")
+    parts.append(f"""
+SELECT node, lab AS label FROM l{_LPA_ROUNDS}""")
+    return "".join(parts)
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
 
 def q_kg_ask(spark, sf_dir):
     """SPARQL ASK, one row per question: the geo KG does hold a
@@ -5816,6 +5881,7 @@ QUERIES = {
     "kg_describe": q_kg_describe,
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
+    "label_propagation": q_label_propagation,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
     "wl_fingerprint": q_wl_fingerprint,
@@ -5953,6 +6019,7 @@ def oracles() -> dict[str, str]:
         "kg_describe": SQL_KG_DESCRIBE,
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
+        "label_propagation": SQL_LABEL_PROPAGATION,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "trig_serialize": SQL_TRIG_SERIALIZE,
         "trig_roundtrip": SQL_TRIG_ROUNDTRIP,

@@ -2320,3 +2320,55 @@ def test_prefix_similarity_join_exact_plan_and_guard(spark):
 
     with pytest.raises(Exception, match="prefix_similarity_join"):
         prefix_similarity_join(docs, threshold=0.5, max_bucket=1).count()
+
+
+def test_label_propagation_vs_python_reference(spark):
+    """Synchronous LPA against an independent in-test python
+    implementation on a barbell graph (two K4 cliques + bridge) and a
+    star — deterministic max-count/min-label tie-break — plus plan
+    hygiene (no ranking window, no cartesian)."""
+    import contextlib
+    import io
+    from collections import Counter
+
+    from pyrdfa3_spark.operators.graphops import label_propagation
+
+    raw = [("a1", "a2"), ("a1", "a3"), ("a1", "a4"), ("a2", "a3"),
+           ("a2", "a4"), ("a3", "a4"),                    # clique A
+           ("b1", "b2"), ("b1", "b3"), ("b1", "b4"), ("b2", "b3"),
+           ("b2", "b4"), ("b3", "b4"),                    # clique B
+           ("a4", "b1"),                                  # bridge
+           ("hub", "s1"), ("hub", "s2"), ("hub", "s3"),   # star
+           ("a1", "a1")]                                  # self-loop: out
+
+    def python_lpa(pairs, rounds):
+        adj = {}
+        for s, d in pairs:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        lab = {v: v for v in adj}
+        for _ in range(rounds):
+            new = {}
+            for v, nbrs in adj.items():
+                freq = Counter(lab[u] for u in nbrs)
+                top = max(freq.values())
+                new[v] = min(l for l, c in freq.items() if c == top)
+            lab = new
+        return lab
+
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    for rounds in (1, 3, 5):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(edges, rounds=rounds).collect()}
+        assert got == python_lpa(raw, rounds), rounds
+
+    out = label_propagation(edges, rounds=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
