@@ -2023,3 +2023,57 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
                       .alias("lab"))
                   .localCheckpoint(eager=True))
     return labels.select("node", F.col("lab").alias("label"))
+
+
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 30) -> DataFrame:
+    """k-core subgraph via iterative peeling: repeatedly drop nodes of
+    degree < k (over undirected, deduplicated, self-loop-free edges)
+    until the degree floor holds everywhere — the standard
+    dense-substructure filter for entity graphs (spam rings, hub
+    cores) complementing :func:`triangle_count`.
+
+    Returns (node, degree) for every node of the k-core, with its
+    degree INSIDE the core.  Deterministic: the peel is simultaneous
+    each round, so no visit order exists.  Raises if the peel has not
+    converged within ``max_rounds`` (convergence-honest, same rule as
+    :func:`transitive_closure` — never silently returns a
+    part-peeled graph).
+
+    Scale shape per round: one partially-aggregated degree groupBy
+    plus two left-semi equi-joins filtering edges to surviving
+    endpoints; the edge frame is ``localCheckpoint``ed per round
+    (flat lineage).  The convergence probe is the edge count already
+    materialized by the checkpoint.  Rounds are data-dependent but
+    bounded by the peel depth, not the node count — degenerate chains
+    peel O(diameter) and the guard raises rather than looping
+    unbounded.
+    """
+    alive = (edges.select("src", "dst")
+             .unionByName(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+             .filter(F.col("src") != F.col("dst"))
+             .dropDuplicates().localCheckpoint(eager=True))
+    n_edges = alive.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src") \
+            .localCheckpoint(eager=True)
+        nxt = (alive.join(keep, "src", "left_semi")
+               .join(keep.withColumnRenamed("src", "dst"), "dst",
+                     "left_semi")
+               .localCheckpoint(eager=True))
+        n_next = nxt.count()
+        if n_next == n_edges:
+            alive = nxt
+            return (alive.groupBy(F.col("src").alias("node"))
+                    .agg(F.count(F.lit(1)).alias("degree")))
+        alive, n_edges = nxt, n_next
+    if n_edges == 0:
+        return (alive.groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("degree")))
+    raise RuntimeError(
+        f"k_core: peel did not converge within {max_rounds} rounds - "
+        "raise max_rounds (returning a part-peeled graph silently "
+        "would be the correctness bug)")

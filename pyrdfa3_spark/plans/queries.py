@@ -3866,8 +3866,8 @@ def q_label_propagation(spark, sf_dir):
 
 def _sql_label_propagation() -> str:
     parts = [f"""
-WITH raw AS (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
-e0 AS (
+WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+e0 AS MATERIALIZED (
   SELECT 'n' || CAST(i AS VARCHAR) AS src,
          'n' || CAST(i + 1 AS VARCHAR) AS dst FROM raw WHERE i % 20 <> 19
   UNION ALL
@@ -3877,18 +3877,18 @@ e0 AS (
   SELECT 'n' || CAST(i AS VARCHAR),
          'n' || CAST((i + 20) % {_PR_MOD} AS VARCHAR)
   FROM raw WHERE i % 20 = 0),
-ed AS (SELECT DISTINCT src, dst FROM (
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          SELECT src, dst FROM e0
          UNION ALL SELECT dst AS src, src AS dst FROM e0)
        WHERE src <> dst),
-l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed)"""]
+l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM ed)"""]
     for r in range(1, _LPA_ROUNDS + 1):
         parts.append(f""",
-nb{r} AS (SELECT e.dst AS node, l.lab
+nb{r} AS MATERIALIZED (SELECT e.dst AS node, l.lab
           FROM ed e JOIN l{r - 1} l ON l.node = e.src),
-c{r} AS (SELECT node, lab, count(*) AS c FROM nb{r} GROUP BY node, lab),
-m{r} AS (SELECT node, max(c) AS mc FROM c{r} GROUP BY node),
-l{r} AS (SELECT c.node, min(c.lab) AS lab
+c{r} AS MATERIALIZED (SELECT node, lab, count(*) AS c FROM nb{r} GROUP BY node, lab),
+m{r} AS MATERIALIZED (SELECT node, max(c) AS mc FROM c{r} GROUP BY node),
+l{r} AS MATERIALIZED (SELECT c.node, min(c.lab) AS lab
          FROM c{r} c JOIN m{r} m ON m.node = c.node AND c.c = m.mc
          GROUP BY c.node)""")
     parts.append(f"""
@@ -3897,6 +3897,83 @@ SELECT node, lab AS label FROM l{_LPA_ROUNDS}""")
 
 
 SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+_KCORE_K = 6
+_KCORE_SQL_ROUNDS = 20  # >= actual peel depth; no-op tail rounds are free
+
+
+def q_k_core(spark, sf_dir):
+    """6-core of a 200-node graph layering the triangle fixture's
+    families (ring + chord + doubling + quadratic, mod 200) with five
+    8-cliques over nodes 0..39: the sparse fringe peels away in a
+    multi-round cascade while the cliques (internal degree 7) anchor
+    a surviving core whose per-node in-core degrees the query
+    returns.  The SQL oracle unrolls a fixed 20 peel rounds — more
+    than the actual depth, and peel rounds are idempotent at the
+    fixpoint — while the operator loops to convergence and raises if
+    it would exceed its budget."""
+    from pyrdfa3_spark.operators.graphops import k_core
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+
+    def n(expr):
+        return F.concat(F.lit("n"), expr.cast("string"))
+
+    cn = (customer.select(i.alias("i")).dropDuplicates()
+          .filter(F.col("i") < 40)
+          .withColumn("blk", (F.col("i") / 8).cast("long")))
+    clique = (cn.alias("a").join(cn.alias("b"),
+                                 (F.col("a.blk") == F.col("b.blk"))
+                                 & (F.col("a.i") < F.col("b.i")))
+              .select(n(F.col("a.i")).alias("src"),
+                      n(F.col("b.i")).alias("dst")))
+    edges = (customer.select(n(i).alias("src"),
+                             n((i + 1) % _PR_MOD).alias("dst"))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i + 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * i + 1) % _PR_MOD).alias("dst")))
+             .unionByName(clique))
+    return k_core(edges, k=_KCORE_K)
+
+
+def _sql_k_core() -> str:
+    parts = [f"""
+WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+cn AS MATERIALIZED (SELECT DISTINCT i FROM raw WHERE i < 40),
+e0 AS MATERIALIZED (
+  SELECT 'n' || CAST(i AS VARCHAR) AS src,
+         'n' || CAST((i + 1) % {_PR_MOD} AS VARCHAR) AS dst FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i + 2) % {_PR_MOD} AS VARCHAR) FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i * 2) % {_PR_MOD} AS VARCHAR) FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i * i + 1) % {_PR_MOD} AS VARCHAR) FROM raw
+  UNION ALL SELECT 'n' || CAST(a.i AS VARCHAR),
+         'n' || CAST(b.i AS VARCHAR)
+  FROM cn a JOIN cn b ON a.i // 8 = b.i // 8 AND a.i < b.i),
+a0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM e0
+         UNION ALL SELECT dst AS src, src AS dst FROM e0)
+       WHERE src <> dst)"""]
+    for r in range(1, _KCORE_SQL_ROUNDS + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (SELECT src, count(*) AS c FROM a{r - 1} GROUP BY src),
+k{r} AS MATERIALIZED (SELECT src FROM d{r} WHERE c >= {_KCORE_K}),
+a{r} AS MATERIALIZED (SELECT e.src, e.dst FROM a{r - 1} e
+         JOIN k{r} x ON x.src = e.src
+         JOIN k{r} y ON y.src = e.dst)""")
+    parts.append(f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM a{_KCORE_SQL_ROUNDS} GROUP BY src""")
+    return "".join(parts)
+
+
+SQL_K_CORE = _sql_k_core()
 
 
 def q_kg_ask(spark, sf_dir):
@@ -5882,6 +5959,7 @@ QUERIES = {
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
+    "k_core": q_k_core,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
     "wl_fingerprint": q_wl_fingerprint,
@@ -6020,6 +6098,7 @@ def oracles() -> dict[str, str]:
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "label_propagation": SQL_LABEL_PROPAGATION,
+        "k_core": SQL_K_CORE,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "trig_serialize": SQL_TRIG_SERIALIZE,
         "trig_roundtrip": SQL_TRIG_ROUNDTRIP,

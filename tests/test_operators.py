@@ -2372,3 +2372,56 @@ def test_label_propagation_vs_python_reference(spark):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_k_core_vs_python_reference(spark):
+    """k-core peel against an independent python peel on a graph with
+    nested cores (K5 + pendant path + a triangle bridge), the empty-
+    core edge, the convergence-budget raise, and plan hygiene."""
+    import contextlib
+    import io
+
+    from pyrdfa3_spark.operators.graphops import k_core
+
+    raw = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k1", "k5"),
+           ("k2", "k3"), ("k2", "k4"), ("k2", "k5"), ("k3", "k4"),
+           ("k3", "k5"), ("k4", "k5"),                 # K5: 4-core
+           ("k5", "p1"), ("p1", "p2"), ("p2", "p3"),   # pendant path
+           ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),   # triangle
+           ("t1", "k1"),                               # bridge
+           ("k1", "k1")]                               # self-loop: out
+
+    def python_k_core(pairs, k):
+        adj = {}
+        for s, d in pairs:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        while True:
+            drop = {v for v, nb in adj.items() if len(nb) < k}
+            if not drop:
+                return {v: len(nb) for v, nb in adj.items()}
+            adj = {v: nb - drop for v, nb in adj.items() if v not in drop}
+
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    for k in (2, 3, 4, 5):
+        got = {r["node"]: r["degree"]
+               for r in k_core(edges, k=k).collect()}
+        assert got == python_k_core(raw, k), k
+    assert k_core(edges, k=6).count() == 0
+
+    with pytest.raises(RuntimeError, match="k_core"):
+        # a long path peels one node per end per round: budget 1 trips
+        chain = spark.createDataFrame(
+            [(f"c{i}", f"c{i+1}") for i in range(12)], ["src", "dst"])
+        k_core(chain, k=2, max_rounds=1)
+
+    out = k_core(edges, k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
