@@ -825,6 +825,61 @@ WHERE i.nc / (sa.sz + sb.sz - i.nc) >= 0.5
 """
 
 
+def q_tfidf_similarity(spark, sf_dir):
+    """tf-idf weighted cosine similarity self-join over the inverted
+    index (smooth idf, L2-normalized, max_df=0.8 stop-wording — loose
+    enough that the template corpus keeps mid-frequency tokens and
+    the check grades ~1200 non-trivial cosines rather than only the
+    3 rare-token near-dups a tight cap leaves).  Runs
+    on the ``doc_id % 10`` corpus slice like ``prefix_similarity``:
+    the oracle joins ALL shared index tokens, which is quadratic in
+    co-occurrence and must stay cheap at sf0.1.  Cross-engine floats
+    hold because idf rounds at 9 dp after ln and every sum runs in
+    DECIMAL (order-independent), so both engines filter on bit-equal
+    cosines."""
+    from pyrdfa3_spark.operators.dedup import tfidf_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return tfidf_similarity_join(docs, threshold=0.3, max_df_frac=0.8)
+
+
+SQL_TFIDF_SIMILARITY = f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+  FROM documents WHERE doc_id % 10 = 0),
+tk AS MATERIALIZED (
+  SELECT doc_id, tok FROM d, unnest(string_split(norm, ' ')) AS t(tok)
+  WHERE tok <> ''),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, tok),
+nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                    FROM tf),
+dfq AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+idf AS MATERIALIZED (
+  SELECT tok, round(ln((1 + (SELECT n FROM nn)) / (1 + df)) + 1, 9)
+         AS idf
+  FROM dfq WHERE df <= 0.8 * (SELECT n FROM nn)),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.tok, tf.tf * i.idf AS w
+  FROM tf JOIN idf i ON i.tok = tf.tok),
+nrm AS MATERIALIZED (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nr
+  FROM w GROUP BY doc_id),
+u AS MATERIALIZED (
+  SELECT w.doc_id, w.tok, w.w / n.nr AS u
+  FROM w JOIN nrm n ON n.doc_id = w.doc_id WHERE n.nr > 0),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(CAST(a.u * b.u AS DECIMAL(38,12))) AS DOUBLE) AS cos
+  FROM u a JOIN u b ON b.tok = a.tok AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.3
+"""
+
+
 def q_dedup_decision(spark, sf_dir):
     """Full dedup flow end-state: LSH -> Jaccard verify -> connected
     components -> keep-min decision (threshold 0.7 keeps the synthetic
@@ -5884,6 +5939,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "ngram_jaccard": q_ngram_jaccard,
     "prefix_similarity": q_prefix_similarity,
+    "tfidf_similarity": q_tfidf_similarity,
     # serialize-only rows rotate behind the 50-entry
     # driver window: their roundtrip twins above cover
     # the serialize path and stay recorded
@@ -6029,6 +6085,7 @@ def oracles() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "prefix_similarity": SQL_PREFIX_SIMILARITY,
+        "tfidf_similarity": SQL_TFIDF_SIMILARITY,
         "dedup_decision": SQL_DEDUP_DECISION,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "cosine_topk": SQL_COSINE_TOPK,

@@ -2425,3 +2425,77 @@ def test_k_core_vs_python_reference(spark):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_tfidf_similarity_join_vs_numpy(spark):
+    """tf-idf cosine join against an independent numpy implementation
+    (smooth idf, L2 norm, max_df stop-wording) plus plan hygiene."""
+    import contextlib
+    import io
+    import itertools
+    import math
+
+    import numpy as np
+
+    from pyrdfa3_spark.operators.dedup import tfidf_similarity_join
+
+    texts = {
+        1: "spark spark catalyst shuffle join",
+        2: "spark catalyst shuffle join broadcast",
+        3: "duckdb oracle vector engine",
+        4: "duckdb oracle vector engine spark",
+        5: "the the the the",   # all tokens df-capped -> no vector
+        6: "the catalyst",
+    }
+    # 'the' appears in docs 5,6 only: keep max_df high enough that it
+    # survives in one scenario and is dropped in another
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"])
+
+    def numpy_ref(threshold, max_df_frac):
+        tf = {i: {} for i in texts}
+        for i, t in texts.items():
+            for tok in t.split():
+                tf[i][tok] = tf[i].get(tok, 0) + 1
+        n = float(len(texts))
+        df = {}
+        for i in tf:
+            for tok in tf[i]:
+                df[tok] = df.get(tok, 0) + 1
+        vocab = sorted(tok for tok, c in df.items()
+                       if c <= max_df_frac * n)
+        idx = {tok: j for j, tok in enumerate(vocab)}
+        out = {}
+        vecs = {}
+        for i in tf:
+            v = np.zeros(len(vocab))
+            for tok, c in tf[i].items():
+                if tok in idx:
+                    v[idx[tok]] = c * round(
+                        math.log((1 + n) / (1 + df[tok])) + 1, 9)
+            nr = np.linalg.norm(v)
+            if nr > 0:
+                vecs[i] = v / nr
+        for a, b in itertools.combinations(sorted(vecs), 2):
+            c = float(np.dot(vecs[a], vecs[b]))
+            if c >= threshold:
+                out[(a, b)] = round(c, 4)
+        return out
+
+    for thr, mdf in ((0.3, 0.5), (0.1, 0.9), (0.6, 0.3)):
+        got = {(r["doc_a"], r["doc_b"]): r["cosine"]
+               for r in tfidf_similarity_join(
+                   docs, threshold=thr, max_df_frac=mdf).collect()}
+        want = numpy_ref(thr, mdf)
+        assert set(got) == set(want), (thr, mdf)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-3, (k, got[k], want[k])
+
+    out = tfidf_similarity_join(docs, threshold=0.3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
