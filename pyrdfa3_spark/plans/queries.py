@@ -880,6 +880,129 @@ SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.3
 """
 
 
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch over every token occurrence in the corpus
+    (4 rows x 256 buckets — small enough that collisions genuinely
+    inflate some estimates, so the check exercises the min-over-rows
+    bound, not just exact counting), point-queried for the distinct
+    tokens of document 0.  Deterministic md5 bucketing lets the
+    oracle replay the sketch bit-for-bit."""
+    from pyrdfa3_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                            r"\s+", " ")), " "),
+            lambda x: x != "")).alias("key"))
+    sk = cms_build(toks, key_col="key", d=4, w=256)
+    probes = (docs.filter(F.col("doc_id") == 0)
+              .select(F.explode(F.filter(
+                  F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                                  r"\s+", " ")), " "),
+                  lambda x: x != "")).alias("key")))
+    return (cms_estimate(sk, probes, key_col="key", d=4, w=256)
+            .select("key", F.col("est").cast("bigint").alias("est")))
+
+
+def _sql_hex_chunk_col(col: str, start: int) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8)) + ")"
+
+
+SQL_CMS_TOKEN_COUNTS = f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id, tok FROM d, unnest(string_split(norm, ' ')) AS t(tok)
+  WHERE tok <> ''),
+hx AS MATERIALIZED (SELECT md5(tok) AS h FROM tok),
+cells AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS r, {_sql_hex_chunk_col('h', 1 + 8 * j)} % 256 "
+      f"AS bucket FROM hx" for j in range(4))}),
+sk AS MATERIALIZED (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM cells GROUP BY r, bucket),
+probes AS MATERIALIZED (
+  SELECT DISTINCT tok AS key, md5(tok) AS h FROM tok WHERE doc_id = 0),
+pcells AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT key, {j} AS r, {_sql_hex_chunk_col('h', 1 + 8 * j)} % 256 "
+      f"AS bucket FROM probes" for j in range(4))})
+SELECT p.key, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
+FROM pcells p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
+GROUP BY p.key
+"""
+
+_HLL_ALPHA_256_SCALED = 0.7213 / (1 + 1.079 / 256) * 256 * 256 * (2.0 ** 52)
+
+
+def q_hll_source_vocab(spark, sf_dir):
+    """Per-source distinct-token cardinality via HyperLogLog (p=8,
+    256 registers, ~6.5% standard error): the bounded-state twin of
+    an exact COUNT(DISTINCT) whose per-group state a 100 TB corpus
+    cannot hold.  Deterministic md5 registers + integer harmonic
+    sums mean the oracle reproduces the estimate bit-for-bit."""
+    from pyrdfa3_spark.operators.sketch import hll_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                            r"\s+", " ")), " "),
+            lambda x: x != "")).alias("key"))
+    return hll_distinct(toks, ["source"], key_col="key", p=8)
+
+
+SQL_HLL_SOURCE_VOCAB = f"""
+WITH d AS MATERIALIZED (
+  SELECT source, {_NORM_SQL} AS norm FROM documents),
+tok AS MATERIALIZED (
+  SELECT source, tok FROM d, unnest(string_split(norm, ' ')) AS t(tok)
+  WHERE tok <> ''),
+hx AS MATERIALIZED (SELECT source, md5(tok) AS h FROM tok),
+bf AS MATERIALIZED (
+  SELECT source,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         ltrim(substr(h, 3, 13), '0') AS st
+  FROM hx),
+rho AS MATERIALIZED (
+  SELECT source, bucket,
+         CASE WHEN length(st) = 0 THEN 53
+              ELSE (13 - length(st)) * 4
+                   + CASE WHEN substr(st, 1, 1) IN
+                               ('8','9','a','b','c','d','e','f') THEN 0
+                          WHEN substr(st, 1, 1) IN ('4','5','6','7')
+                               THEN 1
+                          WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+                          ELSE 3 END + 1 END AS rho
+  FROM bf),
+regs AS MATERIALIZED (
+  SELECT source, bucket, max(rho) AS reg FROM rho GROUP BY source, bucket),
+agg AS MATERIALIZED (
+  SELECT source,
+         sum((CAST(1 AS BIGINT) << (52 - reg))) AS seen_sum,
+         CAST(count(*) AS BIGINT) AS n_regs
+  FROM regs GROUP BY source)
+SELECT source,
+       round(CASE WHEN ({_HLL_ALPHA_256_SCALED!r}
+                        / (CAST(seen_sum AS DOUBLE)
+                           + (256 - n_regs) * 4503599627370496.0))
+                       <= 640 AND n_regs < 256
+                  THEN 256 * round(ln(256.0 / (256 - n_regs)), 9)
+                  ELSE {_HLL_ALPHA_256_SCALED!r}
+                       / (CAST(seen_sum AS DOUBLE)
+                          + (256 - n_regs) * 4503599627370496.0)
+             END, 4) AS est
+FROM agg
+"""
+
+
 def q_dedup_decision(spark, sf_dir):
     """Full dedup flow end-state: LSH -> Jaccard verify -> connected
     components -> keep-min decision (threshold 0.7 keeps the synthetic
@@ -5940,6 +6063,8 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "prefix_similarity": q_prefix_similarity,
     "tfidf_similarity": q_tfidf_similarity,
+    "cms_token_counts": q_cms_token_counts,
+    "hll_source_vocab": q_hll_source_vocab,
     # serialize-only rows rotate behind the 50-entry
     # driver window: their roundtrip twins above cover
     # the serialize path and stay recorded
@@ -6086,6 +6211,8 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "prefix_similarity": SQL_PREFIX_SIMILARITY,
         "tfidf_similarity": SQL_TFIDF_SIMILARITY,
+        "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
+        "hll_source_vocab": SQL_HLL_SOURCE_VOCAB,
         "dedup_decision": SQL_DEDUP_DECISION,
         "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
         "cosine_topk": SQL_COSINE_TOPK,

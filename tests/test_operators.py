@@ -2499,3 +2499,84 @@ def test_tfidf_similarity_join_vs_numpy(spark):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_cms_sketch_vs_python_mirror(spark):
+    """Count-min sketch: estimates equal an independent python mirror
+    exactly (deterministic md5 bucketing), respect the upper-bound
+    guarantee, and are exact when w is collision-free; plan stays
+    aggregate+broadcast-join only."""
+    import contextlib
+    import hashlib
+    import io
+    from collections import Counter, defaultdict
+
+    from pyrdfa3_spark.operators.sketch import cms_build, cms_estimate
+
+    data = [(f"k{i % 97}",) for i in range(3000)] + [("rare",)]
+    true = Counter(k for (k,) in data)
+    df = spark.createDataFrame(data, ["key"])
+    probe_keys = ["k0", "k13", "rare", "absent"]
+    probes = spark.createDataFrame([(k,) for k in probe_keys], ["key"])
+
+    def chunks(key, d, w):
+        h = hashlib.md5(key.encode()).hexdigest()
+        return [int(h[8 * j:8 * j + 8], 16) % w for j in range(d)]
+
+    for d, w in ((4, 64), (2, 64), (4, 65536)):
+        got = {r["key"]: r["est"]
+               for r in cms_estimate(cms_build(df, d=d, w=w), probes,
+                                     d=d, w=w).collect()}
+        cnt = defaultdict(int)
+        for (k,) in data:
+            for j, b in enumerate(chunks(k, d, w)):
+                cnt[(j, b)] += 1
+        mirror = {k: min(cnt.get((j, b), 0)
+                         for j, b in enumerate(chunks(k, d, w)))
+                  for k in probe_keys}
+        assert got == mirror, (d, w)
+        for k in probe_keys:
+            assert got[k] >= true.get(k, 0), (d, w, k)  # upper bound
+    # collision-free width -> exact
+    assert got == {k: true.get(k, 0) for k in probe_keys}
+
+    with pytest.raises(ValueError, match="md5"):
+        cms_build(df, d=5)
+
+    out = cms_estimate(cms_build(df), probes)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan  # the d*w-row sketch broadcasts
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """HyperLogLog: per-group estimates land within the sketch's
+    error envelope of the true cardinalities at several scales (incl.
+    the linear-counting small range), are bit-identical across runs,
+    and reject non-hex-aligned precisions."""
+    from pyrdfa3_spark.operators.sketch import hll_distinct
+
+    rows = ([("small", f"s{i}") for i in range(12)]
+            + [("mid", f"m{i}") for i in range(980)]
+            + [("big", f"b{i}") for i in range(20000)]
+            + [("mid", f"m{i}") for i in range(500)])  # repeats: no-op
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    true = {"small": 12, "mid": 980, "big": 20000}
+    for p, rel in ((4, 0.55), (8, 0.14), (12, 0.04)):
+        got = {r["grp"]: r["est"]
+               for r in hll_distinct(df, ["grp"], key_col="key",
+                                     p=p).collect()}
+        for g, t in true.items():
+            assert abs(got[g] - t) <= max(rel * t, 3.0), (p, g, got[g])
+        rerun = {r["grp"]: r["est"]
+                 for r in hll_distinct(df, ["grp"], key_col="key",
+                                       p=p).collect()}
+        assert rerun == got, p  # deterministic registers
+
+    for bad in (3, 6, 16):
+        with pytest.raises(ValueError, match="hex-aligned"):
+            hll_distinct(df, ["grp"], key_col="key", p=bad)
