@@ -111,9 +111,23 @@ def hll_distinct(items: DataFrame, group_cols: list[str],
     small-range linear-counting branch rounds its ``ln`` at 9 dp,
     and the final estimate rounds at 4.
     """
+    return hll_estimate(hll_registers(items, group_cols, key_col, p),
+                        group_cols, p)
+
+
+def _check_p(p: int) -> None:
     if p % 4 != 0 or not 4 <= p <= 12:
         raise ValueError("p must be 4, 8, or 12 (hex-aligned registers)")
-    m = 2 ** p
+
+
+def hll_registers(items: DataFrame, group_cols: list[str],
+                  key_col: str = "key", p: int = 4) -> DataFrame:
+    """The HLL register state (group, bucket, reg) — the MERGEABLE
+    half of :func:`hll_distinct`: persist this per ingest batch /
+    partition and :func:`hll_union` folds states together without
+    revisiting the data (register-wise max is associative,
+    commutative, idempotent — exactly-once not required)."""
+    _check_p(p)
     bucket_chars = p // 4
     field_chars = 15 - bucket_chars
     field_bits = 4 * field_chars
@@ -132,12 +146,35 @@ def hll_distinct(items: DataFrame, group_cols: list[str],
              .otherwise(3))
     rho = (F.when(F.length(stripped) == 0, F.lit(field_bits + 1))
            .otherwise(4 * zchars + extra + 1)).cast("int")
-    regs = (items
+    return (items
             .select(*group_cols, bucket.alias("bucket"),
                     field.alias("field"))
             .select(*group_cols, "bucket", rho.alias("rho"))
             .groupBy(*group_cols, "bucket")
             .agg(F.max("rho").alias("reg")))
+
+
+def hll_union(*register_frames: DataFrame) -> DataFrame:
+    """Merge HLL register states (same p): register-wise max.  The
+    union of sketches estimates the union of the underlying key sets
+    EXACTLY as if built in one pass — the property that makes HLL the
+    right distinct-count state for incremental ingest."""
+    if not register_frames:
+        raise ValueError("hll_union needs at least one register frame")
+    merged = register_frames[0]
+    for rf in register_frames[1:]:
+        merged = merged.unionByName(rf)
+    keys = [c for c in merged.columns if c not in ("reg",)]
+    return merged.groupBy(*keys).agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 p: int = 4) -> DataFrame:
+    """Estimate per-group cardinality from register state (the
+    read-side half of :func:`hll_distinct`)."""
+    _check_p(p)
+    m = 2 ** p
+    field_bits = 4 * (15 - p // 4)
     # harmonic sum over exact integers: sum(2^-reg) scaled by
     # 2^field_bits; unseen registers contribute 2^0 = full scale each
     term = F.expr(f"shiftleft(cast(1 as bigint), {field_bits} - reg)")

@@ -2580,3 +2580,30 @@ def test_hll_distinct_accuracy_and_determinism(spark):
     for bad in (3, 6, 16):
         with pytest.raises(ValueError, match="hex-aligned"):
             hll_distinct(df, ["grp"], key_col="key", p=bad)
+
+
+def test_hll_union_merge_equals_single_pass(spark):
+    """HLL mergeability: union of per-batch register states estimates
+    EXACTLY what a single-pass sketch over the concatenation gives —
+    including overlapping batches (register max is idempotent, so
+    at-least-once re-ingestion cannot move the estimate)."""
+    from pyrdfa3_spark.operators.sketch import (
+        hll_distinct, hll_estimate, hll_registers, hll_union,
+    )
+
+    rows = [("g", f"x{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    half1 = df.filter(F.col("key") < "x25")      # lexicographic split
+    half2 = df.filter(F.col("key") >= "x25")
+    overlap = df.filter(F.col("key") < "x4")     # re-ingested slice
+    for p in (4, 8):
+        whole = {r["grp"]: r["est"]
+                 for r in hll_distinct(df, ["grp"], key_col="key",
+                                       p=p).collect()}
+        merged = hll_estimate(
+            hll_union(hll_registers(half1, ["grp"], "key", p),
+                      hll_registers(half2, ["grp"], "key", p),
+                      hll_registers(overlap, ["grp"], "key", p)),
+            ["grp"], p)
+        got = {r["grp"]: r["est"] for r in merged.collect()}
+        assert got == whole, p
