@@ -728,3 +728,46 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
         F.round(dup_frac(lines), 6).alias("dup_line_frac"),
         F.round(dup_frac(words), 6).alias("dup_word_frac"),
         F.round(top_bigram, 6).alias("top_bigram_frac"))
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, n: int = 50,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, n items with inclusion
+    probability proportional to ``weight_col`` — the
+    Efraimidis-Spirakis (2006) exponential-key scheme: each item
+    draws u in (0,1] and ranks by u^(1/w); the top n are the sample.
+    Ranking here uses the monotone log form ``ln(u)/w``.
+
+    Deterministic twin of the usual RNG formulation (same discipline
+    as ``stratified_sample``): u derives from md5(id) — 15 hex chars
+    = a 60-bit uniform — so the sample is reproducible run-to-run,
+    engine-independent (``ln`` rounds at 9 dp before the division;
+    ties break on id), and auditable.  Items with non-positive
+    weight are excluded (their inclusion probability is 0).
+
+    Scale shape: the global top-n is the two-phase partition-local
+    pattern of ``similarity._topk_per_query`` — partial top-n inside
+    each scan partition, then one merge of the <= partitions*n
+    survivors; no global ranking window, no full sort.
+    """
+    u_num = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                1, 15), 16, 10)
+             .cast("double") + 1.0)
+    u = u_num / float(2 ** 60 + 1)
+    score = F.round(F.log(u), 9) / F.col(weight_col).cast("double")
+    base = (docs.filter(F.col(weight_col) > 0)
+            .select(F.col(id_col).cast("bigint").alias("doc_id"),
+                    F.round(score, 9).alias("score")))
+    item = F.struct((-F.col("score")).alias("neg"),
+                    F.col("doc_id").alias("doc_id"))
+    partial = (base
+               .groupBy(F.spark_partition_id().alias("p"))
+               .agg(F.slice(F.array_sort(F.collect_list(item)), 1, n)
+                    .alias("top")))
+    merged = (partial.select(F.explode("top").alias("r"))
+              .groupBy()
+              .agg(F.slice(F.array_sort(F.collect_list("r")), 1, n)
+                   .alias("top")))
+    return (merged.select(F.explode("top").alias("r"))
+            .select(F.col("r.doc_id").alias("doc_id"),
+                    (-F.col("r.neg")).alias("score")))

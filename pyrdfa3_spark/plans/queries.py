@@ -880,6 +880,41 @@ SELECT doc_a, doc_b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.3
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample: 50 docs
+    with inclusion probability proportional to n_chars.  The oracle
+    is the closed form — rank ALL docs by the same md5-derived
+    exponential key and take the top 50 — so a green hash proves the
+    two-phase partition-local top-n selects exactly the global
+    winners."""
+    from pyrdfa3_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, weight_col="n_chars", n=50)
+
+
+def _sql_hex_poly(col: str, start: int, nchars: int) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}" for i in range(nchars)) + ")"
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS DOUBLE) AS w,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0),
+s AS (
+  SELECT doc_id,
+         round(round(ln((CAST({_sql_hex_poly('h', 1, 15)} AS BIGINT)
+                         + 1.0) / 1152921504606846977.0), 9) / w,
+               9) AS score
+  FROM d)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-min sketch over every token occurrence in the corpus
     (4 rows x 256 buckets — small enough that collisions genuinely
@@ -6063,6 +6098,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "prefix_similarity": q_prefix_similarity,
     "tfidf_similarity": q_tfidf_similarity,
+    "weighted_sample": q_weighted_sample,
     "cms_token_counts": q_cms_token_counts,
     "hll_source_vocab": q_hll_source_vocab,
     # serialize-only rows rotate behind the 50-entry
@@ -6211,6 +6247,7 @@ def oracles() -> dict[str, str]:
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "prefix_similarity": SQL_PREFIX_SIMILARITY,
         "tfidf_similarity": SQL_TFIDF_SIMILARITY,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "cms_token_counts": SQL_CMS_TOKEN_COUNTS,
         "hll_source_vocab": SQL_HLL_SOURCE_VOCAB,
         "dedup_decision": SQL_DEDUP_DECISION,

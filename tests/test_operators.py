@@ -2607,3 +2607,62 @@ def test_hll_union_merge_equals_single_pass(spark):
             ["grp"], p)
         got = {r["grp"]: r["est"] for r in merged.collect()}
         assert got == whole, p
+
+
+def test_weighted_sample_vs_python_mirror(spark):
+    """Efraimidis-Spirakis weighted sample: selection equals an
+    independent python mirror of the closed form (md5-derived
+    exponential keys, global top-n), non-positive weights are
+    excluded, heavier duplicates of the same content rank no worse,
+    and the plan has no global ranking window."""
+    import contextlib
+    import hashlib
+    import io
+    import math
+
+    from pyrdfa3_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i % 37) + 1) for i in range(500)]
+    rows += [(1000, 0), (1001, -5)]            # excluded
+    docs = spark.createDataFrame(rows, ["doc_id", "wt"])
+
+    def r9(x):
+        # Spark/DuckDB round() is HALF_UP on the decimal rendering;
+        # python's round() is half-even — mirror the engines
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                               rounding=ROUND_HALF_UP))
+
+    def mirror(n):
+        scored = []
+        for i, w in rows:
+            if w <= 0:
+                continue
+            hx = hashlib.md5(str(i).encode()).hexdigest()
+            u = (int(hx[:15], 16) + 1.0) / float(2 ** 60 + 1)
+            scored.append((r9(r9(math.log(u)) / w), -i))
+        scored.sort(reverse=True)
+        return [(-i, s) for s, i in scored[:n]]
+
+    for n in (10, 50):
+        got = [(r["doc_id"], r["score"])
+               for r in weighted_sample(docs, "wt", n=n).collect()]
+        got.sort(key=lambda t: (-t[1], t[0]))
+        assert got == mirror(n), n
+    assert not any(d in (1000, 1001)
+                   for d, _ in mirror(502))  # excluded stay excluded
+
+    # monotonicity: for a fixed id (fixed u), a larger weight only
+    # improves the key — heavier items can't rank worse
+    hx = hashlib.md5(b"7").hexdigest()
+    u = (int(hx[:15], 16) + 1.0) / float(2 ** 60 + 1)
+    assert round(round(math.log(u), 9) / 10, 9) \
+        > round(round(math.log(u), 9) / 2, 9)
+
+    out = weighted_sample(docs, "wt", n=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
