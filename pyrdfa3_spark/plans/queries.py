@@ -4077,18 +4077,18 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(edges, rounds=_LPA_ROUNDS)
 
 
-def _sql_label_propagation() -> str:
+def _sql_label_propagation(prefix: str = 'n') -> str:
     parts = [f"""
 WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
 e0 AS MATERIALIZED (
-  SELECT 'n' || CAST(i AS VARCHAR) AS src,
-         'n' || CAST(i + 1 AS VARCHAR) AS dst FROM raw WHERE i % 20 <> 19
+  SELECT '{prefix}' || CAST(i AS VARCHAR) AS src,
+         '{prefix}' || CAST(i + 1 AS VARCHAR) AS dst FROM raw WHERE i % 20 <> 19
   UNION ALL
-  SELECT 'n' || CAST(i AS VARCHAR), 'n' || CAST(i + 5 AS VARCHAR)
+  SELECT '{prefix}' || CAST(i AS VARCHAR), '{prefix}' || CAST(i + 5 AS VARCHAR)
   FROM raw WHERE i % 20 < 15
   UNION ALL
-  SELECT 'n' || CAST(i AS VARCHAR),
-         'n' || CAST((i + 20) % {_PR_MOD} AS VARCHAR)
+  SELECT '{prefix}' || CAST(i AS VARCHAR),
+         '{prefix}' || CAST((i + 20) % {_PR_MOD} AS VARCHAR)
   FROM raw WHERE i % 20 = 0),
 ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          SELECT src, dst FROM e0
@@ -4110,6 +4110,47 @@ SELECT node, lab AS label FROM l{_LPA_ROUNDS}""")
 
 
 SQL_LABEL_PROPAGATION = _sql_label_propagation()
+SQL_KG_ANALYTICS_FIXTURE = _sql_label_propagation('urn:v:')
+
+def q_kg_analytics_fixture(spark, sf_dir):
+    """Graph analytics composed onto the north-star flow end-to-end:
+    the block-community link graph of ``label_propagation`` is
+    ENCODED AS RDFa (one fragment per customer, @rel links carrying
+    the ring/chord/cross edge families), extracted through the real
+    Arrow UDF, and the resulting entity edges feed the deterministic
+    LPA.  The oracle is the closed form — the same unrolled LPA SQL
+    over the edges the markup provably encodes — so a green hash
+    pins extraction AND analytics in one pass."""
+    from pyrdfa3_spark.operators.graphops import label_propagation
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+
+    def link(cond, target):
+        return F.when(cond, F.concat(
+            F.lit('<div rel="http://x.g/l" resource="urn:v:'),
+            target.cast("string"), F.lit('"></div>'))).otherwise("")
+
+    html = F.concat(
+        F.lit('<div about="urn:v:'), i.cast("string"), F.lit('">'),
+        link(i % 20 != 19, i + 1),
+        link(i % 20 < 15, i + 5),
+        link(i % 20 == 0, (i + 20) % _PR_MOD),
+        F.lit("</div>"))
+    t = customer.select(
+        F.concat(F.lit("ka"), F.col("c_custkey").cast("string"))
+        .alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    edges = (extract_triples(t)
+             .filter(F.col("pred") == "http://x.g/l")
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
 
 _KCORE_K = 6
 _KCORE_SQL_ROUNDS = 20  # >= actual peel depth; no-op tail rounds are free
@@ -6070,13 +6111,19 @@ QUERIES = {
     "sparql_fn_datetime": q_sparql_fn_datetime,
     "transitive_closure": q_transitive_closure,
     "miniowl_expand": q_miniowl_expand,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    # round-3e headliner: extraction -> entity link graph -> label-
+    # propagation communities, one plan, closed-form oracle (the
+    # analytics twin of kg_pipeline_fixture).  Takes the window slot
+    # of minhash_lsh_candidates, which is driver-green in
+    # CORRECTNESS_r02 and stays oracle-checked behind the window.
+    "kg_analytics_fixture": q_kg_analytics_fixture,
     # round-3c headliner: the composed continuous-ingestion dedup
     # (incremental LSH -> Jaccard verify -> CC keeper) — in-window so
     # the driver gate records it; its stage queries dedup_incremental /
     # near_dup_incremental sit behind the window, oracle-checked by
     # scripts/check_oracles.py at both sfs
     "incremental_dedup_decision": q_incremental_dedup_decision,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "sparql_ask": q_sparql_ask,
     # rows behind the 50-entry driver window: recorded
     # driver-green in CORRECTNESS_r02 (prototype_expand,
@@ -6319,6 +6366,7 @@ def oracles() -> dict[str, str]:
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "label_propagation": SQL_LABEL_PROPAGATION,
+        "kg_analytics_fixture": SQL_KG_ANALYTICS_FIXTURE,
         "k_core": SQL_K_CORE,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,
         "trig_serialize": SQL_TRIG_SERIALIZE,
