@@ -4152,6 +4152,68 @@ def q_kg_analytics_fixture(spark, sf_dir):
     return label_propagation(edges, rounds=_LPA_ROUNDS)
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the triangle fixture graph:
+    which non-adjacent node pairs do the ring/chord/doubling/
+    quadratic families implicitly suggest?  Scores are DECIMAL sums
+    of 9dp-rounded 1/ln(deg) terms, so both engines agree
+    bit-for-bit; the degree cap (a model parameter) is mirrored in
+    the oracle."""
+    from pyrdfa3_spark.operators.graphops import adamic_adar
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+
+    def n(expr):
+        return F.concat(F.lit("n"), expr.cast("string"))
+
+    edges = (customer.select(n(i).alias("src"),
+                             n((i + 1) % _PR_MOD).alias("dst"))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i + 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * 2) % _PR_MOD).alias("dst")))
+             .unionByName(customer.select(
+                 n(i).alias("src"), n((i * i + 1) % _PR_MOD).alias("dst"))))
+    return adamic_adar(edges, max_degree=64)
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+e0 AS MATERIALIZED (
+  SELECT 'n' || CAST(i AS VARCHAR) AS src,
+         'n' || CAST((i + 1) % {_PR_MOD} AS VARCHAR) AS dst FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i + 2) % {_PR_MOD} AS VARCHAR) FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i * 2) % {_PR_MOD} AS VARCHAR) FROM raw
+  UNION ALL SELECT 'n' || CAST(i AS VARCHAR),
+         'n' || CAST((i * i + 1) % {_PR_MOD} AS VARCHAR) FROM raw),
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM e0
+         UNION ALL SELECT dst AS src, src AS dst FROM e0)
+       WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                     FROM ed GROUP BY src),
+ctr AS MATERIALIZED (
+  SELECT src, round(1.0 / ln(CAST(deg AS DOUBLE)), 9) AS term
+  FROM deg WHERE deg BETWEEN 2 AND 64),
+w AS MATERIALIZED (
+  SELECT e.src AS z, e.dst, c.term FROM ed e JOIN ctr c ON c.src = e.src),
+p AS MATERIALIZED (
+  SELECT a.dst AS node_a, b.dst AS node_b,
+         CAST(count(*) AS BIGINT) AS cn,
+         sum(CAST(a.term AS DECIMAL(38,12))) AS aa_dec
+  FROM w a JOIN w b ON b.z = a.z AND a.dst < b.dst
+  GROUP BY a.dst, b.dst)
+SELECT p.node_a, p.node_b, p.cn,
+       round(CAST(p.aa_dec AS DOUBLE), 4) AS aa
+FROM p
+WHERE NOT EXISTS (SELECT 1 FROM ed
+                  WHERE ed.src = p.node_a AND ed.dst = p.node_b)
+"""
+
+
 _KCORE_K = 6
 _KCORE_SQL_ROUNDS = 20  # >= actual peel depth; no-op tail rounds are free
 
@@ -6223,6 +6285,7 @@ QUERIES = {
     "kg_group_concat": q_kg_group_concat,
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
+    "adamic_adar": q_adamic_adar,
     "k_core": q_k_core,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
@@ -6366,6 +6429,7 @@ def oracles() -> dict[str, str]:
         "kg_group_concat": SQL_KG_GROUP_CONCAT,
         "pagerank": SQL_PAGERANK,
         "label_propagation": SQL_LABEL_PROPAGATION,
+        "adamic_adar": SQL_ADAMIC_ADAR,
         "kg_analytics_fixture": SQL_KG_ANALYTICS_FIXTURE,
         "k_core": SQL_K_CORE,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,

@@ -2666,3 +2666,61 @@ def test_weighted_sample_vs_python_mirror(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_adamic_adar_vs_python_reference(spark):
+    """Adamic-Adar link prediction against an independent python
+    implementation (shared wedge centers, 1/ln(deg) weights,
+    adjacent-pair exclusion, degree cap), plus plan hygiene."""
+    import contextlib
+    import io
+    import itertools
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyrdfa3_spark.operators.graphops import adamic_adar
+
+    raw = [("a", "z1"), ("b", "z1"),              # z1 links a,b
+           ("a", "z2"), ("b", "z2"), ("c", "z2"),  # z2 links a,b,c
+           ("a", "b"),                             # a-b adjacent: out
+           ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+           ("p", "q")]                             # isolated pair
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                               rounding=ROUND_HALF_UP))
+
+    def python_aa(pairs, cap):
+        adj = {}
+        for s, d in pairs:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        out = {}
+        for z, nb in adj.items():
+            if not 2 <= len(nb) <= cap:
+                continue
+            t = r9(1.0 / math.log(len(nb)))
+            for x, y in itertools.combinations(sorted(nb), 2):
+                if y in adj.get(x, ()):
+                    continue
+                cn, aa = out.get((x, y), (0, 0.0))
+                out[(x, y)] = (cn + 1, aa + t)
+        return {k: (cn, round(aa, 4)) for k, (cn, aa) in out.items()}
+
+    for cap in (64, 3):
+        got = {(r["node_a"], r["node_b"]): (r["cn"], r["aa"])
+               for r in adamic_adar(
+                   spark.createDataFrame(raw, ["src", "dst"]),
+                   max_degree=cap).collect()}
+        assert got == python_aa(raw, cap), cap
+
+    out = adamic_adar(spark.createDataFrame(raw, ["src", "dst"]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
