@@ -98,7 +98,9 @@ def run_to_completion(stream_df: DataFrame, out_dir: str,
 
 
 def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
-                             checkpoint_dir: str, buckets: int = 16):
+                             checkpoint_dir: str, buckets: int = 16,
+                             entity_hll_col: str | None = None,
+                             entity_hll_p: int = 8):
     """Streaming graph materialize into a bucket(conv_id) physical
     layout via ``foreachBatch``, **idempotent per micro-batch**: rows
     land under ``batch_id=N/conv_bucket=B`` with dynamic partition
@@ -107,7 +109,16 @@ def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
     partitions instead of appending duplicates — exactly-once table
     contents on top of Structured Streaming's at-least-once foreachBatch
     contract.  (In production the body is one Iceberg ``append`` whose
-    snapshot log already gives idempotent commit-by-batch-id.)"""
+    snapshot log already gives idempotent commit-by-batch-id.)
+
+    ``entity_hll_col``: also land a per-batch HyperLogLog register
+    sidecar over that column under ``<out_dir>/_entity_hll`` — the
+    mergeable distinct-count state (``operators/sketch.py``), written
+    with the same overwrite-by-batch_id idempotency.  Register max is
+    idempotent too, so a replayed batch cannot move the estimate;
+    :func:`distinct_entity_estimate` folds every sidecar WITHOUT
+    rescanning the table — per-commit telemetry the manifest pattern
+    of ``streaming/checkpoint.py`` wants at 10^12 turns."""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df
          .withColumn("batch_id", F.lit(batch_id))
@@ -117,6 +128,16 @@ def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id", "conv_bucket")
          .parquet(out_dir))
+        if entity_hll_col is not None:
+            from pyrdfa3_spark.operators.sketch import hll_registers
+            (hll_registers(
+                batch_df.select(F.col(entity_hll_col).alias("key")),
+                group_cols=[], key_col="key", p=entity_hll_p)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(out_dir + "/_entity_hll"))
 
     q = (stream_df.writeStream
          .foreachBatch(sink)
@@ -125,3 +146,18 @@ def run_bucketed_materialize(stream_df: DataFrame, out_dir: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def distinct_entity_estimate(spark: SparkSession, out_dir: str,
+                             p: int = 8) -> float:
+    """Fold every per-batch HLL sidecar of
+    :func:`run_bucketed_materialize` into one distinct-count estimate
+    — reads only the tiny register tables (<= 2^p rows per batch),
+    never the data.  Equals the single-pass sketch over the whole
+    table exactly (register max is associative + idempotent)."""
+    from pyrdfa3_spark.operators.sketch import hll_estimate
+
+    regs = (spark.read.parquet(out_dir + "/_entity_hll")
+            .groupBy("bucket").agg(F.max("reg").alias("reg")))
+    row = hll_estimate(regs, group_cols=[], p=p).collect()
+    return row[0]["est"] if row else 0.0

@@ -271,3 +271,48 @@ def test_stream_near_dup_drop(spark, tmp_path):
     kept = sorted(r["doc_id"]
                   for r in spark.read.parquet(out_dir).collect())
     assert kept == ["1", "3"]
+
+
+def test_stream_entity_hll_sidecar(spark, tmp_path):
+    """Per-batch HLL register sidecars: the folded estimate equals the
+    single-pass sketch over the materialized table exactly, and a
+    checkpoint-loss replay (overwrite-by-batch_id + idempotent
+    register max) cannot move it."""
+    import os
+    import shutil
+
+    from pyrdfa3_spark.operators.sketch import hll_distinct
+    from pyrdfa3_spark.sources.transcripts import synth_transcripts
+    from pyrdfa3_spark.streaming.stream_extract import (
+        distinct_entity_estimate, extract_stream, run_bucketed_materialize,
+        stream_transcripts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    t = synth_transcripts(spark, n_conv=30, turns_per_conv=10,
+                          skew_factor=2).cache()
+    t.coalesce(1).write.mode("append").parquet(in_dir)
+    run_bucketed_materialize(
+        extract_stream(stream_transcripts(spark, in_dir)),
+        out_dir, str(tmp_path / "ckpt"), buckets=4,
+        entity_hll_col="subj", entity_hll_p=8)
+    assert os.path.isdir(out_dir + "/_entity_hll")
+    est = distinct_entity_estimate(spark, out_dir, p=8)
+
+    table = (spark.read.parquet(out_dir)
+             .select(F.col("subj").alias("key"))
+             .withColumn("g", F.lit(1)))
+    single_pass = hll_distinct(table, ["g"], key_col="key",
+                               p=8).collect()[0]["est"]
+    assert est == single_pass
+    true = spark.read.parquet(out_dir).select("subj").distinct().count()
+    assert abs(est - true) <= max(0.15 * true, 3)
+
+    # checkpoint-loss replay: same batches rewrite their sidecars
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run_bucketed_materialize(
+        extract_stream(stream_transcripts(spark, in_dir)),
+        out_dir, str(tmp_path / "ckpt2"), buckets=4,
+        entity_hll_col="subj", entity_hll_p=8)
+    assert distinct_entity_estimate(spark, out_dir, p=8) == est
