@@ -2128,3 +2128,63 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
             .select("node_a", "node_b", "cn",
                     F.round(F.col("aa_dec").cast("double"), 4)
                     .alias("aa")))
+
+
+def negative_samples(triples: DataFrame, k: int = 2,
+                     rank_partitions: int | None = None) -> DataFrame:
+    """FILTERED negative sampling for KG-embedding training (the
+    corrupted-triple generator of TransE-family pipelines, Bordes et
+    al. 2013): for every (subj, pred, obj) triple, ``k`` candidate
+    corruptions replace the tail with an entity drawn uniformly from
+    the graph's entity pool; candidates that collide with ANY real
+    triple are dropped (the standard 'filtered' setting — that also
+    removes self-collisions).  Output: (subj, pred, neg_obj, j).
+
+    Deterministic: the draw index is md5(s|p|o|j) mod pool-size, so
+    the training set is reproducible run-to-run and across engines.
+    The entity pool gets dense ranks 0..N-1 WITHOUT a global ranking
+    window via the two-phase pattern of ``plans/maintenance.py``:
+    range-repartition by entity, rank inside each slice, add
+    broadcast slice offsets.  The draw then binds via one equi-join
+    on the rank, and the filter is one left-anti join against the
+    real triples.  Only the pool size N is collected.
+    """
+    from pyspark.sql import Window
+
+    base = (triples.select("subj", "pred", "obj")
+            .dropDuplicates().localCheckpoint(eager=True))
+    ents = (base.select(F.col("subj").alias("e"))
+            .unionByName(base.select(F.col("obj").alias("e")))
+            .dropDuplicates())
+    if rank_partitions is None:
+        rank_partitions = int(triples.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    sliced = (ents.repartitionByRange(rank_partitions, "e")
+              .withColumn("slice", F.spark_partition_id()))
+    slice_tot = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
+    w_dim = Window.partitionBy(F.lit(0)).orderBy("slice")
+    offsets = slice_tot.select(
+        "slice", (F.sum("n").over(w_dim) - F.col("n")).alias("off"))
+    w_local = Window.partitionBy("slice").orderBy("e")
+    ranked = (sliced.join(F.broadcast(offsets), "slice")
+              .select("e", (F.col("off") + F.row_number().over(w_local)
+                            - 1).cast("bigint").alias("rank"))
+              .localCheckpoint(eager=True))
+    n_pool = ranked.count()
+    if n_pool == 0:
+        return base.limit(0).select(
+            "subj", "pred", F.col("obj").alias("neg_obj"),
+            F.lit(0).alias("j"))
+    draw = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col("subj"), F.col("pred"), F.col("obj"),
+        F.col("j").cast("string"))), 1, 15), 16, 10) \
+        .cast("bigint") % n_pool
+    cand = (base
+            .select("subj", "pred", "obj",
+                    F.explode(F.array(*[F.lit(j) for j in range(k)]))
+                    .alias("j"))
+            .select("subj", "pred", "obj", "j", draw.alias("rank"))
+            .join(ranked, "rank")
+            .select("subj", "pred", F.col("e").alias("neg_obj"), "j"))
+    real = base.select("subj", "pred", F.col("obj").alias("neg_obj"))
+    return cand.join(real, ["subj", "pred", "neg_obj"], "left_anti")

@@ -4214,6 +4214,57 @@ WHERE NOT EXISTS (SELECT 1 FROM ed
 """
 
 
+def q_negative_samples(spark, sf_dir):
+    """Filtered negative sampling over a deterministic two-predicate
+    KG derived from customer keys: every real triple spawns k=2
+    tail-corruption candidates (md5-indexed draws from the dense-
+    ranked entity pool), minus any candidate that collides with a
+    real triple.  The oracle ranks the pool with ROW_NUMBER while the
+    operator uses the two-phase slice-offset rank — a green hash
+    proves they assign identical dense ranks."""
+    from pyrdfa3_spark.operators.graphops import negative_samples
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+    likes = customer.select(
+        F.concat(F.lit("urn:c:"), (i % 40).cast("string")).alias("subj"),
+        F.lit("p:likes").alias("pred"),
+        F.concat(F.lit("urn:n:"), (i % 25).cast("string")).alias("obj"))
+    knows = customer.select(
+        F.concat(F.lit("urn:c:"), (i % 40).cast("string")).alias("subj"),
+        F.lit("p:knows").alias("pred"),
+        F.concat(F.lit("urn:c:"),
+                 ((i + 7) % 40).cast("string")).alias("obj"))
+    return negative_samples(likes.unionByName(knows), k=2)
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+t0 AS MATERIALIZED (SELECT DISTINCT * FROM (
+  SELECT 'urn:c:' || CAST(i % 40 AS VARCHAR) AS subj,
+         'p:likes' AS pred,
+         'urn:n:' || CAST(i % 25 AS VARCHAR) AS obj FROM raw
+  UNION ALL
+  SELECT 'urn:c:' || CAST(i % 40 AS VARCHAR),
+         'p:knows',
+         'urn:c:' || CAST((i + 7) % 40 AS VARCHAR) FROM raw)),
+ents AS MATERIALIZED (SELECT DISTINCT e FROM (
+  SELECT subj AS e FROM t0 UNION ALL SELECT obj AS e FROM t0)),
+ranked AS MATERIALIZED (
+  SELECT e, ROW_NUMBER() OVER (ORDER BY e) - 1 AS rank FROM ents),
+cand AS MATERIALIZED (
+  SELECT t0.subj, t0.pred, t0.obj, v.j,
+         CAST({_sql_hex_poly("md5(t0.subj || '|' || t0.pred || '|' || t0.obj || '|' || CAST(v.j AS VARCHAR))", 1, 15)}
+              AS BIGINT) % (SELECT count(*) FROM ents) AS rank
+  FROM t0, (VALUES (0), (1)) AS v(j))
+SELECT c.subj, c.pred, r.e AS neg_obj, CAST(c.j AS INT) AS j
+FROM cand c JOIN ranked r ON r.rank = c.rank
+WHERE NOT EXISTS (SELECT 1 FROM t0
+                  WHERE t0.subj = c.subj AND t0.pred = c.pred
+                    AND t0.obj = r.e)
+"""
+
+
 _KCORE_K = 6
 _KCORE_SQL_ROUNDS = 20  # >= actual peel depth; no-op tail rounds are free
 
@@ -6286,6 +6337,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
     "adamic_adar": q_adamic_adar,
+    "negative_samples": q_negative_samples,
     "k_core": q_k_core,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
@@ -6430,6 +6482,7 @@ def oracles() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "label_propagation": SQL_LABEL_PROPAGATION,
         "adamic_adar": SQL_ADAMIC_ADAR,
+        "negative_samples": SQL_NEGATIVE_SAMPLES,
         "kg_analytics_fixture": SQL_KG_ANALYTICS_FIXTURE,
         "k_core": SQL_K_CORE,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,

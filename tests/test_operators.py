@@ -2724,3 +2724,39 @@ def test_adamic_adar_vs_python_reference(spark):
     assert "Window" not in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_negative_samples_vs_python_reference(spark):
+    """Filtered negative sampling against an independent python
+    implementation: dense lexicographic entity ranks, md5-indexed
+    draws, real-triple (incl. self) collision filtering, k fan-out."""
+    import hashlib
+
+    from pyrdfa3_spark.operators.graphops import negative_samples
+
+    raw = [("a", "p", "x"), ("a", "p", "y"), ("b", "q", "x"),
+           ("b", "q", "x"),                       # dup: set semantics
+           ("c", "p", "a")]                       # subj also an object
+
+    def python_ns(trips, k):
+        t0 = sorted(set(trips))
+        pool = sorted({s for s, _, _ in t0} | {o for _, _, o in t0})
+        out = set()
+        for s, p, o in t0:
+            for j in range(k):
+                h = hashlib.md5(f"{s}|{p}|{o}|{j}".encode()).hexdigest()
+                e = pool[int(h[:15], 16) % len(pool)]
+                if (s, p, e) not in set(t0):
+                    out.add((s, p, e, j))
+        return out
+
+    df = spark.createDataFrame(raw, ["subj", "pred", "obj"])
+    for k in (1, 2, 4):
+        got = {(r["subj"], r["pred"], r["neg_obj"], r["j"])
+               for r in negative_samples(df, k=k).collect()}
+        assert got == python_ns(raw, k), k
+
+    # no sample may reproduce a real triple
+    got = {(r["subj"], r["pred"], r["neg_obj"])
+           for r in negative_samples(df, k=4).collect()}
+    assert not (got & {(s, p, o) for s, p, o in raw})
