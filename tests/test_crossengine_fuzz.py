@@ -124,3 +124,21 @@ def test_fuzz_training_mix_oracles(fuzz_env):
         bounds=(200, 400)), con, Q.SQL_STRATIFIED_SAMPLE, ["doc_id"])
     _compare(C.quota_mix(sdf, quota=50, bounds=(200, 400)), con,
              Q.SQL_QUOTA_MIX, ["doc_id"])
+
+
+def test_fuzz_similarity_join_oracles(fuzz_env):
+    """The exact prefix-filter Jaccard join and the tf-idf cosine
+    join hold against their driver SQL on adversarial text (empty /
+    whitespace-only docs, boilerplate clusters, giant tokens)."""
+    from pyspark.sql import functions as F
+
+    from pyrdfa3_spark.operators import dedup as D
+    from pyrdfa3_spark.plans import queries as Q
+
+    sdf, con = fuzz_env
+    sl = sdf.filter(F.col("doc_id") % 10 == 0)
+    _compare(D.prefix_similarity_join(sl, threshold=0.5),
+             con, Q.SQL_PREFIX_SIMILARITY, ["doc_a", "doc_b"])
+    _compare(D.tfidf_similarity_join(sl, threshold=0.3,
+                                     max_df_frac=0.8),
+             con, Q.SQL_TFIDF_SIMILARITY, ["doc_a", "doc_b"])
