@@ -98,3 +98,95 @@ def turn_latency(tr: DataFrame) -> DataFrame:
         .alias("mean_gap_ms"),
         F.when(n_gaps > 0, F.array_max(gaps)).cast("bigint")
         .alias("max_gap_ms"))
+
+
+def merge_consecutive_turns(tr: DataFrame, sep: str = "\n") -> DataFrame:
+    """Collapse runs of consecutive SAME-ROLE turns into one turn each
+    — the transcript-repair pass chat-training pipelines run before
+    alternation-sensitive formatting (a user double-send or a
+    streaming assistant split otherwise breaks the role-alternation
+    invariant).  Turns merge in stable ``turn_idx`` order; merged
+    turns are re-indexed densely 0..k-1.  Output: conv_id, turn_idx,
+    role, text, n_merged.
+
+    Scale shape: the module's single-shuffle contract — one
+    ``groupBy(conv_id)`` collecting the (turn_idx, role, text) structs,
+    an in-row ``aggregate`` fold that appends-or-merges each sorted
+    turn (linear in conversation length), and one ``posexplode`` back
+    to rows.  No windows; resilient to any partitioning.
+    """
+    item = F.struct("turn_idx", "role", "text")
+    empty = F.array().cast(
+        "array<struct<role:string,text:string,n_merged:int>>")
+    merged = F.aggregate(
+        F.array_sort(F.collect_list(item)), empty,
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1))["role"] == t["role"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    t["role"].alias("role"),
+                    F.concat_ws(sep, F.try_element_at(acc, F.lit(-1))["text"],
+                                t["text"]).alias("text"),
+                    (F.try_element_at(acc, F.lit(-1))["n_merged"] + 1)
+                    .alias("n_merged"))))
+        ).otherwise(F.concat(acc, F.array(F.struct(
+            t["role"].alias("role"), t["text"].alias("text"),
+            F.lit(1).alias("n_merged"))))))
+    return (tr.groupBy("conv_id")
+            .agg(merged.alias("m"))
+            .select("conv_id", F.posexplode("m").alias("turn_idx", "t"))
+            .select("conv_id", "turn_idx",
+                    F.col("t.role").alias("role"),
+                    F.col("t.text").alias("text"),
+                    F.col("t.n_merged").cast("bigint").alias("n_merged")))
+
+
+def truncate_conversations(tr: DataFrame,
+                           max_tokens: int = 2048) -> DataFrame:
+    """Keep each conversation's longest PREFIX of turns whose
+    cumulative whitespace-token count fits ``max_tokens`` — the
+    context-window budgeting pass before packing (truncating the tail
+    preserves the conversation opening; a turn that would overflow the
+    budget is dropped along with everything after it).  Output: the
+    surviving turns (conv_id, turn_idx, role, text, n_tokens,
+    cum_tokens) in stable order.
+
+    Scale shape: one ``groupBy(conv_id)``; the prefix scan is an
+    in-row ``aggregate`` running sum over the sorted turn structs
+    (linear per conversation), then ``posexplode`` of the kept slice.
+    No windows.
+    """
+    ntok = F.size(F.filter(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
+        lambda x: x != ""))
+    item = F.struct(F.col("turn_idx").cast("int").alias("turn_idx"),
+                    "role", "text", ntok.alias("n_tokens"))
+    empty = F.array().cast(
+        "array<struct<turn_idx:int,role:string,text:string,"
+        "n_tokens:int,cum_tokens:bigint,keep:boolean>>")
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(item)), empty,
+        lambda acc, t: F.concat(acc, F.array(F.struct(
+            t["turn_idx"].alias("turn_idx"), t["role"].alias("role"),
+            t["text"].alias("text"), t["n_tokens"].alias("n_tokens"),
+            (F.coalesce(F.try_element_at(acc, F.lit(-1))["cum_tokens"],
+                        F.lit(0).cast("bigint"))
+             + t["n_tokens"]).alias("cum_tokens"),
+            ((F.coalesce(F.try_element_at(acc, F.lit(-1))["cum_tokens"],
+                         F.lit(0).cast("bigint"))
+              + t["n_tokens"] <= max_tokens)
+             & F.coalesce(F.try_element_at(acc, F.lit(-1))["keep"], F.lit(True)))
+            .alias("keep")))))
+    return (tr.groupBy("conv_id")
+            .agg(folded.alias("m"))
+            .select("conv_id",
+                    F.explode(F.filter("m", lambda t: t["keep"]))
+                    .alias("t"))
+            .select("conv_id",
+                    F.col("t.turn_idx").alias("turn_idx"),
+                    F.col("t.role").alias("role"),
+                    F.col("t.text").alias("text"),
+                    F.col("t.n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("t.cum_tokens").alias("cum_tokens")))

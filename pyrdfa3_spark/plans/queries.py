@@ -5987,6 +5987,92 @@ def q_conversation_stats(spark, sf_dir):
     return conversation_stats(transcripts_from_documents(spark, sf_dir))
 
 
+def _role_run_transcripts(spark, sf_dir):
+    """Synthesized transcript frame whose role sequence contains
+    genuine consecutive same-role runs (turn_idx % 4 < 2 -> user),
+    so the merge operator has real work."""
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id").cast("long")
+    turn_idx = (doc_id / 50).cast("int")
+    return d.select(
+        F.format_string("conv-%06d", doc_id % 50).alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        F.when(turn_idx % 4 < 2, "user").otherwise("assistant")
+        .alias("role"),
+        F.col("text"))
+
+
+_SQL_ROLE_RUN_TR = """
+tr AS MATERIALIZED (
+  SELECT printf('conv-%06d', CAST(doc_id AS BIGINT) % 50) AS conv_id,
+         CAST(CAST(doc_id AS BIGINT) // 50 AS INT) AS turn_idx,
+         CASE WHEN (CAST(doc_id AS BIGINT) // 50) % 4 < 2
+              THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents)"""
+
+
+def q_merge_turns(spark, sf_dir):
+    """Consecutive same-role turn merging (the role-alternation
+    repair pass) over a transcript frame with genuine same-role runs.
+    The operator's in-row fold is checked against the oracle's
+    window formulation (lag-break flags + running-sum group ids) —
+    two entirely different algorithms, same answer."""
+    from pyrdfa3_spark.operators.transcripts import merge_consecutive_turns
+
+    return merge_consecutive_turns(_role_run_transcripts(spark, sf_dir))
+
+
+SQL_MERGE_TURNS = f"""
+WITH {_SQL_ROLE_RUN_TR},
+b AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN lag(role) OVER w IS NULL
+                   OR lag(role) OVER w <> role THEN 1 ELSE 0 END AS brk
+  FROM tr WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+g AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+         AS gid
+  FROM b)
+SELECT conv_id, gid AS turn_idx, min(role) AS role,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM g GROUP BY conv_id, gid
+"""
+
+
+def q_truncate_conversations(spark, sf_dir):
+    """Token-budget conversation truncation (longest prefix of turns
+    whose cumulative whitespace-token count fits 600).  The
+    operator's in-row running-sum fold is checked against the
+    oracle's window cumulative sum."""
+    from pyrdfa3_spark.operators.transcripts import truncate_conversations
+
+    return truncate_conversations(_role_run_transcripts(spark, sf_dir),
+                                  max_tokens=600)
+
+
+SQL_TRUNCATE_CONVERSATIONS = f"""
+WITH {_SQL_ROLE_RUN_TR},
+tok AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(len(list_filter(
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                          ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM tr),
+c AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, text, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM tok)
+SELECT conv_id, turn_idx, role, text, n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 600
+"""
+
+
 def q_conv_dedup(spark, sf_dir):
     """Conversation-level exact dedup, composed end-to-end in ONE
     plan: stitch each conversation into a document (stable in-row
@@ -6343,6 +6429,8 @@ QUERIES = {
     "kg_construct": q_kg_construct,
     "wl_fingerprint": q_wl_fingerprint,
     "conversation_stats": q_conversation_stats,
+    "merge_turns": q_merge_turns,
+    "truncate_conversations": q_truncate_conversations,
     "conv_dedup": q_conv_dedup,
     "stitch_conversations": q_stitch_conversations,
     "turn_latency": q_turn_latency,
@@ -6499,6 +6587,8 @@ def oracles() -> dict[str, str]:
         "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "conversation_stats": SQL_CONVERSATION_STATS,
+        "merge_turns": SQL_MERGE_TURNS,
+        "truncate_conversations": SQL_TRUNCATE_CONVERSATIONS,
         "conv_dedup": SQL_CONV_DEDUP,
         "stitch_conversations": SQL_STITCH_CONVERSATIONS,
         "turn_latency": SQL_TURN_LATENCY,

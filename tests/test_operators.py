@@ -2760,3 +2760,70 @@ def test_negative_samples_vs_python_reference(spark):
     got = {(r["subj"], r["pred"], r["neg_obj"])
            for r in negative_samples(df, k=4).collect()}
     assert not (got & {(s, p, o) for s, p, o in raw})
+
+
+def test_merge_and_truncate_turns_vs_python(spark):
+    """Transcript repair ops against independent python references:
+    consecutive same-role merging (dense re-index, n_merged counts,
+    order-insensitive input) and token-budget prefix truncation
+    (overflow turn drops everything after it, zero-token turns,
+    single-turn-overflow edge)."""
+    from pyrdfa3_spark.operators.transcripts import (
+        merge_consecutive_turns, truncate_conversations,
+    )
+
+    rows = [
+        ("c1", 0, "user", "a b"), ("c1", 1, "user", "c"),
+        ("c1", 2, "assistant", "d e f"), ("c1", 3, "user", "g"),
+        ("c1", 4, "user", "h i"), ("c1", 5, "user", "j"),
+        ("c2", 0, "assistant", "solo"),
+        ("c3", 0, "user", "one two three four five six seven"),  # > budget
+        ("c3", 1, "user", ""),                                   # 0 tokens
+        ("c4", 0, "user", "x"), ("c4", 1, "assistant", ""),
+    ]
+    import random
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)   # input order must not matter
+    tr = spark.createDataFrame(shuffled, ["conv_id", "turn_idx",
+                                          "role", "text"])
+
+    def py_merge(rs):
+        out = []
+        by_conv = {}
+        for c, i, r, t in sorted(rs):
+            by_conv.setdefault(c, []).append((r, t))
+        for c, turns in by_conv.items():
+            merged = []
+            for r, t in turns:
+                if merged and merged[-1][0] == r:
+                    merged[-1] = (r, merged[-1][1] + "\n" + t,
+                                  merged[-1][2] + 1)
+                else:
+                    merged.append((r, t, 1))
+            out += [(c, i, r, t, n)
+                    for i, (r, t, n) in enumerate(merged)]
+        return set(out)
+
+    got = {tuple(r) for r in merge_consecutive_turns(tr).collect()}
+    assert got == py_merge(rows)
+
+    def py_trunc(rs, budget):
+        out = []
+        by_conv = {}
+        for c, i, r, t in sorted(rs):
+            by_conv.setdefault(c, []).append((i, r, t))
+        for c, turns in by_conv.items():
+            cum = 0
+            for i, r, t in turns:
+                n = len([w for w in t.split() if w])
+                cum += n
+                if cum > budget:
+                    break
+                out.append((c, i, r, t, n, cum))
+        return set(out)
+
+    for budget in (3, 6, 100):
+        got = {tuple(r)
+               for r in truncate_conversations(tr,
+                                               max_tokens=budget).collect()}
+        assert got == py_trunc(rows, budget), budget
