@@ -2188,3 +2188,61 @@ def negative_samples(triples: DataFrame, k: int = 2,
             .select("subj", "pred", F.col("e").alias("neg_obj"), "j"))
     real = base.select("subj", "pred", F.col("obj").alias("neg_obj"))
     return cand.join(real, ["subj", "pred", "neg_obj"], "left_anti")
+
+
+def hits(edges: DataFrame, iterations: int = 8) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over directed
+    (src, dst) edges — the bipartite-role twin of :func:`pagerank`
+    for citation/link-shaped entity graphs (a good hub POINTS AT
+    good authorities; a good authority IS POINTED AT by good hubs).
+
+    Fixed-iteration power method with L1 normalization each round
+    (L1 keeps the normalizer a plain SUM — a single broadcast 1-row
+    aggregate, no sqrt of a sum whose float error would need
+    taming).  Returns (node, hub, auth) rounded at 9 dp.
+
+    Scale shape per round: two partially-aggregated groupBys (auth
+    from in-edge hub mass, hub from out-edge auth mass), each one
+    shuffle keyed on an edge endpoint, plus two broadcast 1-row
+    normalizers; scores ``localCheckpoint``ed per round — identical
+    discipline to :func:`pagerank`.
+    """
+    e = edges.select("src", "dst").dropDuplicates() \
+        .localCheckpoint(eager=True)
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .dropDuplicates().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)) \
+                    .withColumn("auth", F.lit(0.0))
+    scores = nodes.select("node", F.lit(1.0 / n).alias("hub"),
+                          F.lit(1.0 / n).alias("auth"))
+    for _ in range(iterations):
+        # auth(v) = sum of hub(u) over edges u -> v, then L1-normalize
+        a_raw = (e.join(scores.select(F.col("node").alias("src"),
+                                      "hub"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("a_raw")))
+        a_tot = a_raw.agg(F.sum("a_raw").alias("_t"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .join(F.broadcast(a_tot))
+                .select("node",
+                        (F.coalesce(F.col("a_raw"), F.lit(0.0))
+                         / F.col("_t")).alias("auth")))
+        # hub(u) = sum of NEW auth(v) over edges u -> v, normalized
+        h_raw = (e.join(auth.select(F.col("node").alias("dst"),
+                                    "auth"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("h_raw")))
+        h_tot = h_raw.agg(F.sum("h_raw").alias("_t"))
+        hub = (nodes.join(h_raw, "node", "left")
+               .join(F.broadcast(h_tot))
+               .select("node",
+                       (F.coalesce(F.col("h_raw"), F.lit(0.0))
+                        / F.col("_t")).alias("hub")))
+        scores = (hub.join(auth, "node")
+                  .select("node", "hub", "auth")
+                  .localCheckpoint(eager=True))
+    return scores.select("node", F.round("hub", 9).alias("hub"),
+                         F.round("auth", 9).alias("auth"))

@@ -4265,6 +4265,75 @@ WHERE NOT EXISTS (SELECT 1 FROM t0
 """
 
 
+_HITS_ITERS = 8
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities over the directed pagerank fixture graph
+    (permutation + quadratic-hub edge families keep hub and authority
+    roles genuinely asymmetric).  Cross-checked value-by-value
+    against a round-for-round unrolled SQL oracle; scores round at
+    9 dp (per-node fan-in is tiny, so cross-engine float-sum error
+    sits orders of magnitude inside the rounding)."""
+    from pyrdfa3_spark.operators.graphops import hits
+
+    customer = _t(spark, sf_dir, "customer")
+    i = (F.col("c_custkey") % _PR_MOD).cast("long")
+    src = F.concat(F.lit("n"), i.cast("string"))
+    edges = customer.select(
+        src.alias("src"),
+        F.concat(F.lit("n"), ((i * 7 + 3) % _PR_MOD).cast("string"))
+        .alias("dst")
+    ).unionByName(customer.select(
+        src.alias("src"),
+        F.concat(F.lit("n"), ((i * i + 1) % _PR_MOD).cast("string"))
+        .alias("dst")))
+    return hits(edges, iterations=_HITS_ITERS)
+
+
+def _sql_hits() -> str:
+    parts = [f"""
+WITH raw AS MATERIALIZED (SELECT c_custkey % {_PR_MOD} AS i FROM customer),
+e AS MATERIALIZED (SELECT DISTINCT
+    'n' || CAST(i AS VARCHAR) AS src,
+    'n' || CAST((i * 7 + 3) % {_PR_MOD} AS VARCHAR) AS dst FROM raw
+  UNION
+  SELECT DISTINCT 'n' || CAST(i AS VARCHAR),
+    'n' || CAST((i * i + 1) % {_PR_MOD} AS VARCHAR) FROM raw),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+                       UNION SELECT DISTINCT dst FROM e),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+s0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS hub,
+                    1.0 / (SELECT n FROM nn) AS auth FROM nodes)"""]
+    for k in range(1, _HITS_ITERS + 1):
+        p = k - 1
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(s.hub) AS a_raw
+  FROM e JOIN s{p} s ON s.node = e.src GROUP BY e.dst),
+at{k} AS MATERIALIZED (SELECT sum(a_raw) AS t FROM ar{k}),
+au{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(ar{k}.a_raw, 0.0) / (SELECT t FROM at{k})
+         AS auth
+  FROM nodes n LEFT JOIN ar{k} ON ar{k}.node = n.node),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS h_raw
+  FROM e JOIN au{k} a ON a.node = e.dst GROUP BY e.src),
+ht{k} AS MATERIALIZED (SELECT sum(h_raw) AS t FROM hr{k}),
+s{k} AS MATERIALIZED (
+  SELECT n.node, coalesce(hr{k}.h_raw, 0.0) / (SELECT t FROM ht{k})
+         AS hub, au{k}.auth AS auth
+  FROM nodes n LEFT JOIN hr{k} ON hr{k}.node = n.node
+  JOIN au{k} ON au{k}.node = n.node)""")
+    parts.append(f"""
+SELECT node, round(hub, 9) AS hub, round(auth, 9) AS auth
+FROM s{_HITS_ITERS}""")
+    return "".join(parts)
+
+
+SQL_HITS = _sql_hits()
+
+
 _KCORE_K = 6
 _KCORE_SQL_ROUNDS = 20  # >= actual peel depth; no-op tail rounds are free
 
@@ -6424,6 +6493,7 @@ QUERIES = {
     "label_propagation": q_label_propagation,
     "adamic_adar": q_adamic_adar,
     "negative_samples": q_negative_samples,
+    "hits": q_hits,
     "k_core": q_k_core,
     "bm25": q_bm25,
     "kg_construct": q_kg_construct,
@@ -6571,6 +6641,7 @@ def oracles() -> dict[str, str]:
         "label_propagation": SQL_LABEL_PROPAGATION,
         "adamic_adar": SQL_ADAMIC_ADAR,
         "negative_samples": SQL_NEGATIVE_SAMPLES,
+        "hits": SQL_HITS,
         "kg_analytics_fixture": SQL_KG_ANALYTICS_FIXTURE,
         "k_core": SQL_K_CORE,
         "nquads_serialize": SQL_NQUADS_SERIALIZE,

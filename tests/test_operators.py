@@ -2827,3 +2827,45 @@ def test_merge_and_truncate_turns_vs_python(spark):
                for r in truncate_conversations(tr,
                                                max_tokens=budget).collect()}
         assert got == py_trunc(rows, budget), budget
+
+
+def test_hits_vs_python_reference(spark):
+    """HITS against an independent python power iteration (L1
+    normalization, auth-from-old-hub then hub-from-new-auth update
+    order) on an asymmetric citation graph."""
+    from pyrdfa3_spark.operators.graphops import hits as spark_hits
+
+    raw = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"),   # strong hub
+           ("h2", "a1"), ("h2", "a2"),
+           ("x", "a1"),                                # a1: top authority
+           ("a1", "h1"),                               # back-edge
+           ("iso1", "iso2")]
+
+    def python_hits(pairs, iters):
+        edges = sorted(set(pairs))
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        hub = {v: 1.0 / len(nodes) for v in nodes}
+        auth = dict(hub)
+        for _ in range(iters):
+            a = {v: 0.0 for v in nodes}
+            for s, d in edges:
+                a[d] += hub[s]
+            tot = sum(a.values())
+            auth = {v: a[v] / tot for v in nodes}
+            h = {v: 0.0 for v in nodes}
+            for s, d in edges:
+                h[s] += auth[d]
+            tot = sum(h.values())
+            hub = {v: h[v] / tot for v in nodes}
+        return {v: (round(hub[v], 9), round(auth[v], 9)) for v in nodes}
+
+    for iters in (1, 4, 8):
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in spark_hits(
+                   spark.createDataFrame(raw, ["src", "dst"]),
+                   iterations=iters).collect()}
+        want = python_hits(raw, iters)
+        assert got.keys() == want.keys(), iters
+        for v in want:
+            assert got[v][0] == pytest.approx(want[v][0], abs=1e-8), v
+            assert got[v][1] == pytest.approx(want[v][1], abs=1e-8), v
