@@ -722,7 +722,12 @@ def tfidf_similarity_join(docs: DataFrame, threshold: float = 0.3,
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     F.explode(F.filter(F.split(_normalized(), " "),
                                        lambda x: x != "")).alias("tok")))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: the corpus-size count below materializes tf
+    # anyway; without it the tokenize+tf shuffle (the most expensive
+    # stage) would re-run for dfreq and for the weight join
+    tf = (toks.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     n_docs = float(tf.select("doc_id").distinct().count())
     dfreq = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") <= max_df_frac * n_docs))

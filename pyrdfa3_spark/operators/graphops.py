@@ -1984,6 +1984,17 @@ def wl_fingerprint(triples: DataFrame, rounds: int = 3) -> DataFrame:
         F.sum(h).cast("decimal(38,0)").alias("fp"))
 
 
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrized, deduplicated, self-loop-free edge frame — the
+    shared undirected-graph prologue of label_propagation / k_core /
+    adamic_adar, localCheckpointed because every caller reuses it
+    across rounds or join arms."""
+    return (edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates().localCheckpoint(eager=True))
+
 def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over undirected (src, dst) edges — the cheap community
@@ -2005,11 +2016,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     collapses map-side).  The label frame is ``localCheckpoint``ed
     per round (flat lineage, same discipline as :func:`pagerank`).
     """
-    e = (edges.select("src", "dst")
-         .unionByName(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-         .filter(F.col("src") != F.col("dst"))
-         .dropDuplicates().localCheckpoint(eager=True))
+    e = _undirected(edges)
     labels = (e.select(F.col("src").alias("node")).dropDuplicates()
               .withColumn("lab", F.col("node")))
     for _ in range(rounds):
@@ -2048,11 +2055,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 30) -> DataFrame:
     peel O(diameter) and the guard raises rather than looping
     unbounded.
     """
-    alive = (edges.select("src", "dst")
-             .unionByName(edges.select(F.col("dst").alias("src"),
-                                       F.col("src").alias("dst")))
-             .filter(F.col("src") != F.col("dst"))
-             .dropDuplicates().localCheckpoint(eager=True))
+    alive = _undirected(edges)
     n_edges = alive.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -2100,11 +2103,7 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
     module's cross-engine float discipline), and one left-anti join
     removing already-adjacent pairs.  No windows, no cartesian.
     """
-    e = (edges.select("src", "dst")
-         .unionByName(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-         .filter(F.col("src") != F.col("dst"))
-         .dropDuplicates().localCheckpoint(eager=True))
+    e = _undirected(edges)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ctr = (deg.filter((F.col("deg") >= 2)
                       & (F.col("deg") <= max_degree))

@@ -70,6 +70,8 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
     count-min upper bound (0 when some row never saw the bucket).
     ``d``/``w`` must match the build.  The sketch side is at most
     ``d*w`` rows -> broadcast; probes stream."""
+    if d > 4:
+        raise ValueError("md5 yields at most 4 independent 32-bit chunks")
     h = F.md5(F.col(key_col))
     rows = F.array(*[
         F.struct(F.lit(j).alias("r"), _chunk_mod(h, j, w).alias("bucket"))
@@ -176,14 +178,22 @@ def hll_estimate(regs: DataFrame, group_cols: list[str],
     m = 2 ** p
     field_bits = 4 * (15 - p // 4)
     # harmonic sum over exact integers: sum(2^-reg) scaled by
-    # 2^field_bits; unseen registers contribute 2^0 = full scale each
-    term = F.expr(f"shiftleft(cast(1 as bigint), {field_bits} - reg)")
+    # 2^(field_bits+1) — the +1 makes the SATURATED register
+    # (reg = field_bits + 1, the all-zero rank field hll_registers
+    # legitimately emits) an exact integer term of 1 instead of a
+    # negative shift (JVM shiftleft masks the count, which would
+    # poison the sum); unseen registers contribute 2^0 = full scale
+    term = F.expr(
+        f"shiftleft(cast(1 as bigint), {field_bits + 1} - reg)")
     per_group = (regs.groupBy(*group_cols)
                  .agg(F.sum(term).alias("seen_sum"),
                       F.count(F.lit(1)).alias("n_regs")))
-    scale = float(2 ** field_bits)
+    scale = float(2 ** (field_bits + 1))
     zeros = F.lit(m) - F.col("n_regs")
-    denom = F.col("seen_sum").cast("double") + zeros * scale
+    # coalesce: a group with zero observed registers (empty input
+    # slice) must estimate 0.0, not NULL
+    denom = (F.coalesce(F.col("seen_sum"), F.lit(0)).cast("double")
+             + zeros * scale)
     raw = F.lit(_alpha(m) * m * m * scale) / denom
     lin = F.lit(float(m)) * F.round(F.log(F.lit(float(m)) /
                                           zeros.cast("double")), 9)

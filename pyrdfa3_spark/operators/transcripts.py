@@ -158,9 +158,13 @@ def truncate_conversations(tr: DataFrame,
     (linear per conversation), then ``posexplode`` of the kept slice.
     No windows.
     """
-    ntok = F.size(F.filter(
-        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
-        lambda x: x != ""))
+    # NULL text counts as zero tokens — without the coalesce a null
+    # turn would null the running sum and silently reset the budget
+    ntok = F.coalesce(
+        F.size(F.filter(
+            F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
+            lambda x: x != "")),
+        F.lit(0))
     item = F.struct(F.col("turn_idx").cast("int").alias("turn_idx"),
                     "role", "text", ntok.alias("n_tokens"))
     empty = F.array().cast(

@@ -940,12 +940,6 @@ def q_cms_token_counts(spark, sf_dir):
             .select("key", F.col("est").cast("bigint").alias("est")))
 
 
-def _sql_hex_chunk_col(col: str, start: int) -> str:
-    return "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
-        f" * {16 ** (7 - i)}" for i in range(8)) + ")"
-
-
 SQL_CMS_TOKEN_COUNTS = f"""
 WITH d AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS norm
@@ -956,7 +950,7 @@ tok AS MATERIALIZED (
 hx AS MATERIALIZED (SELECT md5(tok) AS h FROM tok),
 cells AS MATERIALIZED (
   {" UNION ALL ".join(
-      f"SELECT {j} AS r, {_sql_hex_chunk_col('h', 1 + 8 * j)} % 256 "
+      f"SELECT {j} AS r, {_sql_hex_poly('h', 1 + 8 * j, 8)} % 256 "
       f"AS bucket FROM hx" for j in range(4))}),
 sk AS MATERIALIZED (
   SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
@@ -965,14 +959,14 @@ probes AS MATERIALIZED (
   SELECT DISTINCT tok AS key, md5(tok) AS h FROM tok WHERE doc_id = 0),
 pcells AS MATERIALIZED (
   {" UNION ALL ".join(
-      f"SELECT key, {j} AS r, {_sql_hex_chunk_col('h', 1 + 8 * j)} % 256 "
+      f"SELECT key, {j} AS r, {_sql_hex_poly('h', 1 + 8 * j, 8)} % 256 "
       f"AS bucket FROM probes" for j in range(4))})
 SELECT p.key, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est
 FROM pcells p LEFT JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket
 GROUP BY p.key
 """
 
-_HLL_ALPHA_256_SCALED = 0.7213 / (1 + 1.079 / 256) * 256 * 256 * (2.0 ** 52)
+_HLL_ALPHA_256_SCALED = 0.7213 / (1 + 1.079 / 256) * 256 * 256 * (2.0 ** 53)
 
 
 def q_hll_source_vocab(spark, sf_dir):
@@ -1021,18 +1015,18 @@ regs AS MATERIALIZED (
   SELECT source, bucket, max(rho) AS reg FROM rho GROUP BY source, bucket),
 agg AS MATERIALIZED (
   SELECT source,
-         sum((CAST(1 AS BIGINT) << (52 - reg))) AS seen_sum,
+         sum((CAST(1 AS BIGINT) << (53 - reg))) AS seen_sum,
          CAST(count(*) AS BIGINT) AS n_regs
   FROM regs GROUP BY source)
 SELECT source,
        round(CASE WHEN ({_HLL_ALPHA_256_SCALED!r}
                         / (CAST(seen_sum AS DOUBLE)
-                           + (256 - n_regs) * 4503599627370496.0))
+                           + (256 - n_regs) * 9007199254740992.0))
                        <= 640 AND n_regs < 256
                   THEN 256 * round(ln(256.0 / (256 - n_regs)), 9)
                   ELSE {_HLL_ALPHA_256_SCALED!r}
                        / (CAST(seen_sum AS DOUBLE)
-                          + (256 - n_regs) * 4503599627370496.0)
+                          + (256 - n_regs) * 9007199254740992.0)
              END, 4) AS est
 FROM agg
 """
@@ -6127,9 +6121,9 @@ SQL_TRUNCATE_CONVERSATIONS = f"""
 WITH {_SQL_ROLE_RUN_TR},
 tok AS MATERIALIZED (
   SELECT conv_id, turn_idx, role, text,
-         CAST(len(list_filter(
+         CAST(coalesce(len(list_filter(
              string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
-                          ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+                          ' '), x -> x <> '')), 0) AS BIGINT) AS n_tokens
   FROM tr),
 c AS MATERIALIZED (
   SELECT conv_id, turn_idx, role, text, n_tokens,

@@ -2869,3 +2869,59 @@ def test_hits_vs_python_reference(spark):
         for v in want:
             assert got[v][0] == pytest.approx(want[v][0], abs=1e-8), v
             assert got[v][1] == pytest.approx(want[v][1], abs=1e-8), v
+
+
+def test_sketch_and_truncate_review_regressions(spark):
+    """Round-3e review findings pinned: (1) a saturated HLL register
+    (all-zero rank field -> reg = field_bits+1) must contribute a
+    finite positive term, not a masked negative shift; (2) an
+    empty-input group estimates 0.0, never NULL; (3) cms_estimate
+    rejects d > 4 like cms_build instead of silently answering 0;
+    (4) a NULL-text turn counts zero tokens instead of resetting the
+    truncation budget."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    from pyrdfa3_spark.operators.sketch import (
+        cms_build, cms_estimate, hll_estimate,
+    )
+    from pyrdfa3_spark.operators.transcripts import truncate_conversations
+
+    # (1) saturated register: p=4 -> field_bits=56, reg=57 legal
+    regs = spark.createDataFrame(
+        [("g", 0, 57), ("g", 1, 1)],
+        StructType([StructField("grp", StringType()),
+                    StructField("bucket", LongType()),
+                    StructField("reg", IntegerType())]))
+    est = hll_estimate(regs, ["grp"], p=4).collect()[0]["est"]
+    assert est is not None and 0 < est < 100
+
+    # (2) zero observed registers -> 0.0, not NULL
+    empty = spark.createDataFrame(
+        [], StructType([StructField("grp", StringType()),
+                        StructField("bucket", LongType()),
+                        StructField("reg", IntegerType())]))
+    out = hll_estimate(empty.withColumn("g", F.lit(1)), ["g"],
+                       p=4).collect()
+    assert out == [] or out[0]["est"] == 0.0
+
+    # (3) estimate-side d guard matches the build side
+    df = spark.createDataFrame([("k",)], ["key"])
+    with pytest.raises(ValueError, match="md5"):
+        cms_estimate(cms_build(df), df, d=5)
+
+    # (4) NULL text: zero tokens, budget intact for later turns
+    tr = spark.createDataFrame(
+        [("c", 0, "user", "a b"), ("c", 1, "user", None),
+         ("c", 2, "user", "c d")],
+        StructType([StructField("conv_id", StringType()),
+                    StructField("turn_idx", IntegerType()),
+                    StructField("role", StringType()),
+                    StructField("text", StringType())]))
+    kept = {(r["turn_idx"], r["n_tokens"], r["cum_tokens"])
+            for r in truncate_conversations(tr, max_tokens=3).collect()}
+    assert kept == {(0, 2, 2), (1, 0, 2)}   # t2 would exceed: dropped
+    kept4 = {(r["turn_idx"], r["cum_tokens"])
+             for r in truncate_conversations(tr, max_tokens=4).collect()}
+    assert kept4 == {(0, 2), (1, 2), (2, 4)}
