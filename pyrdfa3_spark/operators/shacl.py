@@ -15,6 +15,15 @@ shapes):
   * ``in``                         — enumerated value set
   * ``class``                      — value must be an ``rdf:type``
     instance of the given class in the same graph
+  * ``datatype``                   — literal datatype equality (needs
+    the shaped store's ``obj_datatype`` column)
+  * ``min/max_inclusive/exclusive`` — numeric value range (non-numeric
+    lexicals violate: they cannot satisfy a numeric facet)
+  * ``min_length`` / ``max_length`` — lexical length bounds
+  * ``language_in`` / ``unique_lang`` — language-tag enumeration and
+    per-focus tag uniqueness (need ``obj_lang``)
+  * ``has_value``                  — at least one value equals the
+    given term
 
 Shapes are plain dicts (a parquet-able contract, no RDF shape graph
 needed)::
@@ -87,9 +96,12 @@ def shacl_validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
                  .select(F.col("subj").alias("focus")).distinct())
         for prop in shape.get("properties", []):
             path = prop["path"]
+            shape_cols = [c for c in ("obj_is_iri", "obj_lang",
+                                      "obj_datatype")
+                          if c in triples.columns]
             vals = (triples.filter(F.col("pred") == path)
                     .select(F.col("subj").alias("focus"), "obj",
-                            *(["obj_is_iri"] if has_iri_bit else []))
+                            *shape_cols)
                     .dropDuplicates(["focus", "obj"])
                     .join(focus, "focus"))
 
@@ -134,6 +146,53 @@ def shacl_validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
                              .select(F.col("subj").alias("obj"))
                              .distinct())
                 report(vals.join(instances, "obj", "left_anti"), "class")
+            if "datatype" in prop:
+                if "obj_datatype" not in triples.columns:
+                    raise ValueError("datatype constraint needs an "
+                                     "obj_datatype column (shaped store)")
+                report(vals.filter(
+                    F.coalesce("obj_datatype", F.lit(""))
+                    != prop["datatype"]), "datatype")
+            num = F.expr("try_cast(obj AS DOUBLE)")
+            for key, label, bad in (
+                    ("min_inclusive", "minInclusive",
+                     lambda v: num.isNull() | (num < v)),
+                    ("max_inclusive", "maxInclusive",
+                     lambda v: num.isNull() | (num > v)),
+                    ("min_exclusive", "minExclusive",
+                     lambda v: num.isNull() | (num <= v)),
+                    ("max_exclusive", "maxExclusive",
+                     lambda v: num.isNull() | (num >= v))):
+                if key in prop:  # non-numeric values cannot satisfy
+                    report(vals.filter(bad(prop[key])), label)
+            if "min_length" in prop:
+                report(vals.filter(F.length("obj")
+                                   < prop["min_length"]), "minLength")
+            if "max_length" in prop:
+                report(vals.filter(F.length("obj")
+                                   > prop["max_length"]), "maxLength")
+            if "language_in" in prop:
+                if "obj_lang" not in triples.columns:
+                    raise ValueError("language_in constraint needs an "
+                                     "obj_lang column (shaped store)")
+                report(vals.filter(~F.coalesce("obj_lang", F.lit(""))
+                                   .isin(list(prop["language_in"]))),
+                       "languageIn")
+            if prop.get("unique_lang"):
+                if "obj_lang" not in triples.columns:
+                    raise ValueError("unique_lang constraint needs an "
+                                     "obj_lang column (shaped store)")
+                dup = (vals.filter(F.coalesce("obj_lang", F.lit(""))
+                                   != "")
+                       .groupBy("focus", "obj_lang")
+                       .agg(F.count(F.lit(1)).alias("_n"))
+                       .filter(F.col("_n") > 1))
+                report(dup, "uniqueLang", value_col="obj_lang")
+            if "has_value" in prop:
+                holders = (vals.filter(F.col("obj") == prop["has_value"])
+                           .select("focus").distinct())
+                report(focus.join(holders, "focus", "left_anti"),
+                       "hasValue", value_col=None)
 
     if not reports:
         return _empty_report(spark)

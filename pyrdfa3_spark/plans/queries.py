@@ -3413,6 +3413,118 @@ FROM s WHERE k % 17 = 0
 """
 
 
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+
+def _shacl_shaped_triples(spark, sf_dir):
+    """Shaped supplier KG (obj_is_iri/obj_lang/obj_datatype columns)
+    with INJECTED violations for the value-facet constraints: every
+    19th size is datatyped xsd:string (datatype), sizes cycle k%60 so
+    0 breaks minInclusive 1 and 51..59 break maxInclusive 50; every
+    23rd label is tagged 'xx' (languageIn), every 29th non-23rd
+    supplier carries two 'en' labels (uniqueLang); codes are length 1
+    on every 31st (minLength 2) and length 12 on every 37th non-31st
+    (maxLength 8); every 41st flag is 'n' (hasValue 'y')."""
+    from pyrdfa3_spark.functions.constants import RDF_TYPE
+
+    supplier = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    subj = F.concat(F.lit("sup:"), k.cast("string"))
+
+    def row(pred, obj, lang=None, dt=None, iri=False):
+        return supplier.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            obj.alias("obj"), F.lit(iri).alias("obj_is_iri"),
+            (lang if lang is not None else F.lit(None).cast("string"))
+            .alias("obj_lang"),
+            (dt if dt is not None else F.lit(None).cast("string"))
+            .alias("obj_datatype"))
+
+    typed = row(RDF_TYPE, F.lit(_EX + "Supplier"), iri=True)
+    size = row(_EX + "size", (k % 60).cast("string"),
+               dt=F.when(k % 19 == 0, _XSD_STR).otherwise(_XSD_INT))
+    label = row(_EX + "label",
+                F.concat(F.lit("lbl "), k.cast("string")),
+                lang=F.when(k % 23 == 0, "xx").otherwise("en"))
+    label2 = (supplier.filter(k % 29 == 0).select(
+        subj.alias("subj"), F.lit(_EX + "label").alias("pred"),
+        F.concat(F.lit("alt "), k.cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit("en").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype")))
+    code = row(_EX + "code",
+               F.when(k % 31 == 0, F.lit("c"))
+               .when(k % 37 == 0, F.lit("c" * 12))
+               .otherwise(F.lit("ccc")))
+    flag = row(_EX + "flag",
+               F.when(k % 41 == 0, F.lit("n")).otherwise(F.lit("y")))
+    return (typed.unionByName(size).unionByName(label)
+            .unionByName(label2).unionByName(code).unionByName(flag))
+
+
+EXTENDED_SHAPE = {
+    "name": "ShapedSupplier",
+    "target_class": _EX + "Supplier",
+    "properties": [
+        {"path": _EX + "size", "datatype": _XSD_INT,
+         "min_inclusive": 1, "max_inclusive": 50},
+        {"path": _EX + "label", "language_in": ["en", "fr"],
+         "unique_lang": True},
+        {"path": _EX + "code", "min_length": 2, "max_length": 8},
+        {"path": _EX + "flag", "has_value": "y"},
+    ],
+}
+
+
+def q_shacl_extended(spark, sf_dir):
+    """Value-facet SHACL constraints (datatype / numeric range /
+    length / languageIn / uniqueLang / hasValue) over the shaped
+    injected-violation KG; the oracle is the closed form of every
+    injection."""
+    from pyrdfa3_spark.operators.shacl import shacl_validate
+
+    return shacl_validate(_shacl_shaped_triples(spark, sf_dir),
+                          [EXTENDED_SHAPE])
+
+
+SQL_SHACL_EXTENDED = f"""
+WITH s AS (SELECT s_suppkey AS k FROM supplier)
+SELECT 'sup:' || CAST(k AS VARCHAR) AS focus, 'ShapedSupplier' AS shape,
+       '{_EX}size' AS path, 'datatype' AS "constraint",
+       CAST(k % 60 AS VARCHAR) AS value
+FROM s WHERE k % 19 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}size',
+       'minInclusive', CAST(k % 60 AS VARCHAR)
+FROM s WHERE k % 60 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}size',
+       'maxInclusive', CAST(k % 60 AS VARCHAR)
+FROM s WHERE k % 60 > 50
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}label',
+       'languageIn', 'lbl ' || CAST(k AS VARCHAR)
+FROM s WHERE k % 23 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}label',
+       'uniqueLang', 'en'
+FROM s WHERE k % 29 = 0 AND k % 23 <> 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}code',
+       'minLength', 'c'
+FROM s WHERE k % 31 = 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}code',
+       'maxLength', '{"c" * 12}'
+FROM s WHERE k % 37 = 0 AND k % 31 <> 0
+UNION ALL
+SELECT 'sup:' || CAST(k AS VARCHAR), 'ShapedSupplier', '{_EX}flag',
+       'hasValue', NULL
+FROM s WHERE k % 41 = 0
+"""
+
+
 def q_kg_construct(spark, sf_dir):
     """SPARQL CONSTRUCT — rule-based derivation: from the supplier/
     nation/region BGP, materialize a new graph of supplier->region
@@ -6473,6 +6585,7 @@ QUERIES = {
     "bgp_exists": q_bgp_exists,
     "kg_having": q_kg_having,
     "shacl_report": q_shacl_report,
+    "shacl_extended": q_shacl_extended,
     "triangle_count": q_triangle_count,
     "apply_diff": q_apply_diff,
     "bgp_path_seq": q_bgp_path_seq,
@@ -6621,6 +6734,7 @@ def oracles() -> dict[str, str]:
         "bgp_exists": SQL_BGP_EXISTS,
         "kg_having": SQL_KG_HAVING,
         "shacl_report": SQL_SHACL_REPORT,
+        "shacl_extended": SQL_SHACL_EXTENDED,
         "triangle_count": SQL_TRIANGLE_COUNT,
         "apply_diff": SQL_APPLY_DIFF,
         "bgp_path_seq": SQL_BGP_PATH_SEQ,

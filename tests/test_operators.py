@@ -2925,3 +2925,54 @@ def test_sketch_and_truncate_review_regressions(spark):
     kept4 = {(r["turn_idx"], r["cum_tokens"])
              for r in truncate_conversations(tr, max_tokens=4).collect()}
     assert kept4 == {(0, 2), (1, 2), (2, 4)}
+
+
+def test_shacl_value_facets(spark):
+    """New SHACL value-facet constraints on a hand-computed shaped
+    graph: datatype equality, numeric ranges (non-numeric lexicals
+    violate), length bounds, languageIn, uniqueLang, hasValue; plus
+    the shapeless-store raise for shape-column constraints."""
+    from pyrdfa3_spark.operators.shacl import shacl_validate
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        # subj, pred, obj, is_iri, lang, dt
+        ("a", T, "C", True, None, None),
+        ("a", "p:size", "5", False, None, INT),
+        ("a", "p:label", "hello", False, "en", None),
+        ("a", "p:label", "hi", False, "en", None),      # dup en
+        ("a", "p:flag", "y", False, None, None),
+        ("b", T, "C", True, None, None),
+        ("b", "p:size", "huge", False, None, "xsd:string"),  # dt + range
+        ("b", "p:label", "salut", False, "de", None),        # langIn
+        ("b", "p:flag", "n", False, None, None),             # hasValue
+        ("c", T, "C", True, None, None),
+        ("c", "p:size", "200", False, None, INT),            # > max
+    ]
+    df = spark.createDataFrame(
+        rows, ["subj", "pred", "obj", "obj_is_iri", "obj_lang",
+               "obj_datatype"])
+    shape = {"name": "S", "target_class": "C", "properties": [
+        {"path": "p:size", "datatype": INT,
+         "min_inclusive": 1, "max_inclusive": 100},
+        {"path": "p:label", "language_in": ["en", "fr"],
+         "unique_lang": True},
+        {"path": "p:flag", "has_value": "y"},
+    ]}
+    got = {(r["focus"], r["constraint"], r["value"])
+           for r in shacl_validate(df, [shape]).collect()}
+    assert got == {
+        ("b", "datatype", "huge"),
+        ("b", "minInclusive", "huge"),   # non-numeric: both bounds fail
+        ("b", "maxInclusive", "huge"),
+        ("c", "maxInclusive", "200"),
+        ("b", "languageIn", "salut"),
+        ("a", "uniqueLang", "en"),
+        ("b", "hasValue", None),
+        ("c", "hasValue", None),   # absent property violates hasValue
+    }
+
+    shapeless = df.select("subj", "pred", "obj")
+    with pytest.raises(ValueError, match="obj_datatype"):
+        shacl_validate(shapeless, [shape])
