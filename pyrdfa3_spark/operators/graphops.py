@@ -2085,9 +2085,11 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 30) -> DataFrame:
 def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
     """Link-prediction candidate scoring over an undirected entity
     graph: for every NON-adjacent pair sharing at least one common
-    neighbour, the common-neighbour count and the Adamic-Adar score
-    ``sum over common z of 1/ln(deg(z))`` — the classic KG-completion
-    signal (which missing edges does the graph itself suggest?).
+    neighbour: the common-neighbour count, the Adamic-Adar score
+    ``sum over common z of 1/ln(deg(z))``, and the neighbourhood
+    Jaccard coefficient ``cn / (deg_a + deg_b - cn)`` — the classic
+    KG-completion signals (which missing edges does the graph itself
+    suggest?).
 
     ``max_degree`` is a MODEL parameter, not a silent cap: wedge
     centers above it are excluded from scoring (mirrored identically
@@ -2123,10 +2125,20 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
                   .alias("aa_dec")))
     adjacent = e.select(F.col("src").alias("node_a"),
                         F.col("dst").alias("node_b"))
+    # neighbourhood Jaccard = cn / (deg_a + deg_b - cn): the second
+    # classic link-prediction score, free given the degree dim
+    da = deg.select(F.col("src").alias("node_a"),
+                    F.col("deg").alias("_da"))
+    db = deg.select(F.col("src").alias("node_b"),
+                    F.col("deg").alias("_db"))
     return (pairs.join(adjacent, ["node_a", "node_b"], "left_anti")
+            .join(da, "node_a").join(db, "node_b")
             .select("node_a", "node_b", "cn",
                     F.round(F.col("aa_dec").cast("double"), 4)
-                    .alias("aa")))
+                    .alias("aa"),
+                    F.round(F.col("cn") /
+                            (F.col("_da") + F.col("_db") - F.col("cn")),
+                            4).alias("jaccard")))
 
 
 def negative_samples(triples: DataFrame, k: int = 2,

@@ -4313,8 +4313,10 @@ p AS MATERIALIZED (
   FROM w a JOIN w b ON b.z = a.z AND a.dst < b.dst
   GROUP BY a.dst, b.dst)
 SELECT p.node_a, p.node_b, p.cn,
-       round(CAST(p.aa_dec AS DOUBLE), 4) AS aa
-FROM p
+       round(CAST(p.aa_dec AS DOUBLE), 4) AS aa,
+       round(p.cn / (da.deg + db.deg - p.cn), 4) AS jaccard
+FROM p JOIN deg da ON da.src = p.node_a
+       JOIN deg db ON db.src = p.node_b
 WHERE NOT EXISTS (SELECT 1 FROM ed
                   WHERE ed.src = p.node_a AND ed.dst = p.node_b)
 """

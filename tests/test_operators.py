@@ -2707,10 +2707,14 @@ def test_adamic_adar_vs_python_reference(spark):
                     continue
                 cn, aa = out.get((x, y), (0, 0.0))
                 out[(x, y)] = (cn + 1, aa + t)
-        return {k: (cn, round(aa, 4)) for k, (cn, aa) in out.items()}
+        return {k: (cn, round(aa, 4),
+                    round(cn / (len(adj[k[0]]) + len(adj[k[1]]) - cn),
+                          4))
+                for k, (cn, aa) in out.items()}
 
     for cap in (64, 3):
-        got = {(r["node_a"], r["node_b"]): (r["cn"], r["aa"])
+        got = {(r["node_a"], r["node_b"]):
+               (r["cn"], r["aa"], r["jaccard"])
                for r in adamic_adar(
                    spark.createDataFrame(raw, ["src", "dst"]),
                    max_degree=cap).collect()}
