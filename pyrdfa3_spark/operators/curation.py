@@ -326,9 +326,16 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     if prefix_partitions is None:
         prefix_partitions = int(docs.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
+    # eager checkpoint: pin ONE partition assignment for both the
+    # per-slice-totals branch and the final join (range bounds are
+    # sampled and spark_partition_id is execution-dependent — two
+    # independent evaluations of this subtree could disagree unless
+    # materialized once; exchange reuse is an optimization, not a
+    # correctness guarantee).
     sliced = (base
               .repartitionByRange(prefix_partitions, "shard", "doc_id")
-              .withColumn("slice", F.spark_partition_id()))
+              .withColumn("slice", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     slice_tot = (sliced.groupBy("shard", "slice")
                  .agg(F.sum("n_tokens").alias("tot")))
     w_dim = Window.partitionBy("shard").orderBy("slice")

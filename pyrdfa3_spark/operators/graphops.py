@@ -2099,6 +2099,20 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
     wedge fan-out is at most C(max_degree, 2), so no O(hub-degree²)
     blowup exists in the plan.
 
+    The cap applies to ``jaccard`` too, and asymmetrically: ``cn``
+    counts only common neighbours with degree in [2, max_degree],
+    while ``deg_a``/``deg_b`` in the denominator are FULL degrees —
+    so for pairs whose shared neighbours include hubs the emitted
+    value is a LOWER BOUND on the true neighbourhood Jaccard
+    coefficient, not the coefficient itself.  This is deliberate: the
+    exact coefficient would need a second, UNCAPPED wedge join, which
+    is exactly the O(hub-degree²) plan the cap exists to forbid — a
+    single 10^6-degree hub would emit ~5·10^11 wedge rows.  Pair
+    RECALL is also cap-bounded: a pair whose only common neighbours
+    are hubs does not appear at all.  Oracles mirror the capped
+    semantics exactly, so the value is deterministic and
+    cross-engine stable — just read it as "capped-wedge Jaccard".
+
     Scale shape: one degree groupBy, one self-equi-join on the wedge
     center (fan-out capped as above), one partially-aggregated pair
     groupBy with DECIMAL sums (terms ``round(1/ln(deg), 9)`` — the
@@ -2125,8 +2139,9 @@ def adamic_adar(edges: DataFrame, max_degree: int = 64) -> DataFrame:
                   .alias("aa_dec")))
     adjacent = e.select(F.col("src").alias("node_a"),
                         F.col("dst").alias("node_b"))
-    # neighbourhood Jaccard = cn / (deg_a + deg_b - cn): the second
-    # classic link-prediction score, free given the degree dim
+    # capped-wedge Jaccard = cn / (deg_a + deg_b - cn): cn is counted
+    # over capped wedge centers only while the degrees are full, so
+    # this is a lower bound on the true coefficient (see docstring)
     da = deg.select(F.col("src").alias("node_a"),
                     F.col("deg").alias("_da"))
     db = deg.select(F.col("src").alias("node_b"),
@@ -2170,8 +2185,15 @@ def negative_samples(triples: DataFrame, k: int = 2,
     if rank_partitions is None:
         rank_partitions = int(triples.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
+    # materialize the slice assignment BEFORE deriving anything from
+    # it: repartitionByRange samples its bounds and spark_partition_id
+    # is execution-dependent, so two independent evaluations of this
+    # subtree could disagree.  The eager checkpoint pins ONE partition
+    # assignment that both the offsets branch and the ranked join read
+    # (correctness must not hinge on Catalyst exchange reuse).
     sliced = (ents.repartitionByRange(rank_partitions, "e")
-              .withColumn("slice", F.spark_partition_id()))
+              .withColumn("slice", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     slice_tot = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
     w_dim = Window.partitionBy(F.lit(0)).orderBy("slice")
     offsets = slice_tot.select(

@@ -99,10 +99,18 @@ def shacl_validate(triples: DataFrame, shapes: list[dict]) -> DataFrame:
             shape_cols = [c for c in ("obj_is_iri", "obj_lang",
                                       "obj_datatype")
                           if c in triples.columns]
+            # dedup on the full RDF-term identity: two rows with equal
+            # lexical form but different lang/datatype/kind are DISTINCT
+            # terms ("hello"@en vs "hello"@fr; "5"^^xsd:integer vs
+            # "5"^^xsd:string) — keying on lexical form alone would
+            # arbitrarily drop one and nondeterministically miss its
+            # languageIn/datatype violation.  Plain (subj,pred,obj)
+            # stores carry no shape columns, so there the lexical key
+            # IS the term identity.
             vals = (triples.filter(F.col("pred") == path)
                     .select(F.col("subj").alias("focus"), "obj",
                             *shape_cols)
-                    .dropDuplicates(["focus", "obj"])
+                    .dropDuplicates(["focus", "obj", *shape_cols])
                     .join(focus, "focus"))
 
             def report(df, constraint, value_col="obj"):

@@ -36,8 +36,15 @@ def compaction_plan(files: DataFrame, target_bytes: int = 134217728,
     if prefix_partitions is None:
         prefix_partitions = int(files.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
+    # eager checkpoint pins ONE partition assignment: both the
+    # per-slice-totals branch and the final join read the same
+    # materialized slices (repartitionByRange samples its bounds and
+    # spark_partition_id is execution-dependent — without this,
+    # correctness would hinge on Catalyst exchange reuse deduplicating
+    # the two reads of this subtree).
     sliced = (base.repartitionByRange(prefix_partitions, "path")
-              .withColumn("slice", F.spark_partition_id()))
+              .withColumn("slice", F.spark_partition_id())
+              .localCheckpoint(eager=True))
     slice_tot = sliced.groupBy("slice").agg(F.sum("bytes").alias("tot"))
     w_dim = Window.partitionBy(F.lit(0)).orderBy("slice")
     offsets = slice_tot.select(
