@@ -1985,24 +1985,185 @@ def _solve_union(triples: DataFrame, chain: list[dict]) -> DataFrame:
     return out
 
 
-def _reject_outer_filters(body: dict, outer_cols: set, what: str):
-    """A FILTER inside an EXISTS body reading an outer variable needs
-    §8.1.1 per-solution substitution INSIDE the expression — out of
-    scope for the semi-join translation, so it refuses (the nested
-    constructs' own filters hit the same wall as unresolved columns
-    at solve time: raise, never misanswer)."""
-    bvars = _group_vars(body)
-    for e in body["filters"]:
-        outside = sorted(v for v in outer_cols - bvars
-                         if not v.startswith(G.SHAPE_PREFIX)
-                         and re.search(rf"\b{re.escape(v)}\b", e))
-        if outside:
+#: per-bucket cap on the distinct-outer-bindings seed an injected
+#: EXISTS solve joins against: past it the substitution becomes a
+#: per-binding re-evaluation of the body (quadratic in disguise), so
+#: refuse loudly instead of planning it
+_EXISTS_INJECT_CAP = 4_000_000
+
+
+def _check_injectable(g: dict, inject: set) -> None:
+    """Guard the §8.1.1 binding-injection translation: injection at
+    the body's TOP equals substitution only where nested constructs
+    either certainly bind or never mention the substituted variables.
+    A nested group that binds one OPTIONALLY diverges (substitution
+    reaches inside it; the compat join over its plain solutions does
+    not — the classic leftjoin/substitution mismatch), as do filters,
+    binds and EXISTS/MINUS bodies inside nested groups that read a
+    substituted variable their group never binds.  Subqueries and
+    MINUS inside the body refuse outright: whether substitution
+    descends into them is contested (the SPARQL-EXISTS errata), so
+    raising beats picking a side silently."""
+    if g["subqueries"]:
+        raise SparqlUnsupported(
+            "FILTER EXISTS body with a subquery under §8.1.1 "
+            "substitution: whether bindings substitute inside the "
+            "subquery is unspecified — lift the subquery out")
+    if g["minus"]:
+        raise SparqlUnsupported(
+            "FILTER EXISTS body with MINUS under §8.1.1 substitution "
+            "(the known substitution/MINUS spec conflict) — rewrite "
+            "with FILTER NOT EXISTS")
+
+    def expr_reads(e: str, vs) -> list:
+        return sorted(v for v in vs
+                      if re.search(rf"\b{re.escape(v)}\b", e))
+
+    def nested(ng: dict, what: str) -> None:
+        gv = _group_vars(ng)
+        loose = sorted(v for v in inject
+                       if v in gv and v not in _certain_vars(ng))
+        if loose:
             raise SparqlUnsupported(
-                f"{what} group FILTER reads outer variable(s) "
-                f"{outside}: §8.1.1 substitutes bindings inside the "
-                "expression, which the semi-join translation cannot "
-                "express — compare against a variable the group "
-                "itself binds")
+                f"FILTER EXISTS body nests a {what} that may leave "
+                f"substituted variable(s) {loose} unbound — §8.1.1 "
+                "substitution reaches inside it, which the injected "
+                "join cannot mirror; bind them in every branch")
+        outer = sorted(set(inject) - gv)
+        for e in ng["filters"]:
+            bad = expr_reads(e, outer)
+            if bad:
+                raise SparqlUnsupported(
+                    f"FILTER EXISTS body: a {what} FILTER reads "
+                    f"substituted variable(s) {bad} its group never "
+                    "binds — out of scope for the injected solve")
+        for var, e, _shp in ng["binds"]:
+            bad = expr_reads(e, outer)
+            if bad:
+                raise SparqlUnsupported(
+                    f"FILTER EXISTS body: a {what} BIND reads "
+                    f"substituted variable(s) {bad} its group never "
+                    "binds")
+        for o in ng["optionals"]:
+            for e in (o.get("filters") or []):
+                bad = expr_reads(e, outer)
+                if bad:
+                    raise SparqlUnsupported(
+                        f"FILTER EXISTS body: an OPTIONAL filter in "
+                        f"a {what} reads substituted variable(s) "
+                        f"{bad} out of its scope")
+        for _n, b in ng["exists"]:
+            bv = (_group_vars(b) if isinstance(b, dict) else
+                  {t[1:] for pat in b for t in pat
+                   if isinstance(t, str) and t.startswith("?")})
+            if inject & bv:
+                raise SparqlUnsupported(
+                    f"FILTER EXISTS body: a {what} nests its own "
+                    "EXISTS mentioning a substituted variable")
+        _check_injectable(ng, inject)
+
+    if set(v for v, _e, _s in g["binds"]) & inject:
+        raise SparqlUnsupported(
+            "FILTER EXISTS body BINDs a substituted variable "
+            "(rebinding an in-scope variable)")
+    for chain in g["unions"]:
+        for b in chain:
+            nested(b, "UNION branch")
+    for o in g["optionals"]:
+        if "group" in o:
+            nested(o["group"], "OPTIONAL group")
+    for _giri, sub in g.get("graph_scoped") or ():
+        nested(sub, "GRAPH group")
+
+
+def _exists_inject(triples: DataFrame, sols: DataFrame, body: dict,
+                   negate: bool, acc_certain: set,
+                   shared_pat: list, filt_outer: list) -> DataFrame:
+    """FILTER (NOT) EXISTS under full §8.1.1 substitution, for the
+    body shapes the plain semi-join cannot express: a body that may
+    leave a shared variable unbound (OPTIONAL / partial-UNION inside
+    the body), and a body FILTER reading outer variables.
+
+    Translation: per outer null-mask bucket (only BOUND bindings
+    substitute), the DISTINCT outer bindings over the substituted
+    variables become a seed frame injected as the body solve's
+    opening operand — every body operand then conjoins against the
+    seed, so an OPTIONAL inside the body left-joins per binding (the
+    substitution-by-constant semantics) and top-level body filters
+    see the substituted columns in scope.  Outer-bound variables the
+    body never matches but its filters read inject as value columns;
+    in buckets where they are unbound they inject as NULL columns —
+    the engine's unbound==NULL discipline makes BOUND()/comparisons
+    answer per spec.  The bucket then semi/anti-joins against the
+    distinct witness projection of the injected solve.
+
+    Scale shape: the seed is a distinct-bindings dim (capped at
+    ``_EXISTS_INJECT_CAP`` — past that the translation degenerates to
+    per-binding re-evaluation and refuses); every join is an
+    equi-join on the substituted keys except a body operand genuinely
+    disconnected from the seed, which is the substitution-mandated
+    product of a capped dim against that operand.  The outer frame is
+    localCheckpointed once; buckets partition it, so the solution
+    multiset is preserved exactly."""
+    from pyspark.sql import functions as F
+
+    inject = sorted(set(shared_pat) | set(filt_outer))
+    _check_injectable(body, set(inject))
+    risky = sorted(v for v in inject if v not in acc_certain)
+    if len(risky) > G.COMPAT_MAX_NULLABLE:
+        raise SparqlUnsupported(
+            f"FILTER {'NOT ' if negate else ''}EXISTS substituting "
+            f"possibly-unbound variable(s) {risky}: the §8.1.1 "
+            "null-mask decomposition is capped at "
+            f"{G.COMPAT_MAX_NULLABLE} variables")
+    how = "left_anti" if negate else "left_semi"
+    sols = sols.localCheckpoint(eager=True)
+    out = None
+    for nullset, bucket in G._null_mask_buckets(sols, risky):
+        bound = [v for v in inject if v not in nullset]
+        null_filter_only = [v for v in filt_outer if v in nullset]
+        if bound:
+            seed = (bucket.select(*bound).dropDuplicates()
+                    .localCheckpoint(eager=True))
+            n_seed = seed.count()
+            if n_seed == 0:
+                part = bucket  # empty bucket: nothing to filter
+            else:
+                if n_seed > _EXISTS_INJECT_CAP:
+                    raise SparqlUnsupported(
+                        f"FILTER EXISTS substitution over {n_seed} "
+                        "distinct outer bindings exceeds the "
+                        f"{_EXISTS_INJECT_CAP}-row injection cap — "
+                        "restrict the outer solutions first")
+                seeded = seed
+                for v in null_filter_only:
+                    seeded = seeded.withColumn(
+                        v, F.lit(None).cast("string"))
+                body2 = dict(body)
+                body2["_init"] = (seeded, set(bound))
+                wit = (_solve_group(triples, body2)
+                       .select(*bound).dropDuplicates())
+                part = bucket.join(wit, bound, how)
+        else:
+            # nothing substitutes in this bucket: free pattern
+            # variables match freely (plain solve); filter-only
+            # variables inject as all-NULL columns so BOUND() and
+            # comparisons see SPARQL-unbound
+            if null_filter_only:
+                seed0 = sols.sparkSession.range(1).select(
+                    *[F.lit(None).cast("string").alias(v)
+                      for v in null_filter_only])
+                body2 = dict(body)
+                body2["_init"] = (seed0, set())
+                bsols = _solve_group(triples, body2)
+            else:
+                bsols = _solve_group(triples, body)
+            flag = bsols.limit(1).select(F.lit(1).alias("_k"))
+            part = (bucket.withColumn("_k", F.lit(1))
+                    .join(F.broadcast(flag), "_k", how)
+                    .drop("_k"))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
@@ -2017,9 +2178,10 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             "literal-shape columns (obj_is_iri/obj_lang/"
             "obj_datatype); match the plain lexical form instead")
     t = _expand_paths(triples, [g], keep_shape=keep_shape)
+    init = g.get("_init")
     if (not g["patterns"] and not g["subqueries"] and not g["graphs"]
             and not g.get("graph_scoped") and not g["unions"]
-            and g["values"] is None):
+            and g["values"] is None and init is None):
         raise SparqlUnsupported("empty WHERE group")
     # a full-group OPTIONAL can't inline into the matcher, so its
     # presence routes ALL optionals through the generic leftjoin loop
@@ -2057,6 +2219,16 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     # filters may reference subquery/GRAPH-bound variables, so with
     # those present they apply after the joins, not inside bgp_match
     inline_filters = None if late else (pre_bind or None)
+    if init is not None:
+        # §8.1.1 substitution via binding injection (_exists_inject):
+        # the outer-bindings seed opens the solve, so OPTIONALs must
+        # route through the generic leftjoin loop (a left join that
+        # does not see the seed's columns would bind the substituted
+        # variable freely), and every filter defers to group end
+        # where the seed's columns are in scope
+        complex_opt = True
+        late = True
+        inline_filters = None
 
     # `acc_certain` tracks the variables certainly bound (never NULL)
     # in `sols` as operands conjoin; every equi-join below requires its
@@ -2074,6 +2246,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
                         set(sols.columns) & set(other.columns)
                         if not c.startswith(G.SHAPE_PREFIX))
         if not shared:
+            if init is not None:
+                # injected EXISTS solve: a body operand disconnected
+                # from the seed is a REQUIRED product under §8.1.1
+                # substitution (the seed is a distinct-bindings dim,
+                # capped at _EXISTS_INJECT_CAP rows by _exists_inject)
+                return sols.crossJoin(other)
             # SPARQL says disjoint-domain join = cartesian product;
             # refuse rather than misplan it at lake scale
             raise SparqlUnsupported(
@@ -2102,8 +2280,12 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
         return vs
 
     sols = None
+    if init is not None:
+        sols, init_certain = init
+        acc_certain |= init_certain
     inline_opt = None if complex_opt else (g["optionals"] or None)
     if g["patterns"]:
+        base, sols = sols, None
         try:
             if g["values"] is not None:
                 names, rows = g["values"]
@@ -2160,6 +2342,17 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
             # surface one exception type for one unsupported shape
             raise SparqlUnsupported(str(exc)) from exc
         acc_certain |= pattern_vars(g["patterns"])
+        if base is not None:
+            # injected solve: conjoin the pattern block onto the
+            # seed — both sides certain on the shared columns (the
+            # seed carries only bound bindings, the block only
+            # pattern-bound ones), so a plain equi-join; a block
+            # disconnected from the seed is the substitution product
+            shared_b = sorted(c for c in base.columns
+                              if c in sols.columns
+                              and not c.startswith(G.SHAPE_PREFIX))
+            sols = (base.join(sols, shared_b) if shared_b
+                    else base.crossJoin(sols))
     if g["graphs"]:
         qsrc = g.get("_quads", triples)
         if "graph" not in qsrc.columns:
@@ -2348,14 +2541,30 @@ def _solve_group(triples: DataFrame, g: dict) -> DataFrame:
     for negate, body in g["exists"]:
         if isinstance(body, dict):
             # full-group body: §8.1.1 substitutes the solution's
-            # BOUND bindings into the group — the shared-variable
-            # semi-join expresses that only when the group binds the
+            # BOUND bindings into the group.  The shared-variable
+            # semi-join expresses that when the group binds the
             # shared variables in EVERY solution and its filters
-            # read no outer variables
-            _reject_outer_filters(body, set(sols.columns),
-                                  "FILTER EXISTS")
+            # read no outer variables; otherwise the binding
+            # injection path re-solves the body seeded with the
+            # distinct outer bindings (full substitution semantics)
+            bvars = _group_vars(body)
+            bcertain = _certain_vars(body)
+            cols = {c for c in sols.columns
+                    if not c.startswith(G.SHAPE_PREFIX)}
+            filt_outer = sorted(
+                v for v in cols - bvars
+                if any(re.search(rf"\b{re.escape(v)}\b", e)
+                       for e in body["filters"]))
+            inj_risky = sorted(v for v in (cols & bvars)
+                               if v not in bcertain)
+            if inj_risky or filt_outer:
+                sols = _exists_inject(triples, sols, body, negate,
+                                      acc_certain,
+                                      sorted(cols & bvars),
+                                      filt_outer)
+                continue
             grp = _solve_group(triples, body)
-            grp_certain = _certain_vars(body)
+            grp_certain = bcertain
         else:
             grp = G.bgp_match(t, body) if body else None
             grp_certain = pattern_vars(body) if body else set()

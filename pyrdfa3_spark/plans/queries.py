@@ -2849,6 +2849,49 @@ ORDER BY n
 """
 
 
+def q_sparql_exists_subst(spark, sf_dir):
+    """Full §8.1.1 FILTER EXISTS substitution (round-4: the two
+    formerly-refused shapes, now evaluated by the binding-injection
+    translation in ``operators/sparql.py:_exists_inject``):
+
+    * first EXISTS — the body's OPTIONAL binds the shared ?name only
+      optionally; substitution reaches inside it, so a failing
+      optional still KEEPS the body solution (true for every nation —
+      a naive semi-join on the body's solutions would wrongly drop
+      the even-region nations whose region comment differs from the
+      nation name);
+    * second EXISTS — the body FILTER reads the outer ?com, which the
+      outer OPTIONAL leaves unbound for odd regions; per bucket the
+      bound values inject as a seed column and the unbound bucket
+      injects NULL (comparison -> NULL -> no witness), keeping
+      exactly the even-region nations."""
+    from pyrdfa3_spark.operators.sparql import sparql
+
+    return sparql(_geo_triples(spark, sf_dir), f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?name ?com WHERE {{
+          ?n ex:memberOf ?r . ?n ex:name ?name .
+          OPTIONAL {{ ?r ex:comment ?com }}
+          FILTER EXISTS {{ ?r a ex:Region
+                           OPTIONAL {{ ?r ex:comment ?name }} }}
+          FILTER EXISTS {{ ?r2 a ex:Region . ?r2 ex:comment ?c
+                           FILTER(?c != ?com) }}
+        }}
+        ORDER BY ?n
+    """)
+
+
+SQL_SPARQL_EXISTS_SUBST = """
+SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS n,
+       n_name AS name, r.r_name AS com
+FROM nation JOIN region r
+  ON n_regionkey = r.r_regionkey AND r.r_regionkey % 2 = 0
+WHERE EXISTS (SELECT 1 FROM region r2
+              WHERE r2.r_regionkey % 2 = 0 AND r2.r_name <> r.r_name)
+ORDER BY n
+"""
+
+
 def q_sparql_values_trailing(spark, sf_dir):
     """Trailing VALUES (§10.2/§18.2.4.3): supplier counts per nation
     aggregate FIRST, then the post-query VALUES constrains the groups
@@ -6467,6 +6510,7 @@ QUERIES = {
     "sparql_compat_optional": q_sparql_compat_optional,
     "sparql_compat_minus": q_sparql_compat_minus,
     "sparql_compat_exists": q_sparql_compat_exists,
+    "sparql_exists_subst": q_sparql_exists_subst,
     # round-3d: the composed cleaning flagship (URL dedup -> exact
     # dedup -> span removal -> length floor) — in-window; displaces
     # sparql_values_trailing behind the window (trailing VALUES stays
@@ -6709,6 +6753,7 @@ def oracles() -> dict[str, str]:
         "sparql_compat_optional": SQL_SPARQL_COMPAT_OPTIONAL,
         "sparql_compat_minus": SQL_SPARQL_COMPAT_MINUS,
         "sparql_compat_exists": SQL_SPARQL_COMPAT_EXISTS,
+        "sparql_exists_subst": SQL_SPARQL_EXISTS_SUBST,
         "sparql_values_trailing": SQL_SPARQL_VALUES_TRAILING,
         "sparql_term_shape": SQL_SPARQL_TERM_SHAPE,
         "sparql_kg_mint": SQL_SPARQL_KG_MINT,

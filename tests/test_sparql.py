@@ -2330,17 +2330,139 @@ def test_exists_minus_full_group(spark):
         ?x p:d ?v .
         FILTER NOT EXISTS { { ?x p:a ?m } UNION { ?x p:b ?m } } }""")))
     assert out == [("x3",)]
-    # a body that may leave the shared variable unbound refuses
-    with pytest.raises(SparqlUnsupported, match="unbound"):
+    # a body that may leave the shared variable unbound (partial
+    # UNION) evaluates under §8.1.1 substitution: ?v substitutes into
+    # the first branch, the second branch never mentions it
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { { ?x p:a ?v } UNION { ?x p:b ?m } } }""")))
+    # x1: p:a binds m != c1, no p:b -> false; x2: p:b matches -> true
+    assert out == [("x2", "c9")]
+    # a body FILTER reading an outer variable substitutes per §8.1.1
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { ?x p:a ?m FILTER(?m != ?v) } }""")))
+    assert out == [("x1", "c1")]
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER NOT EXISTS { ?x p:a ?m FILTER(?m != ?v) } }""")))
+    assert out == [("x2", "c9"), ("x3", "c3")]
+
+
+def test_exists_substitution_inside_optional(spark):
+    """The canonical §8.1.1 substitution case a naive semi-join gets
+    WRONG: the outer binding substitutes INSIDE the body's OPTIONAL —
+    a failing optional still keeps the body solution, so EXISTS is
+    true even when the body's optional value differs from the outer
+    one."""
+    rows = [("x1", "p:d", "c1"), ("x4", "p:d", "c7"),
+            ("x5", "p:d", "c5"),
+            ("x1", "p:a", "m"), ("x4", "p:a", "m"),
+            ("x1", "p:c", "c1"), ("x4", "p:c", "OTHER")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { ?x p:a ?m OPTIONAL { ?x p:c ?v } } }""")))
+    # x1: required matches, optional binds c1 = outer -> true
+    # x4: required matches; OPTIONAL { x4 p:c c7 } fails but KEEPS
+    #     the solution (substitution semantics) -> true
+    # x5: required part has no match -> false
+    assert out == [("x1", "c1"), ("x4", "c7")]
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER NOT EXISTS { ?x p:a ?m OPTIONAL { ?x p:c ?v } } }""")))
+    assert out == [("x5", "c5")]
+    # body FILTER over the optionally-bound variable: BOUND() answers
+    # against the merged (substituted) solution
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { ?x p:a ?m
+                        OPTIONAL { ?x p:c ?w }
+                        FILTER(!BOUND(?w) || ?w = ?v) } }""")))
+    # x1: w = c1 = v -> true; x4: w = OTHER != c7 -> filter false ->
+    # no body solution -> false
+    assert out == [("x1", "c1")]
+
+
+def test_exists_outer_filter_var_unbound_bucket(spark):
+    """A body FILTER reading an outer variable the outer OPTIONAL
+    left UNBOUND: the unbound bucket injects a NULL column, so the
+    comparison is NULL (no witness) while BOUND() answers false —
+    never an unresolved-column error."""
+    rows = [("x1", "p:d", "c1"), ("x2", "p:d", "c2"),
+            ("x1", "p:o", "c1"),          # only x1 gets ?w bound
+            ("x1", "p:a", "c1"), ("x2", "p:a", "zz")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v . OPTIONAL { ?x p:o ?w }
+        FILTER EXISTS { ?x p:a ?m FILTER(?m = ?w) } }""")))
+    # x1: w=c1, body m=c1 -> m = w true; x2: w unbound -> NULL -> no
+    # body solution survives -> dropped
+    assert out == [("x1", "c1")]
+    # BOUND(?w) distinguishes the buckets (unbound -> false branch)
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v . OPTIONAL { ?x p:o ?w }
+        FILTER EXISTS { ?x p:a ?m
+                        FILTER(IF(BOUND(?w), ?m = ?w, ?m = "zz")) }
+        }""")))
+    assert out == [("x1", "c1"), ("x2", "c2")]
+    # NOT EXISTS over the same shape: complements within each bucket
+    out = sorted(_rows(sparql(t, """SELECT ?x ?v WHERE {
+        ?x p:d ?v . OPTIONAL { ?x p:o ?w }
+        FILTER NOT EXISTS { ?x p:a ?m FILTER(?m = ?w) } }""")))
+    assert out == [("x2", "c2")]
+
+
+def test_exists_body_disconnected_from_substitution(spark):
+    """A body FILTER reading ONLY outer variables over a body pattern
+    sharing nothing with them: the injected seed cross-joins the
+    (capped, dimension-sized) body block — the substitution-mandated
+    product."""
+    rows = [("x1", "p:d", "3"), ("x2", "p:d", "9"),
+            ("y", "p:lim", "5")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    out = sorted(_rows(sparql(t, """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?x ?v WHERE {
+        ?x p:d ?v .
+        FILTER EXISTS { ?y p:lim ?lim
+                        FILTER(xsd:integer(?v) < xsd:integer(?lim)) }
+        }""")))
+    assert out == [("x1", "3")]
+
+
+def test_exists_injection_refusals(spark):
+    """The injected translation's honest edges: nested groups that
+    PARTIALLY bind a substituted variable (substitution reaches
+    inside them; the compat join cannot mirror it), subqueries and
+    MINUS inside a substituted body (spec-contested), and rebinding
+    a substituted variable."""
+    rows = [("x1", "p:d", "c1"), ("x1", "p:a", "m")]
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    # nested UNION branch binds substituted ?v only optionally
+    with pytest.raises(SparqlUnsupported, match="nests a"):
         sparql(t, """SELECT ?x ?v WHERE {
             ?x p:d ?v .
-            FILTER EXISTS { { ?x p:a ?v } UNION { ?x p:b ?m } } }""")
-    # a body FILTER reading an outer variable refuses (§8.1.1
-    # substitution inside expressions)
-    with pytest.raises(SparqlUnsupported, match="outer variable"):
+            FILTER EXISTS { { ?x p:a ?m OPTIONAL { ?x p:c ?v } }
+                            UNION { ?x p:b ?m } } }""")
+    # subquery inside a substituted body
+    with pytest.raises(SparqlUnsupported, match="subquery"):
         sparql(t, """SELECT ?x ?v WHERE {
             ?x p:d ?v .
-            FILTER EXISTS { ?x p:a ?m FILTER(?m = ?v) } }""")
+            FILTER EXISTS { ?x p:a ?m OPTIONAL { ?x p:c ?v }
+                            { SELECT ?m WHERE { ?z p:a ?m } } } }""")
+    # MINUS inside a substituted body
+    with pytest.raises(SparqlUnsupported, match="MINUS"):
+        sparql(t, """SELECT ?x ?v WHERE {
+            ?x p:d ?v .
+            FILTER EXISTS { ?x p:a ?m OPTIONAL { ?x p:c ?v }
+                            MINUS { ?x p:b ?m } } }""")
+    # BIND targeting a substituted variable
+    with pytest.raises(SparqlUnsupported, match="BIND"):
+        sparql(t, """SELECT ?x ?v WHERE {
+            ?x p:d ?v .
+            FILTER EXISTS { ?x p:a ?m FILTER(?m != ?v)
+                            BIND("q" AS ?v) } }""")
 
 
 def test_minus_full_group_with_inner_optional(spark):
