@@ -5027,6 +5027,41 @@ FROM nation
 """
 
 
+def q_jsonld_infer_roundtrip(spark, sf_dir):
+    """Round-4 closure of the documented @context-inference gap
+    (plans/serialize.py::infer_jsonld_context): the compaction
+    context is DERIVED from the graph's own namespace census (no
+    caller-pinned map — seed prefixes from the W3C RDFa initial
+    context, last-identifier-segment names for the rest), the graph
+    serializes compacted against it, and the inferred-context output
+    re-parses identically through parse_jsonld_compact.  Oracle is
+    the closed form: a correct infer->emit->parse chain is the
+    identity."""
+    from pyrdfa3_spark.plans.serialize import (infer_jsonld_context,
+                                               jsonld_context_line,
+                                               to_jsonld)
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld_compact
+
+    nation = _t(spark, sf_dir, "nation")
+    plain = nation.select(
+        F.concat(F.lit("urn:nation:N"),
+                 F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:comment").alias("pred"),
+        F.concat(F.lit("plain "), F.col("n_name")).alias("obj"),
+        F.lit(False).alias("obj_is_iri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"))
+    g = _nation_graph(spark, sf_dir).unionByName(plain)
+    ctx = infer_jsonld_context(g)
+    side = spark.createDataFrame([(jsonld_context_line(ctx),)],
+                                 ["jsonld"])
+    lines = side.unionByName(to_jsonld(g, context=ctx))
+    return parse_jsonld_compact(lines, ctx)
+
+
+SQL_JSONLD_INFER_ROUNDTRIP = SQL_JSONLD_COMPACT_ROUNDTRIP
+
+
 def q_jsonld_serialize(spark, sf_dir):
     """JSON-LD lines sink (S6): one flat node object per subject.
     Round-trip-tested in tests/test_serialize.py; byte-exact string-
@@ -6496,6 +6531,7 @@ QUERIES = {
     "jsonld_roundtrip": q_jsonld_roundtrip,
     "jsonld_compact": q_jsonld_compact,
     "jsonld_compact_roundtrip": q_jsonld_compact_roundtrip,
+    "jsonld_infer_roundtrip": q_jsonld_infer_roundtrip,
     "rdfxml_serialize": q_rdfxml_serialize,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "sparql_select": q_sparql_select,
@@ -6810,6 +6846,7 @@ def oracles() -> dict[str, str]:
         "nt_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_roundtrip": SQL_NT_ROUNDTRIP,
         "jsonld_compact_roundtrip": SQL_JSONLD_COMPACT_ROUNDTRIP,
+        "jsonld_infer_roundtrip": SQL_JSONLD_INFER_ROUNDTRIP,
         "turtle_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "rdfxml_roundtrip": SQL_BLOCK_ROUNDTRIP,
         "conversation_stats": SQL_CONVERSATION_STATS,

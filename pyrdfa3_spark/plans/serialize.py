@@ -196,10 +196,10 @@ def write_turtle(triples: DataFrame, path: str,
 # @context-COMPACTED node lines instead (CURIE keys, rdf:type folded to
 # "@type", plain literals as bare strings), matching what the
 # reference's rdflib json-ld plugin produces for that context; pair the
-# lines with :func:`jsonld_context_line`.  Only context *inference*
-# (deriving the context from the data, a whole-document pass) is out of
-# scope — with a caller-pinned context, compaction is per-row local and
-# distributes freely.
+# lines with :func:`jsonld_context_line`.  Context *inference* is a
+# separate whole-document census pass (:func:`infer_jsonld_context`);
+# compaction itself stays per-row local against the (inferred or
+# pinned) broadcast prefix map, so it distributes freely.
 # Term objects are built as typed structs and serialized with ``to_json``
 # (null fields dropped), so literal escaping is Spark's own JSON writer;
 # only subject/predicate key strings are escaped by hand.
@@ -231,6 +231,84 @@ def _compact_iri(col, context: dict[str, str]):
         ok = col.startswith(ns) & local.rlike(r"^[A-Za-z0-9_.\-]*$")
         out = F.when(ok, F.concat(F.lit(pr + ":"), local)).otherwise(out)
     return out
+
+
+def infer_jsonld_context(triples: DataFrame,
+                         seed: dict[str, str] | None = None,
+                         max_prefixes: int = 50,
+                         min_uses: int = 1) -> dict[str, str]:
+    """Derive a compaction ``@context`` (prefix -> namespace) from the
+    graph's own namespace census — the context *inference* the
+    reference gets from rdflib's json-ld plugin (closing the one
+    documented serializer gap; cf. pyRdfa/__init__.py:722-725 handing
+    the graph to the plugin serializer).
+
+    Census: every IRI position (subject, predicate, IRI object,
+    datatype) splits at its LAST ``# / :`` delimiter into (namespace,
+    term-safe local part); namespaces are counted distributively (one
+    map-side-partial groupBy) and the top ``max_prefixes`` by usage
+    (ties broken by namespace, so the result is deterministic) are
+    collected — a bounded dim, never fact-table cardinality.
+
+    Naming: a namespace in ``seed`` (default: the W3C RDFa 1.1
+    initial-context ``bind()`` table, ``functions/initial_context.py``)
+    keeps its published prefix (shortest, then alphabetical, when
+    several seed prefixes share one namespace — ``dc`` over
+    ``dcterms``); other namespaces take their last identifier-like
+    path segment (``.../ns/prov#`` -> ``prov``, ``urn:p:`` -> ``p``;
+    the scheme segment is never used), with a numeric suffix on
+    collision and ``ns`` as the fallback.  The result feeds
+    :func:`to_jsonld`'s ``context=`` and re-parses via
+    ``sources/jsonld.py::parse_jsonld_compact`` — inference, emit and
+    re-parse agree on the same prefix map by construction."""
+    import re as _re
+
+    from pyrdfa3_spark.functions.initial_context import INITIAL_PREFIXES
+
+    if seed is None:
+        seed = INITIAL_PREFIXES
+    iris = (triples.filter(~F.col("subj").startswith("_:"))
+            .select(F.col("subj").alias("iri"))
+            .unionByName(triples.select(F.col("pred").alias("iri"))))
+    if "obj_is_iri" in triples.columns:
+        iris = iris.unionByName(
+            triples.filter(F.col("obj_is_iri"))
+            .select(F.col("obj").alias("iri")))
+    if "obj_datatype" in triples.columns:
+        iris = iris.unionByName(
+            triples.filter(F.col("obj_datatype").isNotNull())
+            .select(F.col("obj_datatype").alias("iri")))
+    # greedy .* -> the LAST delimiter; empty match = no term-safe
+    # local part, so the IRI cannot compact and casts no census vote
+    ns_col = F.regexp_extract(
+        F.col("iri"), r"^(.*[#/:])[A-Za-z0-9_.\-]+$", 1)
+    census = (iris.select(ns_col.alias("ns"))
+              .filter(F.col("ns") != "")
+              .groupBy("ns").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_uses)
+              .orderBy(F.col("n").desc(), F.col("ns"))
+              .limit(max_prefixes).collect())
+    by_ns: dict[str, str] = {}
+    for pr, ns in seed.items():
+        cur = by_ns.get(ns)
+        if cur is None or (len(pr), pr) < (len(cur), cur):
+            by_ns[ns] = pr
+    context: dict[str, str] = {}
+    taken: set[str] = set()
+    for row in census:
+        ns = row["ns"]
+        name = by_ns.get(ns)
+        if name is None:
+            segs = [s for s in _re.split(r"[#/:]", ns) if s]
+            cands = [s for s in (segs[1:] if len(segs) > 1 else segs)
+                     if _re.match(r"^[A-Za-z][A-Za-z0-9_\-]*$", s)]
+            name = cands[-1] if cands else "ns"
+        base, k = name, 2
+        while name in taken:
+            name, k = f"{base}{k}", k + 1
+        taken.add(name)
+        context[name] = ns
+    return context
 
 
 def jsonld_context_line(context: dict[str, str]) -> str:

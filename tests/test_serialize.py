@@ -522,3 +522,70 @@ def test_turtle_pn_local_esc(spark):
          "http://ex.org/with~tilde"),
         ("http://ex.org/s2", "http://ex.org/p", "http://ex.org/a,b;c"),
     }
+
+
+def test_infer_jsonld_context(spark):
+    from pyrdfa3_spark.plans.serialize import infer_jsonld_context
+
+    rows = [
+        ("http://www.w3.org/ns/prov#act", "http://ex.org/vocab#p",
+         "lit", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("urn:thing:T1", "http://ex.org/vocab#p",
+         "http://www.w3.org/ns/prov#other", True, None, None),
+        ("urn:thing:T2", "http://schema.org/name",
+         "x", False, "en", None),
+    ]
+    ctx = infer_jsonld_context(spark.createDataFrame(
+        rows, ["subj", "pred", "obj", "obj_is_iri", "obj_lang",
+               "obj_datatype"]))
+    inv = {v: k for k, v in ctx.items()}
+    # seed (W3C initial context) namespaces keep their published names
+    assert inv["http://www.w3.org/ns/prov#"] == "prov"
+    assert inv["http://www.w3.org/2001/XMLSchema#"] == "xsd"
+    assert inv["http://schema.org/"] == "schema"
+    # non-seed namespaces take their last identifier-like segment
+    assert inv["http://ex.org/vocab#"] == "vocab"
+    assert inv["urn:thing:"] == "thing"
+
+
+def test_infer_jsonld_context_collisions_and_cap(spark):
+    from pyrdfa3_spark.plans.serialize import infer_jsonld_context
+
+    rows = [
+        # two distinct namespaces both deriving the name "v": the
+        # more-used one wins the bare name, the other gets v2
+        ("s1", "http://a.example/v#p", "x", False, None, None),
+        ("s2", "http://a.example/v#q", "x", False, None, None),
+        ("s3", "http://b.example/v#p", "x", False, None, None),
+    ]
+    schema = ("subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, "
+              "obj_datatype string")
+    ctx = infer_jsonld_context(spark.createDataFrame(rows, schema))
+    assert ctx["v"] == "http://a.example/v#"
+    assert ctx["v2"] == "http://b.example/v#"
+    # census cap keeps only the most-used namespaces
+    capped = infer_jsonld_context(
+        spark.createDataFrame(rows, schema), max_prefixes=1)
+    assert list(capped.values()) == ["http://a.example/v#"]
+
+
+def test_infer_context_compact_roundtrip(spark):
+    import json
+
+    from pyrdfa3_spark.plans.serialize import (
+        infer_jsonld_context, to_jsonld,
+    )
+    from pyrdfa3_spark.sources.jsonld import parse_jsonld_compact
+
+    df = spark.createDataFrame(ROWS, COLS)
+    ctx = infer_jsonld_context(df)
+    lines = to_jsonld(df, context=ctx)
+    # keys really are compacted under the inferred context
+    node = json.loads(lines.collect()[0]["jsonld"])
+    assert all(":" not in k or not k.startswith("http")
+               for k in node)
+    back = parse_jsonld_compact(lines, ctx)
+    orig = {tuple(r) for r in df.collect()}
+    assert {tuple(r) for r in back.collect()} == orig
