@@ -300,10 +300,12 @@ def compact_triples(spark, path: str, max_files: int = 4,
     (snapshot-isolated); the directory swap emulates it in the
     catalog-less sandbox.  Lineage manifests (``_lineage/``) describe
     bucket INPUT fingerprints, which compaction does not change.
-    For bin-level grouping over a 100 TB file listing, feed the
-    listing through :func:`pyrdfa3_spark.plans.maintenance.
-    compaction_plan` (distributed binpack planning) and execute one
-    group per rewrite instead of whole partitions.
+    This whole-partition variant loops partition directories
+    driver-side — fine for a bounded bucket count, but the 100 TB
+    path is :func:`compact_triples_planned`, which routes the
+    grouping decision through the distributed binpack planner
+    (:func:`pyrdfa3_spark.plans.maintenance.compaction_plan`) and
+    rewrites one bin-group at a time with a journaled resumable swap.
 
     Returns {partition: {files_before, files_after, rows}}.
     """
@@ -344,4 +346,133 @@ def compact_triples(spark, path: str, max_files: int = 4,
                      "files_after": len([f for f in os.listdir(full)
                                          if f.endswith(".parquet")]),
                      "rows": n_before}
+    return report
+
+
+def _finish_compaction_swap(staging: str) -> bool:
+    """Complete (or discard) a staged group rewrite.  With a journal
+    present the rewrite is VERIFIED — deleting the inputs and moving
+    the outputs is idempotent, so a crash anywhere in the swap is
+    repaired by re-running this; without one the staged copy is
+    unverified and is discarded.  Returns True if a swap was
+    completed."""
+    import json
+    import shutil
+
+    journal = os.path.join(staging, "_compact_journal.json")
+    if not os.path.isfile(journal):
+        shutil.rmtree(staging)
+        return False
+    with open(journal) as fh:
+        j = json.load(fh)
+    for p in j["inputs"]:
+        if os.path.isfile(p):
+            os.remove(p)
+    for src, dst in j["outputs"].items():
+        if os.path.isfile(src):
+            os.replace(src, dst)
+    shutil.rmtree(staging)
+    return True
+
+
+def compact_triples_planned(spark, path: str,
+                            target_bytes: int = 128 * 1024 * 1024,
+                            min_group_files: int = 2) -> dict:
+    """Plan-driven small-file compaction: the grouping decision runs
+    through the DISTRIBUTED binpack planner
+    (:func:`pyrdfa3_spark.plans.maintenance.compaction_plan` — the
+    two-phase prefix sum, no global window), and each resulting bin
+    rewrites as one group.  This is the 100 TB path
+    :func:`compact_triples` documents: a lake-scale listing is tens
+    of millions of files, so the who-joins-which-rewrite decision
+    must not be a driver-side loop over directories — only the final
+    rewrite WORKLIST (one row per bin, manifest-scale) is collected.
+
+    Files stay inside their partition: path order groups a
+    partition's files contiguously, and a bin straddling a partition
+    boundary splits into one rewrite group per partition, so no
+    rewrite ever mixes partitions.  Each group reads exactly its
+    member files, re-sorts by ``(subj, pred)`` (keeps the min/max
+    stats pruning), and lands as ONE ~``target_bytes`` file.
+
+    Crash safety (Iceberg ``rewrite_data_files`` emulated without a
+    catalog): outputs stage into a sibling directory; after the row
+    count verifies, a single journal file records inputs-to-delete
+    and outputs-to-move, and only then does the swap run —
+    delete-inputs / move-outputs are both idempotent, and any
+    leftover staging directory found on the next run is completed
+    (journal present = verified) or discarded (no journal =
+    unverified) by :func:`_finish_compaction_swap`.  Lineage
+    manifests (``_lineage/``) describe bucket INPUT fingerprints and
+    are untouched.
+
+    Returns {"groups": {(partition, bin): {files_before, rows}},
+    "repaired": n} — ``repaired`` counts crashed prior swaps this
+    run completed.
+    """
+    import json
+    import shutil
+    import uuid
+
+    from pyrdfa3_spark.plans.maintenance import compaction_plan
+
+    repaired = 0
+    listing = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if d.endswith(".compacting") and os.path.isdir(full):
+            repaired += int(_finish_compaction_swap(full))
+            continue
+        if not (d.startswith("conv_bucket=") and os.path.isdir(full)):
+            continue
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet") and not f.startswith("."):
+                fp = os.path.join(full, f)
+                listing.append((fp, os.path.getsize(fp), d))
+    report: dict = {"groups": {}, "repaired": repaired}
+    if not listing:
+        return report
+    files_df = spark.createDataFrame(
+        listing, "path string, bytes bigint, part string")
+    plan = compaction_plan(files_df.select("path", "bytes"),
+                           target_bytes=target_bytes)
+    groups = (plan.join(files_df.select("path", "part"), "path")
+              .groupBy("part", "bin")
+              .agg(F.sort_array(F.collect_list("path")).alias("paths"),
+                   F.count(F.lit(1)).alias("n_files"))
+              .filter(F.col("n_files") >= min_group_files)
+              .orderBy("part", "bin")
+              .collect())
+    for row in groups:
+        part, bin_, paths = row["part"], row["bin"], row["paths"]
+        df = spark.read.parquet(*paths)
+        n_before = df.count()
+        staging = os.path.join(
+            path, f"{part}.bin{bin_}.{uuid.uuid4().hex[:8]}.compacting")
+        (df.coalesce(1)
+         .sortWithinPartitions("subj", "pred")
+         .write.mode("overwrite")
+         .option("compression", "zstd")
+         .parquet(staging))
+        staged = [f for f in os.listdir(staging)
+                  if f.endswith(".parquet") and not f.startswith(".")]
+        n_after = spark.read.parquet(staging).count()
+        if n_after != n_before:
+            shutil.rmtree(staging)
+            raise RuntimeError(
+                f"compaction group {part}/bin{bin_} would change row "
+                f"count ({n_before} -> {n_after}); inputs untouched")
+        outputs = {
+            os.path.join(staging, f):
+            os.path.join(path, part,
+                         f"compact-bin{bin_:06d}-"
+                         f"{uuid.uuid4().hex[:8]}.parquet")
+            for f in staged}
+        journal = {"inputs": list(paths), "outputs": outputs}
+        with open(os.path.join(staging, "_compact_journal.json"),
+                  "w") as fh:
+            json.dump(journal, fh)
+        _finish_compaction_swap(staging)
+        report["groups"][(part, int(bin_))] = {
+            "files_before": len(paths), "rows": n_before}
     return report

@@ -2980,3 +2980,79 @@ def test_shacl_value_facets(spark):
     shapeless = df.select("subj", "pred", "obj")
     with pytest.raises(ValueError, match="obj_datatype"):
         shacl_validate(shapeless, [shape])
+
+
+def test_compact_triples_planned(spark, tmp_path):
+    """Plan-driven group compaction: grouping runs through the
+    distributed binpack planner, groups never mix partitions, content
+    is identical after the rewrite, and a crashed mid-swap staging
+    dir (journal written, inputs partially deleted) is repaired on
+    the next run."""
+    import json
+    import os
+
+    from pyrdfa3_spark.plans.extract import compact_triples_planned
+
+    out = str(tmp_path / "graph")
+    df = spark.range(0, 600).selectExpr(
+        "CAST(id AS STRING) AS conv_id", "'s' || id AS subj",
+        "'p' AS pred", "'o' || id AS obj")
+    (df.repartition(12)
+     .withColumn("conv_bucket", F.pmod(F.hash("conv_id"), F.lit(3)))
+     .write.partitionBy("conv_bucket").parquet(out))
+    parts = [d for d in os.listdir(out)
+             if d.startswith("conv_bucket=")]
+    files_before = {
+        p: len([f for f in os.listdir(os.path.join(out, p))
+                if f.endswith(".parquet")]) for p in parts}
+    assert all(n > 4 for n in files_before.values())
+    before = sorted(map(tuple, spark.read.parquet(out)
+                        .select("subj", "pred", "obj").collect()))
+
+    # tiny target -> several bins per partition (true group rewrites,
+    # not one-bin-per-partition)
+    report = compact_triples_planned(spark, out, target_bytes=40_000)
+    assert report["repaired"] == 0 and report["groups"]
+    # groups never mix partitions, and every group really grouped
+    for (part, _bin), info in report["groups"].items():
+        assert part in parts and info["files_before"] >= 2
+    after = sorted(map(tuple, spark.read.parquet(out)
+                       .select("subj", "pred", "obj").collect()))
+    assert after == before
+    files_after = {
+        p: len([f for f in os.listdir(os.path.join(out, p))
+                if f.endswith(".parquet")]) for p in parts}
+    assert all(files_after[p] < files_before[p] for p in parts)
+
+    # crash mid-swap: stage a verified rewrite of one remaining file
+    # (journal present, input NOT yet deleted) plus an unverified
+    # staging dir (no journal); the next run completes the first and
+    # discards the second, never duplicating rows
+    part = parts[0]
+    pdir = os.path.join(out, part)
+    victim = os.path.join(pdir, sorted(
+        f for f in os.listdir(pdir) if f.endswith(".parquet"))[0])
+    staging = os.path.join(out, part + ".binX.deadbeef.compacting")
+    os.makedirs(staging)
+    spark.read.parquet(victim).coalesce(1).write.mode("overwrite") \
+        .parquet(staging + ".tmp")
+    staged_src = next(
+        os.path.join(staging + ".tmp", f)
+        for f in os.listdir(staging + ".tmp") if f.endswith(".parquet"))
+    os.replace(staged_src, os.path.join(staging, "part-0.parquet"))
+    with open(os.path.join(staging, "_compact_journal.json"),
+              "w") as fh:
+        json.dump({"inputs": [victim],
+                   "outputs": {os.path.join(staging, "part-0.parquet"):
+                               os.path.join(pdir,
+                                            "compact-repair.parquet")}},
+                  fh)
+    os.makedirs(os.path.join(out, part + ".binY.feed.compacting"))
+
+    report2 = compact_triples_planned(spark, out, target_bytes=10**9)
+    assert report2["repaired"] == 1
+    assert not os.path.exists(victim)
+    assert os.path.isfile(os.path.join(pdir, "compact-repair.parquet"))
+    repaired = sorted(map(tuple, spark.read.parquet(out)
+                          .select("subj", "pred", "obj").collect()))
+    assert repaired == before
