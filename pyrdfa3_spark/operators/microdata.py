@@ -69,9 +69,13 @@ MD_REGISTRY: dict[str, str] = {
 
 def _vocab_of(itemtype: str,
               registry: dict[str, str] = MD_REGISTRY) -> str | None:
-    """Property vocabulary from the first itemtype token: the longest
-    matching registry prefix's vocabulary when there is one, else
-    everything up to and including the last '#' or '/'."""
+    """Property vocabulary from the first itemtype token, per the
+    W3C microdata-to-RDF vocabulary derivation: the longest matching
+    registry prefix's vocabulary when there is one; else everything
+    up to and including the last ``#``; else up to and including the
+    last ``/`` of the path; else the TYPE ITSELF — the no-delimiter
+    corner (``urn:ex:Thing``-style types), where the predicate
+    concatenation inserts the ``#`` (:func:`_predicate`)."""
     hits = [p for p in registry if itemtype.startswith(p)]
     if hits:
         return registry[max(hits, key=len)]
@@ -79,7 +83,16 @@ def _vocab_of(itemtype: str,
         return itemtype[:itemtype.rindex("#") + 1]
     if "/" in itemtype.partition("://")[2]:
         return itemtype[:itemtype.rindex("/") + 1]
-    return None
+    return itemtype
+
+
+def _predicate(vocab: str, name: str) -> str:
+    """Spec predicate concatenation: ``vocab + name``, inserting a
+    ``#`` when the vocabulary has no trailing ``#``/``/`` separator
+    (the registry's hcard entry and delimiter-less types hit this)."""
+    if vocab.endswith("#") or vocab.endswith("/"):
+        return vocab + name
+    return vocab + "#" + name
 
 
 def _is_absolute(iri: str) -> bool:
@@ -174,7 +187,7 @@ class _MicrodataWalker:
                 if _is_absolute(name):
                     pred = name
                 elif vocab:
-                    pred = vocab + name
+                    pred = _predicate(vocab, name)
                 else:
                     continue  # untyped item, non-absolute name: contract
                 self.triples.append((subj, pred, value))

@@ -223,3 +223,62 @@ def test_hcard_registry_vocab_inserts_separator():
     assert ("http://ex.org/doc#c",
             "http://microformats.org/profile/hcard#fn",
             Literal("Ada", None, None)) in set(_md(doc))
+
+
+def test_vocab_fallback_hash_wins_over_slash():
+    """W3C vocabulary derivation: a type containing '#' keeps
+    everything up to and including the LAST '#', even with later
+    slashes in the path before it."""
+    doc = ('<div itemscope itemtype="http://ex.com/vocabs/v1#Thing">'
+           '<span itemprop="n">x</span></div>')
+    out = _md(doc)
+    assert ("_:md1", "http://ex.com/vocabs/v1#n",
+            Literal("x", None, None)) in out
+
+
+def test_vocab_fallback_last_path_slash():
+    """No '#': vocabulary is the type up to and including the last
+    '/' of the PATH (authority slashes never count)."""
+    doc = ('<div itemscope itemtype="http://ex.com/vocab/Thing">'
+           '<span itemprop="n">x</span></div>')
+    out = _md(doc)
+    assert ("_:md1", "http://ex.com/vocab/n",
+            Literal("x", None, None)) in out
+
+
+def test_vocab_fallback_no_delimiter_inserts_hash():
+    """The '#'-insertion corner: a type with neither '#' nor a path
+    '/' IS the vocabulary, and predicate concatenation inserts the
+    '#' separator (same rule the registry's hcard entry encodes)."""
+    doc = ('<div itemscope itemtype="urn:x-vocab:Thing">'
+           '<span itemprop="n">x</span></div>')
+    out = _md(doc)
+    assert ("_:md1", RDF_TYPE, "urn:x-vocab:Thing") in out
+    assert ("_:md1", "urn:x-vocab:Thing#n",
+            Literal("x", None, None)) in out
+    # authority-only http type: no path '/' -> same insertion rule
+    doc2 = ('<div itemscope itemtype="http://ex.com">'
+            '<span itemprop="n">x</span></div>')
+    assert ("_:md1", "http://ex.com#n",
+            Literal("x", None, None)) in _md(doc2)
+
+
+def test_vocab_no_delimiter_inherits_into_nested_untyped():
+    """The delimiter-less vocabulary flows into nested untyped items
+    like any other current vocabulary (spec evaluation context)."""
+    doc = ('<div itemscope itemtype="urn:x-vocab:Thing">'
+           '<div itemprop="sub" itemscope>'
+           '<span itemprop="m">y</span></div></div>')
+    out = _md(doc)
+    assert ("_:md2", "urn:x-vocab:Thing#m",
+            Literal("y", None, None)) in out
+
+
+def test_https_schema_org_registry_hit():
+    """The registry carries both schema.org schemes; an https type
+    compacts against the https vocabulary, not the heuristic."""
+    doc = ('<div itemscope itemtype="https://schema.org/Person">'
+           '<span itemprop="name">Eve</span></div>')
+    out = _md(doc)
+    assert ("_:md1", "https://schema.org/name",
+            Literal("Eve", None, None)) in out
