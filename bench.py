@@ -267,6 +267,9 @@ def main():
         "user_event_sequence", "list_chain", "transitive_closure",
         "cosine_topk", "lsh_cosine_candidates", "fingerprint",
         "minhash_lsh_candidates", "simhash", "token_count",
+        # SPARQL text front-end (parse+plan+execute — round-4: makes
+        # front-end regressions visible in the headline)
+        "sparql_compat_optional",
     ]
     for name in suite:
         fn = Q.QUERIES[name]
