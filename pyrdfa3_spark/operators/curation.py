@@ -436,26 +436,35 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
 
     Scale shape: the model is a dimension table (≤ ``n_buckets`` rows)
     joined broadcast; featurization and the dot product are the same
-    explode + map-side-partial-sum shape as DSIR — no window, no
-    all-pairs anything, inference cost is one corpus scan.
+    explode + map-side-partial-sum shape as DSIR.  Every document
+    contributes one zero term, so the no-feature docs fall out of the
+    SAME partially-aggregated groupBy — no corpus-against-corpus
+    restore join (a 10x step-up bench showed Catalyst rightly
+    sort-merging that join once both sides outgrew broadcast; the
+    union+groupBy is one shuffle and no sort at any scale), no
+    window, no all-pairs anything: inference cost is one corpus scan.
 
     Determinism: the logit sums in DECIMAL (order-independent) and is
     rounded to 9 places before the sigmoid, the final probability to 4
     — the module's cross-engine float discipline.
     """
     feats = _gram_buckets(docs, n_buckets)
-    dots = (feats.join(F.broadcast(weights), "b")
+    terms = (feats.join(F.broadcast(weights), "b")
+             .select("doc_id",
+                     (F.col("c") * F.col("weight"))
+                     .cast("decimal(38,12)").alias("t")))
+    zeros = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.lit(0).cast("decimal(38,12)").alias("t"))
+    dots = (terms.unionByName(zeros)
             .groupBy("doc_id")
-            .agg(F.sum((F.col("c") * F.col("weight"))
-                       .cast("decimal(38,12)")).alias("dot")))
+            .agg(F.sum("t").alias("dot")))
     logit = F.round(
-        (F.lit(bias) + F.coalesce(F.col("dot"), F.lit(0))
-         .cast("double")), 9)
-    return (docs.select(F.col("doc_id").cast("bigint").alias("doc_id"))
-            .join(dots, "doc_id", "left")
-            .select("doc_id",
-                    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)),
-                            4).alias("score")))
+        (F.lit(bias) + F.col("dot").cast("double")), 9)
+    return dots.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)),
+                4).alias("score"))
 
 
 def dsir_weights(docs: DataFrame, target: DataFrame,

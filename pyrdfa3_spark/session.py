@@ -38,6 +38,17 @@ def build_session(master: str | None = None, app_name: str = "pyrdfa3_spark",
         # turns on a quiet 32-core host, best-of-5 per size
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local-harness split size: the test corpora are single parquet
+        # FILES (TESTDATA.md layout), and at Spark's 128 MB default a
+        # sub-128 MB table scans as ONE task regardless of core count.
+        # 8 MB splits make scan parallelism layout-independent
+        # (measured: sf0.1 suite 9.14 -> 8.48 s, minhash_lsh
+        # 1.85 -> 1.53 s; sf1 ~3%).  Production submits on real
+        # many-file lake tables override back via --conf (128 MB+);
+        # documented in bench.py.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                               str(8 * 1024 * 1024)))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

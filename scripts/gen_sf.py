@@ -64,9 +64,24 @@ def main():
     strides["events_user"] = (spark.read.parquet(f"{SRC}/events.parquet")
                               .agg(F.max("user_id")).collect()[0][0] + 1)
 
+    def write_single_file(df, dest):
+        """Match the driver layout: one parquet FILE per table (some
+        readers take the path as a file; Spark splits a single file by
+        row group anyway, so scan parallelism is unaffected)."""
+        import glob
+        import shutil
+
+        tmp = dest + ".tmpdir"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.replace(part, dest)
+        shutil.rmtree(tmp)
+
     for t in FIXED_DIMS:
-        (spark.read.parquet(f"{SRC}/{t}.parquet")
-         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+        write_single_file(spark.read.parquet(f"{SRC}/{t}.parquet"),
+                          f"{out}/{t}.parquet")
         print(f"{t}: fixed dim copied")
 
     copies = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_c")
@@ -87,9 +102,7 @@ def main():
                                     F.lit(" "), F.col("text"))))
                 .withColumn("n_chars",
                             F.length("text").cast("bigint")))
-        n_out = max(4, k * 2)
-        (rep.drop("_c").repartition(n_out)
-         .write.mode("overwrite").parquet(f"{out}/{t}.parquet"))
+        write_single_file(rep.drop("_c"), f"{out}/{t}.parquet")
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     spark.stop()

@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
+
+# The guards assert plan PROPERTIES (pushdown, broadcast, single
+# Python boundary, partial agg, no cartesian), which must hold at
+# every scale — override the input to re-run them against a stepped-
+# up corpus (scripts/gen_sf.py): PLAN_GUARD_SF_DIR=BENCH/sf1 pytest
+# tests/test_plans.py
+SF = os.environ.get("PLAN_GUARD_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _plan(df, mode: str = "formatted") -> str:
@@ -25,7 +33,7 @@ def test_extraction_plan_single_python_boundary_and_pruning(spark):
     from pyrdfa3_spark.plans.extract import extract_triples
     from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
 
-    t = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    t = transcripts_from_documents(spark, SF)
     df = extract_triples(t)
     simple = _plan(df, mode="simple")
     assert simple.count("MapInArrow") == 1     # exactly one Python boundary
@@ -42,7 +50,7 @@ def test_extraction_plan_single_python_boundary_and_pruning(spark):
 def test_topk_plan_broadcasts_dimensions(spark):
     from pyrdfa3_spark.plans.queries import q_nation_revenue_topk
 
-    plan = _plan(q_nation_revenue_topk(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_nation_revenue_topk(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2   # customer + nation
     assert "SortMergeJoin" not in plan
 
@@ -50,7 +58,7 @@ def test_topk_plan_broadcasts_dimensions(spark):
 def test_pricing_plan_prunes_and_partially_aggregates(spark):
     from pyrdfa3_spark.plans.queries import q_pricing_summary
 
-    plan = _plan(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_pricing_summary(spark, SF))
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     # 16-column lineitem: only the 5 used columns may be read
     assert scan and "l_comment" not in scan[0] and "l_shipdate" not in scan[0]
@@ -60,7 +68,7 @@ def test_pricing_plan_prunes_and_partially_aggregates(spark):
 def test_anti_join_stays_broadcast(spark):
     from pyrdfa3_spark.plans.queries import q_customers_without_orders
 
-    plan = _plan(q_customers_without_orders(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_customers_without_orders(spark, SF))
     assert "LeftAnti" in plan
 
 
@@ -71,7 +79,7 @@ def test_entity_link_plan_no_global_window(spark):
     VERDICT r1 flagged)."""
     from pyrdfa3_spark.plans.queries import q_entity_link
 
-    df = q_entity_link(spark, "/root/testdata/sf0.001")
+    df = q_entity_link(spark, SF)
     simple = _plan(df, mode="simple")
     assert "Window" not in simple, simple
     assert "TakeOrderedAndProject" in simple, simple
@@ -84,7 +92,7 @@ def test_entity_disambiguate_plan_shape(spark):
     side never shuffles for the joins."""
     from pyrdfa3_spark.plans.queries import q_entity_disambiguate
 
-    df = q_entity_disambiguate(spark, "/root/testdata/sf0.001")
+    df = q_entity_disambiguate(spark, SF)
     simple = _plan(df, mode="simple")
     # lexicon top-n contributes TakeOrderedAndProject; no window at all
     assert "Window" not in simple, simple
@@ -95,7 +103,7 @@ def test_entity_disambiguate_plan_shape(spark):
 def test_minhash_plan_no_cartesian_no_double_scan(spark):
     from pyrdfa3_spark.operators.dedup import minhash_lsh_candidates
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF + "/documents.parquet")
     plan = _plan(minhash_lsh_candidates(docs))
     assert "CartesianProduct" not in plan
     # bucket-local pair generation: the corpus parquet is scanned once
@@ -111,7 +119,7 @@ def test_ivf_table_probe_is_partition_pruned(spark, tmp_path):
         ivf_probe_table, ivf_train_local, write_ivf_table,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     cents = ivf_train_local(sf, n_cells=8, iters=1)
     path = str(tmp_path / "ivf")
@@ -141,7 +149,7 @@ def test_curation_mix_plans_scale_shape(spark):
         decontaminate, pack_sequences, quota_mix, stratified_sample,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF + "/documents.parquet")
 
     simple = _plan(pack_sequences(docs), mode="simple")
     win_lines = [ln for ln in simple.splitlines() if "Window [" in ln]
@@ -178,7 +186,7 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
         ivf_train_local, semantic_dedup,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF + "/documents.parquet")
 
     simple = _plan(duplicate_spans(docs), mode="simple")
     assert simple.count("Generate") == 1, simple
@@ -201,8 +209,8 @@ def test_span_dsir_semdedup_plans_scale_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    cents = ivf_train_local("/root/testdata/sf0.001", n_cells=4, iters=1)
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cents = ivf_train_local(SF, n_cells=4, iters=1)
     simple = _plan(semantic_dedup(emb, cents), mode="simple")
     assert "CartesianProduct" not in simple, simple
     assert "Window" not in simple, simple
@@ -235,7 +243,7 @@ def test_ntriples_reader_plan_scan_side(spark, tmp_path):
     from pyrdfa3_spark.plans.serialize import write_ntriples
     from pyrdfa3_spark.sources.ntriples import read_ntriples
 
-    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    df = spark.read.parquet(SF + "/nation.parquet")
     triples = df.selectExpr(
         "concat('urn:n:', n_nationkey) AS subj",
         "'urn:p:name' AS pred", "n_name AS obj",
@@ -256,7 +264,7 @@ def test_jsonld_reader_plan_scan_side(spark, tmp_path):
     from pyrdfa3_spark.plans.serialize import write_jsonld
     from pyrdfa3_spark.sources.jsonld import read_jsonld
 
-    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    df = spark.read.parquet(SF + "/nation.parquet")
     triples = df.selectExpr(
         "concat('urn:n:', n_nationkey) AS subj",
         "'urn:p:name' AS pred", "n_name AS obj",
@@ -279,7 +287,7 @@ def test_kg_query_plans(spark, tmp_path):
     from pyrdfa3_spark.operators.graphops import bgp_match
     from pyrdfa3_spark.plans.queries import q_bgp_match, q_property_table
 
-    plan = _plan(q_bgp_match(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_bgp_match(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" \
         not in plan, plan
 
@@ -296,7 +304,7 @@ def test_kg_query_plans(spark, tmp_path):
     assert pushed and any("pred" in ln and "p:knows" in ln
                           for ln in pushed), plan
 
-    plan = _plan(q_property_table(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_property_table(spark, SF))
     assert "partial_min" in plan or "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan
 
@@ -324,15 +332,15 @@ def test_new_sparql_surface_plans(spark, tmp_path):
     assert pushed and any("graph" in ln and "urn:g:1" in ln
                           for ln in pushed), plan
 
-    plan = _plan(q_bgp_values(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_bgp_values(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
-    plan = _plan(q_kg_topk(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_kg_topk(spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), plan
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF + "/documents.parquet")
     plan = _plan(bm25_score(docs, ["spark", "window"]))
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan \
         and "FlatMapsInPandas" not in plan, plan
@@ -359,7 +367,7 @@ def test_exists_having_plan_shape(spark):
     assert "Broadcast" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
-    plan = _plan(q_kg_having(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_kg_having(spark, SF))
     assert "partial_" in plan, plan          # map-side partial agg kept
     assert "CartesianProduct" not in plan, plan
 
@@ -371,7 +379,7 @@ def test_triangle_plan_shape(spark):
     wedge join."""
     from pyrdfa3_spark.plans.queries import q_triangle_count
 
-    plan = _plan(q_triangle_count(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_triangle_count(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowExec" not in plan and "Window [" not in plan, plan
@@ -384,7 +392,7 @@ def test_shacl_plan_shape(spark):
     and the dimension-sized focus/class joins broadcast."""
     from pyrdfa3_spark.plans.queries import q_shacl_report
 
-    plan = _plan(q_shacl_report(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_shacl_report(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Broadcast" in plan, plan
@@ -512,7 +520,7 @@ def test_classifier_score_plan_shape(spark):
     sort-merge of the corpus against a 1024-row model."""
     from pyrdfa3_spark.operators.curation import classifier_score
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(SF + "/documents.parquet")
     from pyspark.sql import functions as F
     w = spark.range(64).select(
         F.col("id").alias("b"), (F.col("id") % 3 / 10.0).alias("weight"))
@@ -530,7 +538,7 @@ def test_conv_dedup_plan_shape(spark):
     window, no cartesian."""
     from pyrdfa3_spark.plans.queries import q_conv_dedup
 
-    df = q_conv_dedup(spark, "/root/testdata/sf0.001")
+    df = q_conv_dedup(spark, SF)
     simple = _plan(df, mode="simple")
     assert "Window" not in simple and "CartesianProduct" not in simple
     plan = _plan(df)
@@ -573,7 +581,7 @@ def test_results_serializer_plans_scan_side(spark):
         to_results_xml_bindings,
     )
 
-    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    df = spark.read.parquet(SF + "/nation.parquet")
     triples = df.selectExpr(
         "concat('urn:n:', n_nationkey) AS subj",
         "'urn:p:name' AS pred", "n_name AS obj",
@@ -627,7 +635,7 @@ def test_round3_sparql_surface_plans(spark, tmp_path):
     assert pushed and any("IsNull(graph)" in ln for ln in pushed), plan
     assert "Join" not in plan, plan
 
-    plan = _plan(q_sparql_xsd_cast(spark, "/root/testdata/sf0.001"))
+    plan = _plan(q_sparql_xsd_cast(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan \
         and "FlatMapsInPandas" not in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
