@@ -251,3 +251,103 @@ def chunk_documents(docs: DataFrame, chunk_chars: int = 512,
                     F.col("start").cast("bigint").alias("start"),
                     F.expr(f"substring(text, start, {chunk_chars})")
                     .alias("chunk_text")))
+
+
+# PII patterns: deliberately conservative, deterministic, and written
+# in the Java-regex/RE2 COMMON SUBSET (no lookaround, no backrefs) so
+# the DuckDB oracle runs them character-for-character.  They are
+# screening patterns (the standard pre-training PII scrub), not
+# validators.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9]{1,3}[ \-][0-9]{2,4}[ \-][0-9]{3,4}[ \-][0-9]{3,4}\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII screening counts (the audit half of the
+    standard pre-training PII scrub): non-overlapping match counts
+    per :data:`PII_PATTERNS` class plus the ``has_pii`` triage bit.
+
+    Scale shape: one corpus scan, all counts scan-side
+    ``regexp_count`` column algebra inside whole-stage codegen — no
+    shuffle, no Python, no UDF."""
+    cols = [F.regexp_count(F.col("text"), F.lit(p)).cast("bigint")
+            .alias(f"n_{name}") for name, p in PII_PATTERNS.items()]
+    out = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      *cols)
+    any_pii = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    return out.withColumn("has_pii", any_pii)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redaction half of the PII scrub: every :data:`PII_PATTERNS`
+    match replaced with its ``[CLASS]`` tag, longest-specificity
+    first (SSN before phone so a hyphenated SSN never half-matches
+    the phone pattern).  Same zero-shuffle scan shape as
+    :func:`pii_scan`; redaction order is fixed and documented, so the
+    output is deterministic and the oracle replays it exactly."""
+    text = F.col("text")
+    for name in ("email", "ipv4", "ssn", "phone"):
+        text = F.regexp_replace(text, PII_PATTERNS[name],
+                                f"[{name.upper()}]")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       text.alias("text"))
+
+
+def repetition_stats(docs: DataFrame,
+                     ngram_window: int = 256) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 "Scaling
+    Language Models", quality heuristics): per document the duplicate
+    LINE and duplicate PARAGRAPH fractions plus the most-repeated
+    word-bigram's share — the signals that kill boilerplate and
+    template spam before pre-training.
+
+    ``ngram_window`` is a MODEL parameter, not a silent cap: the
+    bigram share is estimated over the document's first
+    ``ngram_window`` bigrams (the in-row frequency count is O(w²) per
+    document, so the window bounds per-row work at 100 TB; oracles
+    mirror the same window).  Line/paragraph fractions are exact.
+
+    All in-row column algebra (split / array_distinct / aggregate
+    lambdas) — one corpus scan, no shuffle, no Python."""
+    text = F.col("text")
+    lines = F.filter(F.split(text, r"\n"),
+                     lambda s: F.length(F.trim(s)) > 0)
+    paras = F.filter(F.split(text, r"\n\n+"),
+                     lambda s: F.length(F.trim(s)) > 0)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.round((n - F.size(F.array_distinct(arr)))
+                    / n.cast("double"), 4))
+
+    toks = F.split(F.trim(text), r"\s+")
+    # zip_with pads the shorter side with NULLs, so the raw zip's last
+    # element is a lone token — slice to n-1 REAL bigrams before the
+    # estimation window applies
+    grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
+        .otherwise(F.slice(
+            F.zip_with(toks, F.slice(toks, 2, 1_000_000),
+                       lambda a, b: F.concat_ws("\x1f", a, b)),
+            F.lit(1),
+            F.least(F.size(toks) - 1, F.lit(ngram_window))))
+    top_share = F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.array_max(F.transform(
+                grams,
+                lambda g: F.size(F.filter(grams,
+                                          lambda x: x == g))))
+            / F.size(grams).cast("double"), 4))
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(paras).alias("dup_para_frac"),
+        top_share.alias("top_bigram_share"))

@@ -49,6 +49,135 @@ FROM documents
 """
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic PII injections (the scrub
+    fixture): every 7th doc gains an email, every 11th an IPv4, every
+    13th an SSN, every 17th an international phone — the oracle
+    replays the same injection and the same regexes."""
+    k = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(k % 7 == 0,
+               F.concat(F.lit(" contact user"), k.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit(" from 192.168.1.77"))
+        .otherwise(F.lit("")),
+        F.when(k % 13 == 0, F.lit(" id 123-45-6789"))
+        .otherwise(F.lit("")),
+        F.when(k % 17 == 0, F.lit(" call +1 555 0100 777"))
+        .otherwise(F.lit("")))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", inj.alias("text")))
+
+
+_SQL_PII_DOCS = """
+SELECT doc_id,
+       text
+       || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com' ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77'
+          ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789'
+          ELSE '' END
+       || CASE WHEN doc_id % 17 = 0 THEN ' call +1 555 0100 777'
+          ELSE '' END AS text
+FROM documents
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII screening counts over the injected corpus — scan-side
+    regexp_count column algebra (textops.pii_scan), Java/RE2
+    common-subset patterns mirrored verbatim by the DuckDB oracle."""
+    from pyrdfa3_spark.operators.textops import pii_scan
+
+    return pii_scan(_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_counts():
+    from pyrdfa3_spark.operators.textops import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) "
+        f"AS n_{name}" for name, p in PII_PATTERNS.items())
+    anyc = " OR ".join(
+        f"len(regexp_extract_all(text, '{p}')) > 0"
+        for p in PII_PATTERNS.values())
+    return (f"WITH t AS ({_SQL_PII_DOCS})\n"
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+            f"       {cols},\n"
+            f"       ({anyc}) AS has_pii\nFROM t")
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redaction pass over the injected corpus (fixed class order,
+    SSN before phone); output is the redacted text itself, so the
+    oracle hash proves byte-identical replacement."""
+    from pyrdfa3_spark.operators.textops import pii_redact
+
+    return pii_redact(_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_redact():
+    from pyrdfa3_spark.operators.textops import PII_PATTERNS
+
+    expr = "text"
+    for name in ("email", "ipv4", "ssn", "phone"):
+        expr = (f"regexp_replace({expr}, '{PII_PATTERNS[name]}', "
+                f"'[{name.upper()}]', 'g')")
+    return (f"WITH t AS ({_SQL_PII_DOCS})\n"
+            f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            f"{expr} AS text\nFROM t")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters over documents: duplicate
+    line/paragraph fractions (exact) + most-repeated-bigram share
+    over the documented 256-bigram estimation window."""
+    from pyrdfa3_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> length(trim(x)) > 0) AS lines,
+         list_filter(string_split_regex(text, '\n\n+'),
+                     x -> length(trim(x)) > 0) AS paras,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lines, paras,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(
+                     generate_series(1, least(len(toks) - 1, 256)),
+                     i -> toks[i] || chr(31) || toks[i + 1]) END
+           AS grams
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE round((len(lines) - len(list_distinct(lines)))
+                       / CAST(len(lines) AS DOUBLE), 4) END
+         AS dup_line_frac,
+       CASE WHEN len(paras) = 0 THEN 0.0
+            ELSE round((len(paras) - len(list_distinct(paras)))
+                       / CAST(len(paras) AS DOUBLE), 4) END
+         AS dup_para_frac,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE round(list_max(list_transform(grams,
+                         g2 -> len(list_filter(grams, x -> x = g2))))
+                       / CAST(len(grams) AS DOUBLE), 4) END
+         AS top_bigram_share
+FROM g
+"""
+
+
 def q_quality_score(spark, sf_dir):
     return T.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -6617,6 +6746,9 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_topk": q_ivf_topk,
     "token_count": q_token_count,
+    "pii_scan": q_pii_scan,
+    "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
     "bpe_token_count": q_bpe_token_count,
     "redact": q_redact,
     "top_ngrams": q_top_ngrams,
@@ -6715,6 +6847,9 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "token_count": SQL_TOKEN_COUNT,
+        "pii_scan": _sql_pii_counts(),
+        "pii_redact": _sql_pii_redact(),
+        "repetition_stats": SQL_REPETITION_STATS,
         "bpe_token_count": _sql_bpe_token_count(),
         "redact": _sql_redact(),
         "top_ngrams": SQL_TOP_NGRAMS,

@@ -3056,3 +3056,61 @@ def test_compact_triples_planned(spark, tmp_path):
     repaired = sorted(map(tuple, spark.read.parquet(out)
                           .select("subj", "pred", "obj").collect()))
     assert repaired == before
+
+
+def test_pii_scan_and_redact(spark):
+    from pyrdfa3_spark.operators.textops import pii_redact, pii_scan
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b+x@ex-site.org or c@d.io thanks"),
+         (2, "server 10.0.255.3 and ssn 123-45-6789 ok"),
+         (3, "call +44 20 7946 0958 today"),
+         (4, "nothing here, 1.2.3 is a version not an ip"),
+         (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_email"], got[1]["has_pii"]) == (2, True)
+    assert (got[2]["n_ipv4"], got[2]["n_ssn"]) == (1, 1)
+    assert (got[3]["n_phone"], got[3]["has_pii"]) == (1, True)
+    assert got[4]["has_pii"] is False and got[4]["n_ipv4"] == 0
+    assert got[5]["has_pii"] is False
+    red = {r["doc_id"]: r["text"] for r in pii_redact(docs).collect()}
+    assert red[1] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert red[2] == "server [IPV4] and ssn [SSN] ok"
+    assert red[3] == "call [PHONE] today"
+    assert red[4] == docs.collect()[3]["text"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    from pyrdfa3_spark.operators.textops import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\n\nc"),            # 4 lines, 'a' duplicated
+         (2, "p1 x\n\np1 x\n\np2"),      # 3 paras, one duplicated
+         (3, "w w w w"),                 # bigrams: 3x 'w w'
+         (4, "x y z"),                   # all bigrams distinct
+         (5, "solo"),                    # no bigram
+         (6, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: lines [a, b, a, c] -> (4-3)/4
+    assert got[1]["n_lines"] == 4
+    assert abs(got[1]["dup_line_frac"] - 0.25) < 1e-9
+    # doc 2: paras [p1 x, p1 x, p2] -> (3-2)/3
+    assert abs(got[2]["dup_para_frac"] - round(1 / 3, 4)) < 1e-9
+    # doc 3: grams [w w, w w, w w] -> top share 1.0
+    assert abs(got[3]["top_bigram_share"] - 1.0) < 1e-9
+    # doc 4: 2 distinct bigrams -> each appears once -> 1/2
+    assert abs(got[4]["top_bigram_share"] - 0.5) < 1e-9
+    assert got[5]["top_bigram_share"] == 0.0
+    assert got[6]["n_lines"] == 0 and got[6]["dup_line_frac"] == 0.0
+
+
+def test_repetition_window_is_model_parameter(spark):
+    from pyrdfa3_spark.operators.textops import repetition_stats
+    # 10 'r r' bigrams then distinct tail; window 5 sees only the
+    # repeated head -> share 1.0; full window dilutes it
+    text = " ".join(["r"] * 11 + ["t%d" % i for i in range(10)])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    full = repetition_stats(docs).collect()[0]["top_bigram_share"]
+    small = repetition_stats(docs, ngram_window=5) \
+        .collect()[0]["top_bigram_share"]
+    assert small == 1.0 and full < 1.0
