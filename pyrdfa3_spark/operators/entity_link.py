@@ -77,10 +77,13 @@ def sameas_canonical_map(edges: DataFrame,
                       .join(jump, new_labels.canon == jump.jn, "left")
                       .select("node",
                               F.coalesce("jc", "canon").alias("canon")))
+        # checkpoint FIRST, then probe convergence against the
+        # materialized frame — probing the pre-checkpoint DAG would
+        # re-execute the whole round's joins just to answer "changed?"
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.canon") != F.col("o.canon")))
-        new_labels = new_labels.localCheckpoint(eager=True)
         done = changed.isEmpty()
         labels.unpersist()           # superseded: new_labels is eagerly
         labels = new_labels          # materialized, no lineage back
