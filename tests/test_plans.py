@@ -639,3 +639,19 @@ def test_round3_sparql_surface_plans(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan \
         and "FlatMapsInPandas" not in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_pii_and_repetition_plans_are_single_scan(spark):
+    """The PII scrub and repetition filters must stay zero-shuffle
+    scan-side column algebra: no Exchange, no Python boundary, whole
+    plan in one codegen stage over the documents scan."""
+    from pyrdfa3_spark.operators.textops import (
+        pii_redact, pii_scan, repetition_stats,
+    )
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    for fn in (pii_scan, pii_redact, repetition_stats):
+        simple = _plan(fn(docs), mode="simple")
+        assert "Exchange" not in simple, (fn.__name__, simple)
+        assert "Python" not in simple and "InPandas" not in simple \
+            and "MapInArrow" not in simple, (fn.__name__, simple)
