@@ -194,3 +194,58 @@ def truncate_conversations(tr: DataFrame,
                     F.col("t.text").alias("text"),
                     F.col("t.n_tokens").cast("bigint").alias("n_tokens"),
                     F.col("t.cum_tokens").alias("cum_tokens")))
+
+
+def tool_usage(tr: DataFrame) -> DataFrame:
+    """Per-tool call analytics over agent transcripts: how often each
+    tool fires, how many conversations touch it, its share of all
+    turns, and its latency-to-next-turn profile (the tool-roundtrip
+    proxy: gap between a tool turn and the conversation's next turn
+    in stable order; a conversation-final tool turn has no successor
+    and contributes no latency).  Output: (tool, n_calls, n_convs,
+    turn_share, n_latencies, mean_latency_ms, max_latency_ms), one
+    row per non-empty tool.
+
+    Scale shape: the module discipline — ONE groupBy(conv_id) with
+    in-row sorted-array folds (no lag window; ``F.get`` is the
+    OOB-NULL next-element lookup, ANSI-safe), an explode bounded by
+    tool-turn count, and one partially-aggregated groupBy(tool).
+    The turn total is a 1-row broadcast.  Latency means divide an
+    exact bigint sum (order-independent) — cross-engine stable.
+    """
+    item = F.struct(F.col("turn_idx"), F.col("ts"), F.col("tool"))
+    grouped = (tr.groupBy("conv_id")
+               .agg(F.array_sort(F.collect_list(item)).alias("items")))
+    ms = F.transform(
+        "items", lambda s: F.unix_millis(s.ts.cast("timestamp_ltz")))
+    with_ms = grouped.select("conv_id", "items", ms.alias("ms"))
+    pairs = F.filter(
+        F.transform(
+            "items",
+            lambda s, i: F.struct(
+                s.tool.alias("tool"),
+                (F.get("ms", i + 1) - F.get("ms", i)).alias("lat"))),
+        lambda p: p.tool != "")
+    calls = (with_ms
+             .select("conv_id", F.explode(pairs).alias("p"))
+             .select("conv_id", F.col("p.tool").alias("tool"),
+                     F.col("p.lat").alias("lat")))
+    n_calls = F.count(F.lit(1))
+    lat_sum = F.sum("lat").cast("bigint")
+    n_lat = F.count("lat")
+    per_tool = calls.groupBy("tool").agg(
+        n_calls.cast("bigint").alias("n_calls"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        n_lat.cast("bigint").alias("n_latencies"),
+        F.when(n_lat > 0,
+               F.round(lat_sum.cast("double") / n_lat, 4))
+        .alias("mean_latency_ms"),
+        F.max("lat").cast("bigint").alias("max_latency_ms"))
+    total = tr.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    return (per_tool.crossJoin(F.broadcast(total))
+            .select("tool", "n_calls", "n_convs",
+                    F.round(F.col("n_calls") /
+                            F.col("_total").cast("double"), 6)
+                    .alias("turn_share"),
+                    "n_latencies", "mean_latency_ms",
+                    "max_latency_ms"))

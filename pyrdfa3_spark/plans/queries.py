@@ -6570,6 +6570,69 @@ FROM documents GROUP BY 1
 """
 
 
+def _tool_transcripts(spark, sf_dir):
+    """Documents-derived transcript frame with SEVERAL tools and
+    varied inter-turn spacing (the tool-analytics fixture): tool
+    assignment cycles browser/python/search with gaps, timestamps
+    jitter by doc_id so latencies differ per turn."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("long")
+    tool = (F.when(k % 5 == 1, "browser")
+            .when(k % 5 == 3, "python")
+            .when(k % 7 == 0, "search")
+            .otherwise(""))
+    return d.select(
+        F.format_string("conv-%05d", k % 40).alias("conv_id"),
+        (k / 40).cast("int").alias("turn_idx"),
+        F.when(k % 2 == 0, "assistant").otherwise("user").alias("role"),
+        F.substring("text", 1, 40).alias("text"),
+        tool.alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1760000000) + k * 13 + (k % 11) * 3).alias("ts"))
+
+
+def q_tool_usage(spark, sf_dir):
+    """Per-tool call analytics over agent transcripts (round-4):
+    call/conversation counts, turn share, and the latency-to-next-
+    turn profile — one groupBy(conv_id) with in-row folds plus one
+    partial-agg groupBy(tool), no lag window."""
+    from pyrdfa3_spark.operators.transcripts import tool_usage
+
+    return tool_usage(_tool_transcripts(spark, sf_dir))
+
+
+SQL_TOOL_USAGE = """
+WITH tr AS (
+  SELECT CAST(doc_id AS BIGINT) AS k,
+         printf('conv-%05d', CAST(doc_id AS BIGINT) % 40) AS conv_id,
+         CAST(doc_id // 40 AS BIGINT) AS turn_idx,
+         CASE WHEN doc_id % 5 = 1 THEN 'browser'
+              WHEN doc_id % 5 = 3 THEN 'python'
+              WHEN doc_id % 7 = 0 THEN 'search'
+              ELSE '' END AS tool,
+         (1760000000 + CAST(doc_id AS BIGINT) * 13
+          + (CAST(doc_id AS BIGINT) % 11) * 3) * 1000 AS ms
+  FROM documents),
+w AS (
+  SELECT conv_id, tool,
+         lead(ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) - ms
+           AS lat
+  FROM tr),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tr)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(count(*) / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+         AS turn_share,
+       CAST(count(lat) AS BIGINT) AS n_latencies,
+       CASE WHEN count(lat) > 0
+            THEN round(CAST(sum(lat) AS DOUBLE) / count(lat), 4) END
+         AS mean_latency_ms,
+       CAST(max(lat) AS BIGINT) AS max_latency_ms
+FROM w WHERE tool <> '' GROUP BY tool
+"""
+
+
 def q_turn_latency(spark, sf_dir):
     """Per-conversation inter-turn gap stats (in-row deltas, no lag
     window) over the documents-derived transcript table."""
@@ -6825,6 +6888,7 @@ QUERIES = {
     "conv_dedup": q_conv_dedup,
     "stitch_conversations": q_stitch_conversations,
     "turn_latency": q_turn_latency,
+    "tool_usage": q_tool_usage,
     "compaction_plan": q_compaction_plan,
     "salted_join": q_salted_join,
     "entity_canonicalize": q_entity_canonicalize,
@@ -6990,6 +7054,7 @@ def oracles() -> dict[str, str]:
         "conv_dedup": SQL_CONV_DEDUP,
         "stitch_conversations": SQL_STITCH_CONVERSATIONS,
         "turn_latency": SQL_TURN_LATENCY,
+        "tool_usage": SQL_TOOL_USAGE,
         "compaction_plan": SQL_COMPACTION_PLAN,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,

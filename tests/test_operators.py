@@ -3114,3 +3114,34 @@ def test_repetition_window_is_model_parameter(spark):
     small = repetition_stats(docs, ngram_window=5) \
         .collect()[0]["top_bigram_share"]
     assert small == 1.0 and full < 1.0
+
+
+def test_tool_usage_hand_computed(spark):
+    from pyrdfa3_spark.operators.transcripts import tool_usage
+    rows = [
+        # conv A: t0 browser @0s, t1 @10s, t2 python @25s, t3 @25s
+        ("A", 0, "assistant", "x", "browser", "2026-01-01 00:00:00"),
+        ("A", 1, "user", "x", "", "2026-01-01 00:00:10"),
+        ("A", 2, "assistant", "x", "python", "2026-01-01 00:00:25"),
+        ("A", 3, "user", "x", "", "2026-01-01 00:00:25"),
+        # conv B: browser twice; final browser turn has no successor
+        ("B", 0, "assistant", "x", "browser", "2026-01-01 01:00:00"),
+        ("B", 1, "user", "x", "", "2026-01-01 01:00:02"),
+        ("B", 2, "assistant", "x", "browser", "2026-01-01 01:00:05"),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {r["tool"]: r for r in tool_usage(tr).collect()}
+    assert set(got) == {"browser", "python"}
+    b = got["browser"]
+    # three browser calls in two convs; latencies 10000 and 2000 ms,
+    # B's final call contributes none
+    assert (b["n_calls"], b["n_convs"], b["n_latencies"]) == (3, 2, 2)
+    assert abs(b["mean_latency_ms"] - 6000.0) < 1e-9
+    assert b["max_latency_ms"] == 10000
+    assert abs(b["turn_share"] - round(3 / 7, 6)) < 1e-12
+    p = got["python"]
+    assert (p["n_calls"], p["n_latencies"],
+            p["max_latency_ms"]) == (1, 1, 0)
