@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # apply_diff, property_table, entity_disambiguate,
 # graph_metrics_fixture, bm25, kg_describe, kg_group_concat, and the
 # round-4 additions pii_scan, pii_redact, repetition_stats,
-# tool_usage — plus anything new in round 5; that closes driver
-# coverage at 176/176.
+# tool_usage, role_transitions — plus anything new in round 5; that
+# closes driver coverage at 177/177 (cumulative 154/177 after r04).
 _ROUND4_WINDOW = [
     # new this round
     "sparql_exists_subst", "jsonld_infer_roundtrip",

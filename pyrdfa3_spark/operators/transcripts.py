@@ -249,3 +249,37 @@ def tool_usage(tr: DataFrame) -> DataFrame:
                     .alias("turn_share"),
                     "n_latencies", "mean_latency_ms",
                     "max_latency_ms"))
+
+
+def role_transitions(tr: DataFrame) -> DataFrame:
+    """Corpus-wide role-transition matrix over agent transcripts:
+    counts of every consecutive ``(from_role, to_role)`` pair in
+    stable turn order — the conversation-structure health signal
+    (user->user runs mean dropped assistant turns; tool->tool runs
+    mean unanswered tool results) that drives repair/filter decisions
+    upstream of :func:`merge_consecutive_turns`.  Output:
+    (from_role, to_role, n, n_convs).
+
+    Scale shape: module discipline — ONE groupBy(conv_id) with the
+    in-row sorted-array shift (zip_with against its own tail, the
+    turn_latency shape), an explode bounded by turn count, and one
+    partially-aggregated groupBy(from_role, to_role).  No window.
+    """
+    item = F.struct(F.col("turn_idx"), F.col("role"))
+    grouped = (tr.groupBy("conv_id")
+               .agg(F.array_sort(F.collect_list(item)).alias("items")))
+    roles = F.transform("items", lambda s: s.role)
+    # slice length must be size-based: a constant INT_MAX length
+    # overflows slice's internal start+length computation and yields
+    # NULLs (same shape turn_latency uses)
+    pairs = F.zip_with(
+        roles, F.slice(roles, 2, F.size(roles)),
+        lambda a, b: F.struct(a.alias("from_role"), b.alias("to_role")))
+    pairs = F.filter(pairs, lambda p: p.to_role.isNotNull())
+    return (grouped
+            .select("conv_id", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.from_role").alias("from_role"),
+                     F.col("p.to_role").alias("to_role"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.countDistinct("conv_id").cast("bigint")
+                 .alias("n_convs")))

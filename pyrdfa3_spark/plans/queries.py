@@ -6633,6 +6633,37 @@ FROM w WHERE tool <> '' GROUP BY tool
 """
 
 
+def q_role_transitions(spark, sf_dir):
+    """Corpus-wide role-transition matrix (round-4): consecutive
+    (from_role, to_role) counts in stable turn order over the
+    documents-derived transcript table — in-row shift, no lag
+    window."""
+    from pyrdfa3_spark.operators.transcripts import role_transitions
+    from pyrdfa3_spark.sources.transcripts import transcripts_from_documents
+
+    return role_transitions(transcripts_from_documents(spark, sf_dir))
+
+
+SQL_ROLE_TRANSITIONS = """
+WITH tr AS (
+  SELECT CAST(doc_id % 50 AS BIGINT) AS conv_n,
+         CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+  FROM documents),
+w AS (
+  SELECT conv_n, role AS from_role,
+         lead(role) OVER (PARTITION BY conv_n ORDER BY turn_idx)
+           AS to_role
+  FROM tr)
+SELECT from_role, to_role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT conv_n) AS BIGINT) AS n_convs
+FROM w WHERE to_role IS NOT NULL
+GROUP BY from_role, to_role
+"""
+
+
 def q_turn_latency(spark, sf_dir):
     """Per-conversation inter-turn gap stats (in-row deltas, no lag
     window) over the documents-derived transcript table."""
@@ -6889,6 +6920,7 @@ QUERIES = {
     "stitch_conversations": q_stitch_conversations,
     "turn_latency": q_turn_latency,
     "tool_usage": q_tool_usage,
+    "role_transitions": q_role_transitions,
     "compaction_plan": q_compaction_plan,
     "salted_join": q_salted_join,
     "entity_canonicalize": q_entity_canonicalize,
@@ -7055,6 +7087,7 @@ def oracles() -> dict[str, str]:
         "stitch_conversations": SQL_STITCH_CONVERSATIONS,
         "turn_latency": SQL_TURN_LATENCY,
         "tool_usage": SQL_TOOL_USAGE,
+        "role_transitions": SQL_ROLE_TRANSITIONS,
         "compaction_plan": SQL_COMPACTION_PLAN,
         "turtle_serialize": SQL_TURTLE_SERIALIZE,
         "jsonld_serialize": SQL_JSONLD_SERIALIZE,

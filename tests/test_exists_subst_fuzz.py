@@ -167,8 +167,11 @@ BODIES = [
     {"patterns": [("?y", "p:a", "?m")], "filter": ("eq", "m", "v")},
 ]
 
+# EXISTS_FUZZ_SEEDS=30 for a deeper soak (deterministic per seed)
+import os
+
 CASES = [(seed, bi, neg)
-         for seed in range(6)
+         for seed in range(int(os.environ.get("EXISTS_FUZZ_SEEDS", "6")))
          for bi in range(len(BODIES))
          for neg in (False, True)]
 

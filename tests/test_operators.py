@@ -3145,3 +3145,18 @@ def test_tool_usage_hand_computed(spark):
     p = got["python"]
     assert (p["n_calls"], p["n_latencies"],
             p["max_latency_ms"]) == (1, 1, 0)
+
+
+def test_role_transitions_hand_computed(spark):
+    from pyrdfa3_spark.operators.transcripts import role_transitions
+    rows = [("A", 0, "user"), ("A", 1, "assistant"), ("A", 2, "user"),
+            ("A", 3, "user"),              # user->user run
+            ("B", 0, "user"), ("B", 1, "assistant"),
+            ("C", 0, "tool")]              # single-turn: no transition
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string")
+    got = {(r["from_role"], r["to_role"]): (r["n"], r["n_convs"])
+           for r in role_transitions(tr).collect()}
+    assert got == {("user", "assistant"): (2, 2),
+                   ("assistant", "user"): (1, 1),
+                   ("user", "user"): (1, 1)}
