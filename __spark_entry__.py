@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # follows after the window.
 #
 # ROUND-5 ROTATION PLAN (after CORRECTNESS_r04 lands, cumulative
-# coverage is 154/176): lead the round-5 window with the 22 entries
+# coverage is 154/177): lead the round-5 window with the 23 entries
 # still never driver-recorded — sparql_ask, sparql_agg_concat,
 # sparql_values_trailing, sparql_results_csv/json/tsv, skolemize,
 # trig_serialize, normalize_text, interval_join, graph_diff,
