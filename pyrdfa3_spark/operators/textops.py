@@ -334,7 +334,7 @@ def repetition_stats(docs: DataFrame,
     # estimation window applies
     grams = F.when(F.size(toks) < 2, F.array().cast("array<string>")) \
         .otherwise(F.slice(
-            F.zip_with(toks, F.slice(toks, 2, 1_000_000),
+            F.zip_with(toks, F.slice(toks, 2, F.size(toks)),
                        lambda a, b: F.concat_ws("\x1f", a, b)),
             F.lit(1),
             F.least(F.size(toks) - 1, F.lit(ngram_window))))
