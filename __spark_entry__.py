@@ -38,15 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # follows after the window.
 #
 # ROUND-5 ROTATION PLAN (after CORRECTNESS_r04 lands, cumulative
-# coverage is 154/177): lead the round-5 window with the 23 entries
+# coverage is 154/178): lead the round-5 window with the 24 entries
 # still never driver-recorded — sparql_ask, sparql_agg_concat,
 # sparql_values_trailing, sparql_results_csv/json/tsv, skolemize,
 # trig_serialize, normalize_text, interval_join, graph_diff,
 # apply_diff, property_table, entity_disambiguate,
 # graph_metrics_fixture, bm25, kg_describe, kg_group_concat, and the
 # round-4 additions pii_scan, pii_redact, repetition_stats,
-# tool_usage, role_transitions — plus anything new in round 5; that
-# closes driver coverage at 177/177 (cumulative 154/177 after r04).
+# tool_usage, role_transitions, domain_mix — plus anything new in
+# round 5; that closes driver coverage at 178/178 (cumulative
+# 154/178 after r04).
 _ROUND4_WINDOW = [
     # new this round
     "sparql_exists_subst", "jsonld_infer_roundtrip",

@@ -351,3 +351,34 @@ def repetition_stats(docs: DataFrame,
         dup_frac(lines).alias("dup_line_frac"),
         dup_frac(paras).alias("dup_para_frac"),
         top_share.alias("top_bigram_share"))
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition audit (the training-mix
+    accounting every dataset card reports, and the input
+    :func:`~pyrdfa3_spark.operators.curation.quota_mix` decisions are
+    made against): document count, whitespace-token count, and each
+    source's share of both.  Output: (source, n_docs, n_tokens,
+    doc_share, token_share).
+
+    Scale shape: one map-side-partial groupBy(source) plus a 1-row
+    broadcast total — shares divide exact bigint sums, so values are
+    order-independent and cross-engine stable."""
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    base = docs.select(F.col("source"),
+                       toks.cast("bigint").alias("n_toks"))
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_d"),
+        F.sum("n_toks").cast("bigint").alias("_t"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(F.col("n_docs") / F.col("_d").cast("double"),
+                            6).alias("doc_share"),
+                    F.when(F.col("_t") > 0,
+                           F.round(F.col("n_tokens")
+                                   / F.col("_t").cast("double"), 6))
+                    .otherwise(F.lit(0.0)).alias("token_share")))

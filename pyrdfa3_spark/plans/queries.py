@@ -49,6 +49,38 @@ FROM documents
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Per-source corpus composition audit (round-4): doc/token
+    counts and shares per source — the dataset-card accounting
+    quota_mix decisions read.  One partial-agg groupBy + a 1-row
+    broadcast total."""
+    from pyrdfa3_spark.operators.textops import domain_mix
+
+    return domain_mix(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIX = r"""
+WITH base AS (
+  SELECT source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\s+'))
+              END AS BIGINT) AS n_toks
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS d,
+               CAST(sum(n_toks) AS BIGINT) AS t FROM base)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(count(*) / CAST((SELECT d FROM tot) AS DOUBLE), 6)
+         AS doc_share,
+       CASE WHEN (SELECT t FROM tot) > 0
+            THEN round(CAST(sum(n_toks) AS DOUBLE)
+                       / (SELECT t FROM tot), 6)
+            ELSE 0.0 END AS token_share
+FROM base GROUP BY source
+"""
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic PII injections (the scrub
     fixture): every 7th doc gains an email, every 11th an IPv4, every
@@ -6843,6 +6875,7 @@ QUERIES = {
     "pii_scan": q_pii_scan,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
+    "domain_mix": q_domain_mix,
     "bpe_token_count": q_bpe_token_count,
     "redact": q_redact,
     "top_ngrams": q_top_ngrams,
@@ -6946,6 +6979,7 @@ def oracles() -> dict[str, str]:
         "pii_scan": _sql_pii_counts(),
         "pii_redact": _sql_pii_redact(),
         "repetition_stats": SQL_REPETITION_STATS,
+        "domain_mix": SQL_DOMAIN_MIX,
         "bpe_token_count": _sql_bpe_token_count(),
         "redact": _sql_redact(),
         "top_ngrams": SQL_TOP_NGRAMS,

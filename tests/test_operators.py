@@ -3160,3 +3160,18 @@ def test_role_transitions_hand_computed(spark):
     assert got == {("user", "assistant"): (2, 2),
                    ("assistant", "user"): (1, 1),
                    ("user", "user"): (1, 1)}
+
+
+def test_domain_mix_hand_computed(spark):
+    from pyrdfa3_spark.operators.textops import domain_mix
+    docs = spark.createDataFrame(
+        [(1, "a b c", "web"), (2, "d e", "web"),
+         (3, "f", "books"), (4, "", "books")],
+        "doc_id long, text string, source string")
+    got = {r["source"]: r for r in domain_mix(docs).collect()}
+    w, b = got["web"], got["books"]
+    assert (w["n_docs"], w["n_tokens"]) == (2, 5)
+    assert (b["n_docs"], b["n_tokens"]) == (2, 1)
+    assert abs(w["doc_share"] - 0.5) < 1e-12
+    assert abs(w["token_share"] - round(5 / 6, 6)) < 1e-12
+    assert abs(b["token_share"] - round(1 / 6, 6)) < 1e-12
