@@ -30,59 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's per-round correctness window records the FIRST 50
 # entries; rounds rotate this priority list so every registry entry
-# accumulates a driver-recorded row.  Round-4 window: the operators
-# never driver-recorded in rounds 1-3 (graph analytics, SHACL,
-# sketches, similarity joins, bgp_/kg_ family, dedup family,
-# transcript ops, round-3 SPARQL forms) plus this round's two new
-# queries; everything already driver-green in CORRECTNESS_r01-r03
-# follows after the window.
-#
-# ROUND-5 ROTATION PLAN (after CORRECTNESS_r04 lands, cumulative
-# coverage is 154/178): lead the round-5 window with the 24 entries
-# still never driver-recorded — sparql_ask, sparql_agg_concat,
-# sparql_values_trailing, sparql_results_csv/json/tsv, skolemize,
-# trig_serialize, normalize_text, interval_join, graph_diff,
-# apply_diff, property_table, entity_disambiguate,
-# graph_metrics_fixture, bm25, kg_describe, kg_group_concat, and the
-# round-4 additions pii_scan, pii_redact, repetition_stats,
-# tool_usage, role_transitions, domain_mix — plus anything new in
-# round 5; that closes driver coverage at 178/178 (cumulative
-# 154/178 after r04).
-_ROUND4_WINDOW = [
-    # new this round
-    "sparql_exists_subst", "jsonld_infer_roundtrip",
-    # graph analytics wave
-    "pagerank", "hits", "k_core", "label_propagation",
-    "triangle_count", "adamic_adar", "negative_samples",
-    "wl_fingerprint", "kg_construct",
-    # SHACL + sketches + similarity joins + sampling
-    "shacl_report", "shacl_extended", "cms_token_counts",
-    "hll_source_vocab", "prefix_similarity", "tfidf_similarity",
-    "weighted_sample",
-    # round-3 SPARQL forms
-    "sparql_xsd_cast", "sparql_group_expr", "sparql_nps_inverse",
-    "sparql_dataset_strict",
-    # bgp_/kg_ family
-    "bgp_match", "bgp_optional", "bgp_filter", "bgp_union",
-    "bgp_path", "bgp_path_seq", "bgp_path_star", "bgp_graph",
-    "bgp_values", "bgp_minus", "bgp_exists",
-    "kg_group_count", "kg_having", "kg_topk", "kg_ask",
-    # dedup family
-    "dedup_keep_best", "remove_duplicate_spans", "url_dedup",
-    "paragraph_dedup", "dedup_incremental", "near_dup_incremental",
-    "conv_dedup",
-    # transcript ops
-    "conversation_stats", "merge_turns", "truncate_conversations",
-    "stitch_conversations", "turn_latency",
-    # maintenance
-    "compaction_plan",
+# accumulates a driver-recorded row.  Round-5 window: first the three
+# r04 hash-reds (wl_fingerprint / conversation_stats /
+# compaction_plan), now normalization-proof — fp is a decimal-digit
+# string, has_gaps is 0/1 int, the oracle's window-sum HUGEINT /
+# SUM HUGEINT are cast to BIGINT (scripts/audit_cell_types.py sweeps
+# the whole registry for decimal/HUGEINT cells) — then the 24 entries
+# never driver-recorded in rounds 1-4 (closing cumulative coverage at
+# 178/178), then anything new this round; everything already
+# driver-green in CORRECTNESS_r01-r04 follows after the window.
+_ROUND5_WINDOW = [
+    # r04 hash-reds, normalization-proofed this round
+    "wl_fingerprint", "conversation_stats", "compaction_plan",
+    # never driver-recorded in r01-r04: SPARQL forms + result sinks
+    "sparql_ask", "sparql_agg_concat", "sparql_values_trailing",
+    "sparql_results_csv", "sparql_results_json", "sparql_results_tsv",
+    # serializers / graph surface
+    "skolemize", "trig_serialize", "jsonld_serialize",
+    "graph_diff", "apply_diff", "property_table",
+    "graph_metrics_fixture", "kg_describe", "kg_group_concat",
+    # text / curation ops
+    "normalize_text", "bm25", "pii_scan", "pii_redact",
+    "repetition_stats", "domain_mix", "entity_disambiguate",
+    # transcript ops + joins
+    "tool_usage", "role_transitions", "interval_join",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pyrdfa3_spark.plans.queries import QUERIES
 
-    out = {n: QUERIES[n] for n in _ROUND4_WINDOW}
+    out = {n: QUERIES[n] for n in _ROUND5_WINDOW}
     out.update(QUERIES)
     return out
 

@@ -1964,7 +1964,11 @@ def wl_fingerprint(triples: DataFrame, rounds: int = 3) -> DataFrame:
     canonical triple.  Two isomorphic graphs always agree; like
     rdflib's ``isomorphic`` this is a WL approximation, so adversarial
     highly-regular bnode structures can collide — treat a match as
-    near-certain, a mismatch as definite non-isomorphism."""
+    near-certain, a mismatch as definite non-isomorphism.  ``fp`` is
+    emitted as a decimal-digit STRING (the exact sum, no precision
+    loss): the wide sum is decimal(38,0) internally, but decimal cells
+    round-trip differently through downstream normalizers (r04 driver
+    hash-red), so the output cell type is normalization-proof text."""
     bcol = wl_colors(triples, rounds=rounds).filter(
         F.col("node").startswith("_:"))
     canon = (triples.select("subj", "pred", "obj")
@@ -1981,7 +1985,7 @@ def wl_fingerprint(triples: DataFrame, rounds: int = 3) -> DataFrame:
     h = F.conv(F.substring(row, 1, 8), 16, 10).cast("decimal(38,0)")
     return canon.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triples"),
-        F.sum(h).cast("decimal(38,0)").alias("fp"))
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("fp"))
 
 
 def _undirected(edges: DataFrame) -> DataFrame:

@@ -28,7 +28,8 @@ def conversation_stats(tr: DataFrame) -> DataFrame:
     (duplicate turn_idx rows / index gaps — the two ways "stable turn
     ordering" breaks upstream).  Output: conv_id, n_turns,
     n_tool_turns, n_roles, first_ms, last_ms, duration_ms,
-    n_dup_turns, has_gaps."""
+    n_dup_turns, has_gaps (0/1 int — boolean cells normalize
+    differently across downstream harnesses, r04 driver hash-red)."""
     ms = F.unix_millis(F.col("ts").cast("timestamp_ltz"))
     return (tr
             .select("conv_id", "turn_idx", "role", "tool", ms.alias("ms"))
@@ -43,7 +44,7 @@ def conversation_stats(tr: DataFrame) -> DataFrame:
                  (F.count("*") - F.countDistinct("turn_idx"))
                  .cast("bigint").alias("n_dup_turns"),
                  (F.max("turn_idx") + 1 != F.countDistinct("turn_idx"))
-                 .alias("has_gaps")))
+                 .cast("int").alias("has_gaps")))
 
 
 def stitch_conversations(tr: DataFrame, sep: str = "\n",

@@ -5035,8 +5035,8 @@ canon AS (
          LEFT JOIN b bo ON g.obj = bo.node
 )
 SELECT CAST(count(*) AS BIGINT) AS n_triples,
-       CAST(sum(CAST({_sql_h32("(s || chr(1) || p || chr(1) || o)")}
-                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fp
+       CAST(CAST(sum(CAST({_sql_h32("(s || chr(1) || p || chr(1) || o)")}
+                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fp
 FROM canon
 """
 
@@ -6563,12 +6563,14 @@ WITH tr AS (
   FROM documents)
 SELECT printf('conv-%06d', conv_n) AS conv_id,
        COUNT(*) AS n_turns,
-       SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS n_tool_turns,
+       CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
        COUNT(DISTINCT role) AS n_roles,
        MIN(ms) AS first_ms, MAX(ms) AS last_ms,
        MAX(ms) - MIN(ms) AS duration_ms,
        COUNT(*) - COUNT(DISTINCT turn_idx) AS n_dup_turns,
-       (MAX(turn_idx) + 1 <> COUNT(DISTINCT turn_idx)) AS has_gaps
+       CAST(MAX(turn_idx) + 1 <> COUNT(DISTINCT turn_idx) AS INT)
+         AS has_gaps
 FROM tr GROUP BY conv_n
 """
 
@@ -6747,10 +6749,13 @@ WITH f AS (
   FROM documents),
 w AS (
   SELECT path, bytes,
-         SUM(bytes) OVER (ORDER BY path
-                          ROWS UNBOUNDED PRECEDING) - bytes AS start_byte
+         CAST(SUM(bytes) OVER (ORDER BY path
+                               ROWS UNBOUNDED PRECEDING) - bytes
+              AS BIGINT) AS start_byte
   FROM f)
-SELECT path, bytes, start_byte, start_byte // 1000000 AS bin FROM w
+SELECT path, bytes, start_byte,
+       CAST(start_byte // 1000000 AS BIGINT) AS bin
+FROM w
 """
 
 
