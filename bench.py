@@ -81,7 +81,8 @@ def _extract_only(cores: int):
 
     spark = build_session(master=f"local[{cores}]",
                           shuffle_partitions=max(cores, 8),
-                          app_name=f"bench-scaling-{cores}")
+                          app_name=f"bench-scaling-{cores}",
+                          max_partition_bytes=8 << 20)
     t = synth_transcripts(spark, n_conv=SCALING_N_CONV, turns_per_conv=10,
                           skew_factor=100).cache()
     n_turns = t.count()
@@ -252,7 +253,8 @@ def main():
     throughput: dict[str, float] = {}
 
     spark = build_session(master=f"local[{CPUS}]",
-                          shuffle_partitions=max(CPUS, 8))
+                          shuffle_partitions=max(CPUS, 8),
+                          max_partition_bytes=8 << 20)
 
     # headline 1: the flagship extraction on the synthetic corpus
     _bench_extraction(spark, max(200, N_CONV // 10))  # worker warm-up

@@ -2094,8 +2094,17 @@ def _exists_inject(triples: DataFrame, sols: DataFrame, body: dict,
     body never matches but its filters read inject as value columns;
     in buckets where they are unbound they inject as NULL columns —
     the engine's unbound==NULL discipline makes BOUND()/comparisons
-    answer per spec.  The bucket then semi/anti-joins against the
-    distinct witness projection of the injected solve.
+    answer per spec.  Substituted variables a term-shape builtin
+    (LANG / DATATYPE / ISIRI / ...) reads keep their ``__shape_*``
+    companion columns: the outer bucket's companions ride along in
+    the seed (the left frame's shape wins through every body conjoin,
+    so the builtin sees the OUTER term's shape — §8.1.1
+    substitution-by-constant), and an injected variable with no outer
+    companions (subquery-projected binding, NULL-injected filter-only
+    column) gets NULL companions = unknown shape, so the builtin
+    returns NULL and the row filters rather than misclassifies.  The
+    bucket then semi/anti-joins against the distinct witness
+    projection of the injected solve.
 
     Scale shape: the seed is a distinct-bindings dim (capped at
     ``_EXISTS_INJECT_CAP`` — past that the translation degenerates to
@@ -2117,13 +2126,16 @@ def _exists_inject(triples: DataFrame, sols: DataFrame, body: dict,
             "null-mask decomposition is capped at "
             f"{G.COMPAT_MAX_NULLABLE} variables")
     how = "left_anti" if negate else "left_semi"
+    shape_vars = body.get("_shape") or frozenset()
     sols = sols.localCheckpoint(eager=True)
     out = None
     for nullset, bucket in G._null_mask_buckets(sols, risky):
         bound = [v for v in inject if v not in nullset]
         null_filter_only = [v for v in filt_outer if v in nullset]
         if bound:
-            seed = (bucket.select(*bound).dropDuplicates()
+            comp = [c for v in bound if v in shape_vars
+                    for c in G.shape_names(v) if c in bucket.columns]
+            seed = (bucket.select(*bound, *comp).dropDuplicates()
                     .localCheckpoint(eager=True))
             n_seed = seed.count()
             if n_seed == 0:
@@ -2139,6 +2151,9 @@ def _exists_inject(triples: DataFrame, sols: DataFrame, body: dict,
                 for v in null_filter_only:
                     seeded = seeded.withColumn(
                         v, F.lit(None).cast("string"))
+                seeded = G.fill_null_companions(
+                    seeded, [v for v in bound + null_filter_only
+                             if v in shape_vars])
                 body2 = dict(body)
                 body2["_init"] = (seeded, set(bound))
                 wit = (_solve_group(triples, body2)
@@ -2153,6 +2168,9 @@ def _exists_inject(triples: DataFrame, sols: DataFrame, body: dict,
                 seed0 = sols.sparkSession.range(1).select(
                     *[F.lit(None).cast("string").alias(v)
                       for v in null_filter_only])
+                seed0 = G.fill_null_companions(
+                    seed0, [v for v in null_filter_only
+                            if v in shape_vars])
                 body2 = dict(body)
                 body2["_init"] = (seed0, set())
                 bsols = _solve_group(triples, body2)

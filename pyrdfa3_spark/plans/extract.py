@@ -416,13 +416,19 @@ def compact_triples_planned(spark, path: str,
 
     from pyrdfa3_spark.plans.maintenance import compaction_plan
 
+    # repair FIRST, list SECOND — a journaled crashed swap still has
+    # its inputs on disk, and a partition dir ("conv_bucket=3") sorts
+    # before its own staging dir ("conv_bucket=3.bin….compacting"),
+    # so an interleaved single pass would list input files the repair
+    # is about to delete and the binpack plan would group dead paths
     repaired = 0
-    listing = []
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
         if d.endswith(".compacting") and os.path.isdir(full):
             repaired += int(_finish_compaction_swap(full))
-            continue
+    listing = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
         if not (d.startswith("conv_bucket=") and os.path.isdir(full)):
             continue
         for f in sorted(os.listdir(full)):

@@ -19,7 +19,15 @@ from pyspark.sql import SparkSession
 
 
 def build_session(master: str | None = None, app_name: str = "pyrdfa3_spark",
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  max_partition_bytes: int | None = None) -> SparkSession:
+    """``max_partition_bytes`` sets ``spark.sql.files.maxPartitionBytes``
+    explicitly.  The LIBRARY default is Spark's own (128 MB — right for
+    real many-file lake tables); the local test/bench harnesses pass
+    8 MB because their corpora are single parquet FILES (TESTDATA.md
+    layout) where a sub-128 MB table would otherwise scan as ONE task
+    regardless of core count (measured: sf0.1 suite 9.14 -> 8.48 s).
+    ``SPARK_GRAFT_MAX_PARTITION_BYTES`` overrides either choice."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or max(cpus, 8)
@@ -38,20 +46,14 @@ def build_session(master: str | None = None, app_name: str = "pyrdfa3_spark",
         # turns on a quiet 32-core host, best-of-5 per size
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # local-harness split size: the test corpora are single parquet
-        # FILES (TESTDATA.md layout), and at Spark's 128 MB default a
-        # sub-128 MB table scans as ONE task regardless of core count.
-        # 8 MB splits make scan parallelism layout-independent
-        # (measured: sf0.1 suite 9.14 -> 8.48 s, minhash_lsh
-        # 1.85 -> 1.53 s; sf1 ~3%).  Production submits on real
-        # many-file lake tables override back via --conf (128 MB+);
-        # documented in bench.py.
-        .config("spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
-                               str(8 * 1024 * 1024)))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    mpb = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES",
+                         max_partition_bytes)
+    if mpb is not None:
+        builder = builder.config("spark.sql.files.maxPartitionBytes",
+                                 str(mpb))
     return builder.getOrCreate()

@@ -51,7 +51,8 @@ def main():
     import __spark_entry__ as entrymod
     from pyrdfa3_spark.session import build_session
 
-    spark = build_session(master="local[8]", shuffle_partitions=8)
+    spark = build_session(master="local[8]", shuffle_partitions=8,
+                          max_partition_bytes=8 << 20)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

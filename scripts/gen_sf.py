@@ -52,7 +52,8 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "sf1")
     os.makedirs(out, exist_ok=True)
-    spark = build_session(master="local[16]", shuffle_partitions=16)
+    spark = build_session(master="local[16]", shuffle_partitions=16,
+                          max_partition_bytes=8 << 20)
 
     strides = {}
     for t, keycol in [("customer", "c_custkey"), ("supplier", "s_suppkey"),

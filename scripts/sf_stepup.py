@@ -28,7 +28,8 @@ def main():
     sf_b = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "sf1")
-    spark = build_session(master="local[32]", shuffle_partitions=32)
+    spark = build_session(master="local[32]", shuffle_partitions=32,
+                          max_partition_bytes=8 << 20)
     out = {}
     for name in QUERIES:
         fn = Q.QUERIES[name]

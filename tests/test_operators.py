@@ -3032,6 +3032,23 @@ def test_compact_triples_planned(spark, tmp_path):
     pdir = os.path.join(out, part)
     victim = os.path.join(pdir, sorted(
         f for f in os.listdir(pdir) if f.endswith(".parquet"))[0])
+    # two live sibling files so the repaired partition still forms a
+    # rewrite group THIS run: a partition dir sorts before its own
+    # staging dir, so an implementation that interleaves listing with
+    # repair would list the journaled input too and then group a
+    # just-deleted path (read fails) — repair must complete first
+    sib = spark.read.parquet(victim)
+    for i in (1, 2):
+        sib.coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(out, f"_sib{i}.tmp"))
+        src = next(os.path.join(out, f"_sib{i}.tmp", f)
+                   for f in os.listdir(os.path.join(out, f"_sib{i}.tmp"))
+                   if f.endswith(".parquet"))
+        os.replace(src, os.path.join(pdir, f"extra-{i}.parquet"))
+        import shutil
+        shutil.rmtree(os.path.join(out, f"_sib{i}.tmp"))
+    before = sorted(before + 2 * sorted(
+        map(tuple, sib.select("subj", "pred", "obj").collect())))
     staging = os.path.join(out, part + ".binX.deadbeef.compacting")
     os.makedirs(staging)
     spark.read.parquet(victim).coalesce(1).write.mode("overwrite") \
@@ -3052,7 +3069,10 @@ def test_compact_triples_planned(spark, tmp_path):
     report2 = compact_triples_planned(spark, out, target_bytes=10**9)
     assert report2["repaired"] == 1
     assert not os.path.exists(victim)
-    assert os.path.isfile(os.path.join(pdir, "compact-repair.parquet"))
+    # the repaired output joined THIS run's rewrite group (repair
+    # completes before listing), so the partition re-compacted —
+    # content identity is the durable postcondition
+    assert (part, 0) in report2["groups"]
     repaired = sorted(map(tuple, spark.read.parquet(out)
                           .select("subj", "pred", "obj").collect()))
     assert repaired == before

@@ -2465,6 +2465,72 @@ def test_exists_injection_refusals(spark):
                             BIND("q" AS ?v) } }""")
 
 
+def test_exists_substitution_shape_builtins(spark):
+    """A term-shape builtin (LANG / DATATYPE / ISNUMERIC) applied to
+    a SUBSTITUTED variable inside a FILTER EXISTS body must see the
+    OUTER term's shape (§8.1.1 substitution-by-constant): the seed
+    carries the ``__shape_*`` companions of every injected variable.
+    Regression: the first injection seed dropped the companions, so
+    LANG(?v) compiled against a NULL-filled column — EXISTS silently
+    returned [] and NOT EXISTS wrongly kept every row."""
+    rows = [
+        ("urn:a", "p:d", "hello", False, "en", None),
+        ("urn:b", "p:d", "hola", False, "es", None),
+        ("urn:c", "p:d", "plain", False, None, None),
+        ("urn:d", "p:d", "42", False, None, _XSD_INT),
+        ("urn:a", "p:a", "m1", False, None, None),
+        ("urn:b", "p:a", "m2", False, None, None),
+        ("urn:d", "p:a", "m3", False, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    q = """SELECT ?x ?v WHERE { ?x p:d ?v .
+           FILTER EXISTS { ?x p:a ?m FILTER(LANG(?v) = "en") } }"""
+    assert sorted(_rows(sparql(t, q))) == [("urn:a", "hello")]
+    # the NOT EXISTS dual complements over rows WITH a p:a match;
+    # urn:c has no p:a at all, so its body never witnesses either way
+    qn = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sorted(_rows(sparql(t, qn))) == [
+        ("urn:b", "hola"), ("urn:c", "plain"), ("urn:d", "42")]
+    # DATATYPE-family builtin over the substituted variable
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE { ?x p:d ?v .
+        FILTER EXISTS { ?x p:a ?m FILTER(ISNUMERIC(?v)) } }""")))
+    assert out == [("urn:d",)]
+    # substituted variable ALSO matched by a body pattern: the outer
+    # (seed) shape wins through the conjoin — body matches that
+    # disagree lexically are dropped by the equi-join as before
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE { ?x p:d ?v .
+        FILTER EXISTS { ?x p:d ?v FILTER(LANG(?v) != "") } }""")))
+    assert out == [("urn:a",), ("urn:b",)]
+
+
+def test_exists_shape_builtin_unbound_and_shapeless(spark):
+    """Shape builtins over an injected variable with NO usable shape:
+    an outer-OPTIONAL-unbound bucket injects a NULL value column and
+    NULL companions, so LANG(?w) is the type error (no witness) and
+    BOUND(?w) still answers — filtered, never misclassified, never an
+    unresolved ``__shape_*`` column error."""
+    rows = [
+        ("urn:a", "p:d", "da", False, None, None),
+        ("urn:b", "p:d", "db", False, None, None),
+        ("urn:a", "p:o", "wa", False, "en", None),  # only urn:a binds ?w
+        ("urn:a", "p:a", "m1", False, None, None),
+        ("urn:b", "p:a", "m2", False, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE {
+        ?x p:d ?v . OPTIONAL { ?x p:o ?w }
+        FILTER EXISTS { ?x p:a ?m FILTER(LANG(?w) = "en") } }""")))
+    assert out == [("urn:a",)]
+    out = sorted(_rows(sparql(t, """SELECT ?x WHERE {
+        ?x p:d ?v . OPTIONAL { ?x p:o ?w }
+        FILTER NOT EXISTS { ?x p:a ?m FILTER(LANG(?w) = "en") } }""")))
+    assert out == [("urn:b",)]
+
+
 def test_minus_full_group_with_inner_optional(spark):
     """§8.3 with a MINUS body that leaves a shared variable unbound
     via its inner OPTIONAL: removal needs compatibility on the
