@@ -1988,6 +1988,30 @@ def wl_fingerprint(triples: DataFrame, rounds: int = 3) -> DataFrame:
         F.sum(h).cast("decimal(38,0)").cast("string").alias("fp"))
 
 
+def slice_offsets(slice_tot: DataFrame, tot_col: str) -> DataFrame:
+    """``(slice, tot)`` -> ``(slice, off)`` where ``off`` is the sum
+    of ``tot`` over all smaller slice ids — the broadcast offsets dim
+    of the two-phase distributed prefix sum, computed WITHOUT a
+    window: the per-slice totals (bounded by the shuffle-partition
+    count) pack into one sorted array and each offset is a prefix
+    aggregate over it.  A constant-partition window
+    (``partitionBy(lit(0))``) constant-folds to an empty partition
+    spec, so WindowExec logs the "No Partition Defined" warning on
+    every run — safe on a slice dim but cry-wolf noise in a real
+    cluster's logs; this shape emits none.  O(slices²) adds inside
+    one row: hundreds of slices, negligible."""
+    packed = slice_tot.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("slice").alias("slice"),
+                 F.col(tot_col).alias("tot")))).alias("a"))
+    return (packed
+            .select(F.posexplode("a").alias("pos", "s"), F.col("a"))
+            .select(F.col("s.slice").alias("slice"),
+                    F.aggregate(F.slice("a", 1, F.col("pos")),
+                                F.lit(0).cast("bigint"),
+                                lambda acc, x: acc + x["tot"])
+                    .alias("off")))
+
+
 def _undirected(edges: DataFrame) -> DataFrame:
     """Symmetrized, deduplicated, self-loop-free edge frame — the
     shared undirected-graph prologue of label_propagation / k_core /
@@ -2199,9 +2223,7 @@ def negative_samples(triples: DataFrame, k: int = 2,
               .withColumn("slice", F.spark_partition_id())
               .localCheckpoint(eager=True))
     slice_tot = sliced.groupBy("slice").agg(F.count(F.lit(1)).alias("n"))
-    w_dim = Window.partitionBy(F.lit(0)).orderBy("slice")
-    offsets = slice_tot.select(
-        "slice", (F.sum("n").over(w_dim) - F.col("n")).alias("off"))
+    offsets = slice_offsets(slice_tot, "n")
     w_local = Window.partitionBy("slice").orderBy("e")
     ranked = (sliced.join(F.broadcast(offsets), "slice")
               .select("e", (F.col("off") + F.row_number().over(w_local)

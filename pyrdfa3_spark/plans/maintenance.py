@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyrdfa3_spark.operators.graphops import slice_offsets
+
 
 def compaction_plan(files: DataFrame, target_bytes: int = 134217728,
                     path_col: str = "path", size_col: str = "bytes",
@@ -46,10 +48,8 @@ def compaction_plan(files: DataFrame, target_bytes: int = 134217728,
               .withColumn("slice", F.spark_partition_id())
               .localCheckpoint(eager=True))
     slice_tot = sliced.groupBy("slice").agg(F.sum("bytes").alias("tot"))
-    w_dim = Window.partitionBy(F.lit(0)).orderBy("slice")
-    offsets = slice_tot.select(
-        "slice", (F.sum("tot").over(w_dim) - F.col("tot"))
-        .alias("base_off"))
+    offsets = (slice_offsets(slice_tot, "tot")
+               .withColumnRenamed("off", "base_off"))
     w_local = Window.partitionBy("slice").orderBy("path")
     start = (F.col("base_off")
              + F.sum("bytes").over(w_local) - F.col("bytes"))

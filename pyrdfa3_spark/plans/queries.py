@@ -2066,8 +2066,6 @@ def q_nation_revenue_topk(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    from pyspark.sql import Window
-
     rev = (orders
            .join(F.broadcast(cust),
                  orders.o_custkey == cust.c_custkey)
@@ -2077,12 +2075,23 @@ def q_nation_revenue_topk(spark, sf_dir):
            .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                         .cast("double"), 2).alias("revenue"),
                 F.count("*").cast("bigint").alias("n_orders")))
-    # partition-less window is safe HERE ONLY: rev is post-aggregation,
-    # bounded by |nation| = 25 rows — never use this shape on fact-table
-    # cardinality (see entity_link.build_lexicon for the scalable top-n)
-    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
-    return (rev.withColumn("rank", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rank") <= 5))
+    # two-phase top-k (entity_link.build_lexicon shape): orderBy+limit
+    # plans as TakeOrderedAndProject (parallel per-partition top-n +
+    # driver merge), then ranks come from packing the ≤5-row result
+    # into one sorted array and exploding with position — no
+    # WindowExec anywhere, so a real cluster's logs never see the
+    # "No Partition Defined" cry-wolf warning for a bounded frame
+    top = rev.orderBy(F.desc("revenue"), F.asc("n_name")).limit(5)
+    packed = top.agg(F.array_sort(F.collect_list(F.struct(
+        (-F.col("revenue")).alias("negrev"),
+        F.col("n_name").alias("n_name"),
+        F.col("n_orders").alias("n_orders")))).alias("ranked"))
+    return (packed
+            .select(F.posexplode("ranked").alias("pos", "r"))
+            .select(F.col("r.n_name").alias("n_name"),
+                    (-F.col("r.negrev")).alias("revenue"),
+                    F.col("r.n_orders").alias("n_orders"),
+                    (F.col("pos") + 1).cast("bigint").alias("rank")))
 
 
 SQL_NATION_REVENUE_TOPK = """
