@@ -144,9 +144,10 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
             proc = RDFaProcessor(base=base, host=host,
                                  rdfa_version=rdfa_version,
                                  hturtle_only=hturtle_only)
+            pdiags: list = []
             try:
                 root = (parse_xml(fragment) if is_xml_host(host)
-                        else parse_html(fragment))
+                        else parse_html(fragment, diagnostics=pdiags))
                 triples = proc.process(root)
                 if microdata:
                     triples = triples + extract_microdata(root, base)
@@ -187,7 +188,7 @@ def _extract_batches(batches: Iterator[pa.RecordBatch],
                         continue
                     seen.add(key)
                     emit("t", conv, turn, s_out, p, o_out, True, None, None)
-            for severity, code, message in proc.diagnostics:
+            for severity, code, message in pdiags + proc.diagnostics:
                 emit("d", conv, turn, severity, code, message[:500],
                      None, None, None)
         yield pa.RecordBatch.from_pydict(rows, schema=ARROW_SCHEMA)

@@ -90,18 +90,65 @@ MAX_DEPTH = 400
 class DocumentTooDeep(ValueError):
     pass
 
-# naive auto-close sets: opening one of these closes an open same-tag (or
-# listed) ancestor, approximating the HTML5 tree construction rules that
-# html5lib would apply for mildly malformed input.
+# HTML5 tree-construction fixups (the documented html5lib behaviours
+# for malformed markup, WHATWG HTML §13.2.6).  The sets below encode
+# the spec's scope rules rather than a naive same-tag heuristic:
+#
+# * _SPECIAL is the spec's "special" element category (abridged to the
+#   tags that occur in practice): the auto-close walk for li/dd/dt
+#   skips non-special elements (formatting, span, ...) plus the
+#   spec-exempt address/div/p, and stops at any other special element.
+# * _BUTTON_SCOPE bounds the "p element in button scope" test: a block
+#   start tag closes an open <p> unless a scope boundary intervenes.
+# * _FMT is the formatting category: an end tag that implicitly closes
+#   formatting elements is where html5lib's adoption agency would
+#   RE-OPEN them in the new context — this builder closes them
+#   conservatively and records a diagnostic instead (the one
+#   documented divergence; never silent).
+# * _TABLE_CTX drives foster parenting: content that the "in table"
+#   insertion modes do not allow is re-parented to just before the
+#   table (html5lib's fixup), with <tr> under table implying <tbody>
+#   and <td>/<th> under table/tbody implying <tr>.
+_SPECIAL = frozenset("""address applet area article aside base basefont
+    blockquote body br button caption center col colgroup dd details
+    dir div dl dt embed fieldset figcaption figure footer form frame
+    frameset h1 h2 h3 h4 h5 h6 head header hgroup hr html iframe img
+    input li link listing main marquee menu meta nav noembed noframes
+    noscript object ol p param plaintext pre script section select
+    source style summary table tbody td template textarea tfoot th
+    thead title tr track ul wbr xmp""".split())
+
+_BUTTON_SCOPE = frozenset(
+    "applet caption html table td th marquee object template button"
+    .split())
+
+_FMT = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split())
+
+_BLOCK_CLOSES_P = frozenset("""address article aside blockquote center
+    details dialog dir div dl fieldset figcaption figure footer form
+    h1 h2 h3 h4 h5 h6 header hgroup hr listing main menu nav ol p pre
+    section summary table ul xmp""".split())
+
+# start tag -> (targets to implicitly close, explicit boundary set);
+# boundary None means the _SPECIAL-category walk described above
 _AUTOCLOSE = {
-    "li": {"li"},
-    "p": {"p"},
-    "option": {"option"},
-    "tr": {"tr", "td", "th"},
-    "td": {"td", "th"},
-    "th": {"td", "th"},
-    "dt": {"dt", "dd"},
-    "dd": {"dt", "dd"},
+    "li": ({"li"}, None),
+    "dt": ({"dt", "dd"}, None),
+    "dd": ({"dt", "dd"}, None),
+    "tr": ({"tr"}, {"table", "tbody", "thead", "tfoot", "html"}),
+    "td": ({"td", "th"}, {"tr", "table", "html"}),
+    "th": ({"td", "th"}, {"tr", "table", "html"}),
+    "option": ({"option"}, {"select", "html"}),
+}
+
+_TABLE_CTX = {
+    "table": {"caption", "colgroup", "col", "thead", "tbody", "tfoot",
+              "tr", "td", "th", "style", "script", "template", "form"},
+    "tbody": {"tr", "td", "th", "style", "script", "template"},
+    "thead": {"tr", "td", "th", "style", "script", "template"},
+    "tfoot": {"tr", "td", "th", "style", "script", "template"},
+    "tr": {"td", "th", "style", "script", "template"},
 }
 
 
@@ -110,18 +157,90 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
+        self.diagnostics: list[tuple[str, str, str]] = []
+
+    def _warn_fmt_reopen(self, closed, cause: str) -> None:
+        fmts = [n.tag for n in closed if n.tag in _FMT]
+        if fmts:
+            self.diagnostics.append((
+                "warning", "html-misnested-formatting",
+                f"{cause} implicitly closed formatting element(s) "
+                f"<{'>, <'.join(fmts)}>; html5lib's adoption agency "
+                "would re-open them in the new context — this parser "
+                "closes them conservatively"))
+
+    def _close_p_in_button_scope(self) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t == "p":
+                self._warn_fmt_reopen(self.stack[i + 1:],
+                                      "block start tag closing <p>")
+                del self.stack[i:]
+                return
+            if t in _BUTTON_SCOPE:
+                return
+
+    def _autoclose(self, tag: str) -> None:
+        targets, boundary = _AUTOCLOSE[tag]
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t in targets:
+                self._warn_fmt_reopen(self.stack[i + 1:],
+                                      f"<{tag}> start tag")
+                del self.stack[i:]
+                return
+            if boundary is None:
+                if (t in _SPECIAL
+                        and t not in ("address", "div", "p")):
+                    return
+            elif t in boundary:
+                return
+
+    def _nearest_table(self):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                return i
+        return None
+
+    def _push(self, node: Node) -> None:
+        if len(self.stack) >= MAX_DEPTH:
+            raise DocumentTooDeep(
+                f"element nesting exceeds MAX_DEPTH={MAX_DEPTH}")
+        self.stack.append(node)
 
     # html.parser lowercases tag and attribute names already.
     def handle_starttag(self, tag, attrs):
-        close = _AUTOCLOSE.get(tag)
-        if close:
-            for i in range(len(self.stack) - 1, 0, -1):
-                t = self.stack[i].tag
-                if t in close:
-                    del self.stack[i:]
-                    break
-                if t not in ("a", "b", "i", "em", "strong", "span", "small"):
-                    break
+        if tag in _BLOCK_CLOSES_P:
+            self._close_p_in_button_scope()
+        if tag in _AUTOCLOSE:
+            self._autoclose(tag)
+        # "in table" insertion modes: imply tbody/tr, foster-parent
+        # anything the table content model does not allow
+        cur = self.stack[-1].tag
+        if cur in _TABLE_CTX:
+            if tag == "tr" and cur == "table":
+                tb = Node("tbody")
+                self.stack[-1].append(tb)
+                self._push(tb)
+            elif tag in ("td", "th") and cur in ("table", "tbody",
+                                                 "thead", "tfoot"):
+                if cur == "table":
+                    tb = Node("tbody")
+                    self.stack[-1].append(tb)
+                    self._push(tb)
+                trn = Node("tr")
+                self.stack[-1].append(trn)
+                self._push(trn)
+            elif tag not in _TABLE_CTX[cur]:
+                amap = {}
+                for k, v in attrs:
+                    if k not in amap:
+                        amap[k] = v if v is not None else ""
+                node = Node(tag, amap)
+                self._foster_insert(node)
+                if tag not in _VOID_ELEMENTS:
+                    self._push(node)
+                return
         amap = {}
         for k, v in attrs:
             if k not in amap:
@@ -129,28 +248,60 @@ class _TreeBuilder(HTMLParser):
         node = Node(tag, amap)
         self.stack[-1].append(node)
         if tag not in _VOID_ELEMENTS:
-            if len(self.stack) >= MAX_DEPTH:
-                raise DocumentTooDeep(
-                    f"element nesting exceeds MAX_DEPTH={MAX_DEPTH}")
-            self.stack.append(node)
+            self._push(node)
+
+    def _foster_insert(self, child) -> None:
+        """Insert a node/text just before the nearest open table (the
+        spec's foster-parenting step for content misplaced in table
+        context)."""
+        ti = self._nearest_table()
+        if ti is None or ti == 0:  # shouldn't happen; append in place
+            self.stack[-1].append(child)
+            return
+        table = self.stack[ti]
+        parent = self.stack[ti - 1]
+        if isinstance(child, Node):
+            child.parent = parent
+        idx = next(i for i, c in enumerate(parent.children)
+                   if c is table)
+        parent.children.insert(idx, child)
 
     def handle_startendtag(self, tag, attrs):
         amap = {}
         for k, v in attrs:
             if k not in amap:
                 amap[k] = v if v is not None else ""
-        self.stack[-1].append(Node(tag, amap))
+        cur = self.stack[-1].tag
+        if cur in _TABLE_CTX and tag not in _TABLE_CTX[cur]:
+            self._foster_insert(Node(tag, amap))
+        else:
+            self.stack[-1].append(Node(tag, amap))
 
     def handle_endtag(self, tag):
+        if tag == "br":
+            # spec: </br> is parsed as <br> (a start tag)
+            self.handle_startendtag("br", [])
+            return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                self._warn_fmt_reopen(self.stack[i + 1:],
+                                      f"</{tag}> end tag")
                 del self.stack[i:]
                 return
-        # stray end tag: ignored (error-correcting behaviour)
+        if tag == "p":
+            # spec: a stray </p> acts as <p></p> — an empty p element
+            self.stack[-1].append(Node("p"))
+        # any other stray end tag: ignored (error-correcting behaviour)
 
     def handle_data(self, data):
-        if data:
-            self.stack[-1].append(data)
+        if not data:
+            return
+        if self.stack[-1].tag in _TABLE_CTX and data.strip():
+            # non-whitespace text directly in table context is
+            # foster-parented before the table (whitespace stays)
+            self._foster_insert(data)
+            return
+        self.stack[-1].append(data)
 
 
 # Fast path: most transcript fragments are well-formed XML, which expat
@@ -175,14 +326,50 @@ def _parse_html_fast(text: str) -> Node:
         if len(stack) >= MAX_DEPTH + 1:  # +1: synthetic wrapper level
             raise DocumentTooDeep(
                 f"element nesting exceeds MAX_DEPTH={MAX_DEPTH}")
+        tag = tag.lower()
+        cur = stack[-1].tag
+        # well-formed XML whose HTML5 tree would still differ from the
+        # XML tree: content the table insertion modes re-home (foster
+        # parenting) and block elements inside <p> (the spec closes
+        # the p first) route to the tolerant parser, which implements
+        # those fixups — both paths stay identical.  The deterministic
+        # implied-tbody/tr insertions are mirrored inline (synthetic
+        # frames; the end handler pops through them).
+        if (cur in _TABLE_CTX and tag not in _TABLE_CTX[cur]) \
+                or (cur == "p" and tag in _BLOCK_CLOSES_P):
+            raise ValueError(
+                "HTML5 insertion rules diverge from XML here: "
+                "use tolerant parser")
+        if tag == "tr" and cur == "table":
+            tb = Node("tbody")
+            stack[-1].append(tb)
+            stack.append(tb)
+        elif tag in ("td", "th") and cur in ("table", "tbody",
+                                             "thead", "tfoot"):
+            if cur == "table":
+                tb = Node("tbody")
+                stack[-1].append(tb)
+                stack.append(tb)
+            trn = Node("tr")
+            stack[-1].append(trn)
+            stack.append(trn)
         amap = {}
         for i in range(0, len(attrs), 2):
             k = attrs[i].lower()
             if k not in amap:
                 amap[k] = attrs[i + 1]
-        n = Node(tag.lower(), amap)
+        n = Node(tag, amap)
         stack[-1].append(n)
         stack.append(n)
+
+    def chardata(d):
+        if not d:
+            return
+        if stack[-1].tag in _TABLE_CTX and d.strip():
+            raise ValueError(
+                "text in table context is foster-parented in HTML5: "
+                "use tolerant parser")
+        stack[-1].append(d)
 
     def reject_cdata():
         # expat would surface CDATA content as text, but HTML parsing
@@ -194,21 +381,36 @@ def _parse_html_fast(text: str) -> Node:
     p = expat.ParserCreate()
     p.ordered_attributes = True
     p.buffer_text = True
+    def end(tag):
+        t = tag.lower()
+        # pop through synthetic implied-tbody/tr frames (they have no
+        # end event of their own; well-formed XML guarantees the match)
+        while len(stack) > 1 and stack[-1].tag != t:
+            stack.pop()
+        stack.pop()
+
     p.StartElementHandler = start
-    p.EndElementHandler = lambda tag: stack.pop()
-    p.CharacterDataHandler = lambda d: stack[-1].append(d) if d else None
+    p.EndElementHandler = end
+    p.CharacterDataHandler = chardata
     p.StartCdataSectionHandler = reject_cdata
     p.Parse("<sgr-root>" + text + "</sgr-root>", True)
     return stack[0].children[0]  # the wrapper element
 
 
-def parse_html(text: str) -> Node:
+def parse_html(text: str, diagnostics: list | None = None) -> Node:
     """Parse an HTML5 document/fragment; return the document element.
 
     If the input has no single root element an ``<html>`` root is
     synthesized (html5lib would wrap content into html/body the same
     way; head/body elements without resource attributes are transparent
     for subject resolution, parse.py:89-96).
+
+    ``diagnostics``, when given, collects ``(severity, code, message)``
+    tuples for recoveries where this parser's tree is DOCUMENTED to
+    diverge from html5lib's (mis-nested formatting elements the
+    adoption agency would re-open); spec-equivalent fixups
+    (auto-closing p/li/dd/tr/td, foster parenting, implied tbody/tr,
+    stray end tags) emit nothing because both trees agree.
     """
     wrapper = None
     if not _TAG_CTRL_WS.search(text):
@@ -223,6 +425,8 @@ def parse_html(text: str) -> Node:
         builder.feed(text)
         builder.close()
         wrapper = builder.root
+        if diagnostics is not None:
+            diagnostics.extend(builder.diagnostics)
     roots = wrapper.element_children()
     if len(roots) == 1 and not _has_stray_text(wrapper):
         doc = roots[0]

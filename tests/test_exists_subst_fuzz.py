@@ -197,3 +197,121 @@ def test_exists_substitution_fuzz(spark, seed, bi, neg):
         (mu["x"], mu["v"], mu["w"]) for mu in outer
         if _eval_body(store, body, mu) != neg)
     assert got == want, f"\nquery: {q}\nstore: {store}"
+
+
+# ---------------------------------------------------------------- #
+# SHAPED stores: term-shape builtins over substituted variables
+# (the round-4 ADVICE regression zone — the shapeless fuzz above
+# cannot reach it because LANG needs literal-shape columns)
+# ---------------------------------------------------------------- #
+
+# language tag is a FUNCTION of the object lexical by construction,
+# so the engine's documented string-equality join discipline and the
+# pure-Python model agree on every conflation
+_LANG_OF = {"c0": "en", "c1": "es", "c2": None, "c3": None}
+
+
+def _eval_shape_filter(f, sol, mu):
+    op, a, b = f
+
+    def val(name):
+        if name in sol:
+            return sol[name]
+        return mu.get(name)
+
+    v = val(a)
+    if op in ("lang_eq", "lang_ne"):
+        if v is None:
+            return False  # LANG(unbound) is the type error
+        lang = _LANG_OF.get(v) or ""
+        return (lang == b) if op == "lang_eq" else (lang != b)
+    if op == "isliteral":
+        return v is not None  # every object term here is a literal
+    return _eval_filter(f, sol, mu)
+
+
+def _eval_body_shaped(store, body, mu):
+    def sp(pats):
+        return [tuple(_subst(t, mu) for t in pat) for pat in pats]
+
+    sols = _eval_bgp(store, sp(body["patterns"]))
+    if body.get("optional"):
+        opats = sp(body["optional"])
+        merged = []
+        for s in sols:
+            ext = _eval_bgp(store, opats, s)
+            merged.extend(ext if ext else [s])
+        sols = merged
+    if body.get("filter"):
+        sols = [s for s in sols
+                if _eval_shape_filter(body["filter"], s, mu)]
+    return bool(sols)
+
+
+def _render_shape_filter(f):
+    op, a, b = f
+    return {"lang_eq": f'LANG(?{a}) = "{b}"',
+            "lang_ne": f'LANG(?{a}) != "{b}"',
+            "isliteral": f"ISLITERAL(?{a})",
+            "eq": f"?{a} = ?{b}", "ne": f"?{a} != ?{b}",
+            "bound": f"BOUND(?{a})",
+            "notbound": f"!BOUND(?{a})"}[op]
+
+
+SHAPED_BODIES = [
+    # LANG over the certain substituted variable
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("lang_eq", "v", "en")},
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("lang_ne", "v", "")},
+    # LANG over the possibly-unbound substituted variable
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("lang_eq", "w", "en")},
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("lang_ne", "w", "es")},
+    # shape of a BODY-bound variable (sanity: not substituted)
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("lang_eq", "m", "es")},
+    # ISLITERAL over substituted / possibly-unbound
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("isliteral", "v", "")},
+    {"patterns": [("?x", "p:a", "?m")], "filter": ("isliteral", "w", "")},
+    # substitution inside the body OPTIONAL combined with a shape read
+    {"patterns": [("?x", "p:a", "?m")],
+     "optional": [("?x", "p:c", "?v")],
+     "filter": ("lang_eq", "v", "en")},
+]
+
+SHAPED_CASES = [
+    (seed, bi, neg)
+    for seed in range(int(os.environ.get("EXISTS_FUZZ_SEEDS", "6")))
+    for bi in range(len(SHAPED_BODIES))
+    for neg in (False, True)]
+
+
+@pytest.mark.parametrize("seed,bi,neg", SHAPED_CASES)
+def test_exists_substitution_shaped_fuzz(spark, seed, bi, neg):
+    rng = random.Random(7000 * seed + 23 * bi + neg)
+    store = _rand_store(rng)
+    body = SHAPED_BODIES[bi]
+    filt = body.get("filter")
+    parts = [f"{s} {p} {o}" for s, p, o in body["patterns"]]
+    if body.get("optional"):
+        parts.append("OPTIONAL { " + " . ".join(
+            f"{s} {p} {o}" for s, p, o in body["optional"]) + " }")
+    if filt:
+        parts.append(f"FILTER({_render_shape_filter(filt)})")
+    q = f"""SELECT ?x ?v ?w WHERE {{
+        ?x p:d ?v . OPTIONAL {{ ?x p:o ?w }}
+        FILTER {'NOT ' if neg else ''}EXISTS {{ {' '.join(parts)} }}
+        }}"""
+    shaped = [(s, p, o, False, _LANG_OF.get(o), None)
+              for s, p, o in store]
+    df = spark.createDataFrame(
+        shaped, "subj string, pred string, obj string, "
+                "obj_is_iri boolean, obj_lang string, obj_datatype string")
+    got = Counter((r["x"], r["v"], r["w"])
+                  for r in sparql(df, q).collect())
+
+    outer = []
+    for s in _eval_bgp(store, [("?x", "p:d", "?v")]):
+        ext = _eval_bgp(store, [("?x", "p:o", "?w")], s)
+        outer.extend(ext if ext else [{**s, "w": None}])
+    want = Counter(
+        (mu["x"], mu["v"], mu["w"]) for mu in outer
+        if _eval_body_shaped(store, body, mu) != neg)
+    assert got == want, f"\nquery: {q}\nstore: {store}"

@@ -445,8 +445,147 @@ def test_multimodal_plumbing(spark):
     one = fr.filter("frame_idx = 1").first()
     assert one["ts_ms"] == 1000 and len(one["feature"]) == 8
 
+    # fake=False on non-PNG payloads: honest refusal inside the task
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(media, fake=False).collect()
+
+
+def _encode_png_independent(px, ctype, filters, palette=None):
+    """Minimal PNG writer INDEPENDENT of the library's png_encode (its
+    own chunk/CRC/filter code) so decode tests aren't self-referential.
+    ``filters[y]`` picks the filter byte per scanline, with the filter
+    transforms applied forward here and reconstructed by the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data \
+            + struct.pack(">I", crc)
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        enc = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_decode_byte_exact():
+    """The pure-stdlib PNG codec: every scanline filter and the common
+    color types reconstruct byte-exactly against an independent
+    encoder; unsupported shapes refuse."""
+    import numpy as np
+    import pytest
+
+    from pyrdfa3_spark.operators.multimodal import (
+        png_decode, png_encode, png_features, png_info,
+    )
+
+    rng = np.random.RandomState(7)
+    # RGB through all five filters
+    px = rng.randint(0, 256, (10, 7, 3)).astype(np.uint8)
+    payload = _encode_png_independent(px, 2, [0, 1, 2, 3, 4])
+    assert png_info(payload)[:4] == (7, 10, 8, 2)
+    assert np.array_equal(png_decode(payload), px)
+    # grayscale, gray+alpha, RGBA
+    for ch, ctype in ((1, 0), (2, 4), (4, 6)):
+        q = rng.randint(0, 256, (5, 4, ch)).astype(np.uint8)
+        assert np.array_equal(
+            png_decode(_encode_png_independent(q, ctype, [4, 3, 1])), q)
+    # palette image maps through PLTE
+    idx = rng.randint(0, 4, (6, 5, 1)).astype(np.uint8)
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]])
+    got = png_decode(_encode_png_independent(idx, 3, [0, 2],
+                                             palette=plte))
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+    # round-trip through the library's own encoder
+    assert np.array_equal(png_decode(png_encode(px)), px)
+    # features: hand-computed grayscale mean-pool in milli units
+    flat = px[:, :, :3].mean(axis=2).ravel()
+    buckets = np.array_split(flat, 6)
+    expect = [round(float(b.mean()) * 1000 / 255) for b in buckets]
+    assert png_features(payload, 6).tolist() == expect
+    # refusals: not-a-png and 16-bit depth
+    with pytest.raises(ValueError):
+        png_decode(b"\x00" * 64)
+    deep = bytearray(_encode_png_independent(px, 2, [0]))
+    deep[24] = 16  # IHDR bit-depth byte
     with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False)
+        png_decode(bytes(deep))
+
+
+def test_multimodal_real_png_path(spark):
+    """fake=False end-to-end: PNG payloads decode for real through the
+    Arrow-batched operators — features match the hand-computable
+    grayscale pooling, resize is a true nearest-neighbor resample."""
+    import numpy as np
+
+    from pyrdfa3_spark.operators.multimodal import (
+        extract_features, png_decode, png_features, resize_images,
+    )
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, (8 + i, 6 + i, 3)).astype(np.uint8)
+            for i in range(3)}
+    rows = [(i, "image", bytearray(_encode_png_independent(
+        px, 2, [0, 1, 2, 3, 4])), px.shape[1], px.shape[0], 0, 0)
+        for i, px in imgs.items()]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, duration_ms int, fps int")
+
+    feats = {r["media_id"]: r
+             for r in extract_features(media, dim=8,
+                                       fake=False).collect()}
+    for i, px in imgs.items():
+        milli = png_features(
+            bytes(_encode_png_independent(px, 2, [0, 1, 2, 3, 4])), 8)
+        assert feats[i]["feature_str"] == \
+            ",".join(str(int(v)) for v in milli)
+        assert feats[i]["feature"] == [
+            float(np.float32(v) / np.float32(1000.0)) for v in milli]
+
+    rs = {r["media_id"]: r
+          for r in resize_images(media, 4, 5, fake=False).collect()}
+    for i, px in imgs.items():
+        out = png_decode(bytes(rs[i]["payload"]))
+        h, w = px.shape[:2]
+        ys = (np.arange(5) * h) // 5
+        xs = (np.arange(4) * w) // 4
+        assert np.array_equal(out, px[ys][:, xs])
+        assert (rs[i]["width"], rs[i]["height"]) == (4, 5)
 
 
 def test_sameas_canonicalization(spark):

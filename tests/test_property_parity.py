@@ -80,10 +80,21 @@ element = st.builds(
 )
 
 
-def _render(tree, depth=0) -> str:
+def _render(tree, in_p: bool = False) -> str:
     (tag, attrs, text), children = tree
+    if in_p and tag in ("div", "p"):
+        # the sandbox reference parses through minidom (literal XML
+        # nesting; html5lib absent), but html5lib — and our parser,
+        # which implements the documented fixup — closes an open <p>
+        # when a block element starts (tests/test_malformed_html.py
+        # covers that zone with hand-written spec expectations).  The
+        # minidom oracle cannot represent the fixed-up tree, so the
+        # generator keeps <p> content inline: same RDFa attribute
+        # semantics, one DOM both sides agree on.
+        tag = "span"
     a = "".join(f' {k}="{v}"' for k, v in sorted(attrs.items()))
-    inner = text + "".join(_render(c, depth + 1) for c in children)
+    inner = text + "".join(_render(c, in_p or tag == "p")
+                           for c in children)
     return f"<{tag}{a}>{inner}</{tag}>"
 
 
