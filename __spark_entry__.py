@@ -54,6 +54,8 @@ _ROUND5_WINDOW = [
     "repetition_stats", "domain_mix", "entity_disambiguate",
     # transcript ops + joins
     "tool_usage", "role_transitions", "interval_join",
+    # new in round 5: HTML5-fixup extraction + real PNG decode
+    "malformed_html_fixture", "multimodal_png_real",
 ]
 
 

@@ -5903,6 +5903,108 @@ SELECT 'rx' || k, CAST(0 AS BIGINT), b || '#n' || k,
 """
 
 
+def q_malformed_html_fixture(spark, sf_dir):
+    """Round-5 driver-gate evidence for the HTML5 tree-construction
+    fixups (tests/test_malformed_html.py encodes the spec trees; this
+    runs the same fixups END-TO-END through the real Arrow extraction
+    UDF on a nation-derived MALFORMED corpus with a closed-form
+    oracle): a property-carrying div misplaced in table context is
+    foster-parented out (subject = body's @about, not swallowed),
+    unclosed <li> siblings keep their own text, and a block element
+    closes an open <p> before contributing its triple."""
+    from pyrdfa3_spark.plans.extract import extract_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    r = F.col("n_regionkey").cast("string")
+    html = F.concat(
+        F.lit('<body about="urn:n:N'), k,
+        F.lit('"><table><div property="urn:p:name">'), F.col("n_name"),
+        F.lit('</div><tr><td>cell</td></tr></table>'
+              '<ul><li property="urn:p:alpha">A'), k,
+        F.lit('<li property="urn:p:beta">B'), r,
+        F.lit('</ul><p>lead<div property="urn:p:reg">R'), r,
+        F.lit("</div></body>"))
+    t = nation.select(
+        F.concat(F.lit("mfx"), k).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"), html.alias("text"),
+        F.lit("b").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    return (extract_triples(t)
+            .withColumn("turn_idx", F.col("turn_idx").cast("bigint")))
+
+
+SQL_MALFORMED_HTML_FIXTURE = """
+WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k,
+                  CAST(n_regionkey AS VARCHAR) AS r, n_name FROM nation)
+SELECT 'mfx' || k AS conv_id, CAST(0 AS BIGINT) AS turn_idx,
+       'urn:n:N' || k AS subj, 'urn:p:name' AS pred, n_name AS obj,
+       false AS obj_is_iri, CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM n
+UNION ALL
+SELECT 'mfx' || k, CAST(0 AS BIGINT), 'urn:n:N' || k,
+       'urn:p:alpha', 'A' || k, false, NULL, NULL FROM n
+UNION ALL
+SELECT 'mfx' || k, CAST(0 AS BIGINT), 'urn:n:N' || k,
+       'urn:p:beta', 'B' || r, false, NULL, NULL FROM n
+UNION ALL
+SELECT 'mfx' || k, CAST(0 AS BIGINT), 'urn:n:N' || k,
+       'urn:p:reg', 'R' || r, false, NULL, NULL FROM n
+"""
+
+
+def q_multimodal_png_real(spark, sf_dir):
+    """Round-5 driver-gate evidence for the REAL (non-stub) PNG decode
+    path: deterministic 4x4 grayscale gradients are encoded with the
+    pure-stdlib png_encode, decoded back through
+    ``extract_features(fake=False)`` (png_decode -> grayscale
+    mean-pool), and the milli-unit feature string is checked against
+    the closed-form oracle (pixel v = (id*16 + p) % 256, bucket means
+    of 4, round(mean*1000/255) — never exactly .5, so Python and SQL
+    rounding agree)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyrdfa3_spark.operators.multimodal import (
+        extract_features, png_encode,
+    )
+
+    ids = spark.range(48).select(
+        F.col("id").alias("media_id"), F.lit("image").alias("kind"))
+
+    def mk(it):
+        for pdf in it:
+            payloads = [
+                png_encode(((np.arange(16, dtype=np.int64)
+                             + int(mid) * 16) % 256)
+                           .astype(np.uint8).reshape(4, 4, 1))
+                for mid in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "kind": pdf["kind"],
+                                "payload": payloads})
+
+    media = ids.mapInPandas(
+        mk, schema="media_id long, kind string, payload binary")
+    return (extract_features(media, dim=4, fake=False)
+            .select("media_id", "feature_str"))
+
+
+SQL_MULTIMODAL_PNG_REAL = """
+WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 48) t(i)),
+px AS (SELECT media_id, CAST(p AS BIGINT) AS p,
+              CAST((media_id * 16 + p) % 256 AS DOUBLE) AS v
+       FROM ids, range(0, 16) s(p)),
+b AS (SELECT media_id, p // 4 AS bucket, AVG(v) AS m
+      FROM px GROUP BY media_id, p // 4)
+SELECT media_id,
+       string_agg(CAST(CAST(round(m * 1000 / 255) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY bucket) AS feature_str
+FROM b GROUP BY media_id
+"""
+
+
 def q_kg_dataset_fixture(spark, sf_dir):
     """The named-graph materialization of the north star: extraction
     (real Arrow UDF) lands each conversation's triples in its own
@@ -6779,6 +6881,8 @@ QUERIES = {
     # microdata, multimodal, SPARQL forms, dedup/ANN
     # headliners; redundant trivia rotates behind
     "rdfa_extract_fixture": q_rdfa_extract_fixture,
+    "malformed_html_fixture": q_malformed_html_fixture,
+    "multimodal_png_real": q_multimodal_png_real,
     "rdfa_extract": q_rdfa_extract,
     "rdfa_diagnostics_fixture": q_rdfa_diagnostics_fixture,
     "rdfa_prototype_expand": q_rdfa_prototype_expand,
@@ -7149,6 +7253,8 @@ def oracles() -> dict[str, str]:
         "entity_disambiguate": SQL_ENTITY_DISAMBIGUATE,
         "sessionize": SQL_SESSIONIZE,
         "rdfa_extract_fixture": SQL_RDFA_EXTRACT_FIXTURE,
+        "malformed_html_fixture": SQL_MALFORMED_HTML_FIXTURE,
+        "multimodal_png_real": SQL_MULTIMODAL_PNG_REAL,
         "rdfa_diagnostics_fixture": SQL_RDFA_DIAGNOSTICS_FIXTURE,
         "hturtle_fixture": SQL_HTURTLE_FIXTURE,
         "vocab_expand_fixture": SQL_VOCAB_EXPAND_FIXTURE,
