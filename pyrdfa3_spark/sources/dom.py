@@ -315,12 +315,26 @@ class _TreeBuilder(HTMLParser):
 # a tag takes the slow path.
 _TAG_CTRL_WS = re.compile(r"<[^>]*[\t\n\r]")
 
+# gate for the fast path's HTML5 fixup checks ("<p" over-matches
+# <pre>/<param> etc. — it is only a gate, never a semantic test)
+_FIXUP_SCAN = re.compile(r"<(?:table|p)", re.IGNORECASE)
+
 
 def _parse_html_fast(text: str) -> Node:
     from xml.parsers import expat
 
     doc = Node("#document")
     stack = [doc]
+    # one C-speed regex scan gates ALL per-element HTML5 fixup checks:
+    # a document with no <table and no <p... tag (the overwhelming
+    # majority of RDFa fragments) pays two boolean tests per element
+    # and keeps the plain O(1) end-tag pop — the fast path stays fast
+    if _FIXUP_SCAN.search(text) is None:
+        has_table = has_p = False
+    else:
+        tl = text.lower()
+        has_table = "<table" in tl
+        has_p = "<p" in tl
 
     def start(tag, attrs):
         if len(stack) >= MAX_DEPTH + 1:  # +1: synthetic wrapper level
@@ -335,24 +349,28 @@ def _parse_html_fast(text: str) -> Node:
         # those fixups — both paths stay identical.  The deterministic
         # implied-tbody/tr insertions are mirrored inline (synthetic
         # frames; the end handler pops through them).
-        if (cur in _TABLE_CTX and tag not in _TABLE_CTX[cur]) \
-                or (cur == "p" and tag in _BLOCK_CLOSES_P):
-            raise ValueError(
-                "HTML5 insertion rules diverge from XML here: "
-                "use tolerant parser")
-        if tag == "tr" and cur == "table":
-            tb = Node("tbody")
-            stack[-1].append(tb)
-            stack.append(tb)
-        elif tag in ("td", "th") and cur in ("table", "tbody",
-                                             "thead", "tfoot"):
-            if cur == "table":
+        if has_table and cur in _TABLE_CTX:
+            if tag not in _TABLE_CTX[cur]:
+                raise ValueError(
+                    "HTML5 insertion rules diverge from XML here: "
+                    "use tolerant parser")
+            if tag == "tr" and cur == "table":
                 tb = Node("tbody")
                 stack[-1].append(tb)
                 stack.append(tb)
-            trn = Node("tr")
-            stack[-1].append(trn)
-            stack.append(trn)
+            elif tag in ("td", "th") and cur in ("table", "tbody",
+                                                 "thead", "tfoot"):
+                if cur == "table":
+                    tb = Node("tbody")
+                    stack[-1].append(tb)
+                    stack.append(tb)
+                trn = Node("tr")
+                stack[-1].append(trn)
+                stack.append(trn)
+        if has_p and cur == "p" and tag in _BLOCK_CLOSES_P:
+            raise ValueError(
+                "HTML5 insertion rules diverge from XML here: "
+                "use tolerant parser")
         amap = {}
         for i in range(0, len(attrs), 2):
             k = attrs[i].lower()
@@ -365,7 +383,7 @@ def _parse_html_fast(text: str) -> Node:
     def chardata(d):
         if not d:
             return
-        if stack[-1].tag in _TABLE_CTX and d.strip():
+        if has_table and stack[-1].tag in _TABLE_CTX and d.strip():
             raise ValueError(
                 "text in table context is foster-parented in HTML5: "
                 "use tolerant parser")
@@ -390,7 +408,10 @@ def _parse_html_fast(text: str) -> Node:
         stack.pop()
 
     p.StartElementHandler = start
-    p.EndElementHandler = end
+    # synthetic frames can only exist when a table does — table-free
+    # documents keep the plain O(1) pop
+    p.EndElementHandler = end if has_table else (
+        lambda tag: stack.pop())
     p.CharacterDataHandler = chardata
     p.StartCdataSectionHandler = reject_cdata
     p.Parse("<sgr-root>" + text + "</sgr-root>", True)
