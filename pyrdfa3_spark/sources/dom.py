@@ -100,11 +100,20 @@ class DocumentTooDeep(ValueError):
 #   spec-exempt address/div/p, and stops at any other special element.
 # * _BUTTON_SCOPE bounds the "p element in button scope" test: a block
 #   start tag closes an open <p> unless a scope boundary intervenes.
-# * _FMT is the formatting category: an end tag that implicitly closes
-#   formatting elements is where html5lib's adoption agency would
-#   RE-OPEN them in the new context — this builder closes them
-#   conservatively and records a diagnostic instead (the one
-#   documented divergence; never silent).
+# * _FMT is the formatting category.  When a close operation
+#   implicitly ends formatting elements — `</b>` over an open <i>, a
+#   block/li start tag closing a <p> that holds an open <b>, a parent
+#   end tag crossing an open formatting child — html5lib's adoption
+#   agency / active-formatting reconstruction RE-OPENS them at the
+#   new insertion point.  This builder implements that reconstruction
+#   (clones re-open in document order, inside the newly-inserted
+#   element for start-tag closes, at the parent for end-tag closes),
+#   which reproduces html5lib's tree for the common misnesting
+#   shapes.  The residual it does NOT attempt is the spec's
+#   furthest-block dance: an end tag whose implicitly-closed range
+#   contains NON-formatting elements (e.g. `</b>` across an open
+#   <div>) closes conservatively and records a diagnostic — never a
+#   silently different tree.
 # * _TABLE_CTX drives foster parenting: content that the "in table"
 #   insertion modes do not allow is re-parented to just before the
 #   table (html5lib's fixup), with <tr> under table implying <tbody>
@@ -152,29 +161,49 @@ _TABLE_CTX = {
 }
 
 
+_RECONSTRUCT_VOID = frozenset(
+    "br img embed area wbr input".split())
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
         self.diagnostics: list[tuple[str, str, str]] = []
+        # active-formatting entries awaiting reconstruction: filled
+        # when a close implicitly ends formatting elements, drained
+        # LAZILY the moment content actually follows (spec: no
+        # content, no clone)
+        self._pending: list[tuple[str, dict]] = []
 
-    def _warn_fmt_reopen(self, closed, cause: str) -> None:
-        fmts = [n.tag for n in closed if n.tag in _FMT]
-        if fmts:
-            self.diagnostics.append((
-                "warning", "html-misnested-formatting",
-                f"{cause} implicitly closed formatting element(s) "
-                f"<{'>, <'.join(fmts)}>; html5lib's adoption agency "
-                "would re-open them in the new context — this parser "
-                "closes them conservatively"))
+    def _warn_fmt_reopen(self, tag: str, closed) -> None:
+        fmts = [tag] + [n.tag for n in closed if n.tag in _FMT]
+        self.diagnostics.append((
+            "warning", "html-misnested-formatting",
+            f"</{tag}> crosses open non-formatting element(s) "
+            f"<{'>, <'.join(n.tag for n in closed if n.tag not in _FMT)}> "
+            f"(the spec's furthest-block case): formatting element(s) "
+            f"<{'>, <'.join(fmts)}> close conservatively here instead "
+            "of the adoption agency's re-parenting"))
+
+    def _collect_fmt(self, closed) -> None:
+        for n in closed:
+            if n.tag in _FMT:
+                self._pending.append((n.tag, dict(n.attrs)))
+
+    def _reconstruct(self) -> None:
+        for tag, attrs in self._pending:
+            node = Node(tag, attrs)
+            self.stack[-1].append(node)
+            self._push(node)
+        self._pending = []
 
     def _close_p_in_button_scope(self) -> None:
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t == "p":
-                self._warn_fmt_reopen(self.stack[i + 1:],
-                                      "block start tag closing <p>")
+                self._collect_fmt(self.stack[i + 1:])
                 del self.stack[i:]
                 return
             if t in _BUTTON_SCOPE:
@@ -185,8 +214,7 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t in targets:
-                self._warn_fmt_reopen(self.stack[i + 1:],
-                                      f"<{tag}> start tag")
+                self._collect_fmt(self.stack[i + 1:])
                 del self.stack[i:]
                 return
             if boundary is None:
@@ -214,6 +242,13 @@ class _TreeBuilder(HTMLParser):
             self._close_p_in_button_scope()
         if tag in _AUTOCLOSE:
             self._autoclose(tag)
+        # reconstruct active formatting for the start tags that do per
+        # spec: phrasing/formatting/unknown elements plus the
+        # reconstructing voids — block/structure elements (div, p, li,
+        # table, ...) insert first; their CONTENT reconstructs later
+        if self._pending and self.stack[-1].tag not in _TABLE_CTX \
+                and (tag not in _SPECIAL or tag in _RECONSTRUCT_VOID):
+            self._reconstruct()
         # "in table" insertion modes: imply tbody/tr, foster-parent
         # anything the table content model does not allow
         cur = self.stack[-1].tag
@@ -274,8 +309,11 @@ class _TreeBuilder(HTMLParser):
         cur = self.stack[-1].tag
         if cur in _TABLE_CTX and tag not in _TABLE_CTX[cur]:
             self._foster_insert(Node(tag, amap))
-        else:
-            self.stack[-1].append(Node(tag, amap))
+            return
+        if self._pending \
+                and (tag not in _SPECIAL or tag in _RECONSTRUCT_VOID):
+            self._reconstruct()
+        self.stack[-1].append(Node(tag, amap))
 
     def handle_endtag(self, tag):
         if tag == "br":
@@ -284,9 +322,25 @@ class _TreeBuilder(HTMLParser):
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
-                self._warn_fmt_reopen(self.stack[i + 1:],
-                                      f"</{tag}> end tag")
+                above = self.stack[i + 1:]
+                if tag in _FMT and any(n.tag not in _FMT
+                                       for n in above):
+                    # furthest-block residual: a formatting end tag
+                    # crossing open non-formatting elements — the one
+                    # shape we close conservatively, with a diagnostic
+                    self._warn_fmt_reopen(tag, above)
+                else:
+                    # implied end tags; formatting descendants stay in
+                    # the active list and re-open when content follows
+                    self._collect_fmt(above)
                 del self.stack[i:]
+                return
+        # not on the stack: an end tag for a pending (implicitly
+        # closed) formatting element cancels its reconstruction —
+        # the spec's remove-from-active-formatting-list step
+        for j in range(len(self._pending) - 1, -1, -1):
+            if self._pending[j][0] == tag:
+                del self._pending[j]
                 return
         if tag == "p":
             # spec: a stray </p> acts as <p></p> — an empty p element
@@ -296,11 +350,16 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        if self.stack[-1].tag in _TABLE_CTX and data.strip():
-            # non-whitespace text directly in table context is
-            # foster-parented before the table (whitespace stays)
-            self._foster_insert(data)
-            return
+        if self.stack[-1].tag in _TABLE_CTX:
+            if data.strip():
+                # non-whitespace text directly in table context is
+                # foster-parented before the table (whitespace stays)
+                self._foster_insert(data)
+                return
+        elif self._pending:
+            # spec: character tokens (whitespace included) reconstruct
+            # the active formatting elements before insertion
+            self._reconstruct()
         self.stack[-1].append(data)
 
 
@@ -427,11 +486,13 @@ def parse_html(text: str, diagnostics: list | None = None) -> Node:
     for subject resolution, parse.py:89-96).
 
     ``diagnostics``, when given, collects ``(severity, code, message)``
-    tuples for recoveries where this parser's tree is DOCUMENTED to
-    diverge from html5lib's (mis-nested formatting elements the
-    adoption agency would re-open); spec-equivalent fixups
-    (auto-closing p/li/dd/tr/td, foster parenting, implied tbody/tr,
-    stray end tags) emit nothing because both trees agree.
+    tuples for the one recovery where this parser's tree is DOCUMENTED
+    to diverge from html5lib's: a formatting end tag crossing open
+    non-formatting elements (the spec's furthest-block adoption-agency
+    dance).  Spec-equivalent fixups — auto-closing p/li/dd/tr/td,
+    foster parenting, implied tbody/tr, stray end tags, and
+    active-formatting RECONSTRUCTION of implicitly-closed formatting
+    elements — emit nothing because both trees agree.
     """
     wrapper = None
     if not _TAG_CTRL_WS.search(text):

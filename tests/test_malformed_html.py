@@ -135,30 +135,71 @@ def test_stray_end_tags_ignored():
 
 
 # --------------------------------------------------------------------- #
-# the documented divergence: mis-nested formatting -> diagnostic
+# mis-nested formatting: active-formatting reconstruction (the
+# adoption agency's common cases), furthest-block residual -> diagnostic
 # --------------------------------------------------------------------- #
 
-def test_misnested_formatting_emits_diagnostic_never_loses_text():
+def test_misnested_formatting_reconstructs():
+    """The canonical adoption-agency case builds html5lib's exact
+    tree: </b> implicitly closes the open <i>, which re-opens (as a
+    clone) around the following text."""
     diags: list = []
     got = parse_html("<div><b>one<i>two</b>three</i>four</div>",
                      diagnostics=diags)
-    # text is all present, in order
+    assert _shape(got) == (
+        "div", [("b", ["one", ("i", ["two"])]), ("i", ["three"]),
+                "four"])
     assert got.text_content() == "onetwothreefour"
-    # html5lib would re-open <i> around "three" (adoption agency);
-    # this parser closes conservatively and SAYS SO
+    assert diags == []  # reconstructed, no divergence to report
+
+
+def test_block_closing_p_reconstructs_formatting():
+    diags: list = []
+    got = parse_html("<p><b>one<p>two", diagnostics=diags)
+    # html5lib: the <b> re-opens inside the second p ("two" is bold)
+    assert _shape(got) == (
+        "html", [("p", [("b", ["one"])]), ("p", [("b", ["two"])])])
+    assert diags == []
+
+
+def test_reconstruction_chains_and_cancellation():
+    # the clone itself re-closes and re-opens across a third p
+    got = parse_html('<div><p><b property="x">a<p>b<p>c</div>')
+    assert _shape(got) == (
+        "div", [("p", [("b", ["a"])]), ("p", [("b", ["b"])]),
+                ("p", [("b", ["c"])])])
+    # the clone carries the original's attributes (html5lib clones do)
+    second_b = got.element_children()[1].element_children()[0]
+    assert second_b.get("property") == "x"
+    # an explicit end tag CANCELS a pending reconstruction: after
+    # </div> closes over <b>, </b> removes it from the active list,
+    # so "y" is not bold
+    got = parse_html("<section><div><b>x</div></b>y</section>")
+    assert _shape(got) == (
+        "section", [("div", [("b", ["x"])]), "y"])
+    # ... and with no following content, no clone materializes
+    got = parse_html("<section><div><b>x</div></section>")
+    assert _shape(got) == ("section", [("div", [("b", ["x"])])])
+
+
+def test_parent_end_tag_reopens_formatting_child():
+    # </div> implicitly closes <b>; b re-opens for the trailing text
+    got = parse_html("<section><div><b>x</div>y</section>")
+    assert _shape(got) == (
+        "section", [("div", [("b", ["x"])]), ("b", ["y"])])
+
+
+def test_furthest_block_residual_warns_never_loses_text():
+    """A formatting END tag crossing an open non-formatting element is
+    the spec's furthest-block dance — the one shape this parser closes
+    conservatively, with a diagnostic, never silently."""
+    diags: list = []
+    got = parse_html("<b>one<p>two</b>three", diagnostics=diags)
+    assert got.text_content() == "onetwothree"
     assert any(c == "html-misnested-formatting" for _s, c, _m in diags)
     sev, code, msg = next(d for d in diags
                           if d[1] == "html-misnested-formatting")
-    assert sev == "warning" and "i" in msg
-
-
-def test_block_closing_p_with_open_formatting_warns():
-    diags: list = []
-    got = parse_html("<p><b>one<p>two", diagnostics=diags)
-    assert got.text_content() == "onetwo"
-    # html5lib reconstructs <b> inside the second p ("two" is bold);
-    # we close it with the first p and warn
-    assert any(c == "html-misnested-formatting" for _s, c, _m in diags)
+    assert sev == "warning" and "furthest-block" in msg
 
 
 def test_wellformed_input_emits_no_diagnostics():
