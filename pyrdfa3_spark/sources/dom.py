@@ -190,7 +190,15 @@ class _TreeBuilder(HTMLParser):
     def _collect_fmt(self, closed) -> None:
         for n in closed:
             if n.tag in _FMT:
-                self._pending.append((n.tag, dict(n.attrs)))
+                entry = (n.tag, dict(n.attrs))
+                # Noah's Ark clause (§13.2.4.3): at most THREE
+                # identical active-formatting entries — without it,
+                # a page of repeated unclosed formatting
+                # ("<p><b>x" * N) re-nests one clone deeper per
+                # paragraph until the depth guard kills the document;
+                # html5lib caps exactly the same way
+                if sum(1 for e in self._pending if e == entry) < 3:
+                    self._pending.append(entry)
 
     def _reconstruct(self) -> None:
         for tag, attrs in self._pending:
@@ -498,10 +506,14 @@ def parse_html(text: str, diagnostics: list | None = None) -> Node:
     if not _TAG_CTRL_WS.search(text):
         try:
             wrapper = _parse_html_fast(text)
-        except DocumentTooDeep:
-            raise
         except Exception:
-            wrapper = None  # not well-formed XML -> tolerant parser
+            # not well-formed XML -> tolerant parser.  That includes
+            # DocumentTooDeep: expat counts RAW nesting, and a page of
+            # unclosed tags ("<p><b>x" * N) nests arbitrarily deep
+            # there while the tolerant builder's auto-close keeps the
+            # real tree shallow — the tolerant path's own depth guard
+            # is the authoritative one.
+            wrapper = None
     if wrapper is None:
         builder = _TreeBuilder()
         builder.feed(text)

@@ -232,6 +232,23 @@ def test_fostered_rdfa_context_does_not_inherit_table_subject():
     assert subs == {"http://ex.org/page"}
 
 
+def test_noahs_ark_caps_reformatting_depth():
+    """A page of repeated unclosed formatting must parse — the spec's
+    Noah's Ark clause (max 3 identical active-formatting entries)
+    bounds the clone re-nesting; without it the depth guard would
+    reject the document that html5lib handles."""
+    got = parse_html("<div>" + "<p><b>x" * 200 + "</div>")
+    assert got.text_content() == "x" * 200
+    # every paragraph still renders its text inside a <b> clone ...
+    ps = got.element_children()
+    assert len(ps) == 200 and all(p.tag == "p" for p in ps)
+    # ... and the nesting inside any one p stays spec-bounded
+    def depth(n):
+        ks = n.element_children()
+        return 1 + max((depth(k) for k in ks), default=0)
+    assert max(depth(p) for p in ps) <= 5
+
+
 def test_deep_nesting_still_guarded():
     from pyrdfa3_spark.sources.dom import DocumentTooDeep
 
